@@ -1,0 +1,261 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.  All are stateless DataFrame->DataFrame
+functions built from joins/aggregations only, so they scale by
+partitioning: no driver-side collection, and every pairwise step is
+blocked (LSH band buckets / shared-shingle blocking) so there is never
+an unblocked cartesian product — at 100 TB the candidate-pair join
+shuffles on the band/shingle key and AQE splits skewed buckets.
+
+Hashes come from ``hash64`` (md5-based) so the DuckDB oracle reproduces
+signatures bit-for-bit; swap to xxhash64 for raw speed off the test
+harness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from cascading_hbase_spark.functions.hashing import hash64
+from cascading_hbase_spark.functions.text import shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingle_rows",
+    "minhash_signatures",
+    "minhash_band_signatures",
+    "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep one representative row per duplicate group, deterministically
+    (the min of ``order_col``).  Hash-groupBy, one shuffle."""
+    aggs = [F.min(order_col).alias(order_col)] if order_col not in key_cols else []
+    other = [c for c in df.columns if c not in key_cols and c != order_col]
+    aggs += [F.min_by(c, order_col).alias(c) for c in other]
+    aggs.append(F.count("*").alias("n_copies"))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows — the set representation both MinHash
+    and exact Jaccard work over."""
+    return df.select(
+        id_col, F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
+    """Long-format minhash signature: (id, h_idx, minhash) with
+    minhash = min over the doc's shingles of hash64(h_idx | shingle).
+    One map + one hash aggregate; n_hashes multiplies rows map-side only."""
+    return (
+        sh.select(
+            id_col,
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h_idx"),
+        )
+        .select(
+            id_col,
+            "h_idx",
+            hash64(F.concat_ws("|", F.col("h_idx").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "h_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_band_signatures(sig: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
+    """LSH banding: concatenate each band's minhashes (ordered by h_idx)
+    into a bucket key."""
+    return (
+        sig.withColumn("band", F.floor(F.col("h_idx") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("band_sig")
+        )
+    )
+
+
+def _exact_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via shared
+    shingle counts. pairs: columns doc_a, doc_b."""
+    cnt = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("_doc_b2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_doc_b2")) & (F.col("shingle") == F.col("shingle_b")),
+            "inner",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: band-bucket candidate
+    generation, then *exact* Jaccard verification of candidates only.
+    No false positives; false negatives only for pairs no band catches
+    (standard LSH trade-off; the band join is the only shuffle that
+    touches pairs)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    bands = minhash_band_signatures(sig, id_col, band_size)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_sig") == F.col("band_sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _exact_jaccard(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    min_inter: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with shared-shingle blocking:
+    only pairs sharing >= min_inter shingles are scored (the blocking
+    join shuffles on the shingle, never materializing a cartesian)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        sa.join(sb, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    cnt = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct whitespace tokens: per bit,
+    majority vote of the tokens' hash bits.  Two hash aggregates; rows
+    expand by ``bits`` map-side only."""
+    tok = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        .distinct()
+        .select(id_col, hash64(F.col("token")).alias("h"))
+    )
+    bit_votes = (
+        tok.select(
+            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+        )
+        .select(
+            id_col,
+            "b",
+            F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("w").alias("vote"))
+    )
+    return (
+        bit_votes.select(
+            id_col,
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bitval"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into 4 bytes — any
+    pair within hamming distance <= 4... must agree on at least one byte
+    when distance <= 3, and usually when = 4 — then verify exact hamming
+    via bit_count(xor).  Candidate join is blocked on (byte_idx, byte)."""
+    sig = simhash(df, id_col, text_col, bits)
+    n_bands = bits // 8
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = banded.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

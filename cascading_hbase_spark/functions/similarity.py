@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (SURVEY.md §2.11).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query side is broadcast, so the candidate scan is a single
+  map-side pass (no shuffle of the 100 TB side) followed by a per-query
+  top-k window on the tiny scored set.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — the scale path.
+  Candidates only meet when they share a signature band, so the join is
+  blocked; hyperplanes are hash-derived (deterministic, no fitted
+  state).
+- ``embedding_neardup_pairs``: cosine near-duplicate detection via the
+  same LSH blocking.
+
+All dot products run as Catalyst higher-order functions over
+array<float> cast to double — JVM-side, no Python.  For very wide
+vectors a Pandas-UDF/numpy variant would amortize better; at 64 dims
+the expression form wins (no Arrow transfer)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from cascading_hbase_spark.functions.hashing import hash64
+
+__all__ = ["dot", "norm2", "cosine", "cosine_topk", "lsh_signature", "lsh_ann_topk",
+           "embedding_neardup_pairs"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for every query row, the k nearest
+    candidate rows (self excluded).  Ranking key is (rounded cosine,
+    candidate id) so ties resolve identically everywhere."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+def _hyperplane(j: Column, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane j: component i is a
+    hash-derived value in [-1, 1]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (hash64(F.concat_ws("_", j.cast("string"), i.cast("string"))) % 2001).cast("double")
+            - 1000.0
+        )
+        / 1000.0,
+    )
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit j = sign(vec . plane_j)."""
+    def bit(j: Column) -> Column:
+        plane = _hyperplane(j, dim)
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), bit)
+    # sig = sum(bit_j * 2^j); pow(2, j) is exact in double for j < 53.
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda b, j: b.cast("bigint") * F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _banded(df: DataFrame, sig_col: str, n_bands: int, band_bits: int) -> DataFrame:
+    """Explode a signature into (band, band_val) rows, keeping all other
+    columns."""
+    return df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"({sig_col} >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing >= 1 signature band
+    with the query, then exact cosine + top-k on that bucket-blocked
+    candidate set.  At scale the candidate join shuffles on
+    (band, band_val) — never a cartesian."""
+    band_bits = n_planes // n_bands
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), dim, n_planes).alias("sig")
+    )
+    qsig = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("q_sig"),
+    )
+    cb = _banded(
+        sig.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "sig"),
+        "sig", n_bands, band_bits,
+    )
+    qb = (
+        _banded(
+            qsig.select("q_id", "q_vec", F.col("q_sig").alias("sig")),
+            "sig", n_bands, band_bits,
+        )
+        .withColumnRenamed("band_val", "q_band_val")
+        .withColumnRenamed("band", "q_band")
+        .drop("sig")
+    )
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("band_val") == F.col("q_band_val"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "q_vec", "vec_id", "c_vec")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    cosine verify."""
+    band_bits = n_planes // n_bands
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), dim, n_planes).alias("sig")
+    )
+    banded = _banded(
+        sig.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "sig"),
+        "sig", n_bands, band_bits,
+    )
+    a = banded.select(F.col("vid").alias("doc_a"), F.col("vec").alias("vec_a"), "band", "band_val")
+    b = banded.select(
+        F.col("vid").alias("doc_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "vec_a", "vec_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

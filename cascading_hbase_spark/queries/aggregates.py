@@ -1,0 +1,319 @@
+"""§2.4 aggregations + §2.5 sorts/limits/top-k.
+
+Numeric-parity notes (these queries must hash-match a DuckDB oracle):
+monetary sums cast per-row to DECIMAL before SUM so the aggregate is
+exact and order-independent (Spark partial aggregation sums partitions
+in arbitrary order; a raw double SUM differs from DuckDB in the last
+bits).  Averages are computed as exact-decimal-sum / count in DOUBLE so
+both engines perform the identical single IEEE division.  Spark's
+hash aggregate does partial+final (map-side combine) automatically —
+at 100 TB each group's traffic is one partial row per partition."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.queries import query
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped GroupBy + Sum/Average/Min/Max/Count — the flagship
+    aggregate (SURVEY.md §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "groupby_count",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "groupby_first_last",
+    oracle="""
+    SELECT l_orderkey,
+           min_by(l_partkey, sk) AS first_part,
+           max_by(l_partkey, sk) AS last_part,
+           min_by(l_quantity, sk) AS first_qty,
+           max_by(l_quantity, sk) AS last_qty
+    FROM (
+      SELECT *,
+             l_linenumber * 1000000000000 + l_partkey * 1000000 + l_suppkey AS sk
+      FROM lineitem
+    ) GROUP BY l_orderkey
+    """,
+)
+def groupby_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy + First/Last with explicit sort key (Cascading's GroupBy
+    secondary sort feeding First/Last aggregators) = min_by/max_by —
+    a single hash aggregate, no window shuffle-sort needed.  The sort
+    key is a composite (linenumber, partkey, suppkey) packed into one
+    bigint because (l_orderkey, l_linenumber) alone is not unique."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "sk",
+        F.col("l_linenumber").cast("bigint") * F.lit(1000000000000)
+        + F.col("l_partkey") * F.lit(1000000)
+        + F.col("l_suppkey"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", "sk").alias("first_part"),
+        F.max_by("l_partkey", "sk").alias("last_part"),
+        F.min_by("l_quantity", "sk").alias("first_qty"),
+        F.max_by("l_quantity", "sk").alias("last_qty"),
+    )
+
+
+@query(
+    "unique_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem",
+)
+def unique_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique sub-assembly = distinct."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_suppkey"
+    ).distinct()
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (engine extension; free on Catalyst)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        )
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "buffer_apply_in_pandas",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           SUM(l_quantity) AS qty_total,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def buffer_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer — the per-group iterator UDF escape hatch
+    (cascading.operation.Buffer) — as Arrow-batched ``applyInPandas``.
+    Kept deliberately simple; real per-group logic that built-ins can't
+    express goes through this exact shape.  (Slow path: prefer built-in
+    aggregates; this exists to prove the surface.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+                "n_lines": [len(pdf)],
+                "qty_total": [float(pdf["l_quantity"].sum())],
+                "max_price": [float(pdf["l_extendedprice"].max())],
+            }
+        )
+
+    return li.groupBy("l_orderkey").applyInPandas(
+        summarize,
+        schema="l_orderkey bigint, n_lines bigint, qty_total double, max_price double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "secondary_sort_first",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def secondary_sort_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy secondary sort + take-first (sortFields semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (First after sorted GroupBy in Cascading).  Spark
+    physical plan: partial top-k within partitions (WindowGroupLimit
+    pushdown) then final — no full sort of the group."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+@query(
+    "global_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order + head.  Spark plans TakeOrderedAndProject — a
+    per-partition top-100 then a driver-side merge of 100-row heaps, NOT
+    the single-reducer total sort the Cascading idiom forced."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "limit_head",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 50
+    """,
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit-style head, made deterministic with an explicit key order."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .limit(50)
+        .select("c_custkey", "c_name")
+    )

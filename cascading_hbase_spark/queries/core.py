@@ -1,0 +1,503 @@
+"""Core operator pairs: the reference's own [R] keyed-table semantics,
+the §2.2 row-wise pipe functions, §2.6 set ops, and §2.8 scalar surface.
+
+Every query is Catalyst-native (no Python UDFs) so filters/projections
+push to the parquet scan and whole-stage codegen covers the row-wise
+work; these all scale linearly with partitions at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# [R] keyed-table semantics (HBaseScheme/HBaseTap surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "keyed_upsert_lww",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    bench=True,
+)
+def keyed_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins collapse by row key — the reference's defining
+    non-relational semantic (13 tuples -> 5 rows keyed on ``num``,
+    MultiFamilyHBaseTest.java:57,71).  ``l_linenumber`` is the explicit
+    write-order tiebreak standing in for the HBase cell timestamp
+    (HBaseScheme.java:127)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) alone is not unique in the synthetic data;
+    # extend the write-order tiebreak until it is deterministic.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_partkey").desc(), F.col("l_suppkey").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "keyed_range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey >= 100 AND l_orderkey < 500
+    """,
+)
+def keyed_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with start/stop row (HBaseScheme.java:54,61,77;
+    TableInputFormatWrap.java:55-65 prunes regions outside the range).
+    As a key predicate this reaches the parquet scan as a pushed filter
+    and prunes row groups via min/max stats — same pruning, no custom
+    split code."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") >= 100) & (F.col("l_orderkey") < 500)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "keyed_delete_antijoin",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+def keyed_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete support in the sink (TableOutputFormatWrap.java:82 Delete
+    dispatch) re-expressed as an anti-join rewrite: stored rows minus
+    the delete set."""
+    orders = load_table(spark, sf_dir, "orders")
+    deletes = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(deletes, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filters / row-wise functions ([T] then [D])
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "each_identity",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def each_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each(pipe, Identity) pass-through projection
+    (MultiFamilyHBaseTest.java:77)."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "regex_splitter",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_name
+    FROM orders
+    """,
+)
+def regex_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexSplitter(declared, pattern): one string column -> N columns
+    (MultiFamilyHBaseTest.java:54-55 splits ``line`` into num/lower/upper)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_num"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias("prio_name"),
+    )
+
+
+@query(
+    "expression_function",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           CAST(l_quantity * 2 + 1 AS DOUBLE) AS qty_expr
+    FROM lineitem
+    """,
+)
+def expression_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpressionFunction(fields, javaExpr) — computed column via Janino
+    (MultiFamilyCascadeHBaseTest.java:62).  SQL expressions replace Janino;
+    Catalyst codegen compiles them JVM-side exactly as Janino did."""
+    # round at 4 decimals: the product of two 2-decimal values has at most
+    # 4 decimal digits, so there is never a rounding tie (Spark rounds the
+    # shortest decimal repr, DuckDB the binary value — they disagree on ties).
+    return load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "round(l_extendedprice * (1 - l_discount), 4) AS revenue",
+        "CAST(l_quantity * 2 + 1 AS DOUBLE) AS qty_expr",
+    )
+
+
+@query(
+    "regex_filter",
+    oracle=r"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE regexp_matches(c_name, 'Customer#0*1[0-9]$')
+    """,
+)
+def regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexFilter (cascading.operation.regex): row passes iff pattern
+    matches."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_name").rlike("Customer#0*1[0-9]$"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "filter_bool_combinators",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+       OR (NOT o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+    """,
+)
+def filter_bool_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpressionFilter + And/Or/Not combinators
+    (cascading.operation.filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    cond = ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)) | (
+        (~(F.col("o_orderstatus") == "F")) & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return o.filter(cond).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_name IS NOT NULL
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterNull: drop rows with null in the argument fields.  A left
+    join manufactures the nulls so the filter is observable."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = e.join(c, e.user_id == c.c_custkey, "left")
+    return joined.filter(F.col("c_name").isNotNull()).select("event_id", "user_id", "c_name")
+
+
+@query(
+    "insert_literal",
+    oracle="SELECT r_regionkey, r_name, 'hbase' AS src, 1 AS tag FROM region",
+)
+def insert_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert — constant columns (cascading.operation.Insert)."""
+    return load_table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        "r_name",
+        F.lit("hbase").alias("src"),
+        F.lit(1).cast("int").alias("tag"),
+    )
+
+
+@query(
+    "regex_parser",
+    oracle=r"""
+    SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1) AS k_str
+    FROM events
+    """,
+)
+def regex_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexParser: extract capture groups into fields."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).alias("k_str"),
+    )
+
+
+@query(
+    "regex_replace",
+    oracle=r"""
+    SELECT c_custkey, regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+    FROM customer
+    """,
+)
+def regex_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexReplace: pattern rewrite inside a string column."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "0+", "0").alias("squeezed"),
+    )
+
+
+@query(
+    "regex_generator",
+    oracle=r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    """,
+)
+def regex_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexGenerator: 1 row -> N rows of regex matches, here followed by
+    a word count (the canonical Cascading example)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "date_formatter",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd
+    FROM orders
+    """,
+)
+def date_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateFormatter (cascading.operation.text.DateFormatter)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@query(
+    "date_parser",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+    FROM orders
+    """,
+)
+def date_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateParser: string -> timestamp (round-trips through a formatted
+    string so the parse step is observable)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("parsed_ts"),
+    )
+
+
+@query(
+    "field_joiner",
+    oracle="""
+    SELECT c_custkey, concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer
+    """,
+)
+def field_joiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldJoiner: concat fields with a delimiter."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+@query(
+    "field_formatter",
+    oracle="""
+    SELECT r_regionkey, printf('%s-%03d', r_name, r_regionkey) AS formatted
+    FROM region
+    """,
+)
+def field_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldFormatter: printf-style formatting of fields into a string."""
+    return load_table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.format_string("%s-%03d", F.col("r_name"), F.col("r_regionkey")).alias("formatted"),
+    )
+
+
+@query(
+    "ungroup_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_orderstatus' AS field, o_orderstatus AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_orderpriority' AS field, o_orderpriority AS val FROM orders
+    """,
+)
+def ungroup_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnGroup: unpivot key + repeated value groups into rows."""
+    return load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "stack(2, 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority) AS (field, val)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_union",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+)
+def merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge of pipes (GroupBy over multiple pipes in Cascading 1.x;
+    APPEND sink accumulation HBaseTap.java:33) = union."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "intersect_op",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "except_op",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function surface (the expression language replacing Janino)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction from the events.props JSON string."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "string_scalar_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           ltrim(rtrim(c_name)) AS trimmed,
+           reverse(c_mktsegment) AS seg_rev
+    FROM customer
+    """,
+)
+def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.col("c_name")).alias("trimmed"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+@query(
+    "math_scalar_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS adisc,
+           ceil(l_quantity) AS qceil,
+           floor(l_extendedprice / 1000.0) AS pfloor,
+           round(sqrt(l_extendedprice), 6) AS psqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS kmod
+    FROM lineitem
+    """,
+)
+def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("adisc"),
+        F.ceil("l_quantity").alias("qceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("pfloor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("psqrt"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("kmod"),
+    )
+
+
+@query(
+    "bytes_codec",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           to_base64(encode(substring(text, 1, 16))) AS head_b64,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def bytes_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string <-> bytes codecs — the reference's cell model is raw bytes
+    with string convention (HBaseScheme.java:94,113,120)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.base64(F.substring("text", 1, 16).cast("binary")).alias("head_b64"),
+        F.octet_length(F.col("text").cast("binary")).cast("bigint").alias("n_bytes"),
+    )

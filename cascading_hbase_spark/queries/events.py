@@ -1,0 +1,193 @@
+"""§2.10 time-windowed event processing, batch form (the reference is
+pure batch MR; its buffered upsert sink is the moral ancestor of a
+streaming upsert — SURVEY.md §2.10).  The same transformations are
+re-exported for Structured Streaming in
+``cascading_hbase_spark.streaming``; here they run as batch DataFrame
+queries so the DuckDB oracle can check them.
+
+Oracle alignment: Spark ``F.window(ts, W, S)`` buckets are epoch-aligned
+exactly like DuckDB ``time_bucket(INTERVAL, ts)``."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.queries import query
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation: F.window(ts, '1 hour')."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "value_sum")
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - g * INTERVAL '30 minutes' AS w_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS g)
+    GROUP BY 1
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in
+    exactly 2 windows.  The oracle replays Spark's window assignment
+    with an explicit offset cross join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "value_sum")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute gap per user.  Spark side uses
+    the native ``F.session_window`` (merging session state); the oracle
+    reconstructs sessions as gaps-and-islands SQL — independent
+    formulations of the same semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "event_dedup_earliest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    ) WHERE rn = 1
+    """,
+)
+def event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style dedup: keep the earliest event per
+    (user, event_type) — ``dropDuplicates`` within watermark in the
+    streaming form, deterministic window form in batch."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "asof_join_last_signup",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(s.ts) FROM ev s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id)))
+             AS signup_ts
+    FROM ev e WHERE e.event_type = 'purchase'
+    """,
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent signup at-or-before
+    it for the same user.  Implemented as a single pass with
+    last(ignoreNulls) over an ordered window — one shuffle on user_id,
+    no correlated-subquery N^2 (the oracle uses the subquery form as an
+    independent check)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("signup_ts", signup_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "signup_ts")
+    )
+
+
+@query(
+    "event_rate_per_user_hour",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def event_rate_per_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed tumbling rollup — the hypertable-rollup shape."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select("user_id", F.col("w.start").alias("w_start"), "n_events", "n_types")
+    )

@@ -1,0 +1,244 @@
+"""§2.3 join surface: CoGroup in all its variants.
+
+Cascading 1.x had exactly one join primitive (CoGroup, sort-merge on
+MapReduce).  Here every variant is a declarative ``df.join`` and
+Catalyst picks broadcast-hash vs shuffled-hash vs sort-merge — the
+dimension tables (region/nation/supplier/part) are broadcast-sized, the
+fact-fact joins shuffle on their keys, and AQE re-plans skew at runtime.
+Do NOT hand-schedule sort-merge like the reference's MR engine did
+(SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.queries import query
+
+
+@query(
+    "cogroup_inner",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    bench=True,
+)
+def cogroup_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroup with default InnerJoin."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "cogroup_left",
+    oracle="""
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def cogroup_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroup + LeftJoin; count(col) skips the manufactured nulls so
+    zero-order customers are observable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "cogroup_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def cogroup_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "cogroup_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def cogroup_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroup + OuterJoin: both sides filtered so orphans exist on both
+    sides and null-extension is exercised."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "cogroup_mixed_nary",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           l.l_linenumber, l.l_quantity
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45.0) l
+      ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 200000.0
+    """,
+)
+def cogroup_mixed_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MixedJoin: n-ary co-group with per-stream inner/outer mix,
+    decomposed into chained 2-way joins (SURVEY.md §2.3)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(l, o.o_orderkey == l.l_orderkey, "left")
+        .select("o_orderkey", "o_custkey", "c_name", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "self_join",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    """,
+)
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with disambiguated aliases (Cascading required renamed
+    fields for this)."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_star_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    bench=True,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: fact-fact shuffle join on orderkey,
+    then broadcast joins down the dimension chain (customer/nation/region
+    are broadcast-sized — Catalyst broadcasts them automatically).  The
+    per-row revenue is rounded then summed as DECIMAL so the result is
+    order-independent and exactly matches the oracle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup join against a keyed table (the HBase-style start/stop
+    row scan, TableInputFormatWrap.java:30-32,55-65) — at Spark scale the
+    right physical plan is a broadcast of the small side, hinted
+    explicitly here."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    )
+
+
+@query(
+    "range_predicate_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value >= 100.0 AND e.value < 150.0
+    """,
+)
+def range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range scan feeding a join: the range predicate pushes to the
+    parquet scan (min/max pruning) before the broadcast join."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 100.0) & (F.col("value") < 150.0)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id", "user_id", "value", "c_name"
+    )

@@ -1,0 +1,404 @@
+"""§2.11 LLM-data-pipeline operator pairs over documents/embeddings:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search, text analysis, fingerprinting, multimodal
+metadata plumbing.
+
+The oracle SQL replicates each algorithm end-to-end in DuckDB (same
+md5-derived hashes, same banding, same tie-breaks) — these are *checked
+algorithms*, not just checked row counts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.functions import dedup as D
+from cascading_hbase_spark.functions import similarity as S
+from cascading_hbase_spark.functions import text as T
+from cascading_hbase_spark.queries import query
+
+# Shared DuckDB CTE fragments (doc shingling + md5-based hash64).
+_H = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+_SQL_TOK = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+_SQL_SH = (
+    "SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t)-2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle FROM tok"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, deterministic representative."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    hs AS (
+      SELECT doc_id, h_idx,
+             min({_H.format(x="CAST(h_idx AS VARCHAR) || '|' || shingle")}) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
+      GROUP BY doc_id, h_idx
+    ),
+    bands AS (
+      SELECT doc_id, CAST(h_idx // 2 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+      FROM hs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS i
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5
+    """,
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup_pairs(d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with shared-shingle blocking."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5, min_inter=5)
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT DISTINCT doc_id, {_H.format(x="token")} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (per-bit majority of token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=32)
+
+
+@query(
+    "simhash_neardup",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT DISTINCT doc_id, {_H.format(x="token")} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.simhash) AS sh_a, any_value(b.simhash) AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking + exact hamming verify."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(d, "doc_id", "text", bits=32, max_hamming=4)
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * c.v[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * q.q_vec[i]))
+                      * list_sum(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]))),
+               6) AS cos_sim
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    bench=True,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 8.
+    Query side broadcast; candidate side never shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(e, q, "vec_id", "embedding", k=10)
+
+
+@query("similarity_ann_lsh_topk")  # no oracle: approximate scale path, rows-only check
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB path: candidates meet
+    only inside signature-band buckets).  Approximate -> rows-only check;
+    recall is pytest-checked against cosine_topk on sf0.001."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10)
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+      SELECT e.vec_id, j.j,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> e.v[i] * ((CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000.0) / 1000.0)) AS d
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d >= 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM planes GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT s.vec_id, s.sig, band, (s.sig >> (band * 4)) & 15 AS band_val
+      FROM sig s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(
+             list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+             / sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i]))
+                    * list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i]))),
+             6) AS cos_sim
+    FROM cand JOIN e ea ON ea.vec_id = doc_a JOIN e eb ON eb.vec_id = doc_b
+    WHERE list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+          / sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i]))
+                 * list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i]))) >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking +
+    exact cosine verify (threshold 0.4 — the synthetic embeddings have
+    no planted dups, so this surfaces the natural near-neighbors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(e, "vec_id", "embedding", dim=64, threshold=0.4)
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, label,
+           CAST(len(v) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))), 6) AS l2_norm,
+           round(list_sum(list_transform(generate_series(1, 64), i -> v[i])) / 64.0, 6) AS mean_val
+    FROM e
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column scalar surface: per-vector norm/mean via
+    higher-order functions (no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(S.dot(v, v)), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / 64.0, 6
+        ).alias("mean_val"),
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    sum_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.round(sum_len.cast("double") / F.size(tok).cast("double"), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_re,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_regex("text").alias("n_tokens_re"),
+        T.token_count_regex("text", "[0-9]+").alias("n_numbers"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(T.stopword_ratio(tok), 6).alias("stop_ratio"),
+        T.lang_id_en(tok).alias("pred_lang"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           round(
+             0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+             + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0),
+             6) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length saturation, punctuation share,
+    stopword share)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           CAST(('0x' || substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp64
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) plus
+    its 60-bit integer form."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint("text")
+    fp64 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint")
+    return d.select("doc_id", fp.alias("fp"), fp64.alias("fp64"))
