@@ -40,10 +40,19 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return df.groupBy(*key_cols).agg(*aggs)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ahead of CPU-heavy explode work.  A small local
+    parquet file arrives as 1 partition, which would serialize the
+    whole shingle/hash pipeline on one core; at cluster scale the
+    input already has many partitions and this is a cheap key shuffle
+    that also pre-locates the downstream per-doc aggregates."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+
+
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle) rows — the set representation both MinHash
     and exact Jaccard work over."""
-    return df.select(
+    return _spread(df, id_col).select(
         id_col, F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
     ).distinct()
 
@@ -133,7 +142,11 @@ def minhash_neardup_pairs(
     No false positives; false negatives only for pairs no band catches
     (standard LSH trade-off; the band join is the only shuffle that
     touches pairs)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    # The shingle set feeds the signature build, the intersection join,
+    # and both size lookups — persist it once instead of re-shingling
+    # 4x (at scale this is the operator's working set; MEMORY_AND_DISK
+    # spills gracefully).
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col, n_hashes)
     bands = minhash_band_signatures(sig, id_col, band_size)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
@@ -162,7 +175,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram-Jaccard near-dup pairs with shared-shingle blocking:
     only pairs sharing >= min_inter shingles are scored (the blocking
     join shuffles on the shingle, never materializing a cartesian)."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -195,7 +208,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     majority vote of the tokens' hash bits.  Two hash aggregates; rows
     expand by ``bits`` map-side only."""
     tok = (
-        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        _spread(df, id_col)
+        .select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
         .distinct()
         .select(id_col, hash64(F.col("token")).alias("h"))
     )
@@ -230,7 +244,7 @@ def simhash_neardup_pairs(
     pair within hamming distance <= 4... must agree on at least one byte
     when distance <= 3, and usually when = 4 — then verify exact hamming
     via bit_count(xor).  Candidate join is blocked on (byte_idx, byte)."""
-    sig = simhash(df, id_col, text_col, bits)
+    sig = simhash(df, id_col, text_col, bits).persist()
     n_bands = bits // 8
     banded = sig.select(
         F.col(id_col),
