@@ -1,0 +1,154 @@
+"""Taps: source/sink endpoints for flows — the engine's re-expression
+of Cascading's Tap/Scheme pairs (HBaseTap + HBaseScheme on one side,
+Lfs/Hfs + TextLine/SequenceFile on the other; SURVEY.md §2.1).
+
+Every tap exposes the identity/freshness protocol the cascade scheduler
+needs: ``uri()`` (dependency key, cf. hbase:// URI
+HBaseTap.java:142-148), ``exists()``, ``modified_time()``
+(HBaseTap.java:65-67 'always stale' for keyed tables).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cascading_hbase_spark.keyed.table import KeyedTable, SinkMode
+
+__all__ = ["Tap", "ParquetTap", "TextLineTap", "CsvTap", "JsonTap", "KeyedTableTap",
+           "SinkMode"]
+
+
+class Tap:
+    #: When True, a flow sinking into this tap is never considered
+    #: up-to-date and always re-runs — the cascade-visible effect of
+    #: HBaseTap.getPathModified returning currentTimeMillis
+    #: (HBaseTap.java:65-67,103-105).
+    always_stale_sink = False
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def uri(self) -> str:
+        return f"file://{os.path.abspath(self.path)}"
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def modified_time(self) -> float:
+        if not self.exists():
+            return -1.0
+        mt = os.path.getmtime(self.path)
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                mt = max(mt, os.path.getmtime(os.path.join(self.path, f)))
+        return mt
+
+    def delete(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        elif os.path.exists(self.path):
+            os.remove(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, df: DataFrame, mode: SinkMode = SinkMode.REPLACE) -> None:
+        raise NotImplementedError
+
+    @staticmethod
+    def _writer_mode(mode: SinkMode) -> str:
+        return {
+            SinkMode.APPEND: "append",
+            SinkMode.REPLACE: "overwrite",
+            SinkMode.KEEP: "errorifexists",
+        }[mode]
+
+
+class ParquetTap(Tap):
+    def read(self, spark):
+        return spark.read.parquet(self.path)
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        df.write.mode(self._writer_mode(mode)).parquet(self.path)
+
+
+class TextLineTap(Tap):
+    """Line-oriented text file: one `line` string column (the Lfs +
+    TextLine endpoint of every reference test,
+    MultiFamilyHBaseTest.java:52,74-75)."""
+
+    def read(self, spark):
+        return spark.read.text(self.path).withColumnRenamed("value", "line")
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        import pyspark.sql.functions as F
+
+        if len(df.columns) == 1:
+            out = df.select(F.col(df.columns[0]).cast("string").alias("value"))
+        else:
+            out = df.select(
+                F.concat_ws("\t", *[F.col(c).cast("string") for c in df.columns]).alias("value")
+            )
+        out.write.mode(self._writer_mode(mode)).text(self.path)
+
+
+class CsvTap(Tap):
+    def __init__(self, path: str, header: bool = True, schema: str | None = None):
+        super().__init__(path)
+        self.header = header
+        self.schema = schema
+
+    def read(self, spark):
+        r = spark.read.option("header", self.header)
+        if self.schema:
+            r = r.schema(self.schema)
+        else:
+            r = r.option("inferSchema", True)
+        return r.csv(self.path)
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        df.write.mode(self._writer_mode(mode)).option("header", self.header).csv(self.path)
+
+
+class JsonTap(Tap):
+    def read(self, spark):
+        return spark.read.json(self.path)
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        df.write.mode(self._writer_mode(mode)).json(self.path)
+
+
+class KeyedTableTap(Tap):
+    """The HBaseTap equivalent: keyed table with upsert semantics."""
+
+    always_stale_sink = True
+
+    def __init__(self, path: str, key: str = "key", seq_col: str | None = None,
+                 start=None, stop=None, fields: list[str] | None = None):
+        super().__init__(path)
+        self.table = KeyedTable(path, key)
+        self.seq_col = seq_col
+        self.start, self.stop, self.fields = start, stop, fields
+
+    def uri(self) -> str:
+        return self.table.uri()
+
+    def exists(self) -> bool:
+        return self.table.exists()
+
+    def modified_time(self) -> float:
+        # Always stale (HBaseTap.java:65-67,103-105): dependents re-run.
+        return time.time()
+
+    def delete(self) -> None:
+        self.table.drop()
+
+    def read(self, spark):
+        return self.table.read(spark, self.start, self.stop, self.fields)
+
+    def write(self, df, mode: SinkMode = SinkMode.APPEND):
+        self.table.write(df, mode, self.seq_col)

@@ -1,0 +1,229 @@
+"""Flow/Cascade/pipe-API tests mirroring the reference's end-to-end
+tests (SURVEY.md §3, §5):
+
+- parse flow: text lines -> RegexSplitter -> keyed sink, 13 lines / 5
+  keys -> 5 rows (MultiFamilyHBaseTest.java:50-71)
+- copy flow: keyed table -> Identity -> text sink, 5 lines out
+  (MultiFamilyHBaseTest.java:74-85)
+- cascade: flows connected in reversed order run in dependency order;
+  APPEND accumulation 13 -> 26 (MultiFamilyCascadeHBaseTest.java:56-105)
+- pipe operator DAG: GroupBy/Every, CoGroup, Merge, Unique, Buffer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cascading_hbase_spark.operators.functions import (
+    Average,
+    Count,
+    ExpressionFilter,
+    ExpressionFunction,
+    First,
+    Identity,
+    Insert,
+    Last,
+    Max,
+    RegexFilter,
+    RegexSplitter,
+    Sum,
+)
+from cascading_hbase_spark.operators.pipe import (
+    ALL,
+    RESULTS,
+    Buffer,
+    CoGroup,
+    Each,
+    Every,
+    GroupBy,
+    Merge,
+    Pipe,
+    Rename,
+    Unique,
+)
+from cascading_hbase_spark.operators.taps import (
+    KeyedTableTap,
+    SinkMode,
+    TextLineTap,
+)
+from cascading_hbase_spark.plans.cascade import Cascade, CascadeConnector, Flow, FlowConnector
+
+# src/test/data/small.txt:1-13 — reproduced per FIXTURES.md §A1.
+SMALL_LINES = [
+    "1 a A", "2 b B", "3 c C", "4 d D", "5 e E", "1 f F", "2 g G",
+    "4 h H", "5 i I", "1 j J", "2 k K", "4 l L", "5 m M",
+]
+
+
+@pytest.fixture
+def small_txt(tmp_path):
+    p = tmp_path / "small.txt"
+    p.write_text("\n".join(SMALL_LINES) + "\n")
+    return str(p)
+
+
+def _parse_flow(small_txt, table_path, mode=SinkMode.APPEND):
+    """file -> parse -> keyed table (MultiFamilyHBaseTest.java:50-69)."""
+    pipe = Pipe("source")
+    pipe = Each(pipe, ["line"], RegexSplitter(("num", "lower", "upper"), " "), RESULTS)
+    return Flow(
+        {"source": TextLineTap(small_txt)},
+        KeyedTableTap(table_path, key="num"),
+        pipe,
+        sink_mode=mode,
+        name="parse",
+    )
+
+
+def test_parse_flow_upserts_13_to_5(spark, small_txt, tmp_path):
+    table = str(tmp_path / "multitable")
+    flow = _parse_flow(small_txt, table)
+    flow.complete(spark)
+    out = KeyedTableTap(table, key="num").read(spark)
+    assert out.count() == 5  # MultiFamilyHBaseTest.java:71
+    assert out.columns == ["num", "lower", "upper"]
+
+
+def test_copy_flow_roundtrip(spark, small_txt, tmp_path):
+    """keyed table -> Identity -> text file; verifySink(flow, 5)
+    (MultiFamilyHBaseTest.java:74-85)."""
+    table = str(tmp_path / "multitable")
+    _parse_flow(small_txt, table).complete(spark)
+
+    copy = Each(Pipe("hbase"), None, Identity(), RESULTS)
+    sink = TextLineTap(str(tmp_path / "multifamily"))
+    flow = FlowConnector().connect({"hbase": KeyedTableTap(table, key="num")}, sink, copy)
+    flow.complete(spark)
+    assert sink.read(spark).count() == 5
+
+
+def test_cascade_reversed_order(spark, small_txt, tmp_path):
+    """Connect (copy, parse) in reversed order; scheduler must run parse
+    first (MultiFamilyCascadeHBaseTest.java:83-87,97-99)."""
+    table = str(tmp_path / "multitable")
+    parse = _parse_flow(small_txt, table)
+    copy = Flow(
+        {"hbase": KeyedTableTap(table, key="num")},
+        TextLineTap(str(tmp_path / "out")),
+        Each(Pipe("hbase"), None, Identity(), RESULTS),
+        name="copy",
+    )
+    cascade = CascadeConnector().connect(copy, parse)  # reversed intentionally
+    ran = cascade.complete(spark)
+    assert ran == ["parse", "copy"]
+    assert TextLineTap(str(tmp_path / "out")).read(spark).count() == 5
+
+
+def test_cascade_append_accumulates(spark, small_txt, tmp_path):
+    """Random keys + APPEND: two cascade runs, 13 -> 26 rows
+    (MultiFamilyCascadeHBaseTest.java:89-104)."""
+    table = str(tmp_path / "randomtable")
+    pipe = Pipe("source")
+    pipe = Each(pipe, ["line"], RegexSplitter(("num", "lower", "upper"), " "), RESULTS)
+    # nondeterministic key, as in the reference's Janino expression
+    # (int)(Math.random()*Integer.MAX_VALUE) — test shape, not values.
+    pipe = Each(pipe, None, ExpressionFunction("rand_key", "cast(rand() * 2147483647 as int)"), ALL)
+    flow = Flow(
+        {"source": TextLineTap(small_txt)},
+        KeyedTableTap(table, key="rand_key"),
+        pipe,
+        name="randparse",
+    )
+    cascade = Cascade([flow])
+    cascade.complete(spark)
+    assert KeyedTableTap(table, key="rand_key").read(spark).count() == 13
+    cascade.complete(spark)  # keyed sink is always stale -> re-runs
+    assert KeyedTableTap(table, key="rand_key").read(spark).count() == 26
+    cascade.delete_sinks()
+    assert not KeyedTableTap(table, key="rand_key").exists()
+
+
+def test_groupby_every_aggregates(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)], "k string, seq int, v double"
+    )
+    df.createOrReplaceTempView("t")
+    pipe = GroupBy(Pipe("t"), group_fields=["k"], sort_fields=["seq"])
+    pipe = Every(pipe, [Count(declared="n"), Sum("v", declared="total")])
+    pipe = Every(pipe, [First("v", declared="first_v"), Last("v", declared="last_v"),
+                        Average("v", declared="avg_v"), Max("seq", declared="max_seq")])
+    out = {r["k"]: r for r in pipe.resolve({"t": df}).collect()}
+    assert out["a"]["n"] == 2 and out["a"]["total"] == 30.0
+    assert out["a"]["first_v"] == 10.0 and out["a"]["last_v"] == 20.0
+    assert out["b"]["avg_v"] == 30.0 and out["b"]["max_seq"] == 3
+
+
+def test_groupby_reverse_flips_first_last(spark):
+    df = spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")], "k string, seq int, v string")
+    pipe = GroupBy(Pipe("t"), group_fields=["k"], sort_fields=["seq"], reverse=True)
+    pipe = Every(pipe, [First("v", declared="f"), Last("v", declared="l")])
+    row = pipe.resolve({"t": df}).collect()[0]
+    assert (row["f"], row["l"]) == ("y", "x")
+
+
+def test_cogroup_join_and_selectors(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "id int, lv string")
+    right = spark.createDataFrame([(1, "x"), (3, "z")], "rid int, rv string")
+    j = CoGroup(Pipe("l"), ["id"], Pipe("r"), ["rid"])
+    rows = j.resolve({"l": left, "r": right}).collect()
+    assert len(rows) == 1 and rows[0]["lv"] == "a" and rows[0]["rv"] == "x"
+
+    jl = CoGroup(Pipe("l"), ["id"], Pipe("r"), ["rid"], joiner="left")
+    assert jl.resolve({"l": left, "r": right}).count() == 2
+
+
+def test_cogroup_rejects_overlapping_fields(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="disjoint"):
+        CoGroup(Pipe("a"), ["id"], Pipe("b"), ["id"]).resolve({"a": df, "b": df})
+
+
+def test_merge_unique_filters(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "v string")
+    b = spark.createDataFrame([("y",), ("z",)], "v string")
+    merged = Merge(Pipe("a"), Pipe("b"))
+    assert merged.resolve({"a": a, "b": b}).count() == 4
+    uniq = Unique(merged)
+    assert uniq.resolve({"a": a, "b": b}).count() == 3
+
+    f = Each(Pipe("a"), ["v"], RegexFilter("x"))
+    assert f.resolve({"a": a}).count() == 1
+    # ExpressionFilter removes matching rows (Cascading semantics)
+    ef = Each(Pipe("a"), None, ExpressionFilter("v = 'x'"))
+    assert {r["v"] for r in ef.resolve({"a": a}).collect()} == {"y"}
+
+
+def test_each_selectors_and_insert(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    e_all = Each(Pipe("t"), ["a"], ExpressionFunction("c", "a + 10"), ALL)
+    assert e_all.resolve({"t": df}).columns == ["a", "b", "c"]
+    e_res = Each(Pipe("t"), ["a"], ExpressionFunction("c", "a + 10"), RESULTS)
+    assert e_res.resolve({"t": df}).columns == ["c"]
+    ins = Each(Pipe("t"), None, Insert({"tag": "z"}), ALL)
+    assert ins.resolve({"t": df}).collect()[0]["tag"] == "z"
+    ren = Rename(Pipe("t"), {"a": "alpha"})
+    assert ren.resolve({"t": df}).columns == ["alpha", "b"]
+
+
+def test_buffer_apply_in_pandas(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "spread": [pdf["v"].max() - pdf["v"].min()]})
+
+    g = GroupBy(Pipe("t"), group_fields=["k"])
+    buf = Buffer(g, spread, "k string, spread double")
+    out = {r["k"]: r["spread"] for r in buf.resolve({"t": df}).collect()}
+    assert out == {"a": 1.0, "b": 0.0}
+
+
+def test_flow_unbound_head_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="unbound"):
+        Flow(
+            {"wrong": TextLineTap(str(tmp_path / "x"))},
+            TextLineTap(str(tmp_path / "y")),
+            Pipe("source"),
+        )

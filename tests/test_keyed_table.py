@@ -1,0 +1,158 @@
+"""Keyed-table round-trip tests mirroring the reference's two test
+classes one-for-one (SURVEY.md §5):
+
+- MultiFamilyHBaseTest: 13 tuples / 5 distinct keys -> 5 stored rows
+  (upsert), round-trip read-back, field projection with key prepended.
+- MultiFamilyCascadeHBaseTest: APPEND accumulation 13 -> 26 with fresh
+  keys, REPLACE resets, sink deletion + re-run.
+Plus range-scan pruning and delete (engine [R] surface).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cascading_hbase_spark.keyed.table import (
+    KeyedTable,
+    SinkMode,
+    read_keyed,
+    write_keyed,
+)
+
+# The reference fixture: 13 space-separated rows `num lower upper`,
+# keys 1-5 with duplicates (src/test/data/small.txt:1-13).
+SMALL = [
+    ("1", "a", "A"), ("2", "b", "B"), ("3", "c", "C"), ("4", "d", "D"),
+    ("5", "e", "E"), ("1", "f", "F"), ("2", "g", "G"), ("4", "h", "H"),
+    ("5", "i", "I"), ("1", "j", "J"), ("2", "k", "K"), ("4", "l", "L"),
+    ("5", "m", "M"),
+]
+
+
+@pytest.fixture
+def small_df(spark):
+    return spark.createDataFrame(
+        [(k, lo, up, i) for i, (k, lo, up) in enumerate(SMALL)],
+        "key string, lower string, upper string, seq int",
+    )
+
+
+def test_upsert_13_to_5(spark, small_df, tmp_path):
+    """13 tuples, 5 distinct keys -> 5 rows (MultiFamilyHBaseTest.java:71)."""
+    path = str(tmp_path / "multitable")
+    write_keyed(small_df, path, "key", SinkMode.REPLACE, seq_col="seq")
+    out = read_keyed(spark, path)
+    assert out.count() == 5
+    # last write wins: key '1' appears at seq 0, 5, 9 -> row with seq 9 ('j','J')
+    row = {r["key"]: (r["lower"], r["upper"]) for r in out.collect()}
+    assert row["1"] == ("j", "J")
+    assert row["3"] == ("c", "C")  # single write untouched
+
+
+def test_append_accumulates_13_to_26(spark, tmp_path):
+    """Two APPEND runs with disjoint random keys: 13 then 26 rows
+    (MultiFamilyCascadeHBaseTest.java:89-104)."""
+    path = str(tmp_path / "appendtable")
+    df1 = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(13)], "key string, val string"
+    )
+    df2 = spark.createDataFrame(
+        [(f"k{i + 100}", f"v{i}") for i in range(13)], "key string, val string"
+    )
+    write_keyed(df1, path, "key")  # APPEND is the default (HBaseTap.java:33)
+    assert read_keyed(spark, path).count() == 13
+    write_keyed(df2, path, "key")
+    assert read_keyed(spark, path).count() == 26
+
+
+def test_append_upserts_existing_keys(spark, tmp_path):
+    """APPEND with overlapping keys overwrites (upsert, not duplicate)."""
+    path = str(tmp_path / "upserttable")
+    df1 = spark.createDataFrame([("a", "old"), ("b", "old")], "key string, val string")
+    df2 = spark.createDataFrame([("b", "new"), ("c", "new")], "key string, val string")
+    write_keyed(df1, path, "key")
+    write_keyed(df2, path, "key")
+    rows = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert rows == {"a": "old", "b": "new", "c": "new"}
+
+
+def test_replace_drops_and_recreates(spark, small_df, tmp_path):
+    """REPLACE branch (HBaseTap.java:124-128)."""
+    path = str(tmp_path / "replacetable")
+    write_keyed(small_df, path, "key", SinkMode.REPLACE, seq_col="seq")
+    write_keyed(small_df.limit(3), path, "key", SinkMode.REPLACE, seq_col="seq")
+    assert read_keyed(spark, path).count() == 3
+
+
+def test_keep_fails_on_existing(spark, small_df, tmp_path):
+    """SinkMode.KEEP refuses to clobber an existing sink."""
+    path = str(tmp_path / "keeptable")
+    write_keyed(small_df, path, "key", SinkMode.KEEP, seq_col="seq")
+    with pytest.raises(FileExistsError):
+        write_keyed(small_df, path, "key", SinkMode.KEEP, seq_col="seq")
+
+
+def test_range_scan(spark, tmp_path):
+    """[start, stop) range scan returns only in-range keys
+    (TableInputFormatWrap.java:55-65)."""
+    path = str(tmp_path / "rangetable")
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", i) for i in range(100)], "key string, val int"
+    )
+    write_keyed(df, path, "key")
+    out = read_keyed(spark, path, start="k010", stop="k020")
+    keys = sorted(r["key"] for r in out.collect())
+    assert keys == [f"k{i:03d}" for i in range(10, 20)]
+
+
+def test_range_scan_prunes_files(spark, tmp_path):
+    """Range-partitioned writes let a key predicate prune parquet files —
+    the engine-side analogue of per-region split pruning."""
+    path = str(tmp_path / "prunetable")
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", i) for i in range(10000)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=8)
+    out = read_keyed(spark, path, start="k00010", stop="k00020")
+    assert out.count() == 10
+    # plan must carry the pushed filters down to the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
+
+
+def test_projection_prepends_key(spark, small_df, tmp_path):
+    """Field-map projection: key prepended (HBaseScheme.java:157-162)."""
+    path = str(tmp_path / "projtable")
+    write_keyed(small_df, path, "key", SinkMode.REPLACE, seq_col="seq")
+    out = read_keyed(spark, path, fields=["upper"])
+    assert out.columns == ["key", "upper"]
+
+
+def test_delete_keys(spark, small_df, tmp_path):
+    """Delete dispatch (TableOutputFormatWrap.java:82) via anti-join."""
+    path = str(tmp_path / "deltable")
+    t = KeyedTable(path, "key")
+    t.write(small_df, SinkMode.REPLACE, seq_col="seq")
+    deletes = spark.createDataFrame([("1",), ("4",)], "key string")
+    t.delete(spark, deletes)
+    keys = sorted(r["key"] for r in t.read(spark).collect())
+    assert keys == ["2", "3", "5"]
+
+
+def test_always_stale(tmp_path):
+    """Keyed sinks always report 'modified now' so cascades re-run into
+    them (HBaseTap.java:65-67,103-105)."""
+    import time
+
+    t = KeyedTable(str(tmp_path / "staletable"), "key")
+    a = t.modified_time()
+    time.sleep(0.01)
+    assert t.modified_time() > a
+
+
+def test_missing_key_column_raises(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "notkey string, val int")
+    with pytest.raises(ValueError, match="key column"):
+        write_keyed(df, str(tmp_path / "x"), "key")
