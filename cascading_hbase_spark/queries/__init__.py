@@ -42,6 +42,7 @@ def _load_all() -> None:
     from cascading_hbase_spark.queries import windows  # noqa: F401
     from cascading_hbase_spark.queries import events  # noqa: F401
     from cascading_hbase_spark.queries import llm  # noqa: F401
+    from cascading_hbase_spark.queries import multimodal  # noqa: F401
 
 
 _load_all()
