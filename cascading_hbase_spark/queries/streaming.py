@@ -1,0 +1,79 @@
+"""§2.10 Structured Streaming query pairs: each registered entry
+executes a real streaming query (file source → watermark → stateful op
+→ memory sink, ``Trigger.AvailableNow``) and returns the materialized
+result, so the driver's oracle check exercises the streaming engine
+itself — not a batch stand-in.
+
+The windowed entries share their oracle SQL with the batch forms in
+``queries/events.py`` (same semantics, streaming execution).  The
+dedup/stateful entries are rows-only: which duplicate survives is
+arrival-order-dependent, and the stateful sums are float-accumulated in
+Python state."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cascading_hbase_spark import streaming as S
+from cascading_hbase_spark.queries import query
+
+_TUMBLING_ORACLE = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev
+    GROUP BY 1, 2
+"""
+
+_SESSION_ORACLE = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid
+"""
+
+
+@query("streaming_tumbling_window_agg", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows executed by the streaming engine (watermarked
+    stateful aggregation), checked against the batch SQL oracle."""
+    return S.run_available_now(
+        S.tumbling_counts(S.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query("streaming_session_window_agg", oracle=_SESSION_ORACLE)
+def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merged session windows on the streaming path."""
+    return S.run_available_now(
+        S.session_counts(S.events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query("streaming_dedup_within_watermark")  # rows-only: survivor is arrival-order-dependent
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.run_available_now(
+        S.dedup_within_watermark(S.events_stream(spark, sf_dir)), "append"
+    )
+
+
+@query("streaming_user_running_totals")  # rows-only: float state accumulation
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.run_available_now(
+        S.running_user_totals(S.events_stream(spark, sf_dir)), "update"
+    )

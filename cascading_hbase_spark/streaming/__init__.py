@@ -1,0 +1,14 @@
+"""Structured Streaming surface: stream binding for the events table,
+watermark-bounded windows/dedup, a stateful per-key operator, and the
+micro-batch keyed-upsert sink (SURVEY.md §2.10)."""
+
+from cascading_hbase_spark.streaming.ops import (  # noqa: F401
+    dedup_within_watermark,
+    events_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    sliding_counts,
+    stream_upsert_keyed,
+    tumbling_counts,
+)

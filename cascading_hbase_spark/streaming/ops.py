@@ -1,0 +1,228 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is pure batch MapReduce; its buffered upsert sink
+(``TableOutputFormatWrap.java:40,66-69`` — auto-flush off, flush on
+close) is the moral ancestor of a micro-batch streaming upsert.  This
+module binds the engine's batch transformations to streams:
+
+- the window/dedup transforms are written against a plain DataFrame, so
+  the *same function* serves batch (DuckDB-checkable) and streaming
+  (``readStream``) inputs — one semantics, two execution modes;
+- the keyed upsert sink is ``foreachBatch`` + ``write_keyed`` (the
+  last-write-wins merge of ``HBaseScheme.java:109-128`` per
+  micro-batch);
+- the custom stateful operator uses ``applyInPandasWithState`` (Arrow
+  batches + managed per-key state) — the streaming form of Cascading's
+  ``Buffer`` (per-group iterator, SURVEY.md §2.9).
+
+Scale notes: watermarks bound state; the stateful op shuffles once on
+its grouping key; the upsert sink merges per micro-batch (incremental,
+not full-rewrite-per-row).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_within_watermark",
+    "running_user_totals",
+    "run_available_now",
+    "stream_upsert_keyed",
+]
+
+DEC = "decimal(18,2)"
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the file
+# stream source reads as long under nanosAsLong (catalog.py does the
+# same for batch reads).
+_EVENTS_RAW = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file stream source lists a *directory* of arriving files; a
+    bare parquet file (the test fixture) gets wrapped in a scratch dir
+    via symlink.  At scale the input is a landing directory already."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="chs_stream_src_")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Bind the events table as a file-source stream (micro-batched
+    scan of new parquet files — at scale, a landing directory)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# Transformations: one definition for batch AND streaming inputs.
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type; watermark bounds
+    state and admits late data up to ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "value_sum")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "value_sum")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged state on the streaming
+    path, same semantics as the batch gaps-and-islands oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup: first event per key within the watermark
+    horizon (state for a key is dropped once the watermark passes)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys])
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (the Buffer escape hatch, streaming form).
+# ---------------------------------------------------------------------------
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``applyInPandasWithState``: managed
+    per-key state, Arrow-batched UDF, update-mode emission per batch."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks / runners.
+# ---------------------------------------------------------------------------
+
+_MEMORY_SINK_SEQ = [0]
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all currently
+    available input (``Trigger.AvailableNow``) into a memory sink and
+    return the materialized result table."""
+    if query_name is None:
+        _MEMORY_SINK_SEQ[0] += 1
+        query_name = f"chs_stream_{_MEMORY_SINK_SEQ[0]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(query_name)
+
+
+def stream_upsert_keyed(
+    events: DataFrame,
+    path: str,
+    key: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming keyed upsert sink: each micro-batch merges
+    last-write-wins into the keyed table — the engine's
+    ``TableOutputFormatWrap`` (buffered Puts flushed per batch)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_keyed(batch_df, path, key=key, mode=SinkMode.APPEND)
+
+    writer = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
