@@ -51,47 +51,61 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle) rows — the set representation both MinHash
-    and exact Jaccard work over."""
+    and exact Jaccard work over.
+
+    Set semantics come from ``array_distinct`` on the per-doc shingle
+    array *before* the explode: duplicates only exist within a doc, so
+    this is exact and runs map-side — no ``distinct()`` shuffle of the
+    full shingle set (the largest intermediate in the pipeline)."""
     return _spread(df, id_col).select(
-        id_col, F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
-    ).distinct()
-
-
-def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
-    """Long-format minhash signature: (id, h_idx, minhash) with
-    minhash = min over the doc's shingles of hash64(h_idx | shingle).
-    One map + one hash aggregate; n_hashes multiplies rows map-side only."""
-    return (
-        sh.select(
-            id_col,
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h_idx"),
-        )
-        .select(
-            id_col,
-            "h_idx",
-            hash64(F.concat_ws("|", F.col("h_idx").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "h_idx")
-        .agg(F.min("h").alias("minhash"))
+        id_col,
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("shingle"),
     )
 
 
-def minhash_band_signatures(sig: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
-    """LSH banding: concatenate each band's minhashes (ordered by h_idx)
-    into a bucket key."""
+def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
+    """Wide minhash signature: (id, m0..m{n-1}) with
+    m_i = min over the doc's shingles of hash64(i | shingle).
+
+    All n hash columns are computed map-side on the un-expanded shingle
+    rows and reduced by ONE hash aggregate — the shuffle carries one
+    row per doc, not n_hashes rows per (doc, shingle) as a long-format
+    explode would (8x less shuffle at n_hashes=8)."""
+    hs = [
+        hash64(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
     return (
-        sig.withColumn("band", F.floor(F.col("h_idx") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                "_",
-            ).alias("band_sig")
-        )
+        sh.select(id_col, *hs)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{i}").alias(f"m{i}") for i in range(n_hashes)])
+    )
+
+
+def minhash_band_signatures(
+    sig: DataFrame, id_col: str, band_size: int = 2, n_hashes: int = 8
+) -> DataFrame:
+    """LSH banding: concatenate each band's minhash columns into a
+    bucket key.  Pure map-side explode of a literal array — no shuffle,
+    no collect_list."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("_bs")).select(
+        id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_sig").alias("band_sig")
     )
 
 
@@ -148,7 +162,7 @@ def minhash_neardup_pairs(
     # spills gracefully).
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col, n_hashes)
-    bands = minhash_band_signatures(sig, id_col, band_size)
+    bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
     cand = (

@@ -41,13 +41,17 @@ def keyed_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) alone is not unique in the synthetic data;
     # extend the write-order tiebreak until it is deterministic.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").desc(), F.col("l_partkey").desc(), F.col("l_suppkey").desc()
+    # max_by over a struct ordering key instead of a row_number window:
+    # a hash aggregate combines map-side (shuffles one row per key, no
+    # sort), where the window form shuffles and sorts every row.
+    order = F.struct("l_linenumber", "l_partkey", "l_suppkey")
+    winner = F.max_by(
+        F.struct("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"), order
     )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        li.groupBy("l_orderkey")
+        .agg(winner.alias("w"))
+        .select("l_orderkey", "w.l_partkey", "w.l_suppkey", "w.l_quantity", "w.l_extendedprice")
     )
 
 
