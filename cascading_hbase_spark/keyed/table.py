@@ -1,38 +1,39 @@
-"""Keyed-table storage layer: the engine's equivalent of the reference's
-HBase table binding.
+"""Keyed tables: the reference's [R] surface as Parquet-backed,
+range-bucketed, last-write-wins tables.
 
-Semantics reproduced (with reference citations for parity checking):
+Semantics (SURVEY.md §1.1, §2.1):
 
-- upsert / last-write-wins by row key: writing 13 tuples with 5 distinct
-  keys stores 5 rows (MultiFamilyHBaseTest.java:57,71);
-- sink modes KEEP / APPEND (default) / REPLACE
-  (HBaseTap.java:32-40; REPLACE drop-and-recreate branch
-  HBaseTap.java:123-128);
-- APPEND accumulates distinct keys across writes: 13 -> 26 rows on a
-  second run with fresh keys (MultiFamilyCascadeHBaseTest.java:89-104);
-- range scans with [start, stop) key bounds prune storage
-  (HBaseScheme.java:54,61,77; TableInputFormatWrap.java:55-65);
-- field-map projection with the key prepended
-  (HBaseScheme.java:151-162);
-- delete support (TableOutputFormatWrap.java:82) as an anti-join
-  rewrite;
-- always-stale freshness for cascade scheduling
-  (HBaseTap.java:65-67,103-105).
+- upsert-by-key / last-write-wins: 13 tuples with 5 distinct keys store
+  5 rows (MultiFamilyHBaseTest.java:57,71); later batches win, with an
+  explicit intra-batch order (``seq_col``) standing in for the HBase
+  cell timestamp (HBaseScheme.java:127).
+- sink modes KEEP / APPEND / REPLACE per HBaseTap.java:32-40 with the
+  REPLACE drop-and-recreate branch at :123-128.
+- range scans with [start, stop) pruning per
+  TableInputFormatWrap.java:55-65; field projection with the key
+  prepended per HBaseScheme.java:157-162.
+- deletes per TableOutputFormatWrap.java:82, as an anti-join rewrite.
 
-Physical design for scale: tables are parquet directories written
-``repartitionByRange(key).sortWithinPartitions(key)`` so key-range
-predicates prune files via parquet min/max stats — the same effect as
-HBase's region pruning, without custom split code.  A write-epoch
-column ``_kt_seq`` (plus intra-batch ``seq_col``) makes last-write-wins
-deterministic where HBase used wall-clock cell timestamps
-(HBaseScheme.java:127).  The APPEND merge is a union + one hash
-aggregate per write — at 100 TB this would be swapped for an
-incremental MERGE (Delta/Iceberg) keeping the same API.
+Physical layout — designed so the 100 TB append is incremental:
+
+    <path>/_kt_meta.json            key name, bucket boundaries, next seq
+    <path>/_kt_bucket=<i>/*.parquet one directory per stable key range
+
+Bucket boundaries are fixed at table creation (sampled key quantiles),
+so every write lands each key in the same bucket forever.  An APPEND
+merges *only the buckets its batch touches* — union + collapse +
+dynamic partition overwrite of those directories; untouched buckets'
+files are never read or rewritten (the analogue of HBase routing a Put
+to one region, not compacting the whole table).  Range scans prune to
+the overlapping buckets (partition pruning) and push the key predicate
+into the parquet scan (row-group min/max skipping, since each bucket is
+written sorted by key).
 """
 
 from __future__ import annotations
 
 import enum
+import json
 import os
 import shutil
 
@@ -42,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 __all__ = ["SinkMode", "KeyedTable", "write_keyed", "read_keyed", "delete_keyed"]
 
 SEQ_COL = "_kt_seq"
+BUCKET_COL = "_kt_bucket"
+META_FILE = "_kt_meta.json"
 
 
 class SinkMode(enum.Enum):
@@ -54,11 +57,70 @@ class SinkMode(enum.Enum):
     REPLACE = "replace"
 
 
-def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-    )
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
 
+def _meta_path(path: str) -> str:
+    return os.path.join(path, META_FILE)
+
+
+def _exists(path: str) -> bool:
+    return os.path.isfile(_meta_path(path))
+
+
+def _load_meta(path: str) -> dict:
+    with open(_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _save_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))
+
+
+def _sample_boundaries(df: DataFrame, key: str, n_buckets: int) -> list:
+    """Fixed range boundaries from a bounded sample of the batch's keys
+    (at scale: a ~20k-key sample, never the full key set)."""
+    keys_df = df.select(key).where(F.col(key).isNotNull()).distinct()
+    cnt = keys_df.count()
+    if cnt == 0 or n_buckets <= 1:
+        return []
+    frac = min(1.0, 20000.0 / cnt)
+    sample = sorted(r[0] for r in keys_df.sample(False, frac, seed=42).collect())
+    if not sample:
+        sample = sorted(r[0] for r in keys_df.limit(n_buckets).collect())
+    bounds = []
+    for i in range(1, n_buckets):
+        b = sample[min(len(sample) - 1, (len(sample) * i) // n_buckets)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _bucket_expr(key: str, boundaries: list) -> F.Column:
+    """bucket(k) = number of boundaries <= k — bucket 0 is (-inf, b0),
+    the last bucket [b_last, +inf); every key maps to exactly one."""
+    b = F.lit(0)
+    for bound in boundaries:
+        b = b + F.when(F.col(key) >= F.lit(bound), 1).otherwise(0)
+    return b.cast("int")
+
+
+def _bucket_of(value, boundaries: list) -> int:
+    n = 0
+    for bound in boundaries:
+        if value >= bound:
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Write path
+# ---------------------------------------------------------------------------
 
 def _lww(df: DataFrame, key: str, order_cols: list) -> DataFrame:
     """Collapse to one row per key: the highest (order_cols) wins."""
@@ -66,6 +128,30 @@ def _lww(df: DataFrame, key: str, order_cols: list) -> DataFrame:
     return df.withColumn("_kt_rn", F.row_number().over(w)).filter(
         F.col("_kt_rn") == 1
     ).drop("_kt_rn")
+
+
+def _order_cols(df_cols: list[str], key: str, seq_col: str | None) -> list:
+    intra = [F.col(seq_col)] if seq_col else [
+        F.col(c) for c in df_cols if c != key and c != SEQ_COL
+    ]
+    return [F.col(SEQ_COL), *intra]
+
+
+def _write_partitioned(df: DataFrame, path: str, key: str, dynamic: bool) -> None:
+    """Write bucket-partitioned, each bucket's files sorted by key (so
+    the key predicate prunes row groups on read)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_keyed(
@@ -80,11 +166,13 @@ def write_keyed(
 
     ``seq_col`` is the explicit intra-batch write order (the stand-in
     for the HBase cell timestamp); without it, ties collapse
-    deterministically by the row's full column tuple.
+    deterministically by the row's full column tuple.  APPEND into an
+    existing table reads and rewrites only the buckets the batch
+    touches.
     """
-    spark = df.sparkSession
     if key not in df.columns:
         raise ValueError(f"key column {key!r} not in {df.columns}")
+    spark = df.sparkSession
     exists = _exists(path)
     if mode is SinkMode.KEEP and exists:
         # SinkMode.KEEP: never clobber an existing sink (Tap semantics).
@@ -94,27 +182,39 @@ def write_keyed(
         shutil.rmtree(path)
         exists = False
 
-    batch_seq = 0
-    merged = df
-    if exists:
-        current = spark.read.parquet(path)
-        batch_seq = current.agg(F.max(SEQ_COL)).collect()[0][0] + 1
-        merged = current.unionByName(df.withColumn(SEQ_COL, F.lit(batch_seq)))
-    else:
-        merged = df.withColumn(SEQ_COL, F.lit(batch_seq))
+    if not exists:
+        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+        boundaries = _sample_boundaries(df, key, n_buckets)
+        batch = _lww(
+            df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
+        ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
+        _write_partitioned(batch, path, key, dynamic=False)
+        _save_meta(path, {"key": key, "boundaries": boundaries, "next_seq": 1})
+        return
 
-    intra = [F.col(seq_col)] if seq_col else [
-        F.col(c) for c in df.columns if c != key
-    ]
-    collapsed = _lww(merged, key, [F.col(SEQ_COL), *intra])
+    meta = _load_meta(path)
+    boundaries = meta["boundaries"]
+    seq = meta["next_seq"]
+    batch = df.withColumn(SEQ_COL, F.lit(seq)).withColumn(
+        BUCKET_COL, _bucket_expr(key, boundaries)
+    )
+    # Only the buckets this batch touches participate in the merge;
+    # every other bucket directory is left untouched on disk.
+    affected = sorted(
+        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+    )
+    current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    merged = _lww(
+        current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
+    )
+    _write_partitioned(merged, path, key, dynamic=True)
+    meta["next_seq"] = seq + 1
+    _save_meta(path, meta)
 
-    n = n_buckets or spark.sparkContext.defaultParallelism
-    out = collapsed.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
-    out.write.mode("overwrite").parquet(path + ".tmp")
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(path + ".tmp", path)
 
+# ---------------------------------------------------------------------------
+# Read path
+# ---------------------------------------------------------------------------
 
 def read_keyed(
     spark: SparkSession,
@@ -125,13 +225,25 @@ def read_keyed(
 ) -> DataFrame:
     """Scan a keyed table, optionally range-pruned to [start, stop) and
     projected to ``fields`` with the key prepended
-    (HBaseScheme.java:157-162 'prepend')."""
-    df = spark.read.parquet(path).drop(SEQ_COL)
-    key = df.columns[0]
+    (HBaseScheme.java:157-162 'prepend').
+
+    A key range prunes twice: bucket directories via the partition
+    column (split pruning, TableInputFormatWrap.java:55-65) and row
+    groups via the pushed key predicate on sorted files."""
+    meta = _load_meta(path)
+    key, boundaries = meta["key"], meta["boundaries"]
+    df = spark.read.parquet(path)
     if start is not None:
-        df = df.filter(F.col(key) >= start)
+        df = df.filter(
+            (F.col(BUCKET_COL) >= _bucket_of(start, boundaries))
+            & (F.col(key) >= start)
+        )
     if stop is not None:
-        df = df.filter(F.col(key) < stop)
+        df = df.filter(
+            (F.col(BUCKET_COL) <= _bucket_of(stop, boundaries))
+            & (F.col(key) < stop)
+        )
+    df = df.drop(SEQ_COL, BUCKET_COL)
     if fields is not None:
         df = df.select(key, *[f for f in fields if f != key])
     return df
@@ -140,17 +252,28 @@ def read_keyed(
 def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
     """Delete rows whose key appears in ``keys`` (single-column DF) —
     the Delete dispatch of TableOutputFormatWrap.java:79-84 as an
-    anti-join rewrite."""
-    df = spark.read.parquet(path)
-    key = [c for c in df.columns if c != SEQ_COL][0]
-    remaining = df.join(
-        keys.toDF(key).select(key), key, "left_anti"
+    anti-join rewrite of only the affected buckets."""
+    meta = _load_meta(path)
+    key, boundaries = meta["key"], meta["boundaries"]
+    keys = keys.toDF(key).select(key)
+    affected = sorted(
+        r[0]
+        for r in keys.select(_bucket_expr(key, boundaries).alias("b"))
+        .distinct()
+        .collect()
     )
-    n = spark.sparkContext.defaultParallelism
-    out = remaining.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
-    out.write.mode("overwrite").parquet(path + ".tmp")
-    shutil.rmtree(path)
-    os.rename(path + ".tmp", path)
+    current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    remaining = current.join(keys, key, "left_anti")
+    _write_partitioned(remaining, path, key, dynamic=True)
+    # Dynamic overwrite only replaces buckets present in the output; a
+    # bucket emptied by the delete must be dropped explicitly.
+    still = {
+        r[0] for r in remaining.select(BUCKET_COL).distinct().collect()
+    }
+    for b in set(affected) - still:
+        d = os.path.join(path, f"{BUCKET_COL}={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 class KeyedTable:

@@ -17,6 +17,7 @@ import pytest
 from cascading_hbase_spark.keyed.table import (
     KeyedTable,
     SinkMode,
+    delete_keyed,
     read_keyed,
     write_keyed,
 )
@@ -156,3 +157,65 @@ def test_missing_key_column_raises(spark, tmp_path):
     df = spark.createDataFrame([("a", 1)], "notkey string, val int")
     with pytest.raises(ValueError, match="key column"):
         write_keyed(df, str(tmp_path / "x"), "key")
+
+
+def _bucket_files(path):
+    """Map bucket dir -> {filename: mtime_ns} for every bucket."""
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("_kt_bucket="):
+            full = os.path.join(path, d)
+            out[d] = {
+                f: os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_append_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB contract: an APPEND merges only the buckets its batch
+    touches; every other bucket's files stay byte-for-byte untouched
+    (the analogue of an HBase Put routing to one region)."""
+    path = str(tmp_path / "incrtable")
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", i) for i in range(10000)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=8)
+    before = _bucket_files(path)
+    assert len(before) == 8
+    # touch a single key -> a single bucket
+    batch = spark.createDataFrame([("k00000", -1)], "key string, val int")
+    write_keyed(batch, path, "key")
+    after = _bucket_files(path)
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    # and the upsert applied
+    rows = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert rows["k00000"] == -1 and len(rows) == 10000
+
+
+def test_range_scan_prunes_buckets(spark, tmp_path):
+    """A key range must prune bucket directories (partition pruning),
+    not just rely on row-group skipping."""
+    path = str(tmp_path / "bucketprune")
+    df = spark.createDataFrame(
+        [(f"k{i:05d}", i) for i in range(10000)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=8)
+    out = read_keyed(spark, path, start="k00010", stop="k00020")
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_kt_bucket" in plan  # partition filter present
+
+
+def test_delete_can_empty_a_bucket(spark, tmp_path):
+    """Deleting every key of a bucket must drop its directory (dynamic
+    overwrite alone would leave the stale files in place)."""
+    path = str(tmp_path / "emptybucket")
+    df = spark.createDataFrame([("a", 1), ("z", 2)], "key string, val int")
+    write_keyed(df, path, "key", n_buckets=2)
+    deletes = spark.createDataFrame([("z",)], "key string")
+    delete_keyed(spark, path, deletes)
+    keys = sorted(r["key"] for r in read_keyed(spark, path).collect())
+    assert keys == ["a"]
