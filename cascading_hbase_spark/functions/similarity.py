@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from cascading_hbase_spark.functions.hashing import hash64
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "lsh_signature", "lsh_ann_topk",
-           "embedding_neardup_pairs"]
+           "ivf_centroids", "ivf_ann_topk", "embedding_neardup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -188,6 +188,102 @@ def lsh_ann_topk(
         "vec_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Deterministic IVF 'coarse quantizer': the ``n_cells`` vectors
+    with the smallest hash64(id) serve as cell centroids — a stable
+    hash-random sample with no fitted state (at scale, substitute
+    k-means-trained centroids; the query plan is identical).
+    ``orderBy().limit()`` executes as a distributed take-ordered, not a
+    full sort."""
+    return (
+        emb.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cell_vec"),
+            hash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cell_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path:
+
+    1. assign every candidate vector to its nearest centroid cell (one
+       broadcast pass over the big side; the only full scan);
+    2. each query probes its ``n_probe`` nearest cells;
+    3. exact cosine + top-k only against candidates in probed cells —
+       the candidate join shuffles on ``cell``, touching ~n_probe/
+       n_cells of the data per query, never a cartesian.
+    """
+    cells = ivf_centroids(emb, id_col, vec_col, n_cells)
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    )
+    # 1. cell assignment: argmax cosine against the broadcast centroids.
+    sim_to_cell = dot(F.col("c_vec"), F.col("cell_vec")) / F.sqrt(
+        F.col("c_n2") * norm2(F.col("cell_vec"))
+    )
+    assign = (
+        c.join(F.broadcast(cells))
+        .groupBy("vec_id")
+        .agg(F.max_by("cell_id", sim_to_cell).alias("cell"))
+    )
+    inverted = c.join(assign, "vec_id")  # (cell -> vectors) inverted file
+    # 2. query probes: n_probe nearest cells per query.
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("q_n2"),
+    )
+    q_cell_sim = dot(F.col("q_vec"), F.col("cell_vec")) / F.sqrt(
+        F.col("q_n2") * norm2(F.col("cell_vec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(cells))
+        .select("q_id", "q_vec", "q_n2", F.col("cell_id").alias("cell"),
+                q_cell_sim.alias("cell_sim"))
+        .withColumn("pn", F.row_number().over(wq))
+        .filter(F.col("pn") <= n_probe)
+        .select("q_id", "q_vec", "q_n2", "cell")
+    )
+    # 3. exact cosine inside probed cells only.
+    cand = inverted.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / F.sqrt(F.col("q_n2") * F.col("c_n2")),
+            6,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

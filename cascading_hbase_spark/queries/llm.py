@@ -218,6 +218,17 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10)
 
 
+@query("similarity_ann_ivf_topk")  # no oracle: approximate scale path, rows-only check
+def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (inverted-file cells; queries
+    probe their n_probe nearest cells only).  Approximate -> rows-only
+    check; pytest asserts recall vs cosine_topk and exactness when
+    probing all cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return S.ivf_ann_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, n_probe=8)
+
+
 @query(
     "embedding_neardup",
     oracle="""

@@ -1,0 +1,39 @@
+"""ANN quality contracts: IVF probing all cells must equal exact brute
+force, and partial probing must keep usable recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.functions import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df):
+    return {(r.q_id, r.vec_id) for r in df.collect()}
+
+
+def test_ivf_full_probe_is_exact(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=10)
+    ivf = S.ivf_ann_topk(e, q, "vec_id", "embedding", k=10, n_cells=8, n_probe=8)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_partial_probe_recall(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(S.cosine_topk(e, q, "vec_id", "embedding", k=10))
+    approx = _topk_sets(S.ivf_ann_topk(e, q, "vec_id", "embedding", k=10, n_cells=8, n_probe=3))
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_lsh_ann_recall(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(S.cosine_topk(e, q, "vec_id", "embedding", k=10))
+    approx = _topk_sets(S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10))
+    assert len(exact & approx) / len(exact) >= 0.3
