@@ -44,6 +44,7 @@ def _load_all() -> None:
     from cascading_hbase_spark.queries import llm  # noqa: F401
     from cascading_hbase_spark.queries import multimodal  # noqa: F401
     from cascading_hbase_spark.queries import streaming  # noqa: F401
+    from cascading_hbase_spark.queries import skew  # noqa: F401
 
 
 _load_all()

@@ -1,0 +1,39 @@
+"""Skew helpers must be semantically invisible: salted results equal
+unsalted ones exactly; the HLL sketch stays within its error bound."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.functions.skew import salted_join, salted_two_phase_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_equals_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = salted_two_phase_agg(
+        li, ["l_returnflag"], {"n": ("count", "l_quantity"), "mx": ("max", "l_extendedprice")}
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"), F.max("l_extendedprice").alias("mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_equals_plain(spark):
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    got = salted_join(o, c, ["o_custkey"]).select("o_orderkey", "c_nationkey")
+    want = o.join(c, "o_custkey").select("o_orderkey", "c_nationkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_approx_distinct_within_bound(spark):
+    li = load_table(spark, SF, "lineitem")
+    approx = li.agg(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    exact = li.select("l_orderkey").distinct().count()
+    assert abs(approx - exact) / exact < 0.1
