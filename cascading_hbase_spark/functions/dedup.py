@@ -27,7 +27,52 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_neardup_pairs",
+    "connected_components",
 ]
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over a pair
+    relation via min-label propagation (each node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds).
+
+    This is what a dedup pipeline actually consumes — 'keep one doc per
+    cluster', not raw pairs.  All data stays distributed: each round is
+    one join + one aggregate, and the driver sees only a changed-count
+    scalar; lineage is truncated with localCheckpoint so long chains
+    don't accumulate.  Returns (doc_id, cluster_id = min reachable id)
+    for every node appearing in ``pairs``."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr"))
+            .withColumnRenamed("dst", "id")
+        )
+        updated = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("label") < F.col("old_label")).count()
+        labels = updated.select("id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

@@ -43,9 +43,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Full MinHash+LSH pair derivation, reused by the clustering oracle.
+_MINHASH_PAIRS_SQL = f"""
     WITH tok AS ({_SQL_TOK}),
     sh AS ({_SQL_SH}),
     hs AS (
@@ -79,14 +78,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5
-    """,
-    bench=True,
-)
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (shingle -> minhash -> band ->
     bucket-join -> exact-Jaccard verify)."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_neardup_pairs(d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5)
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation)
+    over the MinHash near-dup pair relation.  The oracle computes the
+    same components with a recursive-CTE transitive closure — an
+    independent formulation of reachability."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5)
+    return D.connected_components(pairs)
 
 
 @query(

@@ -37,3 +37,15 @@ def test_approx_distinct_within_bound(spark):
     approx = li.agg(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
     exact = li.select("l_orderkey").distinct().count()
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c, d-e must form clusters {a,b,c} and {d,e} with
+    min-id labels, independent of pair order."""
+    from cascading_hbase_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 4), (7, 8), (6, 7)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 6), (8, 6)}
