@@ -17,9 +17,18 @@ __all__ = [
     "lang_id_en",
     "quality_score",
     "fingerprint",
+    "strip_html",
+    "normalize_ws",
+    "redact_pii",
     "EN_STOPWORDS",
     "TOKEN_REGEX",
 ]
+
+# RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs the
+# same patterns verbatim.
+HTML_TAG_RE = r"<[^>]+>"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
 
 EN_STOPWORDS = ("the", "a", "of", "and", "or", "to", "in", "is")
 
@@ -75,6 +84,26 @@ def quality_score(text: Column | str) -> Column:
         F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(stopword_ratio(tok) * 4.0, F.lit(1.0)),
         6,
+    )
+
+
+def strip_html(text: Column | str) -> Column:
+    """Remove HTML/XML tags."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, HTML_TAG_RE, " ")
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Collapse whitespace runs and trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails and URLs with typed placeholder tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
     )
 
 

@@ -429,6 +429,42 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_clean_pipeline",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_after
+    FROM documents
+    """,
+)
+def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text cleaning: strip HTML, redact emails/URLs,
+    normalize whitespace — all codegen'd regexp expressions (identical
+    RE2-safe patterns run in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = T.normalize_ws(T.redact_pii(T.strip_html(F.col("text"))))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length(clean).cast("bigint").alias("n_after"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=r"""
     SELECT doc_id,
