@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the physical plans the engine relies
+on at scale must stay the plans Catalyst actually picks.  Each test
+asserts a structural property of the executed plan, not timing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.operators.bucketed import colocated_join, write_bucketed
+from cascading_hbase_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(QUERIES["join_star_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """Hash aggregation must run partial (map-side) + final — two
+    HashAggregate nodes around the exchange."""
+    plan = _plan(QUERIES["agg_pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_has_no_cartesian(spark):
+    plan = _plan(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_range_scan_pushes_key_predicate(spark):
+    plan = _plan(QUERIES["keyed_range_scan"](spark, SF))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
+
+
+def test_colocated_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables must sort-merge join without shuffling
+    either side."""
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    write_bucketed(o, "b_orders", "o_custkey", 8)
+    write_bucketed(c, "b_customer", "o_custkey", 8)
+    try:
+        joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it returns the same rows as the unbucketed join
+        assert joined.count() == o.join(c, "o_custkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
