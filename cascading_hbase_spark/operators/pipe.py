@@ -25,7 +25,7 @@ from cascading_hbase_spark.operators.functions import Aggregator, Filter, Functi
 __all__ = [
     "ALL", "RESULTS", "REPLACE", "SWAP",
     "Pipe", "Each", "EachFilter", "GroupBy", "Every", "Buffer", "CoGroup",
-    "Merge", "Unique", "Limit", "Rename", "Retain", "Discard",
+    "Merge", "Unique", "Limit", "Rename", "Retain", "Discard", "Debug",
     "InnerJoin", "LeftJoin", "RightJoin", "OuterJoin",
 ]
 
@@ -267,3 +267,18 @@ class Discard(_Unary):
 
     def _compute(self, inputs):
         return inputs[0].drop(*self.fields)
+
+
+class Debug(_Unary):
+    """Side-effect tuple print, pass-through otherwise (the commented
+    Debug of MultiFamilyCascadeHBaseTest.java:63).  ``n=0`` makes it a
+    pure no-op marker in the assembly."""
+
+    def __init__(self, prev: Pipe, n: int = 20):
+        super().__init__(prev)
+        self.n = n
+
+    def _compute(self, inputs):
+        if self.n:
+            inputs[0].show(self.n, truncate=False)
+        return inputs[0]

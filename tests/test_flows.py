@@ -227,3 +227,15 @@ def test_flow_unbound_head_raises(spark, tmp_path):
             TextLineTap(str(tmp_path / "y")),
             Pipe("source"),
         )
+
+
+def test_debug_passthrough(spark, capsys):
+    """Debug prints and passes tuples through unchanged
+    (MultiFamilyCascadeHBaseTest.java:63)."""
+    from cascading_hbase_spark.operators.pipe import Debug, Pipe
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    p = Debug(Pipe("src"), n=2)
+    out = p.resolve({"src": df})
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
+    assert "a" in capsys.readouterr().out
