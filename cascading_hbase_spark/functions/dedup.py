@@ -108,16 +108,22 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1; keeps every product below 2^63 in both engines
+MINHASH_MIX = 2654435761  # Knuth multiplicative constant
+
+
 def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
     """Wide minhash signature: (id, m0..m{n-1}) with
-    m_i = min over the doc's shingles of hash64(i | shingle).
+    m_i = ((hash64(shingle) % P) * (2i+1) + i*MIX) % P — the classic
+    (a*x + b) mod P universal family seeded per lane.
 
-    All n hash columns are computed map-side on the un-expanded shingle
-    rows and reduced by ONE hash aggregate — the shuffle carries one
-    row per doc, not n_hashes rows per (doc, shingle) as a long-format
-    explode would (8x less shuffle at n_hashes=8)."""
+    One md5 per shingle (not per lane: the n lanes derive by cheap
+    modular arithmetic), all lanes computed map-side on the un-expanded
+    shingle rows and reduced by ONE hash aggregate — the shuffle
+    carries one row per doc, not n_hashes rows per (doc, shingle)."""
+    base = hash64(F.col("shingle")) % MINHASH_P
     hs = [
-        hash64(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"_h{i}")
+        ((base * (2 * i + 1) + i * MINHASH_MIX) % MINHASH_P).alias(f"_h{i}")
         for i in range(n_hashes)
     ]
     return (

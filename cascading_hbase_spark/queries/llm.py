@@ -49,7 +49,8 @@ _MINHASH_PAIRS_SQL = f"""
     sh AS ({_SQL_SH}),
     hs AS (
       SELECT doc_id, h_idx,
-             min({_H.format(x="CAST(h_idx AS VARCHAR) || '|' || shingle")}) AS minhash
+             min((({_H.format(x="shingle")} % 2147483647) * (2 * h_idx + 1)
+                  + h_idx * 2654435761) % 2147483647) AS minhash
       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
       GROUP BY doc_id, h_idx
     ),
