@@ -1,0 +1,39 @@
+"""Property-based check of keyed-table semantics: any sequence of
+APPEND batches must behave exactly like a dict (last write wins, batch
+order respected, intra-batch order by seq) — the executable spec of
+MultiFamilyHBaseTest's upsert semantics."""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
+
+# A batch: list of (key, value) writes applied in order.
+_batch = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_batch, min_size=1, max_size=3))
+def test_keyed_append_matches_dict_model(spark, tmp_path_factory, batches):
+    path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    for batch in batches:
+        rows = [(k, v, i) for i, (k, v) in enumerate(batch)]
+        df = spark.createDataFrame(rows, "key long, val long, seq long")
+        write_keyed(df, path, "key", seq_col="seq")
+        for k, v in batch:
+            model[k] = v  # in-order upsert
+    stored = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert stored == model
