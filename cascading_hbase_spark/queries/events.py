@@ -171,6 +171,34 @@ def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_generic",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(s.ts) FROM ev s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND s.ts <= e.ts) AS signup_ts
+    FROM ev e WHERE e.event_type = 'purchase'
+    """,
+)
+def asof_join_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join via the reusable ``functions.temporal.
+    asof_join`` operator (union + carry-forward window, one shuffle);
+    the oracle is the independent correlated-subquery formulation."""
+    from cascading_hbase_spark.functions.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    return asof_join(purchases, signups, on="user_id", ts="ts",
+                     value_cols=["signup_ts"])
+
+
+@query(
     "event_rate_per_user_hour",
     oracle="""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

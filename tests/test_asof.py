@@ -1,0 +1,48 @@
+"""Generic as-of join vs a brute-force correlated formulation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cascading_hbase_spark.catalog import load_table
+from cascading_hbase_spark.functions.temporal import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_two_table(spark):
+    """Purchases get the latest at-or-before signup timestamp per user;
+    brute force via a conditional-max aggregation is the oracle."""
+    e = load_table(spark, SF, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    got = asof_join(purchases, signups, on="user_id", ts="ts",
+                    value_cols=["signup_event"])
+    # brute force: join all earlier-or-equal signups, keep the latest
+    brute = (
+        purchases.alias("p")
+        .join(signups.alias("s"), (F.col("p.user_id") == F.col("s.user_id"))
+              & (F.col("s.ts") <= F.col("p.ts")), "left")
+        .groupBy("p.event_id")
+        .agg(F.max_by("s.signup_event", F.struct("s.ts", "s.signup_event")).alias("signup_event"))
+    )
+    g = {r.event_id: r.signup_event for r in got.collect()}
+    b = {r.event_id: r.signup_event for r in brute.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_asof_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 15)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 99, "z")], "k long, ts long, v string"
+    )
+    got = {(r.k, r.ts): r.v for r in asof_join(left, right, "k", "ts").collect()}
+    # ts=10 matches the equal-ts right row ('at-or-before' includes at);
+    # ts=20 takes the latest earlier ('b'); k=2 has no earlier row.
+    assert got == {(1, 10): "a", (1, 20): "b", (2, 15): None}
