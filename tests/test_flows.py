@@ -239,3 +239,20 @@ def test_debug_passthrough(spark, capsys):
     out = p.resolve({"src": df})
     assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "b")]
     assert "a" in capsys.readouterr().out
+
+
+def test_csv_and_json_tap_roundtrip(spark, tmp_path):
+    """Csv/Json taps round-trip a frame with schema intact."""
+    from cascading_hbase_spark.operators.taps import CsvTap, JsonTap
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, score double"
+    )
+    csv = CsvTap(str(tmp_path / "c"), schema="id int, name string, score double")
+    csv.write(df)
+    assert sorted(map(tuple, csv.read(spark).collect())) == sorted(map(tuple, df.collect()))
+
+    js = JsonTap(str(tmp_path / "j"))
+    js.write(df)
+    got = js.read(spark).select("id", "name", "score")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
