@@ -360,6 +360,31 @@ def ungroup_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape, the inverse of UnGroup): status values
+    become columns.  The value list is declared, so the plan is a
+    single hash aggregate — no extra pass to discover columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 set operations
 # ---------------------------------------------------------------------------
