@@ -117,6 +117,28 @@ def unique_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_quantity, 0.25) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile``
+    and DuckDB ``quantile_cont`` agree bit-for-bit).  At 100 TB swap to
+    ``approx_percentile`` (t-digest) — same query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q1_qty"),
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
     SELECT l_suppkey,
