@@ -65,6 +65,24 @@ def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_ORACLE = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - g * INTERVAL '30 minutes' AS w_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS g)
+    GROUP BY 1
+"""
+
+
+@query("streaming_sliding_window_agg", oracle=_SLIDING_ORACLE)
+def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30min slide) on the streaming path."""
+    return S.run_available_now(
+        S.sliding_counts(S.events_stream(spark, sf_dir)), "complete"
+    )
+
+
 @query("streaming_dedup_within_watermark")  # rows-only: survivor is arrival-order-dependent
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(

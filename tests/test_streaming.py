@@ -67,3 +67,39 @@ def test_stream_upsert_keyed_sink(spark, tmp_path):
     stored = read_keyed(spark, str(tmp_path / "kt"))
     n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
     assert stored.count() == n_users
+
+
+def test_continuous_aggregate_rollup(spark, tmp_path):
+    """Continuous aggregate: stream -> tumbling agg (update mode) ->
+    foreachBatch keyed upsert on the window key.  After the stream
+    drains, the stored rollup must equal the batch rollup — the
+    streaming materialized-view pattern built from existing parts."""
+    rollup = S.tumbling_counts(S.events_stream(spark, SF)).withColumn(
+        "agg_key",
+        F.concat_ws("|", F.col("w_start").cast("string"), "event_type"),
+    )
+    path = str(tmp_path / "rollup_kt")
+
+    def sink(batch_df, batch_id):
+        from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+        write_keyed(batch_df, path, key="agg_key", mode=SinkMode.APPEND)
+
+    q = (
+        rollup.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stored = {
+        (r.agg_key): (r.n, r.value_sum)
+        for r in read_keyed(spark, path).collect()
+    }
+    want = {
+        (f"{r.w_start}|{r.event_type}"): (r.n, r.value_sum)
+        for r in QUERIES["tumbling_window_agg"](spark, SF).collect()
+    }
+    assert stored == want
