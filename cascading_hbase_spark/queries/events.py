@@ -199,6 +199,49 @@ def asof_join_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s AS (SELECT user_id, min(ts) AS signup_ts FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+          FROM ev e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           p.first_purchase_ts IS NOT NULL AS converted
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: per user, first signup and first purchase at or
+    after it.  One pass: both step timestamps come from a single
+    conditional aggregation over a min-signup window — no self-join of
+    the event log (the oracle's join form is the independent check)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    signup_ts = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    with_signup = e.withColumn("signup_ts", signup_ts).filter(
+        F.col("signup_ts").isNotNull()
+    )
+    return (
+        with_signup.groupBy("user_id")
+        .agg(
+            F.first("signup_ts").alias("signup_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase_ts"),
+        )
+        .withColumn("converted", F.col("first_purchase_ts").isNotNull())
+    )
+
+
+@query(
     "event_rate_per_user_hour",
     oracle="""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
