@@ -25,8 +25,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cascading_hbase_spark.functions.hashing import use_fast_hash
     from cascading_hbase_spark.queries import BENCH_QUERIES, QUERIES
     from cascading_hbase_spark.session import get_session
+
+    # Bench measures throughput, not DuckDB parity: use the codegen'd
+    # xxhash64 path instead of md5+hex-parse (same 60-bit contract).
+    use_fast_hash(True)
 
     spark = get_session("cascading-hbase-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

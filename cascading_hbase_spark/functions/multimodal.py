@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Literal
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -97,15 +98,33 @@ def image_features(
     schema = f"{id_col} long, n_bytes int, mean_byte double, min_byte int, max_byte int"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized over the whole Arrow batch: concatenate payloads
+        # into one uint8 view and compute per-payload sums/min/max with
+        # segmented reduceat — C-speed regardless of payload count.
+        # Payloads are non-empty by construction (>= 16 bytes).
         for pdf in batches:
-            feats = []
-            for i, buf in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(buf)
-                feats.append(
-                    (i, len(b), round(sum(b) / len(b), 6), min(b), max(b))
-                )
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = [bytes(b) for b in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(flat.astype(np.int64), starts)
+            mins = np.minimum.reduceat(flat, starts)
+            maxs = np.maximum.reduceat(flat, starts)
+            # Python round() per row matches the previous per-row path
+            # bit-for-bit; it is one float op per payload, not per byte.
+            means = [round(s / ln, 6) for s, ln in zip(sums.tolist(), lens.tolist())]
             yield pd.DataFrame(
-                feats, columns=[id_col, "n_bytes", "mean_byte", "min_byte", "max_byte"]
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": lens.astype(np.int32),
+                    "mean_byte": means,
+                    "min_byte": mins.astype(np.int32),
+                    "max_byte": maxs.astype(np.int32),
+                }
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, schema)

@@ -21,10 +21,12 @@ Physical layout — designed so the 100 TB append is incremental:
 
 Bucket boundaries are fixed at table creation (sampled key quantiles),
 so every write lands each key in the same bucket forever.  An APPEND
-merges *only the buckets its batch touches* — union + collapse +
-dynamic partition overwrite of those directories; untouched buckets'
-files are never read or rewritten (the analogue of HBase routing a Put
-to one region, not compacting the whole table).  Range scans prune to
+merges *only the buckets its batch touches* — union + collapse, staged
+to a sibling directory and swapped in per-bucket with ``os.replace``;
+untouched buckets' files are never read or rewritten (the analogue of
+HBase routing a Put to one region, not compacting the whole table).
+The seq counter persists before the data write, so a crashed-and-
+replayed batch never reuses a seq.  Range scans prune to
 the overlapping buckets (partition pruning) and push the key predicate
 into the parquet scan (row-group min/max skipping, since each bucket is
 written sorted by key).
@@ -83,16 +85,27 @@ def _save_meta(path: str, meta: dict) -> None:
 
 
 def _sample_boundaries(df: DataFrame, key: str, n_buckets: int) -> list:
-    """Fixed range boundaries from a bounded sample of the batch's keys
-    (at scale: a ~20k-key sample, never the full key set)."""
-    keys_df = df.select(key).where(F.col(key).isNotNull()).distinct()
-    cnt = keys_df.count()
-    if cnt == 0 or n_buckets <= 1:
+    """Fixed range boundaries from a bounded sample of the batch's keys.
+
+    Sample FIRST, then distinct only the sample — the table-creation
+    path must never run a full ``distinct().count()`` shuffle of every
+    key (at 100 TB that is a full-table shuffle just to size a sample).
+    ``sample(frac)`` is a map-side filter, ``distinct()`` shuffles only
+    the sampled subset, and ``limit`` over the hash-partitioned distinct
+    output is an approximately uniform draw of distinct keys (any subset
+    of hash partitions is unbiased in the key).  Escalating fractions
+    cover tiny batches without a ``count()``."""
+    if n_buckets <= 1:
         return []
-    frac = min(1.0, 20000.0 / cnt)
-    sample = sorted(r[0] for r in keys_df.sample(False, frac, seed=42).collect())
+    keys_df = df.select(key).where(F.col(key).isNotNull())
+    sample: list = []
+    for frac in (0.001, 0.05, None):
+        sampled = keys_df if frac is None else keys_df.sample(False, frac, seed=42)
+        sample = sorted({r[0] for r in sampled.distinct().limit(20000).collect()})
+        if len(sample) >= n_buckets * 4:
+            break
     if not sample:
-        sample = sorted(r[0] for r in keys_df.limit(n_buckets).collect())
+        return []
     bounds = []
     for i in range(1, n_buckets):
         b = sample[min(len(sample) - 1, (len(sample) * i) // n_buckets)]
@@ -137,21 +150,46 @@ def _order_cols(df_cols: list[str], key: str, seq_col: str | None) -> list:
     return [F.col(SEQ_COL), *intra]
 
 
-def _write_partitioned(df: DataFrame, path: str, key: str, dynamic: bool) -> None:
+def _write_partitioned(df: DataFrame, path: str, key: str) -> None:
     """Write bucket-partitioned, each bucket's files sorted by key (so
     the key predicate prunes row groups on read)."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     out = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
-    )
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+
+
+def _stage_dir(path: str) -> str:
+    """Staging sibling OUTSIDE the table directory, so a crashed merge
+    can never pollute partition discovery on the live table."""
+    return path.rstrip("/") + "__kt_stage"
+
+
+def _merge_swap(merged: DataFrame, path: str, key: str, affected: list) -> None:
+    """Rewrite the ``affected`` buckets from a staged sibling write.
+
+    The merged buckets are fully materialized in the staging directory
+    *before* any live file is touched (the old read-and-overwrite-the-
+    same-directory merge could tear buckets if the job died at commit).
+    Each bucket dir then swaps in via ``os.replace`` — per-bucket
+    atomic; a crash mid-swap leaves every bucket wholly old or wholly
+    new, never mixed, and re-running the batch converges (LWW)."""
+    stage = _stage_dir(path)
+    shutil.rmtree(stage, ignore_errors=True)
     try:
-        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        _write_partitioned(merged, stage, key)
+        for b in affected:
+            src = os.path.join(stage, f"{BUCKET_COL}={b}")
+            dst = os.path.join(path, f"{BUCKET_COL}={b}")
+            old = os.path.join(stage, f"{BUCKET_COL}={b}.retired")
+            if os.path.isdir(dst):
+                os.replace(dst, old)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            # src absent means the batch emptied this bucket: dst stays
+            # removed (delete path).
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def write_keyed(
@@ -161,6 +199,7 @@ def write_keyed(
     mode: SinkMode = SinkMode.APPEND,
     seq_col: str | None = None,
     n_buckets: int | None = None,
+    families: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` as a keyed table at ``path``.
 
@@ -168,7 +207,13 @@ def write_keyed(
     for the HBase cell timestamp); without it, ties collapse
     deterministically by the row's full column tuple.  APPEND into an
     existing table reads and rewrites only the buckets the batch
-    touches.
+    touches, staged to a sibling directory and swapped per-bucket.
+
+    ``families`` maps column -> column-family name, mirroring the
+    reference's multi-family field map (HBaseScheme.java:55,61-82);
+    unmapped columns land in the default family ``"cf"``, the analogue
+    of families auto-derived from the scheme (HBaseScheme.java:170-177).
+    Families are fixed at table creation, like HBase's.
     """
     if key not in df.columns:
         raise ValueError(f"key column {key!r} not in {df.columns}")
@@ -185,16 +230,33 @@ def write_keyed(
     if not exists:
         n_buckets = n_buckets or spark.sparkContext.defaultParallelism
         boundaries = _sample_boundaries(df, key, n_buckets)
+        fam = families or {}
+        family_map = {
+            c: fam.get(c, "cf") for c in df.columns if c not in (key, SEQ_COL)
+        }
         batch = _lww(
             df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
         ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
-        _write_partitioned(batch, path, key, dynamic=False)
-        _save_meta(path, {"key": key, "boundaries": boundaries, "next_seq": 1})
+        _write_partitioned(batch, path, key)
+        _save_meta(
+            path,
+            {
+                "key": key,
+                "boundaries": boundaries,
+                "next_seq": 1,
+                "families": family_map,
+            },
+        )
         return
 
     meta = _load_meta(path)
     boundaries = meta["boundaries"]
     seq = meta["next_seq"]
+    # Persist the seq bump BEFORE the data write: if the merge crashes
+    # and the batch replays, it gets a fresh seq — LWW order stays write
+    # order instead of degrading to arbitrary column-tuple ties.
+    meta["next_seq"] = seq + 1
+    _save_meta(path, meta)
     batch = df.withColumn(SEQ_COL, F.lit(seq)).withColumn(
         BUCKET_COL, _bucket_expr(key, boundaries)
     )
@@ -207,9 +269,7 @@ def write_keyed(
     merged = _lww(
         current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
     )
-    _write_partitioned(merged, path, key, dynamic=True)
-    meta["next_seq"] = seq + 1
-    _save_meta(path, meta)
+    _merge_swap(merged, path, key, affected)
 
 
 # ---------------------------------------------------------------------------
@@ -222,10 +282,13 @@ def read_keyed(
     start=None,
     stop=None,
     fields: list[str] | None = None,
+    family: str | None = None,
 ) -> DataFrame:
     """Scan a keyed table, optionally range-pruned to [start, stop) and
     projected to ``fields`` with the key prepended
-    (HBaseScheme.java:157-162 'prepend').
+    (HBaseScheme.java:157-162 'prepend').  ``family`` projects to one
+    column family's columns (key prepended) — the per-scheme family
+    selection of MultiFamilyHBaseTest.java:58-62.
 
     A key range prunes twice: bucket directories via the partition
     column (split pruning, TableInputFormatWrap.java:55-65) and row
@@ -244,6 +307,9 @@ def read_keyed(
             & (F.col(key) < stop)
         )
     df = df.drop(SEQ_COL, BUCKET_COL)
+    if family is not None:
+        fam_map = meta.get("families", {})
+        fields = [c for c in df.columns if fam_map.get(c) == family]
     if fields is not None:
         df = df.select(key, *[f for f in fields if f != key])
     return df
@@ -264,16 +330,10 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
     )
     current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
     remaining = current.join(keys, key, "left_anti")
-    _write_partitioned(remaining, path, key, dynamic=True)
-    # Dynamic overwrite only replaces buckets present in the output; a
-    # bucket emptied by the delete must be dropped explicitly.
-    still = {
-        r[0] for r in remaining.select(BUCKET_COL).distinct().collect()
-    }
-    for b in set(affected) - still:
-        d = os.path.join(path, f"{BUCKET_COL}={b}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    # Staged rewrite of only the affected buckets; a bucket emptied by
+    # the delete is simply absent from the stage and _merge_swap drops
+    # its live directory.
+    _merge_swap(remaining, path, key, affected)
 
 
 class KeyedTable:
@@ -301,12 +361,18 @@ class KeyedTable:
 
     # --- IO ---
     def write(self, df: DataFrame, mode: SinkMode = SinkMode.APPEND,
-              seq_col: str | None = None) -> None:
-        write_keyed(df, self.path, self.key, mode, seq_col)
+              seq_col: str | None = None,
+              families: dict[str, str] | None = None) -> None:
+        write_keyed(df, self.path, self.key, mode, seq_col, families=families)
 
     def read(self, spark: SparkSession, start=None, stop=None,
-             fields: list[str] | None = None) -> DataFrame:
-        return read_keyed(spark, self.path, start, stop, fields)
+             fields: list[str] | None = None,
+             family: str | None = None) -> DataFrame:
+        return read_keyed(spark, self.path, start, stop, fields, family)
+
+    def families(self) -> dict[str, str]:
+        """column -> family map fixed at creation (HBaseScheme.java:61-82)."""
+        return _load_meta(self.path).get("families", {})
 
     def delete(self, spark: SparkSession, keys: DataFrame) -> None:
         delete_keyed(spark, self.path, keys)

@@ -35,16 +35,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 def _load_all() -> None:
-    # Import for registration side effects.
-    from cascading_hbase_spark.queries import core  # noqa: F401
-    from cascading_hbase_spark.queries import joins  # noqa: F401
-    from cascading_hbase_spark.queries import aggregates  # noqa: F401
+    # Import for registration side effects.  Registration order is the
+    # driver's verification order: round 1 only checked the first 50
+    # registered queries, so the modules that went unverified that round
+    # (windows, events, llm, multimodal, streaming, skew) now register
+    # FIRST, and the 49 already-green core/joins/aggregates pairs last.
     from cascading_hbase_spark.queries import windows  # noqa: F401
     from cascading_hbase_spark.queries import events  # noqa: F401
     from cascading_hbase_spark.queries import llm  # noqa: F401
     from cascading_hbase_spark.queries import multimodal  # noqa: F401
     from cascading_hbase_spark.queries import streaming  # noqa: F401
     from cascading_hbase_spark.queries import skew  # noqa: F401
+    from cascading_hbase_spark.queries import core  # noqa: F401
+    from cascading_hbase_spark.queries import joins  # noqa: F401
+    from cascading_hbase_spark.queries import aggregates  # noqa: F401
 
 
 _load_all()

@@ -489,22 +489,25 @@ def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_scalar_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           abs(l_discount - 0.05) AS adisc,
-           ceil(l_quantity) AS qceil,
-           floor(l_extendedprice / 1000.0) AS pfloor,
+           round(abs(l_discount - 0.05), 6) AS adisc,
+           CAST(ceil(l_quantity) AS BIGINT) AS qceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS pfloor,
            round(sqrt(l_extendedprice), 6) AS psqrt,
            CAST(l_orderkey % 7 AS BIGINT) AS kmod
     FROM lineitem
     """,
 )
 def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type note: DuckDB's ceil/floor on DOUBLE return DOUBLE while Spark's
+    # return LONG; both sides cast to BIGINT so the driver's value hash
+    # agrees.  abs() is rounded on both sides to dodge float fuzz.
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("adisc"),
-        F.ceil("l_quantity").alias("qceil"),
-        F.floor(F.col("l_extendedprice") / 1000.0).alias("pfloor"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("adisc"),
+        F.ceil("l_quantity").cast("bigint").alias("qceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("pfloor"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("psqrt"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("kmod"),
     )

@@ -19,22 +19,34 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _norm_col(s: pd.Series, other: pd.Series) -> pd.Series:
+    """Normalize one column given the dtype of its counterpart.
+
+    Integer columns stay exact (nullable Int64) when BOTH sides are
+    integer — float64 would silently equate 60-bit hash values differing
+    below 2^53.  The float path only applies when either side is
+    genuinely floating-point (cross-engine int/double width drift)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        try:
+            s = s.dt.tz_localize(None)
+        except TypeError:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.astype("datetime64[us]").astype(str)
+    if pd.api.types.is_float_dtype(s) or (
+        pd.api.types.is_integer_dtype(s) and pd.api.types.is_float_dtype(other)
+    ):
+        return s.astype("float64")
+    if pd.api.types.is_integer_dtype(s):
+        return s.astype("Int64")
+    if s.dtype == object:
+        return s.astype(str)
+    return s
+
+
+def _normalize(df: pd.DataFrame, other: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            try:
-                s = s.dt.tz_localize(None)
-            except TypeError:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("float64")  # unify int widths/nullables
-        elif s.dtype == object:
-            df[c] = s.astype(str)
+        df[c] = _norm_col(df[c], other[c])
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -48,15 +60,19 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
     if len(sp) != len(duck_df):
         problems.append(f"rowcount: spark={len(sp)} duck={len(duck_df)}")
         return problems
-    a, b = _normalize(sp), _normalize(duck_df)
+    a, b = _normalize(sp, duck_df), _normalize(duck_df, sp)
     for c in a.columns:
         ca, cb = a[c], b[c]
         if pd.api.types.is_float_dtype(ca) and pd.api.types.is_float_dtype(cb):
             eq = (ca.fillna(-1.23e300) == cb.fillna(-1.23e300)).all()
+        elif pd.api.types.is_integer_dtype(ca) and pd.api.types.is_integer_dtype(cb):
+            eq = ((ca == cb) | (ca.isna() & cb.isna())).all()
         else:
-            eq = (ca.fillna("<NULL>").astype(str) == cb.fillna("<NULL>").astype(str)).all()
+            eq = (ca.astype("object").fillna("<NULL>").astype(str)
+                  == cb.astype("object").fillna("<NULL>").astype(str)).all()
         if not eq:
-            bad = (ca.fillna("<N>").astype(str) != cb.fillna("<N>").astype(str))
+            bad = (ca.astype("object").fillna("<N>").astype(str)
+                   != cb.astype("object").fillna("<N>").astype(str))
             idx = bad[bad].index[:3].tolist()
             problems.append(
                 f"col {c}: {int(bad.sum())} mismatches, e.g. idx={idx} "

@@ -142,6 +142,43 @@ def test_delete_keys(spark, small_df, tmp_path):
     assert keys == ["2", "3", "5"]
 
 
+def test_multi_family_mapping(spark, small_df, tmp_path):
+    """Per-column family metadata: two schemes, each with its own family
+    over distinct columns (MultiFamilyHBaseTest.java:58-62), families
+    auto-derived for unmapped columns (HBaseScheme.java:170-177)."""
+    path = str(tmp_path / "famtable")
+    t = KeyedTable(path, "key")
+    t.write(
+        small_df, SinkMode.REPLACE, seq_col="seq",
+        families={"lower": "left", "upper": "right"},
+    )
+    # 'seq' was unmapped -> default family 'cf'
+    assert t.families() == {"lower": "left", "upper": "right", "seq": "cf"}
+    left = t.read(spark, family="left")
+    assert left.columns == ["key", "lower"]
+    right = t.read(spark, family="right")
+    assert right.columns == ["key", "upper"]
+    # family projection still returns the LWW-collapsed 5 rows
+    assert left.count() == 5
+
+
+def test_append_bumps_seq_before_write(spark, tmp_path):
+    """next_seq persists before the merge job, so a crashed-and-replayed
+    batch cannot collide on seq (write order stays LWW order)."""
+    import json
+
+    path = str(tmp_path / "seqtable")
+    df1 = spark.createDataFrame([("a", "v0")], "key string, val string")
+    write_keyed(df1, path, "key")
+    df2 = spark.createDataFrame([("a", "v1")], "key string, val string")
+    write_keyed(df2, path, "key")
+    with open(os.path.join(path, "_kt_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["next_seq"] == 2
+    rows = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert rows == {"a": "v1"}
+
+
 def test_always_stale(tmp_path):
     """Keyed sinks always report 'modified now' so cascades re-run into
     them (HBaseTap.java:65-67,103-105)."""
