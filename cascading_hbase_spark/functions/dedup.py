@@ -302,20 +302,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int, int]]:
+    """(band, offset, mask) triples splitting ``bits`` into ``n_bands``
+    near-equal contiguous bit ranges (wider bands first)."""
+    base, rem = divmod(bits, n_bands)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    out, off = [], 0
+    for i, s in enumerate(sizes):
+        out.append((i, off, (1 << s) - 1))
+        off += s
+    return out
+
+
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 4,
+    n_bands: int = 5,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint into 4 bytes — any
-    pair within hamming distance <= 4... must agree on at least one byte
-    when distance <= 3, and usually when = 4 — then verify exact hamming
-    via bit_count(xor).  Candidate join is blocked on (byte_idx, byte)."""
+    """SimHash near-dup pairs: band the fingerprint into ``n_bands``
+    contiguous bit ranges, candidate-join on any shared band, then
+    verify exact hamming via bit_count(xor).
+
+    Recall guarantee (pigeonhole): with n_bands > max_hamming, a pair
+    within ``max_hamming`` differing bits leaves at least one band
+    untouched, so EVERY qualifying pair is caught — the default 5 bands
+    over 32 bits (7/7/6/6/6) is exact for hamming <= 4.  The candidate
+    join stays blocked on (band, band_val)."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for guaranteed recall"
+        )
     sig = simhash(df, id_col, text_col, bits).persist()
-    n_bands = bits // 8
     banded = sig.select(
         F.col(id_col),
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("int").alias("band"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for band, off, mask in band_bounds(bits, n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "simhash", F.col("_b.band").alias("band"), F.col("_b.band_val").alias("band_val"))
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
     b = banded.select(
         F.col(id_col).alias("doc_b"),

@@ -90,13 +90,28 @@ class Each(_Unary):
         if isinstance(self.operation, Filter):
             return df.filter(self.operation.condition(df, args))
         cols = self.operation.columns(df, args)
-        declared = list(self.operation.declared) or [c._jc.toString() for c in cols]
+        # Resolved output names via the public schema (no _jc internals;
+        # works under Spark Connect too).
+        declared = list(self.operation.declared) or df.select(*cols).columns
         if self.out == RESULTS:
             return df.select(*cols)
         if self.out == ALL:
             keep = [c for c in df.columns if c not in declared]
             return df.select(*[F.col(c) for c in keep], *cols)
-        if self.out == REPLACE or self.out == SWAP:
+        if self.out == REPLACE:
+            # Cascading Fields.REPLACE: results substitute the argument
+            # fields IN PLACE — column order is the input's, with each
+            # argument position carrying its result (Fields algebra the
+            # reference's field-prepend relies on, HBaseScheme.java:157-162).
+            if len(cols) != len(args):
+                raise ValueError(
+                    f"REPLACE needs one result per argument field "
+                    f"(args={list(args)}, declared={declared})"
+                )
+            sub = {a: c for a, c in zip(args, cols)}
+            return df.select(*[sub.get(c, F.col(c)) for c in df.columns])
+        if self.out == SWAP:
+            # input minus argument fields, declared appended.
             keep = [c for c in df.columns if c not in args and c not in declared]
             return df.select(*[F.col(c) for c in keep], *cols)
         raise ValueError(f"unknown output selector {self.out!r}")

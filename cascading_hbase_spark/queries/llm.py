@@ -191,8 +191,9 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM votes GROUP BY doc_id
     ),
     banded AS (
-      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+      SELECT doc_id, simhash, band, (simhash >> off) & mask AS band_val
+      FROM sig CROSS JOIN (VALUES (0, 0, 127), (1, 7, 127), (2, 14, 63),
+                                  (3, 20, 63), (4, 26, 63)) AS bands(band, off, mask)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -206,9 +207,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band blocking + exact hamming verify."""
+    """SimHash near-dup pairs: 5-band (7/7/6/6/6-bit) blocking — exact
+    recall for hamming <= 4 by pigeonhole — + exact hamming verify."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(d, "doc_id", "text", bits=32, max_hamming=4)
+    return D.simhash_neardup_pairs(d, "doc_id", "text", bits=32, max_hamming=4, n_bands=5)
 
 
 @query(

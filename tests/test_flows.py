@@ -204,6 +204,32 @@ def test_each_selectors_and_insert(spark):
     assert ins.resolve({"t": df}).collect()[0]["tag"] == "z"
     ren = Rename(Pipe("t"), {"a": "alpha"})
     assert ren.resolve({"t": df}).columns == ["alpha", "b"]
+    # bare Identity (no declared) with ALL: output names resolve via the
+    # public schema, no duplicate columns appended
+    e_id = Each(Pipe("t"), ["a"], Identity(), ALL)
+    assert e_id.resolve({"t": df}).columns == ["b", "a"]
+
+
+def test_replace_and_swap_selectors(spark):
+    """Fields.REPLACE substitutes results IN the argument positions
+    (Cascading Fields algebra, HBaseScheme.java:157-162); SWAP drops the
+    args and appends the declared fields."""
+    from cascading_hbase_spark.operators.pipe import REPLACE, SWAP
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    rep = Each(Pipe("t"), ["b"], ExpressionFunction("b2", "b * 10"), REPLACE)
+    out = rep.resolve({"t": df})
+    # column ORDER preserved, result sits where the argument was
+    assert out.columns == ["a", "b2", "c"]
+    assert out.collect()[0] == (1, 20, 3)
+    # arity mismatch is an error under REPLACE
+    two = Each(Pipe("t"), ["b", "c"], ExpressionFunction("x", "b + c"), REPLACE)
+    with pytest.raises(ValueError, match="REPLACE"):
+        two.resolve({"t": df})
+    swp = Each(Pipe("t"), ["b", "c"], ExpressionFunction("s", "b + c"), SWAP)
+    out2 = swp.resolve({"t": df})
+    assert out2.columns == ["a", "s"]
+    assert out2.collect()[0] == (1, 5)
 
 
 def test_buffer_apply_in_pandas(spark):

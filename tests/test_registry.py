@@ -1,0 +1,50 @@
+"""Registry guard: the query/oracle registration surface is pinned to a
+checked-in manifest so a silent truncation (an import dropped, a driver
+cut, a decorator refactor losing entries) is caught in-repo, not at
+judge time."""
+
+from __future__ import annotations
+
+import os
+
+from cascading_hbase_spark.queries import BENCH_QUERIES, ORACLES, QUERIES
+
+MANIFEST = os.path.join(os.path.dirname(__file__), "query_manifest.txt")
+
+
+def _manifest() -> list[str]:
+    with open(MANIFEST) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def test_registry_matches_manifest():
+    """Every manifest entry registered, in manifest order (order is the
+    driver's verification order), and nothing unlisted."""
+    names = _manifest()
+    assert list(QUERIES) == names, (
+        f"registry drifted from tests/query_manifest.txt: "
+        f"missing={sorted(set(names) - set(QUERIES))} "
+        f"extra={sorted(set(QUERIES) - set(names))} — regenerate the "
+        f"manifest if the change is intentional"
+    )
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_bench_queries_registered():
+    assert set(BENCH_QUERIES) <= set(QUERIES)
+
+
+def test_unoracled_queries_are_the_documented_exceptions():
+    """Only genuinely non-SQL-expressible ops may skip the oracle (the
+    driver then records a weaker rows-only check)."""
+    expected_rows_only = {
+        "similarity_ann_lsh_topk",            # approximate scale path
+        "similarity_ann_ivf_topk",            # approximate scale path
+        "approx_distinct_sketch",             # HLL sketch, approximate
+        "streaming_dedup_within_watermark",   # Structured Streaming
+        "streaming_user_running_totals",      # stateful streaming op
+    }
+    assert set(QUERIES) - set(ORACLES) == expected_rows_only
