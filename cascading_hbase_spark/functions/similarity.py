@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from cascading_hbase_spark.functions.hashing import hash64
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "lsh_signature", "lsh_ann_topk",
-           "ivf_centroids", "ivf_ann_topk", "embedding_neardup_pairs"]
+           "ivf_centroids", "ivf_centroids_kmeans", "ivf_quantization_objective",
+           "ivf_ann_topk", "embedding_neardup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -220,6 +221,117 @@ def ivf_centroids(
     )
 
 
+def _unit(df: DataFrame, vec_col: str) -> DataFrame:
+    """Append ``uvec`` = L2-normalized double copy of ``vec_col``."""
+    n = F.sqrt(norm2(F.col(vec_col)))
+    return df.withColumn(
+        "uvec", F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
+
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Spherical k-means IVF coarse quantizer (Lloyd's iterations):
+    hash-sampled init (``ivf_centroids``), then assign-by-dot /
+    mean-and-renormalize rounds.  The per-round objective (mean max
+    cosine to a centroid) is non-decreasing, so recall improves over
+    the hash-sample init with the query plan unchanged.
+
+    Scale shape: training runs on a bounded ``sample_fraction`` (the
+    faiss convention — centroid quality needs a sample, not the corpus);
+    each round is one broadcast-join assignment pass plus one
+    map-side-combinable (cell, pos) sum — the shuffle carries
+    n_cells x dim partial sums per task, never the vectors.  Only the
+    n_cells centroid rows ever reach the driver (to flatten the
+    iteration's lineage)."""
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if sample_fraction is not None:
+        v = v.sample(False, sample_fraction, seed=seed)
+    nv = _unit(v, "vec").select("vec_id", "uvec").persist()
+    cents = _unit(
+        ivf_centroids(nv, "vec_id", "uvec", n_cells), "cell_vec"
+    ).select("cell_id", F.col("uvec").alias("cell_vec"))
+    for _ in range(max_iter):
+        # Assignment: argmax dot against the broadcast centroids (unit
+        # vectors, so dot == cosine).
+        sim = dot(F.col("uvec"), F.col("cell_vec"))
+        assigned = (
+            nv.join(F.broadcast(cents))
+            .select("vec_id", "uvec", "cell_id", sim.alias("sim"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("uvec").alias("uvec"),
+                F.max_by("cell_id", F.struct(F.col("sim"), F.col("cell_id").cast("double") * -1)).alias("cell"),
+            )
+        )
+        # Update: element-wise sum per cell (posexplode -> partial-agg
+        # shuffle), then renormalize (mean-then-normalize == normalize-sum).
+        sums = (
+            assigned.select("cell", F.posexplode("uvec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+        )
+        newc = (
+            sums.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias("sumvec")
+            )
+            .select(
+                F.col("cell").alias("cell_id"),
+                F.transform(
+                    F.col("sumvec"),
+                    lambda x: x / F.sqrt(norm2(F.col("sumvec"))),
+                ).alias("cell_vec"),
+            )
+        )
+        # Keep the previous centroid for any cell that emptied; collect
+        # the n_cells rows to flatten lineage between rounds.
+        merged = (
+            cents.alias("old")
+            .join(newc.alias("new"), "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new.cell_vec"), F.col("old.cell_vec")).alias("cell_vec"),
+            )
+        )
+        rows = merged.collect()
+        cents = spark.createDataFrame(rows, "cell_id long, cell_vec array<double>")
+    nv.unpersist()
+    return cents
+
+
+def ivf_quantization_objective(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean max-cosine-to-a-centroid — the spherical k-means objective
+    (higher is a tighter quantizer)."""
+    nv = _unit(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")), "vec"
+    )
+    nc = _unit(centroids, "cell_vec").select("cell_id", F.col("uvec").alias("cu"))
+    best = (
+        nv.join(F.broadcast(nc))
+        .select("vec_id", dot(F.col("uvec"), F.col("cu")).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("best"))
+    )
+    return best.agg(F.avg("best")).collect()[0][0]
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -228,6 +340,7 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path:
 
@@ -237,8 +350,13 @@ def ivf_ann_topk(
     3. exact cosine + top-k only against candidates in probed cells —
        the candidate join shuffles on ``cell``, touching ~n_probe/
        n_cells of the data per query, never a cartesian.
+
+    ``centroids`` (cell_id, cell_vec) overrides the default
+    deterministic hash-sample quantizer — pass
+    ``ivf_centroids_kmeans(...)`` for trained cells (better recall,
+    identical plan shape).
     """
-    cells = ivf_centroids(emb, id_col, vec_col, n_cells)
+    cells = centroids if centroids is not None else ivf_centroids(emb, id_col, vec_col, n_cells)
     c = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),

@@ -75,6 +75,16 @@ def events_stream(
     scan of new parquet files — at scale, a landing directory)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming has no AQE partition coalescing: under a default session
+    # every stateful op would run 200 shuffle/state-store partitions
+    # regardless of data volume.  Size the stream's shuffle width to the
+    # session's actual parallelism instead (state scales with keys, not
+    # partitions — at cluster scale defaultParallelism is the right
+    # order of magnitude for the state store too).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     reader = spark.readStream.schema(_EVENTS_RAW)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

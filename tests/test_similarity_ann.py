@@ -31,6 +31,31 @@ def test_ivf_partial_probe_recall(spark):
     assert len(exact & approx) / len(exact) >= 0.3
 
 
+def test_kmeans_centroids_improve_objective(spark):
+    """Lloyd's rounds never worsen the spherical-k-means objective
+    (mean max cosine to a centroid), so trained cells are at least as
+    tight as the hash-sample init."""
+    e = load_table(spark, SF, "embeddings")
+    init = S.ivf_centroids(e, "vec_id", "embedding", n_cells=8)
+    trained = S.ivf_centroids_kmeans(e, "vec_id", "embedding", n_cells=8, max_iter=4)
+    assert trained.count() == 8
+    obj_init = S.ivf_quantization_objective(e, init)
+    obj_trained = S.ivf_quantization_objective(e, trained)
+    assert obj_trained >= obj_init - 1e-9
+
+
+def test_ivf_full_probe_exact_with_kmeans_centroids(spark):
+    """Full probing stays exact regardless of the quantizer."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = S.ivf_centroids_kmeans(e, "vec_id", "embedding", n_cells=8, max_iter=2)
+    exact = S.cosine_topk(e, q, "vec_id", "embedding", k=10)
+    ivf = S.ivf_ann_topk(
+        e, q, "vec_id", "embedding", k=10, n_cells=8, n_probe=8, centroids=cents
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_lsh_ann_recall(spark):
     e = load_table(spark, SF, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
