@@ -44,35 +44,52 @@ def connected_components(
     one join + one aggregate, and the driver sees only a changed-count
     scalar; lineage is truncated with localCheckpoint so long chains
     don't accumulate.  Returns (doc_id, cluster_id = min reachable id)
-    for every node appearing in ``pairs``."""
-    edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .distinct()
-        .persist()
+    for every node appearing in ``pairs``.
+
+    The iteration pins ``spark.sql.shuffle.partitions`` to the session
+    parallelism for its duration: the eager localCheckpoint
+    materializes through the RDD path, which skips AQE partition
+    coalescing — under an untuned session every round would otherwise
+    run 200-task shuffles regardless of graph size."""
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    )
-    for i in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr"))
-            .withColumnRenamed("dst", "id")
+    try:
+        edges = (
+            pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+            .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+            .distinct()
+            .persist()
         )
-        updated = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.col("label").alias("old_label"),
-            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("label") < F.col("old_label")).count()
-        labels = updated.select("id", "label")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        for i in range(max_iter):
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr"))
+                .withColumnRenamed("dst", "id")
+            )
+            updated = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            )
+            updated = updated.localCheckpoint(eager=True)
+            changed = updated.filter(F.col("label") < F.col("old_label")).count()
+            labels = updated.select("id", "label")
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

@@ -10,7 +10,7 @@ algorithms*, not just checked row counts."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.functions import dedup as D
@@ -464,6 +464,129 @@ def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length("text").cast("bigint").alias("n_before"),
         F.length(clean).cast("bigint").alias("n_after"),
+    )
+
+
+_QUALITY_SQL = r"""
+             0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+             + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+"""
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM walk GROUP BY id),
+    scored AS (
+      SELECT comp.cluster_id, comp.doc_id, round({_QUALITY_SQL}, 6) AS quality
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: near-dup clusters -> keep the
+    highest-quality member per cluster (tie: lowest doc_id).  This is
+    the op a curation pipeline actually runs — pairs and clusters are
+    intermediates.  One extra hash aggregate over the cluster relation;
+    the oracle recomputes components with a recursive-CTE closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    scored = clusters.join(
+        d.select("doc_id", T.quality_score("text").alias("quality")), "doc_id"
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), F.col("doc_id").cast("double") * -1)
+        ).alias("keep_doc"),
+        F.max("quality").alias("quality"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@query(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_H.format(x="CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash: keep 50% of
+    'en', 20% of other languages.  Hash-based (not rand()) so the
+    sample is reproducible across runs/retries and co-partitions with
+    nothing — a pure map-side filter at any scale."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(20))
+    return d.filter(hash64(F.col("doc_id").cast("string")) % 100 < rate).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "token_budget_cap",
+    oracle="""
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  OVER (PARTITION BY lang
+                        ORDER BY len(string_split(text, ' ')) DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM documents
+    ) WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budget: rank docs (longest first, tie by id)
+    and keep prefixes until 20k tokens per language — the mixture-
+    capping step of a training-data recipe.
+
+    Scale note: the running sum is one window task per language; strata
+    are bounded (languages), and within a stratum the window input is
+    (doc_id, n_tokens) pairs only — not the text.  For unbounded strata
+    substitute a two-phase quantile cut."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens("text")).cast("bigint")
+    scored = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 20000)
     )
 
 
