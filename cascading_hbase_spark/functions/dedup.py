@@ -229,7 +229,10 @@ def minhash_neardup_pairs(
     # 4x (at scale this is the operator's working set; MEMORY_AND_DISK
     # spills gracefully).
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    # One row per doc (n_hashes ints): tiny, but it feeds BOTH sides of
+    # the band self-join — without the persist the signature aggregation
+    # over the full shingle set runs twice.
+    sig = minhash_signatures(sh, id_col, n_hashes).persist()
     bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
