@@ -179,6 +179,27 @@ def test_append_bumps_seq_before_write(spark, tmp_path):
     assert rows == {"a": "v1"}
 
 
+def test_stray_stage_dir_is_invisible_to_reads(spark, tmp_path):
+    """A staging sibling left by a crashed merge lives OUTSIDE the table
+    directory, so partition discovery never sees it; the next APPEND
+    clears and reuses it."""
+    path = str(tmp_path / "crashtable")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, val int")
+    write_keyed(df, path, "key")
+    # simulate a crashed merge: stale staging dir with plausible content
+    stage = path + "__kt_stage"
+    os.makedirs(os.path.join(stage, "_kt_bucket=0"), exist_ok=True)
+    with open(os.path.join(stage, "_kt_bucket=0", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert read_keyed(spark, path).count() == 2
+    # next write proceeds normally and cleans the stage
+    write_keyed(
+        spark.createDataFrame([("c", 3)], "key string, val int"), path, "key"
+    )
+    assert read_keyed(spark, path).count() == 3
+    assert not os.path.exists(stage)
+
+
 def test_always_stale(tmp_path):
     """Keyed sinks always report 'modified now' so cascades re-run into
     them (HBaseTap.java:65-67,103-105)."""

@@ -41,6 +41,52 @@ def test_range_scan_pushes_key_predicate(spark):
     assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
 
 
+def test_stratified_sample_is_map_side_only(spark):
+    """Hash-deterministic sampling must be a pure filter: zero
+    exchanges, zero aggregates — at 100 TB it is a single scan."""
+    plan = _plan(QUERIES["stratified_sample_hash"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_single_shuffle(spark):
+    """Per-language running sum needs exactly one shuffle (the window
+    partitioning); the text itself must not reach the window operator
+    (only id/lang/token-count columns)."""
+    plan = _plan(QUERIES["token_budget_cap"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "text" not in _plan_window_input_schema(plan)
+
+
+def _plan_window_input_schema(plan: str) -> str:
+    # the Window operator line lists its input expressions
+    for line in plan.splitlines():
+        if "Window" in line:
+            return line
+    return ""
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The k-means assignment pass must broadcast the centroid side —
+    one map-side pass over the vectors, never a shuffle of them."""
+    from cascading_hbase_spark.functions import similarity as S
+
+    e = load_table(spark, SF, "embeddings")
+    cents = S.ivf_centroids(e, "vec_id", "embedding", n_cells=8)
+    nv = S._unit(
+        e.select("vec_id", F.col("embedding").alias("vec")), "vec"
+    ).select("vec_id", "uvec")
+    joined = nv.join(F.broadcast(cents))
+    plan = _plan(joined)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_neardup_no_cartesian(spark):
+    plan = _plan(QUERIES["simhash_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
 def test_colocated_join_has_no_exchange(spark, tmp_path):
     """Same-bucketed tables must sort-merge join without shuffling
     either side."""
