@@ -14,19 +14,27 @@ Semantics (SURVEY.md §1.1, §2.1):
   prepended per HBaseScheme.java:157-162.
 - deletes per TableOutputFormatWrap.java:82, as an anti-join rewrite.
 
-Physical layout — designed so the 100 TB append is incremental:
+Physical layout — designed so the 100 TB append is incremental AND
+transactional:
 
-    <path>/_kt_meta.json            key name, bucket boundaries, next seq
-    <path>/_kt_bucket=<i>/*.parquet one directory per stable key range
+    <path>/_kt_meta.json                    the manifest: key name, bucket
+                                            boundaries, next seq, families,
+                                            schema, bucket -> generation map
+    <path>/_kt_bucket=<i>/g=<n>/*.parquet   one generation dir per committed
+                                            rewrite of a key-range bucket
 
 Bucket boundaries are fixed at table creation (sampled key quantiles),
 so every write lands each key in the same bucket forever.  An APPEND
-merges *only the buckets its batch touches* — union + collapse, staged
-to a sibling directory and swapped in per-bucket with ``os.replace``;
-untouched buckets' files are never read or rewritten (the analogue of
+merges *only the buckets its batch touches*: the merge materializes in
+a staging sibling, moves into fresh generation directories, and COMMITS
+by atomically replacing the manifest — readers resolve data only
+through the manifest's generation pointers, so a multi-bucket append is
+all-or-nothing (a crash anywhere pre-commit leaves the previous
+snapshot intact plus invisible orphans, GC'd by the next write).
+Untouched buckets' files are never read or rewritten (the analogue of
 HBase routing a Put to one region, not compacting the whole table).
 The seq counter persists before the data write, so a crashed-and-
-replayed batch never reuses a seq.  Range scans prune to
+replayed batch never reuses a committed seq.  Range scans prune to
 the overlapping buckets (partition pruning) and push the key predicate
 into the parquet scan (row-group min/max skipping, since each bucket is
 written sorted by key).
@@ -165,29 +173,71 @@ def _stage_dir(path: str) -> str:
     return path.rstrip("/") + "__kt_stage"
 
 
-def _merge_swap(merged: DataFrame, path: str, key: str, affected: list) -> None:
-    """Rewrite the ``affected`` buckets from a staged sibling write.
+def _gc_orphans(path: str, gens: dict) -> None:
+    """Remove generation directories the manifest no longer references
+    (crashed pre-commit writes, superseded generations)."""
+    for d in os.listdir(path):
+        if not d.startswith(BUCKET_COL + "="):
+            continue
+        b = d.split("=", 1)[1]
+        live = gens.get(b)
+        full = os.path.join(path, d)
+        if live is None:
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        for g in os.listdir(full):
+            if g.startswith("g=") and int(g[2:]) != live:
+                shutil.rmtree(os.path.join(full, g), ignore_errors=True)
 
-    The merged buckets are fully materialized in the staging directory
-    *before* any live file is touched (the old read-and-overwrite-the-
-    same-directory merge could tear buckets if the job died at commit).
-    Each bucket dir then swaps in via ``os.replace`` — per-bucket
-    atomic; a crash mid-swap leaves every bucket wholly old or wholly
-    new, never mixed, and re-running the batch converges (LWW)."""
+
+def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
+    """Transactional commit: move each staged bucket into a NEW
+    generation directory (``_kt_bucket=<b>/g=<n>``), then flip the
+    manifest (``_kt_meta.json``) in one atomic ``os.replace``.
+
+    Readers resolve data through the manifest's generation pointers, so
+    the flip makes ALL affected buckets visible at once — a crash at
+    any earlier point leaves only unreferenced orphan directories (the
+    previous snapshot stays fully readable), which the next write
+    garbage-collects.  This is the engine's stand-in for the atomicity
+    the reference got from HBase for free (HBaseTap.java:44-101
+    delegates lifecycle to the region server)."""
+    gens = meta.setdefault("gens", {})
+    for b in affected:
+        sb = str(b)
+        src = os.path.join(stage, f"{BUCKET_COL}={b}")
+        if os.path.isdir(src):
+            newgen = gens.get(sb, -1) + 1
+            dst = os.path.join(path, f"{BUCKET_COL}={b}", f"g={newgen}")
+            if os.path.isdir(dst):  # orphan of a crashed attempt
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            gens[sb] = newgen
+        else:
+            # the batch emptied this bucket: drop its pointer
+            gens.pop(sb, None)
+    _save_meta(path, meta)  # <- the commit point
+    _gc_orphans(path, gens)
+
+
+def _stage_and_publish(
+    df: DataFrame, path: str, key: str, meta: dict, affected: list | None = None
+) -> None:
+    """Materialize ``df`` bucket-partitioned in the staging sibling,
+    then commit via ``_publish``.  ``affected=None`` publishes every
+    bucket the write produced (table creation)."""
     stage = _stage_dir(path)
     shutil.rmtree(stage, ignore_errors=True)
     try:
-        _write_partitioned(merged, stage, key)
-        for b in affected:
-            src = os.path.join(stage, f"{BUCKET_COL}={b}")
-            dst = os.path.join(path, f"{BUCKET_COL}={b}")
-            old = os.path.join(stage, f"{BUCKET_COL}={b}.retired")
-            if os.path.isdir(dst):
-                os.replace(dst, old)
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            # src absent means the batch emptied this bucket: dst stays
-            # removed (delete path).
+        _write_partitioned(df, stage, key)
+        if affected is None:
+            affected = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(stage)
+                if d.startswith(BUCKET_COL + "=")
+            )
+        _publish(stage, path, meta, affected)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -237,16 +287,15 @@ def write_keyed(
         batch = _lww(
             df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
         ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
-        _write_partitioned(batch, path, key)
-        _save_meta(
-            path,
-            {
-                "key": key,
-                "boundaries": boundaries,
-                "next_seq": 1,
-                "families": family_map,
-            },
-        )
+        meta = {
+            "key": key,
+            "boundaries": boundaries,
+            "next_seq": 1,
+            "families": family_map,
+            "schema": df.schema.json(),
+            "gens": {},
+        }
+        _stage_and_publish(batch, path, key, meta)
         return
 
     meta = _load_meta(path)
@@ -261,20 +310,56 @@ def write_keyed(
         BUCKET_COL, _bucket_expr(key, boundaries)
     )
     # Only the buckets this batch touches participate in the merge;
-    # every other bucket directory is left untouched on disk.
+    # every other bucket's generation pointer (and files) is untouched.
     affected = sorted(
         r[0] for r in batch.select(BUCKET_COL).distinct().collect()
     )
-    current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
     merged = _lww(
         current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
     )
-    _merge_swap(merged, path, key, affected)
+    _stage_and_publish(merged, path, key, meta, affected)
 
 
 # ---------------------------------------------------------------------------
 # Read path
 # ---------------------------------------------------------------------------
+
+def _read_raw(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    min_bucket: int | None = None,
+    max_bucket: int | None = None,
+):
+    """Scan through the manifest's generation pointers (exactly the
+    committed snapshot; orphans are invisible).  Bucket-range pruning
+    happens HERE, driver-side, before any file listing — the analogue
+    of the reference pruning regions before creating splits
+    (TableInputFormatWrap.java:55-65).  Includes SEQ/BUCKET columns."""
+    gens = meta.get("gens")
+    if gens is None:  # legacy layout (flat bucket dirs)
+        return spark.read.parquet(path)
+    keep = {
+        int(b): g
+        for b, g in gens.items()
+        if (min_bucket is None or int(b) >= min_bucket)
+        and (max_bucket is None or int(b) <= max_bucket)
+    }
+    if not keep:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn(SEQ_COL, F.lit(0)).withColumn(
+            BUCKET_COL, F.lit(0)
+        )
+    paths = [
+        os.path.join(path, f"{BUCKET_COL}={b}", f"g={g}")
+        for b, g in sorted(keep.items())
+    ]
+    return spark.read.option("basePath", path).parquet(*paths).drop("g")
+
 
 def read_keyed(
     spark: SparkSession,
@@ -295,7 +380,9 @@ def read_keyed(
     groups via the pushed key predicate on sorted files."""
     meta = _load_meta(path)
     key, boundaries = meta["key"], meta["boundaries"]
-    df = spark.read.parquet(path)
+    min_b = _bucket_of(start, boundaries) if start is not None else None
+    max_b = _bucket_of(stop, boundaries) if stop is not None else None
+    df = _read_raw(spark, path, meta, min_b, max_b)
     if start is not None:
         df = df.filter(
             (F.col(BUCKET_COL) >= _bucket_of(start, boundaries))
@@ -328,12 +415,12 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
         .distinct()
         .collect()
     )
-    current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
     remaining = current.join(keys, key, "left_anti")
     # Staged rewrite of only the affected buckets; a bucket emptied by
-    # the delete is simply absent from the stage and _merge_swap drops
-    # its live directory.
-    _merge_swap(remaining, path, key, affected)
+    # the delete is simply absent from the stage and loses its
+    # generation pointer at commit.
+    _stage_and_publish(remaining, path, key, meta, affected)
 
 
 class KeyedTable:

@@ -200,6 +200,30 @@ def test_stray_stage_dir_is_invisible_to_reads(spark, tmp_path):
     assert not os.path.exists(stage)
 
 
+def test_uncommitted_generation_is_invisible(spark, tmp_path):
+    """Snapshot isolation: generation dirs not referenced by the
+    manifest (a crash between data move and manifest flip) must be
+    invisible to readers and GC'd by the next write."""
+    import glob
+    import shutil
+
+    path = str(tmp_path / "txntable")
+    write_keyed(
+        spark.createDataFrame([("a", 1)], "key string, val int"), path, "key"
+    )
+    # simulate a crashed commit: a fully-written NEW generation that
+    # never made it into the manifest
+    live = glob.glob(os.path.join(path, "_kt_bucket=*", "g=*"))[0]
+    orphan = os.path.join(os.path.dirname(live), "g=99")
+    shutil.copytree(live, orphan)
+    assert read_keyed(spark, path).count() == 1  # old snapshot only
+    write_keyed(
+        spark.createDataFrame([("b", 2)], "key string, val int"), path, "key"
+    )
+    assert not os.path.isdir(orphan)  # GC'd at the next commit
+    assert {r["key"] for r in read_keyed(spark, path).collect()} == {"a", "b"}
+
+
 def test_always_stale(tmp_path):
     """Keyed sinks always report 'modified now' so cascades re-run into
     them (HBaseTap.java:65-67,103-105)."""
@@ -218,16 +242,19 @@ def test_missing_key_column_raises(spark, tmp_path):
 
 
 def _bucket_files(path):
-    """Map bucket dir -> {filename: mtime_ns} for every bucket."""
+    """Map bucket dir -> {relative parquet path: mtime_ns}, walking
+    generation subdirectories."""
     out = {}
     for d in os.listdir(path):
         if d.startswith("_kt_bucket="):
             full = os.path.join(path, d)
-            out[d] = {
-                f: os.stat(os.path.join(full, f)).st_mtime_ns
-                for f in os.listdir(full)
-                if f.endswith(".parquet")
-            }
+            files = {}
+            for root, _dirs, names in os.walk(full):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        files[os.path.relpath(p, full)] = os.stat(p).st_mtime_ns
+            out[d] = files
     return out
 
 
