@@ -24,6 +24,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_band_signatures",
     "minhash_neardup_pairs",
+    "minhash_neardup_cross",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_neardup_pairs",
@@ -247,6 +248,76 @@ def minhash_neardup_pairs(
         .distinct()
     )
     return _exact_jaccard(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_neardup_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN an arriving batch and
+    an existing corpus (the ingest-time question — 'is this new doc a
+    dup of anything we already have'), never within either side.
+
+    Same LSH shape as the self-join form, but the band join is
+    batch-bands x corpus-bands only: at scale the corpus side's
+    signatures are computed once per ingest wave (or maintained in a
+    keyed table) and the join cost tracks the BATCH size, not
+    corpus^2.  Returns (batch_doc, corpus_doc, jaccard >= threshold)."""
+    sh_b = shingle_rows(batch, id_col, text_col, shingle_n).persist()
+    sh_c = shingle_rows(corpus, id_col, text_col, shingle_n).persist()
+    bands_b = minhash_band_signatures(
+        minhash_signatures(sh_b, id_col, n_hashes), id_col, band_size, n_hashes
+    ).select(F.col(id_col).alias("batch_doc"), "band", "band_sig")
+    bands_c = minhash_band_signatures(
+        minhash_signatures(sh_c, id_col, n_hashes), id_col, band_size, n_hashes
+    ).select(
+        F.col(id_col).alias("corpus_doc"),
+        F.col("band").alias("band_c"),
+        F.col("band_sig").alias("band_sig_c"),
+    )
+    cand = (
+        bands_b.join(
+            bands_c,
+            (F.col("band") == F.col("band_c"))
+            & (F.col("band_sig") == F.col("band_sig_c")),
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh_b.select(F.col(id_col).alias("batch_doc"), "shingle"), "batch_doc")
+        .join(
+            sh_c.select(
+                F.col(id_col).alias("_cd"), F.col("shingle").alias("shingle_c")
+            ),
+            (F.col("corpus_doc") == F.col("_cd"))
+            & (F.col("shingle") == F.col("shingle_c")),
+        )
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    cb = sh_b.groupBy(id_col).agg(F.count("*").alias("cb")).withColumnRenamed(id_col, "batch_doc")
+    cc = sh_c.groupBy(id_col).agg(F.count("*").alias("cc")).withColumnRenamed(id_col, "corpus_doc")
+    return (
+        inter.join(cb, "batch_doc")
+        .join(cc, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("cb") + F.col("cc") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -122,6 +122,71 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    shb AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+    shc AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+    hsb AS (
+      SELECT doc_id, h_idx,
+             min((({_H.format(x="shingle")} % 2147483647) * (2 * h_idx + 1)
+                  + h_idx * 2654435761) % 2147483647) AS minhash
+      FROM shb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
+      GROUP BY doc_id, h_idx
+    ),
+    hsc AS (
+      SELECT doc_id, h_idx,
+             min((({_H.format(x="shingle")} % 2147483647) * (2 * h_idx + 1)
+                  + h_idx * 2654435761) % 2147483647) AS minhash
+      FROM shc CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
+      GROUP BY doc_id, h_idx
+    ),
+    bb AS (
+      SELECT doc_id, CAST(h_idx // 2 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+      FROM hsb GROUP BY 1, 2
+    ),
+    bc AS (
+      SELECT doc_id, CAST(h_idx // 2 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+      FROM hsc GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT bb.doc_id AS batch_doc, bc.doc_id AS corpus_doc
+      FROM bb JOIN bc ON bb.band = bc.band AND bb.band_sig = bc.band_sig
+      GROUP BY 1, 2
+    ),
+    cb AS (SELECT doc_id, count(*) AS c FROM shb GROUP BY doc_id),
+    cc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT cand.batch_doc, cand.corpus_doc, count(*) AS i
+      FROM cand
+      JOIN shb ON shb.doc_id = cand.batch_doc
+      JOIN shc ON shc.doc_id = cand.corpus_doc AND shc.shingle = shb.shingle
+      GROUP BY 1, 2
+    )
+    SELECT batch_doc, corpus_doc,
+           round(CAST(i AS DOUBLE) / CAST(cb.c + cc.c - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN cb ON cb.doc_id = batch_doc
+    JOIN cc ON cc.doc_id = corpus_doc
+    WHERE CAST(i AS DOUBLE) / CAST(cb.c + cc.c - i AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup: odd doc_ids arrive as the batch,
+    even doc_ids are the standing corpus; near-dup pairs cross sides
+    only (cost tracks batch size, never corpus^2)."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return D.minhash_neardup_cross(
+        batch, corpus, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH tok AS ({_SQL_TOK}),
