@@ -40,6 +40,7 @@ __all__ = [
     "image_features",
     "resize_plan",
     "frame_sample",
+    "frame_slices",
     "audio_stats",
 ]
 
@@ -156,6 +157,41 @@ def frame_sample(df: DataFrame, id_col: str, stride: int = 4) -> DataFrame:
         df.filter(F.col("meta.modality") == "video")
         .select(F.col(id_col), F.col("meta.n_frames").alias("n_frames"),
                 F.explode(frames).alias("frame_idx"))
+    )
+
+
+def frame_slices(df: DataFrame, id_col: str, stride: int = 4) -> DataFrame:
+    """1→N frame sampling WITH the frame's bytes: each sampled frame
+    index carries its byte slice of the payload (``substring`` on
+    binary — pure JVM, no Python touches the bytes).  Only full-width
+    slices are emitted, so the contract has no ragged-tail edge cases.
+    Output: (id, frame_idx, frame_bytes, frame_hex)."""
+    v = (
+        df.filter(F.col("meta.modality") == "video")
+        .select(
+            F.col(id_col),
+            "payload",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .withColumn("frame_bytes", F.expr("greatest(1, n_bytes div n_frames)"))
+    )
+    ex = v.select(
+        id_col,
+        "payload",
+        "n_bytes",
+        "frame_bytes",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    ).filter((F.col("frame_idx") + 1) * F.col("frame_bytes") <= F.col("n_bytes"))
+    return ex.select(
+        F.col(id_col),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_bytes").cast("int").alias("frame_bytes"),
+        F.hex(
+            F.expr("substring(payload, 1 + frame_idx * frame_bytes, frame_bytes)")
+        ).alias("frame_hex"),
     )
 
 

@@ -262,3 +262,36 @@ def event_rate_per_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("w.start").alias("w_start"), "n_events", "n_types")
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+    cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, d FROM ev)
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, d) AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day offset — the standard growth-analytics
+    rollup.  Two hash aggregates plus one join; the cohort side is one
+    row per user, broadcastable at any event volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = e.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -91,6 +91,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_slices",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             upper(repeat(md5(text), {_K})) AS payload_hex,
+             CAST(8 + doc_id % 24 AS INTEGER) AS n_frames,
+             CAST(16 * {_K} AS INTEGER) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, payload_hex, n_bytes,
+             greatest(1, n_bytes // n_frames) AS frame_bytes,
+             CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INTEGER) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id, frame_idx, CAST(frame_bytes AS INTEGER) AS frame_bytes,
+           substring(payload_hex, 1 + frame_idx * frame_bytes * 2, frame_bytes * 2)
+             AS frame_hex
+    FROM f WHERE (frame_idx + 1) * frame_bytes <= n_bytes
+    """,
+)
+def multimodal_frame_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with the frame's actual bytes: JVM binary
+    substring per sampled index (1→N explode, Python never sees the
+    payload); oracle slices the identical md5-derived hex."""
+    return M.frame_slices(_payload(spark, sf_dir), "doc_id", stride=4)
+
+
+@query(
     "multimodal_audio_stats",
     oracle=f"""
     SELECT doc_id,
