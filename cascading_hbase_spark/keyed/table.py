@@ -221,6 +221,29 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     _gc_orphans(path, gens)
 
 
+def _migrate_legacy(path: str, meta: dict) -> None:
+    """Upgrade a flat-bucket-dir table (pre-generation layout) in place:
+    every bucket's files move into its ``g=0`` directory and the
+    manifest gains the generation map.  Idempotent; a no-op for
+    current-layout tables."""
+    if "gens" in meta:
+        return
+    gens: dict[str, int] = {}
+    for d in os.listdir(path):
+        if not d.startswith(BUCKET_COL + "="):
+            continue
+        b = d.split("=", 1)[1]
+        full = os.path.join(path, d)
+        g0 = os.path.join(full, "g=0")
+        os.makedirs(g0, exist_ok=True)
+        for f in os.listdir(full):
+            if not f.startswith("g="):
+                os.replace(os.path.join(full, f), os.path.join(g0, f))
+        gens[b] = 0
+    meta["gens"] = gens
+    _save_meta(path, meta)
+
+
 def _stage_and_publish(
     df: DataFrame, path: str, key: str, meta: dict, affected: list | None = None
 ) -> None:
@@ -299,6 +322,7 @@ def write_keyed(
         return
 
     meta = _load_meta(path)
+    _migrate_legacy(path, meta)
     boundaries = meta["boundaries"]
     seq = meta["next_seq"]
     # Persist the seq bump BEFORE the data write: if the merge crashes
@@ -407,6 +431,7 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
     the Delete dispatch of TableOutputFormatWrap.java:79-84 as an
     anti-join rewrite of only the affected buckets."""
     meta = _load_meta(path)
+    _migrate_legacy(path, meta)
     key, boundaries = meta["key"], meta["boundaries"]
     keys = keys.toDF(key).select(key)
     affected = sorted(

@@ -224,6 +224,38 @@ def test_uncommitted_generation_is_invisible(spark, tmp_path):
     assert {r["key"] for r in read_keyed(spark, path).collect()} == {"a", "b"}
 
 
+def test_legacy_flat_layout_migrates_on_append(spark, tmp_path):
+    """A pre-generation table (flat bucket dirs, no gens in the
+    manifest) must migrate in place on the first write, keeping every
+    bucket readable."""
+    import glob
+    import json
+    import shutil
+
+    path = str(tmp_path / "legacytable")
+    df = spark.createDataFrame(
+        [("a", 1), ("m", 2), ("z", 3)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=2)
+    # flatten to the legacy layout: move g=*/ files up, strip manifest keys
+    for g in glob.glob(os.path.join(path, "_kt_bucket=*", "g=*")):
+        bucket = os.path.dirname(g)
+        for f in os.listdir(g):
+            os.replace(os.path.join(g, f), os.path.join(bucket, f))
+        shutil.rmtree(g)
+    mp = os.path.join(path, "_kt_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta.pop("gens"); meta.pop("schema")
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    assert read_keyed(spark, path).count() == 3  # legacy read path
+    # first append migrates, then merges — nothing lost
+    write_keyed(spark.createDataFrame([("b", 4)], "key string, val int"), path, "key")
+    rows = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert rows == {"a": 1, "m": 2, "z": 3, "b": 4}
+
+
 def test_always_stale(tmp_path):
     """Keyed sinks always report 'modified now' so cascades re-run into
     them (HBaseTap.java:65-67,103-105)."""
