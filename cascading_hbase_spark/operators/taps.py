@@ -128,11 +128,17 @@ class KeyedTableTap(Tap):
     always_stale_sink = True
 
     def __init__(self, path: str, key: str = "key", seq_col: str | None = None,
-                 start=None, stop=None, fields: list[str] | None = None):
+                 start=None, stop=None, fields: list[str] | None = None,
+                 family: str | None = None,
+                 families: dict[str, str] | None = None):
         super().__init__(path)
         self.table = KeyedTable(path, key)
         self.seq_col = seq_col
         self.start, self.stop, self.fields = start, stop, fields
+        # Per-scheme family selection on read / family map on create —
+        # the multi-scheme binding of MultiFamilyHBaseTest.java:58-62.
+        self.family = family
+        self.families = families
 
     def uri(self) -> str:
         return self.table.uri()
@@ -148,7 +154,9 @@ class KeyedTableTap(Tap):
         self.table.drop()
 
     def read(self, spark):
-        return self.table.read(spark, self.start, self.stop, self.fields)
+        return self.table.read(
+            spark, self.start, self.stop, self.fields, self.family
+        )
 
     def write(self, df, mode: SinkMode = SinkMode.APPEND):
-        self.table.write(df, mode, self.seq_col)
+        self.table.write(df, mode, self.seq_col, families=self.families)

@@ -160,6 +160,12 @@ def test_multi_family_mapping(spark, small_df, tmp_path):
     assert right.columns == ["key", "upper"]
     # family projection still returns the LWW-collapsed 5 rows
     assert left.count() == 5
+    # tap-level binding: one tap per family, like one HBaseScheme per
+    # family in the reference
+    from cascading_hbase_spark.operators.taps import KeyedTableTap
+
+    tap = KeyedTableTap(path, "key", family="right")
+    assert tap.read(spark).columns == ["key", "upper"]
 
 
 def test_append_bumps_seq_before_write(spark, tmp_path):
