@@ -8,7 +8,14 @@ shuffles on the band/shingle key and AQE splits skewed buckets.
 
 Hashes come from ``hash64`` (md5-based) so the DuckDB oracle reproduces
 signatures bit-for-bit; swap to xxhash64 for raw speed off the test
-harness."""
+harness.
+
+Caching note: the pairwise operators persist their shingle/signature
+relations (each feeds several downstream joins) and return lazy
+DataFrames, so the caches cannot be eagerly unpersisted here.  Spark's
+CacheManager dedupes persists by analyzed plan, so repeated calls with
+the same inputs reuse one cache entry rather than accumulating, and
+MEMORY_AND_DISK entries evict LRU under pressure."""
 
 from __future__ import annotations
 
@@ -396,6 +403,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int, int]]:
     """(band, offset, mask) triples splitting ``bits`` into ``n_bands``
     near-equal contiguous bit ranges (wider bands first)."""
+    if n_bands > bits:
+        raise ValueError(
+            f"n_bands={n_bands} > bits={bits} would create zero-width "
+            "bands (mask 0), degenerating the candidate join to a "
+            "cross product"
+        )
     base, rem = divmod(bits, n_bands)
     sizes = [base + (1 if i < rem else 0) for i in range(n_bands)]
     out, off = [], 0

@@ -20,8 +20,8 @@ transactional:
     <path>/_kt_meta.json                    the manifest: key name, bucket
                                             boundaries, next seq, families,
                                             schema, bucket -> generation map
-    <path>/_kt_bucket=<i>/g=<n>/*.parquet   one generation dir per committed
-                                            rewrite of a key-range bucket
+    <path>/_kt_bucket=<i>/_kt_gen=<n>/*.parquet   one generation dir per
+                                            committed rewrite of a bucket
 
 Bucket boundaries are fixed at table creation (sampled key quantiles),
 so every write lands each key in the same bucket forever.  An APPEND
@@ -54,6 +54,8 @@ __all__ = ["SinkMode", "KeyedTable", "write_keyed", "read_keyed", "delete_keyed"
 
 SEQ_COL = "_kt_seq"
 BUCKET_COL = "_kt_bucket"
+GEN_COL = "_kt_gen"
+GEN_PREFIX = GEN_COL + "="
 META_FILE = "_kt_meta.json"
 
 
@@ -175,7 +177,13 @@ def _stage_dir(path: str) -> str:
 
 def _gc_orphans(path: str, gens: dict) -> None:
     """Remove generation directories the manifest no longer references
-    (crashed pre-commit writes, superseded generations)."""
+    (crashed pre-commit writes, superseded generations).
+
+    Retention: the immediately-previous generation survives one commit,
+    so a reader DataFrame planned against the prior snapshot keeps
+    working across a single concurrent write (Delta-style grace
+    window); anything older — or newer than the live pointer (crashed
+    uncommitted attempts) — is collected."""
     for d in os.listdir(path):
         if not d.startswith(BUCKET_COL + "="):
             continue
@@ -186,14 +194,17 @@ def _gc_orphans(path: str, gens: dict) -> None:
             shutil.rmtree(full, ignore_errors=True)
             continue
         for g in os.listdir(full):
-            if g.startswith("g=") and int(g[2:]) != live:
+            if not g.startswith(GEN_PREFIX):
+                continue
+            n = int(g[len(GEN_PREFIX):])
+            if n not in (live, live - 1):
                 shutil.rmtree(os.path.join(full, g), ignore_errors=True)
 
 
 def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     """Transactional commit: move each staged bucket into a NEW
-    generation directory (``_kt_bucket=<b>/g=<n>``), then flip the
-    manifest (``_kt_meta.json``) in one atomic ``os.replace``.
+    generation directory (``_kt_bucket=<b>/_kt_gen=<n>``), then flip
+    the manifest (``_kt_meta.json``) in one atomic ``os.replace``.
 
     Readers resolve data through the manifest's generation pointers, so
     the flip makes ALL affected buckets visible at once — a crash at
@@ -208,7 +219,7 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
         src = os.path.join(stage, f"{BUCKET_COL}={b}")
         if os.path.isdir(src):
             newgen = gens.get(sb, -1) + 1
-            dst = os.path.join(path, f"{BUCKET_COL}={b}", f"g={newgen}")
+            dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen}")
             if os.path.isdir(dst):  # orphan of a crashed attempt
                 shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -223,7 +234,7 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
 
 def _migrate_legacy(path: str, meta: dict) -> None:
     """Upgrade a flat-bucket-dir table (pre-generation layout) in place:
-    every bucket's files move into its ``g=0`` directory and the
+    every bucket's files move into its generation-0 directory and the
     manifest gains the generation map.  Idempotent; a no-op for
     current-layout tables."""
     if "gens" in meta:
@@ -234,10 +245,10 @@ def _migrate_legacy(path: str, meta: dict) -> None:
             continue
         b = d.split("=", 1)[1]
         full = os.path.join(path, d)
-        g0 = os.path.join(full, "g=0")
+        g0 = os.path.join(full, GEN_PREFIX + "0")
         os.makedirs(g0, exist_ok=True)
         for f in os.listdir(full):
-            if not f.startswith("g="):
+            if not f.startswith(GEN_PREFIX):
                 os.replace(os.path.join(full, f), os.path.join(g0, f))
         gens[b] = 0
     meta["gens"] = gens
@@ -323,6 +334,8 @@ def write_keyed(
 
     meta = _load_meta(path)
     _migrate_legacy(path, meta)
+    # legacy manifests predate the stored schema; backfill from the batch
+    meta.setdefault("schema", df.schema.json())
     boundaries = meta["boundaries"]
     seq = meta["next_seq"]
     # Persist the seq bump BEFORE the data write: if the merge crashes
@@ -371,18 +384,34 @@ def _read_raw(
         and (max_bucket is None or int(b) <= max_bucket)
     }
     if not keep:
+        schema_json = meta.get("schema")
+        if schema_json is None and gens:
+            # legacy-migrated manifest without a stored schema: recover
+            # it from any live generation (zero rows read)
+            b, g = next(iter(sorted(gens.items())))
+            any_path = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+            return (
+                spark.read.option("basePath", path)
+                .parquet(any_path)
+                .drop(GEN_COL)
+                .filter(F.lit(False))
+            )
+        if schema_json is None:
+            raise FileNotFoundError(
+                f"keyed table {path} is empty and its manifest stores no schema"
+            )
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(meta["schema"]))
+        schema = StructType.fromJson(json.loads(schema_json))
         empty = spark.createDataFrame([], schema)
         return empty.withColumn(SEQ_COL, F.lit(0)).withColumn(
             BUCKET_COL, F.lit(0)
         )
     paths = [
-        os.path.join(path, f"{BUCKET_COL}={b}", f"g={g}")
+        os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
         for b, g in sorted(keep.items())
     ]
-    return spark.read.option("basePath", path).parquet(*paths).drop("g")
+    return spark.read.option("basePath", path).parquet(*paths).drop(GEN_COL)
 
 
 def read_keyed(
@@ -419,7 +448,14 @@ def read_keyed(
         )
     df = df.drop(SEQ_COL, BUCKET_COL)
     if family is not None:
+        if fields is not None:
+            raise ValueError("pass either fields= or family=, not both")
         fam_map = meta.get("families", {})
+        if family not in set(fam_map.values()):
+            raise KeyError(
+                f"unknown column family {family!r}; table has "
+                f"{sorted(set(fam_map.values()))}"
+            )
         fields = [c for c in df.columns if fam_map.get(c) == family]
     if fields is not None:
         df = df.select(key, *[f for f in fields if f != key])

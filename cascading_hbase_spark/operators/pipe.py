@@ -108,6 +108,14 @@ class Each(_Unary):
                     f"REPLACE needs one result per argument field "
                     f"(args={list(args)}, declared={declared})"
                 )
+            out_names = [
+                declared[args.index(c)] if c in args else c for c in df.columns
+            ]
+            if len(set(out_names)) != len(out_names):
+                raise ValueError(
+                    f"REPLACE would produce duplicate column names "
+                    f"{out_names}; rename the declared fields or use SWAP"
+                )
             sub = {a: c for a, c in zip(args, cols)}
             return df.select(*[sub.get(c, F.col(c)) for c in df.columns])
         if self.out == SWAP:

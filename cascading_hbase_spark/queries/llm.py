@@ -78,7 +78,7 @@ _MINHASH_PAIRS_SQL = f"""
     FROM inter
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5
+    WHERE round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6) >= 0.5
 """
 
 
@@ -171,7 +171,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN cb ON cb.doc_id = batch_doc
     JOIN cc ON cc.doc_id = corpus_doc
-    WHERE CAST(i AS DOUBLE) / CAST(cb.c + cc.c - i AS DOUBLE) >= 0.5
+    WHERE round(CAST(i AS DOUBLE) / CAST(cb.c + cc.c - i AS DOUBLE), 6) >= 0.5
     """,
 )
 def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +202,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5
+    WHERE round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,9 +360,10 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i]))),
              6) AS cos_sim
     FROM cand JOIN e ea ON ea.vec_id = doc_a JOIN e eb ON eb.vec_id = doc_b
-    WHERE list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
-          / sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i]))
-                 * list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i]))) >= 0.4
+    WHERE round(
+            list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * eb.v[i]))
+            / sqrt(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i] * ea.v[i]))
+                   * list_sum(list_transform(generate_series(1, 64), i -> eb.v[i] * eb.v[i]))), 6) >= 0.4
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,16 +75,6 @@ def events_stream(
     scan of new parquet files — at scale, a landing directory)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Streaming has no AQE partition coalescing: under a default session
-    # every stateful op would run 200 shuffle/state-store partitions
-    # regardless of data volume.  Size the stream's shuffle width to the
-    # session's actual parallelism instead (state scales with keys, not
-    # partitions — at cluster scale defaultParallelism is the right
-    # order of magnitude for the state store too).
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
     reader = spark.readStream.schema(_EVENTS_RAW)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -200,19 +190,35 @@ def run_available_now(
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over all currently
     available input (``Trigger.AvailableNow``) into a memory sink and
-    return the materialized result table."""
+    return the materialized result table.
+
+    Streaming has no AQE partition coalescing: under a default session
+    every stateful op would run 200 shuffle/state-store partitions
+    regardless of data volume.  The shuffle width is pinned to the
+    session's parallelism for the duration of the run and restored
+    after — state scales with keys, not partitions, so at cluster
+    scale defaultParallelism is the right order of magnitude too."""
     if query_name is None:
         _MEMORY_SINK_SEQ[0] += 1
         query_name = f"chs_stream_{_MEMORY_SINK_SEQ[0]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    q.awaitTermination()
-    return result.sparkSession.table(query_name)
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 def stream_upsert_keyed(

@@ -66,7 +66,9 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
         if pd.api.types.is_float_dtype(ca) and pd.api.types.is_float_dtype(cb):
             eq = (ca.fillna(-1.23e300) == cb.fillna(-1.23e300)).all()
         elif pd.api.types.is_integer_dtype(ca) and pd.api.types.is_integer_dtype(cb):
-            eq = ((ca == cb) | (ca.isna() & cb.isna())).all()
+            # fillna(False): nullable-boolean .all() skips NA, which
+            # would silently pass NULL-vs-value mismatches
+            eq = bool(((ca == cb) | (ca.isna() & cb.isna())).fillna(False).all())
         else:
             eq = (ca.astype("object").fillna("<NULL>").astype(str)
                   == cb.astype("object").fillna("<NULL>").astype(str)).all()

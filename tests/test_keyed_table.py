@@ -219,8 +219,8 @@ def test_uncommitted_generation_is_invisible(spark, tmp_path):
     )
     # simulate a crashed commit: a fully-written NEW generation that
     # never made it into the manifest
-    live = glob.glob(os.path.join(path, "_kt_bucket=*", "g=*"))[0]
-    orphan = os.path.join(os.path.dirname(live), "g=99")
+    live = glob.glob(os.path.join(path, "_kt_bucket=*", "_kt_gen=*"))[0]
+    orphan = os.path.join(os.path.dirname(live), "_kt_gen=99")
     shutil.copytree(live, orphan)
     assert read_keyed(spark, path).count() == 1  # old snapshot only
     write_keyed(
@@ -228,6 +228,23 @@ def test_uncommitted_generation_is_invisible(spark, tmp_path):
     )
     assert not os.path.isdir(orphan)  # GC'd at the next commit
     assert {r["key"] for r in read_keyed(spark, path).collect()} == {"a", "b"}
+
+
+def test_reader_survives_one_concurrent_commit(spark, tmp_path):
+    """GC retains the immediately-previous generation, so a DataFrame
+    planned against the prior snapshot still reads after one commit."""
+    path = str(tmp_path / "gracetable")
+    write_keyed(
+        spark.createDataFrame([("a", 1), ("b", 2)], "key string, val int"),
+        path, "key",
+    )
+    old_reader = read_keyed(spark, path)  # pins the gen-0 paths
+    write_keyed(
+        spark.createDataFrame([("a", 9)], "key string, val int"), path, "key"
+    )
+    assert old_reader.count() == 2  # prior snapshot still on disk
+    rows = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert rows == {"a": 9, "b": 2}  # new snapshot is live
 
 
 def test_legacy_flat_layout_migrates_on_append(spark, tmp_path):
@@ -243,8 +260,8 @@ def test_legacy_flat_layout_migrates_on_append(spark, tmp_path):
         [("a", 1), ("m", 2), ("z", 3)], "key string, val int"
     )
     write_keyed(df, path, "key", n_buckets=2)
-    # flatten to the legacy layout: move g=*/ files up, strip manifest keys
-    for g in glob.glob(os.path.join(path, "_kt_bucket=*", "g=*")):
+    # flatten to the legacy layout: move gen files up, strip manifest keys
+    for g in glob.glob(os.path.join(path, "_kt_bucket=*", "_kt_gen=*")):
         bucket = os.path.dirname(g)
         for f in os.listdir(g):
             os.replace(os.path.join(g, f), os.path.join(bucket, f))
