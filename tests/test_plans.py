@@ -66,6 +66,25 @@ def _plan_window_input_schema(plan: str) -> str:
     return ""
 
 
+def test_stratified_sample_prunes_columns(spark):
+    """Column pruning must reach the scan: the sampler touches only
+    doc_id and lang — reading text for a 2-column projection would be
+    wrong at 100 TB."""
+    import re
+
+    plan = _plan(QUERIES["stratified_sample_hash"](spark, SF))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_id" in m.group(1) and "text" not in m.group(1), plan
+
+
+def test_retention_cohorts_prunes_columns(spark):
+    import re
+
+    plan = _plan(QUERIES["retention_cohorts"](spark, SF))
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("props" not in s and "value" not in s for s in schemas), plan
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """The k-means assignment pass must broadcast the centroid side —
     one map-side pass over the vectors, never a shuffle of them."""
