@@ -51,4 +51,27 @@ def _load_all() -> None:
     from cascading_hbase_spark.queries import aggregates  # noqa: F401
 
 
+# Queries the driver's per-round budget (~50 checked per round) must hit
+# FIRST this round: the two §2 cells without a green driver verdict
+# (limit_head never reached the cut in r01/r02; math_scalar_funcs was
+# fixed after its r01 fail but not re-run), then the pairs whose oracle
+# is new/changed this round.
+_PRIORITY = [
+    "limit_head",
+    "math_scalar_funcs",
+    "similarity_ann_lsh_topk",
+    "approx_distinct_sketch",
+]
+
+
+def _reorder() -> None:
+    head = [k for k in _PRIORITY if k in QUERIES]
+    order = head + [k for k in QUERIES if k not in head]
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update({k: snap[k] for k in order if k in snap})
+
+
 _load_all()
+_reorder()

@@ -307,11 +307,59 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, q, "vec_id", "embedding", k=10)
 
 
-@query("similarity_ann_lsh_topk")  # no oracle: approximate scale path, rows-only check
+@query(
+    "similarity_ann_lsh_topk",
+    # "Approximate" here means approximate RECALL, not nondeterminism:
+    # the hyperplanes are hash-derived (functions/similarity.py:92-102),
+    # so the whole pipeline — signature, banding, candidate set, scores,
+    # top-k — is exactly reproducible in DuckDB, same as the minhash and
+    # embedding_neardup oracles.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+      SELECT e.vec_id, j.j,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> e.v[i] * ((CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000.0) / 1000.0)) AS d
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d >= 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM planes GROUP BY vec_id
+    ),
+    banded AS (
+      SELECT s.vec_id, band, (s.sig >> (band * 4)) & 15 AS band_val
+      FROM sig s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id
+      FROM banded c JOIN banded q
+        ON c.band = q.band AND c.band_val = q.band_val
+       AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> eq.v[i] * ec.v[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, 64), i -> eq.v[i] * eq.v[i]))
+                      * list_sum(list_transform(generate_series(1, 64), i -> ec.v[i] * ec.v[i]))),
+               6) AS cos_sim
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.q_id
+      JOIN e ec ON ec.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB path: candidates meet
-    only inside signature-band buckets).  Approximate -> rows-only check;
-    recall is pytest-checked against cosine_topk on sf0.001."""
+    only inside signature-band buckets).  Deterministic hash-derived
+    hyperplanes -> the oracle replicates the full pipeline; recall is
+    additionally pytest-checked against cosine_topk on sf0.001."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10)

@@ -71,13 +71,42 @@ def salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_sketch")  # no oracle: HLL++ sketch differs from DuckDB's
+@query(
+    "approx_distinct_sketch",
+    # The sketch estimate itself can't be reproduced in DuckDB (different
+    # HLL implementation), but its documented accuracy contract CAN be
+    # checked exactly: the oracle computes the exact distinct count and
+    # asserts the estimate fell within 5x the configured rsd (a >5-sigma
+    # band — deterministic-in-practice for HLL++'s guarantees).  Spark
+    # emits the measured boolean; hash equality fails iff the sketch
+    # blows its bound.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BOOLEAN) AS within_rsd_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct per group — the sketch path
-    for 100 TB cardinality estimation (pytest bounds its error vs the
-    exact count)."""
+    for 100 TB cardinality estimation.  Emits the exact count (hash-
+    matched) plus ``within_rsd_bound``: |approx - exact| / exact <=
+    5*rsd, the sketch's checkable accuracy contract."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    rsd = 0.02
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 5 * rsd
+        ).alias("within_rsd_bound"),
     )

@@ -46,7 +46,10 @@ def _norm_col(s: pd.Series, other: pd.Series) -> pd.Series:
 def _normalize(df: pd.DataFrame, other: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = _norm_col(df[c], other[c])
+        # A column missing on the counterpart (callers outside compare()
+        # may skip its column-set gate) normalizes against itself rather
+        # than raising KeyError.
+        df[c] = _norm_col(df[c], other[c] if c in other.columns else df[c])
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 

@@ -41,9 +41,7 @@ def test_unoracled_queries_are_the_documented_exceptions():
     """Only genuinely non-SQL-expressible ops may skip the oracle (the
     driver then records a weaker rows-only check)."""
     expected_rows_only = {
-        "similarity_ann_lsh_topk",            # approximate scale path
-        "similarity_ann_ivf_topk",            # approximate scale path
-        "approx_distinct_sketch",             # HLL sketch, approximate
+        "similarity_ann_ivf_topk",            # approximate scale path (kmeans state)
         "streaming_dedup_within_watermark",   # Structured Streaming
         "streaming_user_running_totals",      # stateful streaming op
     }
