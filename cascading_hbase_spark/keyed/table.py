@@ -19,29 +19,53 @@ transactional:
 
     <path>/_kt_meta.json                    the manifest: key name, bucket
                                             boundaries, next seq, families,
-                                            schema, bucket -> generation map
+                                            schema, bucket -> generation map,
+                                            commit version
+    <path>/_kt_history/v<N>.json            one manifest snapshot per commit
+                                            (tiny JSON: the commit log)
     <path>/_kt_bucket=<i>/_kt_gen=<n>/*.parquet   one generation dir per
                                             committed rewrite of a bucket
 
 Bucket boundaries are fixed at table creation (sampled key quantiles),
-so every write lands each key in the same bucket forever.  An APPEND
-merges *only the buckets its batch touches*: the merge materializes in
-a staging sibling, moves into fresh generation directories, and COMMITS
-by atomically replacing the manifest — readers resolve data only
-through the manifest's generation pointers, so a multi-bucket append is
-all-or-nothing (a crash anywhere pre-commit leaves the previous
-snapshot intact plus invisible orphans, GC'd by the next write).
-Untouched buckets' files are never read or rewritten (the analogue of
-HBase routing a Put to one region, not compacting the whole table).
-The seq counter persists before the data write, so a crashed-and-
-replayed batch never reuses a committed seq.  Range scans prune to
-the overlapping buckets (partition pruning) and push the key predicate
-into the parquet scan (row-group min/max skipping, since each bucket is
-written sorted by key).
+so every write lands each key in the same bucket forever — until an
+explicit ``compact_keyed(..., n_buckets=...)`` re-samples them (the
+engine-side analogue of an HBase region split/major compaction, which
+the reference got for free from the region server,
+TableInputFormatWrap.java:40-82).  An APPEND merges *only the buckets
+its batch touches*: the merge materializes in a staging sibling, moves
+into fresh generation directories, and COMMITS by atomically replacing
+the manifest — readers resolve data only through the manifest's
+generation pointers, so a multi-bucket append is all-or-nothing (a
+crash anywhere pre-commit leaves the previous snapshot intact plus
+invisible orphans, GC'd by the next write).  Untouched buckets' files
+are never read or rewritten (the analogue of HBase routing a Put to one
+region, not compacting the whole table).  The seq counter persists
+before the data write, so a crashed-and-replayed batch never reuses a
+committed seq.  Range scans prune to the overlapping buckets
+(partition pruning) and push the key predicate into the parquet scan
+(row-group min/max skipping, since each bucket is written sorted by
+key).
+
+Commit history & GC: every commit snapshots the manifest into
+``_kt_history/v<N>.json``.  GC retains exactly the generation dirs
+referenced by the last ``retain`` (default 2) manifests, which (a)
+keeps a reader planned against the prior snapshot working across one
+concurrent commit — including a bucket the commit *emptied* — and (b)
+makes those snapshots time-travel-readable: ``read_keyed(...,
+generation=N)`` and ``rollback_keyed(path, N)``.  Raise ``retain`` at
+creation (``write_keyed(..., retain=K)``) for deeper time travel.
+
+Concurrency: ONE writer per table at a time.  Writers take an
+exclusive lock file (``<path>__kt_lock``, pid-stamped; stale locks from
+dead processes are reclaimed) and raise ``ConcurrentWriteError`` if
+another live writer holds it — two concurrent writers would otherwise
+race the manifest and silently drop each other's generation pointers.
+Readers never take the lock (snapshot isolation via the manifest).
 """
 
 from __future__ import annotations
 
+import contextlib
 import enum
 import json
 import os
@@ -50,13 +74,20 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-__all__ = ["SinkMode", "KeyedTable", "write_keyed", "read_keyed", "delete_keyed"]
+__all__ = [
+    "SinkMode", "KeyedTable", "ConcurrentWriteError",
+    "write_keyed", "read_keyed", "delete_keyed",
+    "compact_keyed", "rollback_keyed", "list_generations",
+]
 
 SEQ_COL = "_kt_seq"
 BUCKET_COL = "_kt_bucket"
 GEN_COL = "_kt_gen"
 GEN_PREFIX = GEN_COL + "="
 META_FILE = "_kt_meta.json"
+HISTORY_DIR = "_kt_history"
+DEFAULT_RETAIN = 2
+HISTORY_KEEP = 64  # manifest JSONs kept on disk (tiny; audit trail)
 
 
 class SinkMode(enum.Enum):
@@ -69,8 +100,13 @@ class SinkMode(enum.Enum):
     REPLACE = "replace"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to mutate a keyed table while another
+    live process held its writer lock."""
+
+
 # ---------------------------------------------------------------------------
-# Metadata
+# Metadata + commit history
 # ---------------------------------------------------------------------------
 
 def _meta_path(path: str) -> str:
@@ -93,6 +129,114 @@ def _save_meta(path: str, meta: dict) -> None:
         json.dump(meta, f)
     os.replace(tmp, _meta_path(path))
 
+
+def _history_path(path: str, version: int) -> str:
+    return os.path.join(path, HISTORY_DIR, f"v{version}.json")
+
+
+def _load_history(path: str, version: int) -> dict | None:
+    try:
+        with open(_history_path(path, version)) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def _write_history(path: str, meta: dict) -> None:
+    """Snapshot the just-committed manifest into the commit log and
+    prune entries beyond HISTORY_KEEP (the JSONs are tiny, but the log
+    must not grow unboundedly over thousands of appends)."""
+    hdir = os.path.join(path, HISTORY_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    version = meta["version"]
+    tmp = _history_path(path, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _history_path(path, version))
+    for name in os.listdir(hdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v <= version - HISTORY_KEEP:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(hdir, name))
+
+
+def list_generations(path: str) -> list[int]:
+    """Commit versions with a manifest snapshot on disk, oldest first.
+    (Only the last ``retain`` of them are guaranteed readable — older
+    snapshots' data files may have been garbage-collected.)"""
+    hdir = os.path.join(path, HISTORY_DIR)
+    if not os.path.isdir(hdir):
+        return []
+    out = []
+    for name in os.listdir(hdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with contextlib.suppress(ValueError):
+                out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Writer lock
+# ---------------------------------------------------------------------------
+
+def _lock_path(path: str) -> str:
+    # Sibling of the table dir so REPLACE's rmtree can't remove a held
+    # lock out from under its holder.
+    return path.rstrip("/") + "__kt_lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@contextlib.contextmanager
+def _writer_lock(path: str):
+    """Exclusive per-table writer lock (O_CREAT|O_EXCL, pid-stamped).
+
+    Best-effort on a shared filesystem: it serializes writers on one
+    host and detects/reclaims locks from dead local pids.  True
+    multi-host mutual exclusion needs an external coordinator — the
+    documented deployment contract is single writer per table."""
+    lock = _lock_path(path)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        pid = 0
+        with contextlib.suppress(OSError, ValueError):
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+        if _pid_alive(pid):
+            raise ConcurrentWriteError(
+                f"keyed table {path} is being written by live pid {pid} "
+                f"(lock {lock}); keyed tables are single-writer"
+            ) from None
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)  # stale lock from a dead writer
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+
+
+# ---------------------------------------------------------------------------
+# Bucketing
+# ---------------------------------------------------------------------------
 
 def _sample_boundaries(df: DataFrame, key: str, n_buckets: int) -> list:
     """Fixed range boundaries from a bounded sample of the batch's keys.
@@ -160,12 +304,23 @@ def _order_cols(df_cols: list[str], key: str, seq_col: str | None) -> list:
     return [F.col(SEQ_COL), *intra]
 
 
-def _write_partitioned(df: DataFrame, path: str, key: str) -> None:
+def _write_partitioned(df: DataFrame, path: str, key: str,
+                       by_bucket: bool = False) -> None:
     """Write bucket-partitioned, each bucket's files sorted by key (so
-    the key predicate prunes row groups on read)."""
+    the key predicate prunes row groups on read).
+
+    ``by_bucket=True`` (compaction) hash-partitions on the bucket id so
+    each bucket lands in ~one task -> ~one file; the default range
+    partitioning on the key suits incremental merges (bucket contents
+    align with contiguous key ranges)."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    out = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
+    if by_bucket:
+        out = df.repartition(n, F.col(BUCKET_COL)).sortWithinPartitions(
+            BUCKET_COL, key
+        )
+    else:
+        out = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
     out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
 
 
@@ -175,29 +330,44 @@ def _stage_dir(path: str) -> str:
     return path.rstrip("/") + "__kt_stage"
 
 
-def _gc_orphans(path: str, gens: dict) -> None:
-    """Remove generation directories the manifest no longer references
-    (crashed pre-commit writes, superseded generations).
+def _gc_orphans(path: str, meta: dict) -> None:
+    """Remove generation directories no retained manifest references.
 
-    Retention: the immediately-previous generation survives one commit,
-    so a reader DataFrame planned against the prior snapshot keeps
-    working across a single concurrent write (Delta-style grace
-    window); anything older — or newer than the live pointer (crashed
-    uncommitted attempts) — is collected."""
+    Retained = the generation pointers of the last ``retain`` (default
+    2) committed manifests.  That keeps (a) a reader DataFrame planned
+    against the prior snapshot working across one concurrent commit —
+    including buckets that commit *emptied* (their last generation is
+    still referenced by the previous manifest) — and (b) the last
+    ``retain`` commits time-travel-readable.  Crashed uncommitted
+    attempts (newer than any manifest) are collected immediately."""
+    version = meta.get("version", 1)
+    retain = meta.get("retain", DEFAULT_RETAIN)
+    retained: dict[str, set[int]] = {}
+
+    def _add(gens: dict) -> None:
+        for b, g in gens.items():
+            retained.setdefault(b, set()).add(g)
+
+    _add(meta.get("gens", {}))
+    for v in range(version - 1, version - retain, -1):
+        if v < 1:
+            break
+        h = _load_history(path, v)
+        if h:
+            _add(h.get("gens", {}))
     for d in os.listdir(path):
         if not d.startswith(BUCKET_COL + "="):
             continue
         b = d.split("=", 1)[1]
-        live = gens.get(b)
+        keep = retained.get(b, set())
         full = os.path.join(path, d)
-        if live is None:
+        if not keep:
             shutil.rmtree(full, ignore_errors=True)
             continue
         for g in os.listdir(full):
             if not g.startswith(GEN_PREFIX):
                 continue
-            n = int(g[len(GEN_PREFIX):])
-            if n not in (live, live - 1):
+            if int(g[len(GEN_PREFIX):]) not in keep:
                 shutil.rmtree(os.path.join(full, g), ignore_errors=True)
 
 
@@ -212,31 +382,42 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     previous snapshot stays fully readable), which the next write
     garbage-collects.  This is the engine's stand-in for the atomicity
     the reference got from HBase for free (HBaseTap.java:44-101
-    delegates lifecycle to the region server)."""
+    delegates lifecycle to the region server).
+
+    Generation numbers come from the monotone ``last_gen`` map (never
+    reset, even when a bucket empties or the table rolls back), so a
+    fresh generation can never collide with a grace-retained or
+    time-travel-retained older one."""
     gens = meta.setdefault("gens", {})
+    last = meta.setdefault("last_gen", {})
     for b in affected:
         sb = str(b)
         src = os.path.join(stage, f"{BUCKET_COL}={b}")
         if os.path.isdir(src):
-            newgen = gens.get(sb, -1) + 1
+            newgen = max(gens.get(sb, -1), last.get(sb, -1)) + 1
             dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen}")
             if os.path.isdir(dst):  # orphan of a crashed attempt
                 shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             gens[sb] = newgen
+            last[sb] = newgen
         else:
-            # the batch emptied this bucket: drop its pointer
+            # the batch emptied this bucket: drop its pointer (the
+            # previous manifest still references its last generation,
+            # so in-flight readers keep working for one commit)
             gens.pop(sb, None)
+    meta["version"] = meta.get("version", 0) + 1
     _save_meta(path, meta)  # <- the commit point
-    _gc_orphans(path, gens)
+    _write_history(path, meta)
+    _gc_orphans(path, meta)
 
 
 def _migrate_legacy(path: str, meta: dict) -> None:
     """Upgrade a flat-bucket-dir table (pre-generation layout) in place:
     every bucket's files move into its generation-0 directory and the
-    manifest gains the generation map.  Idempotent; a no-op for
-    current-layout tables."""
+    manifest gains the generation map + commit version.  Idempotent; a
+    no-op for current-layout tables."""
     if "gens" in meta:
         return
     gens: dict[str, int] = {}
@@ -252,25 +433,39 @@ def _migrate_legacy(path: str, meta: dict) -> None:
                 os.replace(os.path.join(full, f), os.path.join(g0, f))
         gens[b] = 0
     meta["gens"] = gens
+    meta["last_gen"] = dict(gens)
+    meta.setdefault("version", 1)
     _save_meta(path, meta)
+    _write_history(path, meta)
 
 
 def _stage_and_publish(
-    df: DataFrame, path: str, key: str, meta: dict, affected: list | None = None
+    df: DataFrame, path: str, key: str, meta: dict, affected: list | None = None,
+    by_bucket: bool = False,
 ) -> None:
     """Materialize ``df`` bucket-partitioned in the staging sibling,
     then commit via ``_publish``.  ``affected=None`` publishes every
-    bucket the write produced (table creation)."""
+    bucket the write produced (table creation).
+
+    The committed bucket set is always the UNION of the caller's
+    ``affected`` list and the buckets actually present in the staging
+    output: if the input plan is non-deterministic (rand/sample/changed
+    source) and re-evaluation lands rows in a bucket the caller didn't
+    precompute, those rows are published rather than silently dropped
+    with the stage directory."""
     stage = _stage_dir(path)
     shutil.rmtree(stage, ignore_errors=True)
     try:
-        _write_partitioned(df, stage, key)
+        _write_partitioned(df, stage, key, by_bucket=by_bucket)
+        staged = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(stage)
+            if d.startswith(BUCKET_COL + "=")
+        )
         if affected is None:
-            affected = sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(stage)
-                if d.startswith(BUCKET_COL + "=")
-            )
+            affected = staged
+        else:
+            affected = sorted(set(affected) | set(staged))
         _publish(stage, path, meta, affected)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -284,6 +479,7 @@ def write_keyed(
     seq_col: str | None = None,
     n_buckets: int | None = None,
     families: dict[str, str] | None = None,
+    retain: int | None = None,
 ) -> None:
     """Write ``df`` as a keyed table at ``path``.
 
@@ -298,64 +494,84 @@ def write_keyed(
     unmapped columns land in the default family ``"cf"``, the analogue
     of families auto-derived from the scheme (HBaseScheme.java:170-177).
     Families are fixed at table creation, like HBase's.
+
+    ``retain`` (creation only) sets how many committed snapshots keep
+    their data files on disk — the time-travel depth for
+    ``read_keyed(..., generation=N)`` / ``rollback_keyed``.  Default 2
+    (current + one-commit reader grace).
+
+    Single-writer: concurrent writers raise ``ConcurrentWriteError``.
     """
     if key not in df.columns:
         raise ValueError(f"key column {key!r} not in {df.columns}")
     spark = df.sparkSession
-    exists = _exists(path)
-    if mode is SinkMode.KEEP and exists:
-        # SinkMode.KEEP: never clobber an existing sink (Tap semantics).
-        raise FileExistsError(f"keyed table already exists (SinkMode.KEEP): {path}")
-    if mode is SinkMode.REPLACE and exists:
-        # REPLACE drops and recreates (HBaseTap.java:124-128).
-        shutil.rmtree(path)
-        exists = False
+    with _writer_lock(path):
+        exists = _exists(path)
+        if mode is SinkMode.KEEP and exists:
+            # SinkMode.KEEP: never clobber an existing sink (Tap semantics).
+            raise FileExistsError(f"keyed table already exists (SinkMode.KEEP): {path}")
+        if mode is SinkMode.REPLACE and exists:
+            # REPLACE drops and recreates (HBaseTap.java:124-128).
+            shutil.rmtree(path)
+            exists = False
 
-    if not exists:
-        n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-        boundaries = _sample_boundaries(df, key, n_buckets)
-        fam = families or {}
-        family_map = {
-            c: fam.get(c, "cf") for c in df.columns if c not in (key, SEQ_COL)
-        }
-        batch = _lww(
-            df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
-        ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
-        meta = {
-            "key": key,
-            "boundaries": boundaries,
-            "next_seq": 1,
-            "families": family_map,
-            "schema": df.schema.json(),
-            "gens": {},
-        }
-        _stage_and_publish(batch, path, key, meta)
-        return
+        if not exists:
+            n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+            boundaries = _sample_boundaries(df, key, n_buckets)
+            fam = families or {}
+            family_map = {
+                c: fam.get(c, "cf") for c in df.columns if c not in (key, SEQ_COL)
+            }
+            batch = _lww(
+                df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
+            ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
+            meta = {
+                "key": key,
+                "boundaries": boundaries,
+                "next_seq": 1,
+                "families": family_map,
+                "schema": df.schema.json(),
+                "gens": {},
+                "last_gen": {},
+                "version": 0,
+            }
+            if retain is not None:
+                meta["retain"] = retain
+            _stage_and_publish(batch, path, key, meta)
+            return
 
-    meta = _load_meta(path)
-    _migrate_legacy(path, meta)
-    # legacy manifests predate the stored schema; backfill from the batch
-    meta.setdefault("schema", df.schema.json())
-    boundaries = meta["boundaries"]
-    seq = meta["next_seq"]
-    # Persist the seq bump BEFORE the data write: if the merge crashes
-    # and the batch replays, it gets a fresh seq — LWW order stays write
-    # order instead of degrading to arbitrary column-tuple ties.
-    meta["next_seq"] = seq + 1
-    _save_meta(path, meta)
-    batch = df.withColumn(SEQ_COL, F.lit(seq)).withColumn(
-        BUCKET_COL, _bucket_expr(key, boundaries)
-    )
-    # Only the buckets this batch touches participate in the merge;
-    # every other bucket's generation pointer (and files) is untouched.
-    affected = sorted(
-        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-    )
-    current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
-    merged = _lww(
-        current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
-    )
-    _stage_and_publish(merged, path, key, meta, affected)
+        meta = _load_meta(path)
+        _migrate_legacy(path, meta)
+        # legacy manifests predate the stored schema; backfill from the batch
+        meta.setdefault("schema", df.schema.json())
+        boundaries = meta["boundaries"]
+        seq = meta["next_seq"]
+        # Persist the seq bump BEFORE the data write: if the merge crashes
+        # and the batch replays, it gets a fresh seq — LWW order stays write
+        # order instead of degrading to arbitrary column-tuple ties.
+        meta["next_seq"] = seq + 1
+        _save_meta(path, meta)
+        batch = df.withColumn(SEQ_COL, F.lit(seq)).withColumn(
+            BUCKET_COL, _bucket_expr(key, boundaries)
+        )
+        # Pin the batch's contents before anything inspects it: the
+        # affected-bucket collect and the staged write must see the SAME
+        # rows even if the input plan is non-deterministic (rand/sample/
+        # a source that changed between evaluations).  localCheckpoint
+        # materializes the incoming delta once (the delta, not the
+        # table — bounded by batch size at any scale) and also spares
+        # re-running an expensive upstream plan twice.
+        batch = batch.localCheckpoint(eager=True)
+        # Only the buckets this batch touches participate in the merge;
+        # every other bucket's generation pointer (and files) is untouched.
+        affected = sorted(
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+        current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
+        merged = _lww(
+            current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
+        )
+        _stage_and_publish(merged, path, key, meta, affected)
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +630,32 @@ def _read_raw(
     return spark.read.option("basePath", path).parquet(*paths).drop(GEN_COL)
 
 
+def _meta_at(path: str, generation: int | None) -> dict:
+    """Current manifest, or the committed snapshot ``generation`` with
+    its data files verified still on disk."""
+    if generation is None:
+        return _load_meta(path)
+    meta = _load_history(path, generation)
+    if meta is None:
+        avail = list_generations(path)
+        raise FileNotFoundError(
+            f"keyed table {path} has no manifest snapshot v{generation}"
+            f" (history: {avail})"
+        )
+    missing = [
+        (b, g)
+        for b, g in meta.get("gens", {}).items()
+        if not os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"generation {generation} of keyed table {path} has been "
+            f"garbage-collected (missing bucket gens {missing}); raise "
+            f"retain= at table creation for deeper time travel"
+        )
+    return meta
+
+
 def read_keyed(
     spark: SparkSession,
     path: str,
@@ -421,6 +663,7 @@ def read_keyed(
     stop=None,
     fields: list[str] | None = None,
     family: str | None = None,
+    generation: int | None = None,
 ) -> DataFrame:
     """Scan a keyed table, optionally range-pruned to [start, stop) and
     projected to ``fields`` with the key prepended
@@ -428,10 +671,13 @@ def read_keyed(
     column family's columns (key prepended) — the per-scheme family
     selection of MultiFamilyHBaseTest.java:58-62.
 
+    ``generation=N`` reads the table AS OF commit N (time travel over
+    the manifest history; the last ``retain`` commits are readable).
+
     A key range prunes twice: bucket directories via the partition
     column (split pruning, TableInputFormatWrap.java:55-65) and row
     groups via the pushed key predicate on sorted files."""
-    meta = _load_meta(path)
+    meta = _meta_at(path, generation)
     key, boundaries = meta["key"], meta["boundaries"]
     min_b = _bucket_of(start, boundaries) if start is not None else None
     max_b = _bucket_of(stop, boundaries) if stop is not None else None
@@ -466,22 +712,89 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
     """Delete rows whose key appears in ``keys`` (single-column DF) —
     the Delete dispatch of TableOutputFormatWrap.java:79-84 as an
     anti-join rewrite of only the affected buckets."""
-    meta = _load_meta(path)
-    _migrate_legacy(path, meta)
-    key, boundaries = meta["key"], meta["boundaries"]
-    keys = keys.toDF(key).select(key)
-    affected = sorted(
-        r[0]
-        for r in keys.select(_bucket_expr(key, boundaries).alias("b"))
-        .distinct()
-        .collect()
-    )
-    current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
-    remaining = current.join(keys, key, "left_anti")
-    # Staged rewrite of only the affected buckets; a bucket emptied by
-    # the delete is simply absent from the stage and loses its
-    # generation pointer at commit.
-    _stage_and_publish(remaining, path, key, meta, affected)
+    with _writer_lock(path):
+        meta = _load_meta(path)
+        _migrate_legacy(path, meta)
+        key, boundaries = meta["key"], meta["boundaries"]
+        keys = keys.toDF(key).select(key)
+        affected = sorted(
+            r[0]
+            for r in keys.select(_bucket_expr(key, boundaries).alias("b"))
+            .distinct()
+            .collect()
+        )
+        current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
+        # Legacy-migrated manifests lack the stored schema; backfill it
+        # from the live snapshot so a delete that empties the whole
+        # table still leaves it readable (empty frame, right schema).
+        meta.setdefault("schema", current.drop(SEQ_COL, BUCKET_COL).schema.json())
+        remaining = current.join(keys, key, "left_anti")
+        # Staged rewrite of only the affected buckets; a bucket emptied by
+        # the delete is simply absent from the stage and loses its
+        # generation pointer at commit.
+        _stage_and_publish(remaining, path, key, meta, affected)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance: compaction / re-bucketing / rollback
+# ---------------------------------------------------------------------------
+
+def compact_keyed(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> None:
+    """Rewrite every live bucket into one fresh generation — the
+    engine-side major compaction the reference delegated to HBase
+    (TableInputFormatWrap.java:40-82 assumes the region server split and
+    compacted regions behind the scenes).
+
+    - coalesces the per-bucket file count back to ~1 file per bucket
+      (appends leave range-partitioned merge output: several files per
+      touched bucket per generation);
+    - with ``n_buckets``, RE-SAMPLES the range boundaries from the
+      current keys and re-buckets the whole table — the answer to
+      key-distribution drift after the creation-time boundaries went
+      stale (the analogue of region re-splitting).
+
+    Reads are bit-identical before/after; the swap is one atomic
+    manifest flip, and the pre-compaction snapshot stays readable for
+    one commit (reader grace) like any other commit."""
+    with _writer_lock(path):
+        meta = _load_meta(path)
+        _migrate_legacy(path, meta)
+        key = meta["key"]
+        current = _read_raw(spark, path, meta).drop(BUCKET_COL)
+        if n_buckets is not None:
+            meta["boundaries"] = _sample_boundaries(current, key, n_buckets)
+        batch = current.withColumn(
+            BUCKET_COL, _bucket_expr(key, meta["boundaries"])
+        )
+        # Every currently-pointed bucket participates: buckets the new
+        # boundaries empty lose their pointer, new buckets come from the
+        # staged listing union.
+        affected = sorted(int(b) for b in meta.get("gens", {}))
+        _stage_and_publish(batch, path, key, meta, affected, by_bucket=True)
+
+
+def rollback_keyed(path: str, generation: int) -> None:
+    """Roll the table back to committed snapshot ``generation`` (must
+    still be within the ``retain`` window).  The rollback is itself a
+    new commit: the old pointers become current again, ``next_seq``
+    stays monotone (a replayed append can never collide with a seq the
+    rolled-back-over commits used), and the pre-rollback snapshot keeps
+    its one-commit reader grace."""
+    with _writer_lock(path):
+        cur = _load_meta(path)
+        hist = _meta_at(path, generation)  # verifies files still on disk
+        meta = dict(hist)
+        meta["next_seq"] = max(cur.get("next_seq", 1), hist.get("next_seq", 1))
+        last = dict(cur.get("last_gen", {}))
+        for b, g in hist.get("last_gen", {}).items():
+            last[b] = max(last.get(b, -1), g)
+        meta["last_gen"] = last
+        meta["version"] = cur.get("version", 1) + 1
+        _save_meta(path, meta)  # <- the commit point
+        _write_history(path, meta)
+        _gc_orphans(path, meta)
 
 
 class KeyedTable:
@@ -510,13 +823,17 @@ class KeyedTable:
     # --- IO ---
     def write(self, df: DataFrame, mode: SinkMode = SinkMode.APPEND,
               seq_col: str | None = None,
-              families: dict[str, str] | None = None) -> None:
-        write_keyed(df, self.path, self.key, mode, seq_col, families=families)
+              families: dict[str, str] | None = None,
+              retain: int | None = None) -> None:
+        write_keyed(df, self.path, self.key, mode, seq_col,
+                    families=families, retain=retain)
 
     def read(self, spark: SparkSession, start=None, stop=None,
              fields: list[str] | None = None,
-             family: str | None = None) -> DataFrame:
-        return read_keyed(spark, self.path, start, stop, fields, family)
+             family: str | None = None,
+             generation: int | None = None) -> DataFrame:
+        return read_keyed(spark, self.path, start, stop, fields, family,
+                          generation)
 
     def families(self) -> dict[str, str]:
         """column -> family map fixed at creation (HBaseScheme.java:61-82)."""
@@ -524,6 +841,16 @@ class KeyedTable:
 
     def delete(self, spark: SparkSession, keys: DataFrame) -> None:
         delete_keyed(spark, self.path, keys)
+
+    # --- maintenance ---
+    def compact(self, spark: SparkSession, n_buckets: int | None = None) -> None:
+        compact_keyed(spark, self.path, n_buckets)
+
+    def rollback(self, generation: int) -> None:
+        rollback_keyed(self.path, generation)
+
+    def generations(self) -> list[int]:
+        return list_generations(self.path)
 
     def uri(self) -> str:
         """Identity for cascade dependency resolution — the analogue of

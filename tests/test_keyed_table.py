@@ -359,3 +359,218 @@ def test_delete_can_empty_a_bucket(spark, tmp_path):
     delete_keyed(spark, path, deletes)
     keys = sorted(r["key"] for r in read_keyed(spark, path).collect())
     assert keys == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 surface: commit history, grace for emptied buckets, writer
+# lock, compaction / re-bucketing, time travel / rollback.
+# ---------------------------------------------------------------------------
+
+def test_delete_emptied_bucket_keeps_reader_grace(spark, tmp_path):
+    """A bucket emptied by a delete keeps its last generation for one
+    commit (the previous manifest still references it), so an in-flight
+    reader survives; the following commit collects the directory."""
+    path = str(tmp_path / "emptygrace")
+    df = spark.createDataFrame([("a", 1), ("z", 2)], "key string, val int")
+    write_keyed(df, path, "key", n_buckets=2)
+    old_reader = read_keyed(spark, path)  # pins both buckets' gen dirs
+    delete_keyed(spark, path, spark.createDataFrame([("z",)], "key string"))
+    assert old_reader.count() == 2  # grace: emptied bucket's gen retained
+    assert read_keyed(spark, path).count() == 1
+    # next commit: nothing references the emptied bucket any more
+    write_keyed(spark.createDataFrame([("b", 3)], "key string, val int"), path, "key")
+    assert not os.path.isdir(os.path.join(path, "_kt_bucket=1"))
+
+
+def test_concurrent_writer_raises(spark, tmp_path):
+    """Two live writers on one table must not race the manifest: the
+    second gets ConcurrentWriteError while the first's lock is held."""
+    from cascading_hbase_spark.keyed.table import ConcurrentWriteError, _lock_path
+
+    path = str(tmp_path / "locktable")
+    df = spark.createDataFrame([("a", 1)], "key string, val int")
+    write_keyed(df, path, "key")
+    lock = _lock_path(path)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # a live pid holds the lock
+    with pytest.raises(ConcurrentWriteError):
+        write_keyed(df, path, "key")
+    os.remove(lock)
+
+
+def test_stale_writer_lock_is_reclaimed(spark, tmp_path):
+    """A lock left by a dead process must not wedge the table."""
+    import subprocess
+
+    from cascading_hbase_spark.keyed.table import _lock_path
+
+    path = str(tmp_path / "staletable2")
+    df = spark.createDataFrame([("a", 1)], "key string, val int")
+    write_keyed(df, path, "key")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(_lock_path(path), "w") as f:
+        f.write(str(p.pid))  # definitely-dead pid
+    write_keyed(spark.createDataFrame([("b", 2)], "key string, val int"), path, "key")
+    assert read_keyed(spark, path).count() == 2
+
+
+def _live_parquet_files(path):
+    """Parquet files referenced by the CURRENT manifest only."""
+    import json
+
+    with open(os.path.join(path, "_kt_meta.json")) as f:
+        meta = json.load(f)
+    files = []
+    for b, g in meta["gens"].items():
+        gen_dir = os.path.join(path, f"_kt_bucket={b}", f"_kt_gen={g}")
+        files += [f for f in os.listdir(gen_dir) if f.endswith(".parquet")]
+    return files
+
+
+def test_compact_coalesces_files_and_preserves_rows(spark, tmp_path):
+    """Many appends -> compact: rows bit-identical, live file count
+    bounded by ~one file per bucket (the HBase major-compaction
+    analogue the reference got from the region server)."""
+    path = str(tmp_path / "compacttable")
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i) for i in range(1000)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=4)
+    for j in range(6):
+        batch = spark.createDataFrame(
+            [(f"k{(37 * j + i) % 1000:04d}", 10000 + j) for i in range(50)],
+            "key string, val int",
+        )
+        write_keyed(batch, path, "key")
+    before = sorted(
+        (r["key"], r["val"]) for r in read_keyed(spark, path).collect()
+    )
+    from cascading_hbase_spark.keyed.table import compact_keyed
+
+    compact_keyed(spark, path)
+    after = sorted(
+        (r["key"], r["val"]) for r in read_keyed(spark, path).collect()
+    )
+    assert before == after
+    assert len(_live_parquet_files(path)) <= 8  # ~1/bucket, slack for hash ties
+
+
+def test_compact_rebuckets_on_drifted_keys(spark, tmp_path):
+    """compact_keyed(n_buckets=...) re-samples range boundaries from the
+    CURRENT keys — the fix for key-distribution drift freezing the
+    creation-time boundaries."""
+    import json
+
+    path = str(tmp_path / "rebucket")
+    # created from keys k0000-k0999 with 1 bucket (no boundaries)
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i) for i in range(1000)], "key string, val int"
+    )
+    write_keyed(df, path, "key", n_buckets=1)
+    from cascading_hbase_spark.keyed.table import compact_keyed
+
+    compact_keyed(spark, path, n_buckets=4)
+    with open(os.path.join(path, "_kt_meta.json")) as f:
+        meta = json.load(f)
+    assert len(meta["boundaries"]) == 3  # 4 buckets
+    assert sorted(int(b) for b in meta["gens"]) == [0, 1, 2, 3]
+    out = read_keyed(spark, path, start="k0010", stop="k0020")
+    assert out.count() == 10
+    assert read_keyed(spark, path).count() == 1000
+
+
+def test_time_travel_reads_and_rollback(spark, tmp_path):
+    """Every commit is a readable snapshot within the retain window;
+    rollback re-points the manifest and stays seq-monotone."""
+    from cascading_hbase_spark.keyed.table import (
+        list_generations,
+        rollback_keyed,
+    )
+
+    path = str(tmp_path / "timetravel")
+    write_keyed(
+        spark.createDataFrame([("a", 1)], "key string, val int"),
+        path, "key", retain=10,
+    )
+    write_keyed(spark.createDataFrame([("a", 2)], "key string, val int"), path, "key")
+    write_keyed(spark.createDataFrame([("b", 3)], "key string, val int"), path, "key")
+    assert list_generations(path) == [1, 2, 3]
+    snap = lambda g: {  # noqa: E731
+        (r["key"], r["val"])
+        for r in read_keyed(spark, path, generation=g).collect()
+    }
+    assert snap(1) == {("a", 1)}
+    assert snap(2) == {("a", 2)}
+    assert snap(3) == {("a", 2), ("b", 3)}
+    rollback_keyed(path, 2)
+    assert {
+        (r["key"], r["val"]) for r in read_keyed(spark, path).collect()
+    } == {("a", 2)}
+    # post-rollback writes keep working and stay LWW-correct
+    write_keyed(spark.createDataFrame([("a", 9)], "key string, val int"), path, "key")
+    assert {
+        (r["key"], r["val"]) for r in read_keyed(spark, path).collect()
+    } == {("a", 9)}
+
+
+def test_time_travel_beyond_retain_raises(spark, tmp_path):
+    """Snapshots older than the retain window have had their data
+    GC'd: reading them must fail loudly, not return partial data."""
+    path = str(tmp_path / "gcbound")
+    write_keyed(spark.createDataFrame([("a", 1)], "key string, val int"), path, "key")
+    write_keyed(spark.createDataFrame([("a", 2)], "key string, val int"), path, "key")
+    write_keyed(spark.createDataFrame([("a", 3)], "key string, val int"), path, "key")
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        read_keyed(spark, path, generation=1)
+
+
+def test_staged_surprise_buckets_are_published(spark, tmp_path):
+    """If plan re-evaluation lands rows in a bucket the caller's
+    affected list missed (non-deterministic input), the staged bucket
+    is published, not silently deleted with the stage dir."""
+    from cascading_hbase_spark.keyed import table as kt
+
+    path = str(tmp_path / "surprise")
+    df = spark.createDataFrame([("a", 1), ("z", 2)], "key string, val int")
+    write_keyed(df, path, "key", n_buckets=2)
+    meta = kt._load_meta(path)
+    staged = spark.createDataFrame(
+        [("b", 5, 1, 0), ("y", 6, 1, 1)],
+        "key string, val int, _kt_seq int, _kt_bucket int",
+    )
+    kt._stage_and_publish(staged, path, "key", meta, affected=[0])
+    keys = {r["key"] for r in read_keyed(spark, path).collect()}
+    assert "y" in keys  # bucket 1 was staged -> published despite affected=[0]
+
+
+def test_legacy_delete_all_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row of a legacy-migrated table must backfill the
+    manifest schema so subsequent reads return an empty frame, not
+    FileNotFoundError."""
+    import glob
+    import json
+    import shutil
+
+    path = str(tmp_path / "legacydel")
+    write_keyed(
+        spark.createDataFrame([("a", 1)], "key string, val int"), path, "key"
+    )
+    # flatten to the legacy layout
+    for g in glob.glob(os.path.join(path, "_kt_bucket=*", "_kt_gen=*")):
+        bucket = os.path.dirname(g)
+        for f in os.listdir(g):
+            os.replace(os.path.join(g, f), os.path.join(bucket, f))
+        shutil.rmtree(g)
+    shutil.rmtree(os.path.join(path, "_kt_history"), ignore_errors=True)
+    mp = os.path.join(path, "_kt_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    for k in ("gens", "schema", "version", "last_gen"):
+        meta.pop(k, None)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    delete_keyed(spark, path, spark.createDataFrame([("a",)], "key string"))
+    out = read_keyed(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"key", "val"}
