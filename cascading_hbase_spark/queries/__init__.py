@@ -60,6 +60,7 @@ _PRIORITY = [
     "limit_head",
     "math_scalar_funcs",
     "similarity_ann_lsh_topk",
+    "similarity_ann_ivf_topk",
     "approx_distinct_sketch",
 ]
 

@@ -371,12 +371,70 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(e, q, "vec_id", "embedding", dim=64, k=10)
 
 
-@query("similarity_ann_ivf_topk")  # no oracle: approximate scale path, rows-only check
+@query(
+    "similarity_ann_ivf_topk",
+    # The default quantizer is a deterministic hash-random sample (16
+    # smallest md5-hash ids), so the whole inverted-file pipeline —
+    # centroid pick, cell assignment, query probes, in-cell exact
+    # scoring — replays exactly in DuckDB.  (The kmeans-trained
+    # quantizer variant has fitted state and stays pytest-checked.)
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n2 AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i])) AS nn
+      FROM e
+    ),
+    cells AS (
+      SELECT vec_id AS cell_id, v AS cv, nn AS cnn
+      FROM n2
+      ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT n2.vec_id, cells.cell_id,
+               row_number() OVER (PARTITION BY n2.vec_id ORDER BY
+                 (list_sum(list_transform(generate_series(1, 64), i -> n2.v[i] * cells.cv[i]))
+                  / sqrt(n2.nn * cells.cnn)) DESC, cells.cell_id) AS rn
+        FROM n2 CROSS JOIN cells
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.vec_id AS q_id, cells.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 (list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cells.cv[i]))
+                  / sqrt(q.nn * cells.cnn)) DESC, cells.cell_id) AS pn
+        FROM n2 q CROSS JOIN cells
+        WHERE q.vec_id < 8
+      ) WHERE pn <= 8
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> eq.v[i] * ec.v[i]))
+               / sqrt(eq.nn * ec.nn), 6) AS cos_sim
+      FROM cand
+      JOIN n2 eq ON eq.vec_id = cand.q_id
+      JOIN n2 ec ON ec.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (inverted-file cells; queries
-    probe their n_probe nearest cells only).  Approximate -> rows-only
-    check; pytest asserts recall vs cosine_topk and exactness when
-    probing all cells."""
+    probe their n_probe nearest cells only).  Deterministic default
+    quantizer -> full DuckDB oracle; pytest additionally asserts recall
+    vs cosine_topk and exactness when probing all cells."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return S.ivf_ann_topk(e, q, "vec_id", "embedding", k=10, n_cells=16, n_probe=8)

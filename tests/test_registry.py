@@ -41,8 +41,7 @@ def test_unoracled_queries_are_the_documented_exceptions():
     """Only genuinely non-SQL-expressible ops may skip the oracle (the
     driver then records a weaker rows-only check)."""
     expected_rows_only = {
-        "similarity_ann_ivf_topk",            # approximate scale path (kmeans state)
-        "streaming_dedup_within_watermark",   # Structured Streaming
+        "streaming_dedup_within_watermark",   # survivor is arrival-order-dependent
         "streaming_user_running_totals",      # stateful streaming op
     }
     assert set(QUERIES) - set(ORACLES) == expected_rows_only
