@@ -62,6 +62,9 @@ _PRIORITY = [
     "similarity_ann_lsh_topk",
     "similarity_ann_ivf_topk",
     "approx_distinct_sketch",
+    "repetition_stats",
+    "domain_mixture_weights",
+    "mixture_rebalance_sample",
 ]
 
 

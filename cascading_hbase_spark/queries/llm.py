@@ -784,3 +784,107 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = T.fingerprint("text")
     fp64 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint")
     return d.select("doc_id", fp.alias("fp"), fp64.alias("fp64"))
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-
+    token fraction and most-frequent-token fraction (high top-token /
+    low distinct fractions flag degenerate repetitive text for training
+    -data filtering).  Two map-side-combinable hash aggregations keyed
+    by (doc_id, token) then doc_id — no windows, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.count("*").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("distinct_frac"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_token_frac"),
+    )
+
+
+@query(
+    "domain_mixture_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_frac
+    FROM per
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per (source, lang) document and
+    token counts plus each cell's fraction of corpus tokens — the input
+    to mixture-weighting decisions.  The grand total is an exact bigint
+    sum (no float-summation drift), computed over the tiny aggregated
+    relation, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double"),
+            6,
+        ).alias("token_frac"),
+    )
+
+
+@query(
+    "mixture_rebalance_sample",
+    oracle=f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT min(n) AS mn FROM cnt)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cnt USING (source) CROSS JOIN mn
+    WHERE ({_H.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000)
+          < CAST(round(1000000.0 * mn.mn / cnt.n, 0) AS BIGINT)
+    """,
+)
+def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: hash-sample every source down
+    to (approximately) the smallest source's document count, so the
+    surviving corpus is source-balanced.  Reproducible (md5-derived
+    per-doc coin, integer threshold), map-side (per-source counts
+    broadcast; the corpus itself never shuffles)."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    mn = cnt.agg(F.min("n").alias("mn"))
+    thr = F.round(F.lit(1000000.0) * F.col("mn") / F.col("n"), 0).cast("bigint")
+    return (
+        d.join(F.broadcast(cnt), "source")
+        .join(F.broadcast(mn))
+        .filter((hash64(F.col("doc_id").cast("string")) % 1000000) < thr)
+        .select("doc_id", "source")
+    )
