@@ -65,6 +65,7 @@ _PRIORITY = [
     "repetition_stats",
     "domain_mixture_weights",
     "mixture_rebalance_sample",
+    "streaming_interval_join",
 ]
 
 

@@ -83,6 +83,37 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+          FROM ev WHERE event_type = 'purchase')
+    SELECT p.user_id, purchase_id, click_id, purchase_ts, click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts <= p.purchase_ts
+                 AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'
+"""
+
+
+@query("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase <- same-user clicks within
+    the preceding hour), executed by the streaming engine with
+    watermark-bounded join state on both sides; inner join makes the
+    emitted row set deterministic, so the batch SQL is a full oracle."""
+    ev = S.events_stream(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    return S.run_available_now(
+        S.interval_join_clicks_to_purchases(
+            ev.filter(F.col("event_type") == "click"),
+            S.events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+
+
 @query("streaming_dedup_within_watermark")  # rows-only: survivor is arrival-order-dependent
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(

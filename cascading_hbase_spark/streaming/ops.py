@@ -41,6 +41,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "interval_join_clicks_to_purchases",
     "running_user_totals",
     "run_available_now",
     "stream_upsert_keyed",
@@ -145,6 +146,43 @@ def dedup_within_watermark(
     """Streaming dedup: first event per key within the watermark
     horizon (state for a key is dropped once the watermark passes)."""
     return events.withWatermark("ts", watermark).dropDuplicates([*keys])
+
+
+def interval_join_clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase matched to the same
+    user's clicks in the preceding ``lookback`` — the attribution-join
+    shape.  Both sides carry watermarks and the join condition bounds
+    event time on both ends, so each side's buffered state is dropped
+    once the watermark passes (state is O(rows within the horizon), not
+    O(stream)).  Inner join -> deterministic row set, batch-checkable."""
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
 # ---------------------------------------------------------------------------
