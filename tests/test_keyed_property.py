@@ -37,3 +37,52 @@ def test_keyed_append_matches_dict_model(spark, tmp_path_factory, batches):
             model[k] = v  # in-order upsert
     stored = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
     assert stored == model
+
+
+# Op mix: APPEND a batch, DELETE a key set, or COMPACT (optionally
+# re-bucketing).  Against the dict model, compaction must be invisible.
+_op = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(
+        st.just("delete"),
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("compact"), st.integers(min_value=1, max_value=4)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
+    """Any interleaving of append / delete / compact behaves exactly
+    like a dict — compaction and re-bucketing are pure physical
+    maintenance with zero semantic footprint."""
+    from cascading_hbase_spark.keyed.table import compact_keyed, delete_keyed
+
+    path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    created = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(df, path, "key", seq_col="seq")
+            for k, v in arg:
+                model[k] = v
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "compact" and created:
+            compact_keyed(spark, path, n_buckets=arg)
+    if created:
+        stored = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+        assert stored == model

@@ -125,3 +125,24 @@ def test_colocated_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_mixture_rebalance_broadcasts_counts(spark):
+    """The per-source thresholds must broadcast: the corpus side is a
+    single map-side filtered scan, never shuffled or sort-merge-joined."""
+    plan = _plan(QUERIES["mixture_rebalance_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_shape(spark):
+    """Two-level hash aggregation, no cartesian, and column pruning at
+    the scan (only doc_id + text read)."""
+    import re
+
+    plan = _plan(QUERIES["repetition_stats"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_id" in m.group(1) and "lang" not in m.group(1), plan
