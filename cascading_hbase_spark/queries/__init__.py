@@ -66,6 +66,9 @@ _PRIORITY = [
     "domain_mixture_weights",
     "mixture_rebalance_sample",
     "streaming_interval_join",
+    "vocab_top_tokens",
+    "benchmark_decontamination",
+    "quality_filter_percentile",
 ]
 
 

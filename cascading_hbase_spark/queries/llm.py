@@ -888,3 +888,101 @@ def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((hash64(F.col("doc_id").cast("string")) % 1000000) < thr)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle="""
+    WITH ex AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS n FROM ex GROUP BY tok)
+    SELECT tok, CAST(n AS BIGINT) AS n
+    FROM cnt ORDER BY n DESC, tok LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency with a
+    deterministic (count desc, token asc) tie-break.  Partial+final
+    hash agg on the token, then a distributed take-ordered — the
+    full count table never reaches the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    bench AS (
+      SELECT DISTINCT sh.shingle
+      FROM sh JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+    ),
+    train AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN documents d USING (doc_id) WHERE d.source <> 'src0'
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: for every training document
+    (source <> 'src0'), the number of 3-gram shingles it shares with
+    the benchmark slice (source = 'src0') — the overlap audit run
+    before training on scraped data.  Shingle-blocked equi-join (the
+    shuffle key is the shingle), never a cartesian; benchmark shingles
+    dedup map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d, "doc_id", "text", n=3)
+    src = d.select("doc_id", "source")
+    shs = sh.join(src, "doc_id")
+    bench = (
+        shs.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    train = shs.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    return train.join(bench, "shingle").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_contaminated")
+    )
+
+
+@query(
+    "quality_filter_percentile",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             round(
+               0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0))
+               + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0),
+               6) AS quality
+      FROM documents
+    ),
+    cut AS (SELECT quantile_cont(quality, 0.25) AS p25 FROM q)
+    SELECT doc_id, quality FROM q CROSS JOIN cut WHERE quality >= p25
+    """,
+)
+def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality gate: keep documents at or above the
+    corpus 25th-percentile quality score — the relative-threshold form
+    of quality filtering (absolute thresholds drift across corpora).
+    The cutoff is a 1-row aggregate broadcast into a map-side filter;
+    at 100 TB swap the exact percentile for approx_percentile
+    (t-digest), same shape."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", T.quality_score("text").alias("quality"))
+    cut = q.agg(F.expr("percentile(quality, 0.25)").alias("p25"))
+    return (
+        q.join(F.broadcast(cut))
+        .filter(F.col("quality") >= F.col("p25"))
+        .select("doc_id", "quality")
+    )
