@@ -69,6 +69,12 @@ _PRIORITY = [
     "vocab_top_tokens",
     "benchmark_decontamination",
     "quality_filter_percentile",
+    "tfidf_top_terms",
+    "boilerplate_ngrams",
+    "doc_pack_assignment",
+    "embedding_centroid_similarity",
+    "token_dist_divergence",
+    "streaming_static_enrich",
 ]
 
 

@@ -986,3 +986,235 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("p25"))
         .select("doc_id", "quality")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    src AS (SELECT doc_id, source FROM documents),
+    ex AS (
+      SELECT t.doc_id, src.source, unnest(t.t) AS tok
+      FROM tok t JOIN src USING (doc_id)
+    ),
+    tf AS (SELECT source, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS tot FROM ex GROUP BY 1),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.source, tf.tok,
+             round((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                   * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN tot USING (source) JOIN df USING (tok) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT source, tok, tfidf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT source, tok, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-10 terms by TF-IDF — the classic corpus term
+    profiler.  All counts are exact map-side-combinable aggregates; the
+    doc count and per-source totals are tiny aggregates broadcast back
+    into the token-level frame, so the only data-scale shuffles key on
+    token/source.  Ranking is a windowed top-k per source (rank over a
+    rounded score with a token tie-break, reproducible cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = ex.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    tot = ex.groupBy("source").agg(F.count("*").alias("tot"))
+    df_ = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(tot), "source")
+        .join(df_, "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("tot").cast("double"))
+                * F.log(F.col("nd").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "tok", "tfidf", "rnk")
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH})
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shingle HAVING count(*) >= 10
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: 3-gram shingles occurring in >= 10 distinct
+    documents (headers/footers/templates repeated across a crawl).
+    Shingles are distinct-per-doc at the source, so the count IS the
+    doc frequency — one partial+final hash agg keyed on the shingle,
+    no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d, "doc_id", "text", n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+    )
+
+
+@query(
+    "doc_pack_assignment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+                AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: within each source, docs
+    in deterministic doc_id order are packed into ~2000-token shards by
+    a running token total (a doc goes to the shard its preceding
+    cumulative count falls in).  One shuffle on the source key and a
+    single window pass; at 100 TB the same plan runs per source
+    partition, and the 2000-token budget becomes the context length."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2000)
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
+@query(
+    "embedding_centroid_similarity",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS c
+      FROM ex GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(SUM(a.c * b.c)
+                 / sqrt(SUM(a.c * a.c) * SUM(b.c * b.c)), 6) AS cosine
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-structure audit: the per-label mean embedding (centroid)
+    and the pairwise cosine between centroids — how separated the label
+    clusters are.  The data-scale work is one partial+final avg keyed on
+    (label, pos); the centroid table is O(labels x dims) and self-joins
+    on the dimension index, never touching the raw vectors again."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.c") * F.col("b.c"))
+                / F.sqrt(
+                    F.sum(F.col("a.c") * F.col("a.c"))
+                    * F.sum(F.col("b.c") * F.col("b.c"))
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
+
+
+@query(
+    "token_dist_divergence",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    src AS (SELECT doc_id, source FROM documents),
+    ex AS (
+      SELECT src.source, unnest(t.t) AS tok
+      FROM tok t JOIN src USING (doc_id)
+    ),
+    st AS (SELECT source, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+    stot AS (SELECT source, count(*) AS tot FROM ex GROUP BY 1),
+    ct AS (SELECT tok, count(*) AS ccnt FROM ex GROUP BY 1),
+    ctot AS (SELECT count(*) AS ctot FROM ex)
+    SELECT st.source,
+           round(SUM((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                     * ln((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                          / (CAST(ccnt AS DOUBLE) / CAST(ctot AS DOUBLE)))),
+                 6) AS kl_divergence
+    FROM st JOIN stot USING (source) JOIN ct USING (tok) CROSS JOIN ctot
+    GROUP BY st.source
+    """,
+)
+def token_dist_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor: KL(source token distribution || corpus
+    token distribution) per source — how far each slice's unigram
+    distribution sits from the blend.  Per-source counts never leave
+    the token-keyed shuffle; the per-source and corpus totals are tiny
+    broadcast aggregates, and the divergence is one final sum per
+    source.  (Every source term has corpus support by construction, so
+    the KL sum is always finite.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    st = ex.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    stot = ex.groupBy("source").agg(F.count("*").alias("tot"))
+    ct = ex.groupBy("tok").agg(F.count("*").alias("ccnt"))
+    ctot = ex.agg(F.count("*").alias("ctot"))
+    p = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    q = F.col("ccnt").cast("double") / F.col("ctot").cast("double")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "tok")
+        .join(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
+    )

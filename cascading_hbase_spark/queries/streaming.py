@@ -126,3 +126,27 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.run_available_now(
         S.running_user_totals(S.events_stream(spark, sf_dir)), "update"
     )
+
+
+_STATIC_ENRICH_ORACLE = """
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev JOIN customer ON ev.user_id = customer.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+@query("streaming_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (event stream enriched with the
+    customer dimension) feeding a watermarked tumbling rollup per
+    market segment, checked against the batch join oracle."""
+    from cascading_hbase_spark.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    return S.run_available_now(
+        S.enriched_segment_revenue(S.events_stream(spark, sf_dir), customer),
+        "complete",
+    )

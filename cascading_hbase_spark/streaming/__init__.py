@@ -4,6 +4,7 @@ micro-batch keyed-upsert sink (SURVEY.md §2.10)."""
 
 from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     dedup_within_watermark,
+    enriched_segment_revenue,
     events_stream,
     interval_join_clicks_to_purchases,
     run_available_now,

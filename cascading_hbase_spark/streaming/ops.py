@@ -185,6 +185,32 @@ def interval_join_clicks_to_purchases(
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
+def enriched_segment_revenue(
+    events: DataFrame,
+    customer: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joined to a
+    static customer dimension (re-read per micro-batch, never stateful),
+    then a watermarked tumbling rollup per market segment.  The dim side
+    is broadcast, so the stream is never shuffled for the join — the only
+    stateful shuffle keys on (window, segment)."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("w_start"), "c_mktsegment", "n", "value_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (the Buffer escape hatch, streaming form).
 # ---------------------------------------------------------------------------

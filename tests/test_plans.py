@@ -146,3 +146,41 @@ def test_repetition_stats_shape(spark):
     assert "CartesianProduct" not in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "doc_id" in m.group(1) and "lang" not in m.group(1), plan
+
+
+def test_doc_pack_single_shuffle_and_pruning(spark):
+    """Sequence packing is one window pass: exactly one exchange (the
+    per-source window partitioning) and the scan reads only the three
+    columns the packer touches."""
+    import re
+
+    plan = _plan(QUERIES["doc_pack_assignment"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "lang" not in m.group(1) and "n_chars" not in m.group(1), plan
+
+
+def test_tfidf_broadcasts_tiny_aggregates(spark):
+    """The per-source totals and the doc count are tiny aggregates —
+    they must come back as broadcast joins, never a sort-merge of the
+    token-level frame against a 1-row relation."""
+    plan = _plan(QUERIES["tfidf_top_terms"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_similarity_aggregates_before_join(spark):
+    """The raw vectors are reduced to O(labels x dims) centroids BEFORE
+    any join: the self-join input must be the post-aggregate table, so
+    the plan has partial+final aggregation and no cartesian."""
+    plan = _plan(QUERIES["embedding_centroid_similarity"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_ngrams_single_agg_no_join(spark):
+    """Doc-frequency over distinct-per-doc shingles is one hash agg —
+    no join anywhere in the plan."""
+    plan = _plan(QUERIES["boilerplate_ngrams"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
