@@ -78,6 +78,7 @@ __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
     "write_keyed", "read_keyed", "delete_keyed",
     "compact_keyed", "rollback_keyed", "list_generations",
+    "changefeed_keyed",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -797,6 +798,45 @@ def rollback_keyed(path: str, generation: int) -> None:
         _gc_orphans(path, meta)
 
 
+def changefeed_keyed(
+    spark: SparkSession,
+    path: str,
+    from_generation: int,
+    to_generation: int | None = None,
+) -> DataFrame:
+    """Per-key diff between two committed snapshots: one row per key
+    whose value changed between ``from_generation`` and
+    ``to_generation`` (default: the current manifest), tagged
+    ``_change`` in {'insert', 'update', 'delete'} and carrying the
+    post-change row (the pre-delete row for deletes).
+
+    The HBase analogue is a timestamp-bounded scan over versioned cells
+    (the reference's tables kept cell versions server-side;
+    HBaseScheme.java sets no explicit timestamps, so HBase stamped every
+    Put).  Here the manifest history IS the version axis, and the diff
+    is a single full-outer join shuffled on the table key — both sides
+    are generation-pruned scans, so the cost is O(rows at the two
+    snapshots), never O(history)."""
+    old = read_keyed(spark, path, generation=from_generation)
+    new = read_keyed(spark, path, generation=to_generation)
+    key = _load_meta(path)["key"]
+    cols = [c for c in new.columns if c != key]
+    o = old.select(key, F.struct(*cols).alias("_old"))
+    n = new.select(key, F.struct(*cols).alias("_new"))
+    return (
+        o.join(n, key, "full_outer")
+        .withColumn(
+            "_change",
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update")),
+        )
+        .filter(F.col("_change").isNotNull())
+        .select(key, "_change", F.coalesce("_new", "_old").alias("_row"))
+        .select(key, "_change", "_row.*")
+    )
+
+
 class KeyedTable:
     """Object handle mirroring HBaseTap (table-by-name binding,
     HBaseTap.java:27,32-40 + lifecycle :44-101)."""
@@ -851,6 +891,12 @@ class KeyedTable:
 
     def generations(self) -> list[int]:
         return list_generations(self.path)
+
+    def changefeed(
+        self, spark: SparkSession, from_generation: int,
+        to_generation: int | None = None,
+    ) -> DataFrame:
+        return changefeed_keyed(spark, self.path, from_generation, to_generation)
 
     def uri(self) -> str:
         """Identity for cascade dependency resolution — the analogue of

@@ -75,6 +75,8 @@ _PRIORITY = [
     "embedding_centroid_similarity",
     "token_dist_divergence",
     "streaming_static_enrich",
+    "window_range_frame",
+    "correlated_avg_filter",
 ]
 
 

@@ -242,3 +242,55 @@ def range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
         "event_id", "user_id", "value", "c_name"
     )
+
+
+@query(
+    "correlated_avg_filter",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    GROUP BY p.p_brand
+    """,
+)
+def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-lot lineitems (quantity below 20% of the
+    part's own average) rolled up per brand.  The correlated scalar
+    subquery is decorrelated into a per-part aggregate joined back on
+    the part key — the plan a 100 TB run needs: one partial+final agg
+    keyed on l_partkey, one key-colocatable join, dims broadcast.  The
+    threshold derives from an exact DECIMAL sum cast to double, so both
+    engines compare against bit-identical cutoffs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )

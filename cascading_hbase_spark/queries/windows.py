@@ -135,3 +135,39 @@ def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(wfull).alias("last_ok"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS value_last_hour
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (not row-count): per user, each event's count
+    and exact-decimal value sum over the trailing hour of *event time*.
+    The frame bound is on microseconds-since-epoch, so both engines
+    resolve identical peer sets; a rows-frame would silently change
+    meaning wherever events cluster.  One shuffle (the user_id window
+    partitioning), state streams per partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_last_hour"),
+    )

@@ -574,3 +574,34 @@ def test_legacy_delete_all_leaves_readable_empty_table(spark, tmp_path):
     out = read_keyed(spark, path)
     assert out.count() == 0
     assert set(out.columns) == {"key", "val"}
+
+
+def test_changefeed_classifies_insert_update_delete(spark, tmp_path):
+    """The generation diff is the versioned-cell scan analogue: one row
+    per changed key, classified, carrying the post-change value (the
+    pre-delete value for deletes); unchanged keys emit nothing."""
+    from cascading_hbase_spark.keyed.table import changefeed_keyed
+
+    path = str(tmp_path / "cdc")
+    base = [("a", 1), ("b", 2), ("c", 3)]
+    write_keyed(
+        spark.createDataFrame(base, "key string, val int"), path, "key",
+        retain=10,
+    )
+    write_keyed(  # v2: update a, insert d, b/c untouched
+        spark.createDataFrame([("a", 10), ("d", 4)], "key string, val int"),
+        path, "key",
+    )
+    delete_keyed(  # v3: delete b
+        spark, path, spark.createDataFrame([("b",)], "key string")
+    )
+    feed = lambda lo, hi=None: {  # noqa: E731
+        (r["key"], r["_change"], r["val"])
+        for r in changefeed_keyed(spark, path, lo, hi).collect()
+    }
+    assert feed(1, 2) == {("a", "update", 10), ("d", "insert", 4)}
+    assert feed(2, 3) == {("b", "delete", 2)}
+    assert feed(1) == {  # to_generation=None -> current
+        ("a", "update", 10), ("d", "insert", 4), ("b", "delete", 2),
+    }
+    assert feed(3, 3) == set()
