@@ -77,6 +77,9 @@ _PRIORITY = [
     "streaming_static_enrich",
     "window_range_frame",
     "correlated_avg_filter",
+    "conditional_pivot_agg",
+    "value_histogram",
+    "approx_percentile_contract",
 ]
 
 

@@ -339,3 +339,102 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("c_custkey", "c_name")
     )
+
+
+@query(
+    "conditional_pivot_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS click_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS purchase_value,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+             AS n_errors
+    FROM events GROUP BY user_id
+    """,
+)
+def conditional_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (sum-of-CASE): one wide
+    row per user with per-event-type columns.  Unlike ``df.pivot`` this
+    never needs a distinct-values pass — the column set is declared, so
+    the whole thing is a single partial+final hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast(DEC)
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", val))
+        .cast("double")
+        .alias("click_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", val))
+        .cast("double")
+        .alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value / width) — a pure
+    map-side expression, so the whole histogram is one hash agg keyed on
+    the bucket (constant cardinality regardless of data size).  min/max
+    carry the observed bucket extent without any extra pass."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@query(
+    "approx_percentile_contract",
+    # Like approx_distinct_sketch: the t-digest/KLL estimate itself is
+    # implementation-specific, but its rank-accuracy contract is
+    # checkable — the approximate median must land between the exact
+    # 45th and 55th percentile values (a 50x wider band than the
+    # configured 1e-3 rank error; deterministic-in-practice).  Hash
+    # equality fails iff the sketch blows its bound.
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_disc(value, 0.5) IS NOT NULL AS BOOLEAN)
+             AS within_rank_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (``approx_percentile``) with its
+    accuracy contract asserted in-query: the sketch is partial+final
+    aggregable (the scale path where exact percentile needs a per-group
+    sort), and the emitted boolean pins it inside the exact p45..p55
+    value band computed alongside."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+            F.expr("percentile(value, 0.45)").alias("_lo"),
+            F.expr("percentile(value, 0.55)").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            ((F.col("approx_p50") >= F.col("_lo"))
+             & (F.col("approx_p50") <= F.col("_hi"))).alias("within_rank_bound"),
+        )
+    )
