@@ -86,3 +86,65 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
     if created:
         stored = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
         assert stored == model
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=4))
+def test_changefeed_reconstructs_model_diffs(spark, tmp_path_factory, ops):
+    """Between ANY two commits, the changefeed is exactly the dict-model
+    diff: inserts/updates/deletes classified, unchanged keys silent —
+    and a compact commit yields an empty feed (pure physical motion)."""
+    from cascading_hbase_spark.keyed.table import (
+        changefeed_keyed,
+        compact_keyed,
+        delete_keyed,
+        list_generations,
+    )
+
+    path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    snaps: list[dict[int, int]] = []  # model state per commit, in order
+    for op, arg in ops:
+        if op == "append":
+            rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(df, path, "key", seq_col="seq", retain=20)
+            for k, v in arg:
+                model[k] = v
+        elif op == "delete" and snaps:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "compact" and snaps:
+            compact_keyed(spark, path, n_buckets=arg)
+        else:
+            continue
+        snaps.append(dict(model))
+    if len(snaps) < 2:
+        return
+    gens = list_generations(path)
+    assert len(gens) == len(snaps)
+    pairs = [(len(gens) - 2, len(gens) - 1), (0, len(gens) - 1)]
+    for i, j in pairs:
+        old, new = snaps[i], snaps[j]
+        expected = (
+            {(k, "insert", new[k]) for k in new.keys() - old.keys()}
+            | {(k, "delete", old[k]) for k in old.keys() - new.keys()}
+            | {
+                (k, "update", new[k])
+                for k in old.keys() & new.keys()
+                if old[k] != new[k]
+            }
+        )
+        feed = {
+            (r["key"], r["_change"], r["val"])
+            for r in changefeed_keyed(spark, path, gens[i], gens[j]).collect()
+        }
+        assert feed == expected, (i, j, gens)

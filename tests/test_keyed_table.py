@@ -605,3 +605,59 @@ def test_changefeed_classifies_insert_update_delete(spark, tmp_path):
         ("a", "update", 10), ("d", "insert", 4), ("b", "delete", 2),
     }
     assert feed(3, 3) == set()
+
+
+def test_secondary_index_lookup_and_staleness(spark, tmp_path):
+    """Equality lookup through the index returns exactly the rows a
+    full-scan filter would; the index range scan bucket-prunes; a
+    post-build commit makes the index stale (explicit error, opt-out
+    point-in-time read), and refresh clears it."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+
+    path = str(tmp_path / "idx")
+    rows = [(i, f"cat{i % 7}", i * 10) for i in range(500)]
+    write_keyed(
+        spark.createDataFrame(rows, "key long, cat string, val long"),
+        path, "key", n_buckets=8,
+    )
+    create_index(spark, path, "cat")
+    got = index_lookup(spark, path, "cat", "cat3")
+    expect = read_keyed(spark, path).filter("cat = 'cat3'")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+    # the index scan prunes: partition filter on the index's buckets
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_kt_bucket" in plan
+    # staleness is explicit
+    write_keyed(
+        spark.createDataFrame([(1000, "cat3", 1)], "key long, cat string, val long"),
+        path, "key",
+    )
+    with _pytest.raises(StaleIndexError):
+        index_lookup(spark, path, "cat", "cat3")
+    stale = index_lookup(spark, path, "cat", "cat3", check_fresh=False)
+    assert stale.count() == expect.count()  # point-in-time: misses key 1000
+    refresh_index(spark, path, "cat")
+    assert index_lookup(spark, path, "cat", "cat3").count() == expect.count() + 1
+
+
+def test_secondary_index_rejects_separator_and_missing(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "idxbad")
+    write_keyed(
+        spark.createDataFrame([(1, "a\x00b")], "key long, cat string"),
+        path, "key",
+    )
+    with pytest.raises(ValueError):
+        create_index(spark, path, "cat")
+    with pytest.raises(FileNotFoundError):
+        index_lookup(spark, path, "cat", "x")
