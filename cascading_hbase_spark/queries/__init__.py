@@ -80,6 +80,8 @@ _PRIORITY = [
     "conditional_pivot_agg",
     "value_histogram",
     "approx_percentile_contract",
+    "event_gap_stats",
+    "text_embed_hashed_bow",
 ]
 
 

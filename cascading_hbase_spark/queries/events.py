@@ -295,3 +295,43 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "event_gap_stats",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per event type, the distribution of
+    gaps between a user's consecutive events of that type (lag over the
+    (user, type) ordering, then an exact-integer microsecond aggregate).
+    Window + agg compose in one shuffle on (user_id, event_type)-then-
+    event_type; gaps are exact bigint microseconds so every stat but the
+    interpolated median is integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
+    )

@@ -1218,3 +1218,50 @@ def token_dist_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
     )
+
+
+@query(
+    "text_embed_hashed_bow",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    dims AS (
+      SELECT doc_id, {_H.format(x="tok")} % 64 AS dim, count(*) AS cnt
+      FROM ex GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)))
+               AS nrm
+      FROM dims GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.dim AS INTEGER) AS dim,
+           round(CAST(cnt AS DOUBLE) / nrm, 6) AS weight
+    FROM dims d JOIN norms USING (doc_id)
+    """,
+)
+def text_embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text embedder (feature hashing): each token hashes
+    to one of 64 dimensions, per-doc counts are L2-normalized — the
+    classic hashing-trick bag-of-words, emitted long-form (doc_id, dim,
+    weight) so it feeds the similarity/ANN operators without an opaque
+    model.  The whole embedding is two hash aggs keyed on (doc, dim)
+    then doc; at 100 TB a real encoder slots into the same shape as an
+    Arrow-batched ``mapInPandas`` producing the identical long-form
+    schema (the plumbing is what's being pinned here)."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dims = ex.groupBy(
+        "doc_id", (hash64("tok") % 64).alias("dim")
+    ).agg(F.count("*").alias("cnt"))
+    norms = dims.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("cnt").cast("double") * F.col("cnt").cast("double"))
+        ).alias("nrm")
+    )
+    return dims.join(norms, "doc_id").select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("cnt").cast("double") / F.col("nrm"), 6).alias("weight"),
+    )

@@ -184,3 +184,26 @@ def test_boilerplate_ngrams_single_agg_no_join(spark):
     plan = _plan(QUERIES["boilerplate_ngrams"](spark, SF))
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_window_range_frame_single_shuffle(spark):
+    """The RANGE frame needs exactly one exchange (the user_id window
+    partitioning); the frame itself streams within partitions."""
+    plan = _plan(QUERIES["window_range_frame"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_conditional_pivot_is_single_agg(spark):
+    """Sum-of-CASE pivot must stay one partial+final hash agg — no
+    distinct-values pass, no join."""
+    plan = _plan(QUERIES["conditional_pivot_agg"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_correlated_filter_broadcasts_dim(spark):
+    """Q17 shape: the part dim is broadcast; the correlated subquery is
+    decorrelated (no nested-loop execution of a subquery per row)."""
+    plan = _plan(QUERIES["correlated_avg_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
