@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.keyed.table import KeyedTable, SinkMode
 
 __all__ = ["Tap", "ParquetTap", "TextLineTap", "CsvTap", "JsonTap", "KeyedTableTap",
-           "SinkMode"]
+           "PartitionedParquetTap", "MultiSourceTap", "SinkMode"]
 
 
 class Tap:
@@ -160,3 +160,68 @@ class KeyedTableTap(Tap):
 
     def write(self, df, mode: SinkMode = SinkMode.APPEND):
         self.table.write(df, mode, self.seq_col, families=self.families)
+
+
+class PartitionedParquetTap(Tap):
+    """TemplateTap analogue (Cascading 1.x ``TemplateTap`` routed each
+    tuple to a path derived from field values): Spark expresses the
+    same contract as a Hive-partitioned parquet layout —
+    ``partitionBy(cols)`` on write fans tuples into
+    ``<col>=<value>/...`` directories, and reads prune those
+    directories when the partition columns are filtered (dynamic
+    partition pruning at scale)."""
+
+    def __init__(self, path: str, partition_cols: list[str]):
+        super().__init__(path)
+        if not partition_cols:
+            raise ValueError("partition_cols must be non-empty")
+        self.partition_cols = list(partition_cols)
+
+    def read(self, spark):
+        return spark.read.parquet(self.path)
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        missing = [c for c in self.partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in dataframe")
+        (
+            df.write.mode(self._writer_mode(mode))
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+
+
+class MultiSourceTap(Tap):
+    """Cascading's ``MultiSourceTap``: several source taps read as one
+    relation (union by column name).  Freshness/identity aggregate over
+    the members, so the cascade scheduler re-runs dependents when ANY
+    member changes."""
+
+    def __init__(self, taps: list[Tap]):
+        if not taps:
+            raise ValueError("MultiSourceTap needs at least one member tap")
+        super().__init__(";".join(t.path for t in taps))
+        self.taps = list(taps)
+
+    def uri(self) -> str:
+        return "multi:[" + ",".join(t.uri() for t in self.taps) + "]"
+
+    def exists(self) -> bool:
+        return all(t.exists() for t in self.taps)
+
+    def modified_time(self) -> float:
+        return max(t.modified_time() for t in self.taps)
+
+    def delete(self) -> None:
+        for t in self.taps:
+            t.delete()
+
+    def read(self, spark):
+        dfs = [t.read(spark) for t in self.taps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        raise NotImplementedError("MultiSourceTap is a source-only tap")

@@ -282,3 +282,47 @@ def test_csv_and_json_tap_roundtrip(spark, tmp_path):
     js.write(df)
     got = js.read(spark).select("id", "name", "score")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_tap_routes_and_prunes(spark, tmp_path):
+    """TemplateTap analogue: tuples fan out into value-derived
+    directories; a filter on the partition column reads only its
+    directory (partition pruning)."""
+    import os
+
+    from cascading_hbase_spark.operators.taps import PartitionedParquetTap
+
+    path = str(tmp_path / "bysrc")
+    tap = PartitionedParquetTap(path, ["source"])
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, source string, v long"
+    )
+    tap.write(df)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("source=")
+    ) == ["source=a", "source=b"]
+    back = tap.read(spark)
+    assert back.count() == 3
+    pruned = back.filter("source = 'a'")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    with pytest.raises(ValueError):
+        tap.write(df.drop("source"))
+
+
+def test_multi_source_tap_unions_members(spark, tmp_path):
+    from cascading_hbase_spark.operators.taps import MultiSourceTap, ParquetTap
+
+    a, b = ParquetTap(str(tmp_path / "a")), ParquetTap(str(tmp_path / "b"))
+    a.write(spark.createDataFrame([(1, "x")], "id long, s string"))
+    b.write(spark.createDataFrame([(2, "y")], "id long, s string"))
+    multi = MultiSourceTap([a, b])
+    assert multi.exists()
+    got = {tuple(r) for r in multi.read(spark).collect()}
+    assert got == {(1, "x"), (2, "y")}
+    assert multi.uri().startswith("multi:[")
+    with pytest.raises(NotImplementedError):
+        multi.write(a.read(spark))
