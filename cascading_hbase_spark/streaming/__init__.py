@@ -4,8 +4,10 @@ micro-batch keyed-upsert sink (SURVEY.md §2.10)."""
 
 from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     dedup_within_watermark,
+    documents_stream,
     enriched_segment_revenue,
     events_stream,
+    stream_ingest_dedup,
     interval_join_clicks_to_purchases,
     run_available_now,
     running_user_totals,

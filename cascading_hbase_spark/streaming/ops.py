@@ -29,7 +29,7 @@ from typing import Any
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -45,6 +45,8 @@ __all__ = [
     "running_user_totals",
     "run_available_now",
     "stream_upsert_keyed",
+    "documents_stream",
+    "stream_ingest_dedup",
 ]
 
 DEC = "decimal(18,2)"
@@ -301,6 +303,75 @@ def stream_upsert_keyed(
 
     writer = (
         events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Bind a documents landing directory (or single parquet file) as a
+    file-source stream — the ingest edge of a continuous curation
+    pipeline."""
+    reader = spark.readStream.schema(_DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_as_stream_dir(path))
+
+
+def stream_ingest_dedup(
+    docs: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingest-time dedup: every micro-batch drops (a) exact
+    text duplicates within the batch and (b) near-duplicates of the
+    standing corpus (MinHash-LSH cross join, cost tracking the BATCH
+    size), then appends the survivors to the corpus keyed table — the
+    streaming form of the `dedup_incremental_vs_corpus` operator, and
+    the shape a 100 TB crawl ingests through: corpus state lives in the
+    keyed table, not in streaming state stores, so the stream restarts
+    cheaply and the corpus is queryable mid-flight."""
+    from cascading_hbase_spark.functions.dedup import minhash_neardup_cross
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(text_col).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            corpus = read_keyed(spark, corpus_path)
+        except FileNotFoundError:
+            corpus = None
+        if corpus is not None:
+            dup_ids = (
+                minhash_neardup_cross(
+                    batch, corpus, id_col, text_col, threshold=threshold
+                )
+                .select(F.col("batch_doc").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+        write_keyed(batch, corpus_path, key=id_col, mode=SinkMode.APPEND)
+
+    writer = (
+        docs.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
     )
     if available_now:

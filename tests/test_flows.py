@@ -326,3 +326,47 @@ def test_multi_source_tap_unions_members(spark, tmp_path):
     assert multi.uri().startswith("multi:[")
     with pytest.raises(NotImplementedError):
         multi.write(a.read(spark))
+
+
+def test_curation_pipeline_cascade(spark, tmp_path):
+    """End-to-end LLM-curation assembly through the cascade scheduler:
+    (A) documents -> length gate -> exact dedup -> partitioned curated
+    store, (B) curated -> token count -> keyed sink.  Flows are
+    connected in REVERSED order (the reference test's trick,
+    MultiFamilyCascadeHBaseTest.java:83,97) and the scheduler must
+    still run A before B."""
+    from cascading_hbase_spark.operators.functions import (
+        ExpressionFilter,
+        ExpressionFunction,
+    )
+    from cascading_hbase_spark.operators.pipe import Each, Pipe, Unique
+    from cascading_hbase_spark.operators.taps import (
+        KeyedTableTap,
+        ParquetTap,
+        PartitionedParquetTap,
+    )
+
+    docs = ParquetTap("/root/testdata/sf0.001/documents.parquet")
+    curated_tap = PartitionedParquetTap(str(tmp_path / "curated"), ["source"])
+    sink_tap = KeyedTableTap(str(tmp_path / "packed"), key="doc_id")
+
+    clean = Pipe("docs")
+    clean = Each(clean, None, ExpressionFilter("n_chars < 50"))  # remove short
+    clean = Unique(clean, ["text"])
+    flow_a = Flow({"docs": docs}, curated_tap, clean, name="curate")
+
+    pack = Pipe("curated")
+    pack = Each(pack, None, ExpressionFunction(
+        "n_tokens", "size(split(text, ' '))"))
+    flow_b = Flow({"curated": curated_tap}, sink_tap, pack, name="pack")
+
+    ran = CascadeConnector().connect(flow_b, flow_a).complete(spark)  # reversed
+    assert ran.index("curate") < ran.index("pack")
+
+    out = sink_tap.read(spark)
+    src = docs.read(spark)
+    expected = (
+        src.filter("n_chars >= 50").dropDuplicates(["text"]).count()
+    )
+    assert out.count() == expected
+    assert "n_tokens" in out.columns

@@ -103,3 +103,61 @@ def test_continuous_aggregate_rollup(spark, tmp_path):
         for r in QUERIES["tumbling_window_agg"](spark, SF).collect()
     }
     assert stored == want
+
+
+def test_stream_ingest_dedup_matches_sequential_batches(spark, tmp_path):
+    """Continuous curation: the streamed corpus (per-micro-batch exact
+    self-dedup + MinHash cross-dedup vs the standing corpus) must equal
+    applying the same batch operators sequentially — stream ≡ batch for
+    the ingest-dedup pipeline."""
+    import os
+    import time
+
+    from cascading_hbase_spark.functions.dedup import minhash_neardup_cross
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, half in enumerate([half1, half2]):
+        out = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.parquet(out)
+        part = next(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(out, part), str(landing / f"batch{i}.parquet")
+        )
+        # distinct mtimes -> deterministic micro-batch order
+        os.utime(str(landing / f"batch{i}.parquet"), (1000 + i, 1000 + i))
+
+    corpus_path = str(tmp_path / "corpus")
+    q = S.stream_ingest_dedup(
+        S.documents_stream(spark, str(landing), max_files_per_trigger=1),
+        corpus_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    # batch replay: half1 first, then half2 deduped against it
+    def _exact(df):
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+        return df.withColumn("_rn", rn).filter("_rn = 1").drop("_rn")
+
+    c1 = _exact(half1)
+    dups = (
+        minhash_neardup_cross(_exact(half2), c1, "doc_id", "text")
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+    c2 = _exact(half2).join(dups, "doc_id", "left_anti")
+    expected = {r["doc_id"] for r in c1.union(c2).select("doc_id").collect()}
+
+    stored = {
+        r["doc_id"]
+        for r in read_keyed(spark, corpus_path).select("doc_id").collect()
+    }
+    assert stored == expected and len(stored) > 0
