@@ -73,6 +73,7 @@ import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import StructType
 
 __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
@@ -545,6 +546,28 @@ def write_keyed(
         _migrate_legacy(path, meta)
         # legacy manifests predate the stored schema; backfill from the batch
         meta.setdefault("schema", df.schema.json())
+        # Additive schema evolution (HBase cells are schema-less per
+        # qualifier — a new column in an APPEND batch is a new qualifier,
+        # HBaseScheme.java value-field mapping): extend the manifest
+        # schema, default the new columns' family, and null-fill both
+        # sides of the merge.  Dropping columns is NOT supported — a
+        # batch missing known columns simply writes nulls for them only
+        # for its own keys' merged rows.
+        declared = StructType.fromJson(json.loads(meta["schema"]))
+        known = {f.name for f in declared.fields}
+        new_fields = [
+            f for f in df.schema.fields
+            if f.name not in known and f.name not in (SEQ_COL, BUCKET_COL)
+        ]
+        if new_fields:
+            meta["schema"] = StructType(
+                list(declared.fields) + new_fields
+            ).json()
+            meta["schema_evolved"] = True
+            fam = meta.get("families", {})
+            for f in new_fields:
+                fam.setdefault(f.name, "cf")
+            meta["families"] = fam
         boundaries = meta["boundaries"]
         seq = meta["next_seq"]
         # Persist the seq bump BEFORE the data write: if the merge crashes
@@ -570,7 +593,9 @@ def write_keyed(
         )
         current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
         merged = _lww(
-            current.unionByName(batch), key, _order_cols(df.columns, key, seq_col)
+            current.unionByName(batch, allowMissingColumns=True),
+            key,
+            _order_cols(df.columns, key, seq_col),
         )
         _stage_and_publish(merged, path, key, meta, affected)
 
@@ -628,7 +653,27 @@ def _read_raw(
         os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
         for b, g in sorted(keep.items())
     ]
-    return spark.read.option("basePath", path).parquet(*paths).drop(GEN_COL)
+    reader = spark.read.option("basePath", path)
+    if meta.get("schema_evolved"):
+        # Post-evolution: bucket generations written before the newest
+        # column(s) lack them; merge file schemas, then conform below.
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths).drop(GEN_COL)
+    schema_json = meta.get("schema")
+    if meta.get("schema_evolved") and schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(schema_json))
+        # A pruned read may touch only pre-evolution buckets — add the
+        # missing columns as typed nulls so every read sees the full
+        # manifest schema in manifest order.
+        cols = [
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared.fields
+        ]
+        df = df.select(*cols, SEQ_COL, BUCKET_COL)
+    return df
 
 
 def _meta_at(path: str, generation: int | None) -> dict:
@@ -764,6 +809,10 @@ def compact_keyed(
         _migrate_legacy(path, meta)
         key = meta["key"]
         current = _read_raw(spark, path, meta).drop(BUCKET_COL)
+        # The rewrite lands every live bucket on the full manifest
+        # schema, so the mergeSchema read path is no longer needed
+        # (historical snapshots keep their own flag for time travel).
+        meta.pop("schema_evolved", None)
         if n_buckets is not None:
             meta["boundaries"] = _sample_boundaries(current, key, n_buckets)
         batch = current.withColumn(

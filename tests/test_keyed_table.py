@@ -661,3 +661,51 @@ def test_secondary_index_rejects_separator_and_missing(spark, tmp_path):
         create_index(spark, path, "cat")
     with pytest.raises(FileNotFoundError):
         index_lookup(spark, path, "cat", "x")
+
+
+def test_append_with_new_column_evolves_schema(spark, tmp_path):
+    """HBase cells are schema-less per qualifier: an APPEND batch with a
+    new column extends the table schema additively — old rows read the
+    new column as null, untouched buckets stay physically unrewritten,
+    and pruned reads of pre-evolution buckets still see the full
+    schema.  Compaction rewrites everything onto the full schema."""
+    from cascading_hbase_spark.keyed.table import compact_keyed
+
+    path = str(tmp_path / "evolve")
+    write_keyed(
+        spark.createDataFrame(
+            [(f"k{i:03d}", i) for i in range(100)], "key string, val int"
+        ),
+        path, "key", n_buckets=4, retain=10,
+    )
+    # new column 'extra' arrives; touches only one key range
+    write_keyed(
+        spark.createDataFrame(
+            [("k000", 1000, "x")], "key string, val int, extra string"
+        ),
+        path, "key",
+    )
+    full = read_keyed(spark, path)
+    assert full.columns == ["key", "val", "extra"]
+    rows = {r["key"]: (r["val"], r["extra"]) for r in full.collect()}
+    assert rows["k000"] == (1000, "x")
+    assert rows["k001"] == (1, None)
+    assert len(rows) == 100
+    # pruned read over pre-evolution buckets only: schema still full
+    tail = read_keyed(spark, path, start="k050", stop="k060")
+    assert tail.columns == ["key", "val", "extra"]
+    assert tail.count() == 10 and all(r["extra"] is None for r in tail.collect())
+    # a later batch missing 'extra' null-fills it for its own keys only
+    write_keyed(
+        spark.createDataFrame([("k000", 5)], "key string, val int"), path, "key"
+    )
+    assert read_keyed(spark, path).filter("key = 'k000'").collect()[0]["extra"] is None
+    # family defaulting for the evolved column
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    assert _load_meta(path)["families"]["extra"] == "cf"
+    # compaction normalizes the physical layout; reads identical
+    before = {tuple(r) for r in read_keyed(spark, path).collect()}
+    compact_keyed(spark, path)
+    assert {tuple(r) for r in read_keyed(spark, path).collect()} == before
+    assert not _load_meta(path).get("schema_evolved")
