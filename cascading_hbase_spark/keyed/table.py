@@ -869,9 +869,26 @@ def changefeed_keyed(
     old = read_keyed(spark, path, generation=from_generation)
     new = read_keyed(spark, path, generation=to_generation)
     key = _load_meta(path)["key"]
-    cols = [c for c in new.columns if c != key]
-    o = old.select(key, F.struct(*cols).alias("_old"))
-    n = new.select(key, F.struct(*cols).alias("_new"))
+    # Conform both snapshots to the union of their columns (a snapshot
+    # taken before an additive schema evolution lacks the newer columns
+    # — they diff as typed nulls, so an evolution alone is no change).
+    types = {f.name: f.dataType for df in (old, new) for f in df.schema.fields}
+    cols = [c for c in types if c != key]
+
+    def _conform(df: DataFrame) -> DataFrame:
+        return df.select(
+            key,
+            F.struct(
+                *[
+                    F.col(c) if c in df.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in cols
+                ]
+            ).alias("_row"),
+        )
+
+    o = _conform(old).withColumnRenamed("_row", "_old")
+    n = _conform(new).withColumnRenamed("_row", "_new")
     return (
         o.join(n, key, "full_outer")
         .withColumn(

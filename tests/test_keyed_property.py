@@ -48,6 +48,8 @@ _op = st.one_of(
         st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
     ),
     st.tuples(st.just("compact"), st.integers(min_value=1, max_value=4)),
+    # schema-evolving append: carries an extra column
+    st.tuples(st.just("append_wide"), _batch),
 )
 
 
@@ -64,7 +66,9 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
     from cascading_hbase_spark.keyed.table import compact_keyed, delete_keyed
 
     path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
-    model: dict[int, int] = {}
+    # model value: (val, extra) — LWW replaces the WHOLE row, so a plain
+    # append over a wide row nulls 'extra' (its batch column is null).
+    model: dict[int, tuple] = {}
     created = False
     for op, arg in ops:
         if op == "append":
@@ -72,8 +76,16 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
             df = spark.createDataFrame(rows, "key long, val long, seq long")
             write_keyed(df, path, "key", seq_col="seq")
             for k, v in arg:
-                model[k] = v
+                model[k] = (v, None)
             created = True
+        elif op == "append_wide" and created:
+            rows = [(k, v, v * 7, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(
+                rows, "key long, val long, extra long, seq long"
+            )
+            write_keyed(df, path, "key", seq_col="seq")
+            for k, v in arg:
+                model[k] = (v, v * 7)
         elif op == "delete" and created:
             delete_keyed(
                 spark, path,
@@ -84,7 +96,11 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
         elif op == "compact" and created:
             compact_keyed(spark, path, n_buckets=arg)
     if created:
-        stored = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+        out = read_keyed(spark, path)
+        stored = {
+            r["key"]: (r["val"], r["extra"] if "extra" in out.columns else None)
+            for r in out.collect()
+        }
         assert stored == model
 
 
@@ -106,15 +122,23 @@ def test_changefeed_reconstructs_model_diffs(spark, tmp_path_factory, ops):
     )
 
     path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
-    model: dict[int, int] = {}
-    snaps: list[dict[int, int]] = []  # model state per commit, in order
+    model: dict[int, tuple] = {}
+    snaps: list[dict[int, tuple]] = []  # model state per commit, in order
     for op, arg in ops:
         if op == "append":
             rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
             df = spark.createDataFrame(rows, "key long, val long, seq long")
             write_keyed(df, path, "key", seq_col="seq", retain=20)
             for k, v in arg:
-                model[k] = v
+                model[k] = (v, None)
+        elif op == "append_wide" and snaps:
+            rows = [(k, v, v * 7, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(
+                rows, "key long, val long, extra long, seq long"
+            )
+            write_keyed(df, path, "key", seq_col="seq", retain=20)
+            for k, v in arg:
+                model[k] = (v, v * 7)
         elif op == "delete" and snaps:
             delete_keyed(
                 spark, path,
@@ -135,16 +159,20 @@ def test_changefeed_reconstructs_model_diffs(spark, tmp_path_factory, ops):
     for i, j in pairs:
         old, new = snaps[i], snaps[j]
         expected = (
-            {(k, "insert", new[k]) for k in new.keys() - old.keys()}
-            | {(k, "delete", old[k]) for k in old.keys() - new.keys()}
+            {(k, "insert", *new[k]) for k in new.keys() - old.keys()}
+            | {(k, "delete", *old[k]) for k in old.keys() - new.keys()}
             | {
-                (k, "update", new[k])
+                (k, "update", *new[k])
                 for k in old.keys() & new.keys()
                 if old[k] != new[k]
             }
         )
+        cf = changefeed_keyed(spark, path, gens[i], gens[j])
         feed = {
-            (r["key"], r["_change"], r["val"])
-            for r in changefeed_keyed(spark, path, gens[i], gens[j]).collect()
+            (
+                r["key"], r["_change"], r["val"],
+                r["extra"] if "extra" in cf.columns else None,
+            )
+            for r in cf.collect()
         }
         assert feed == expected, (i, j, gens)
