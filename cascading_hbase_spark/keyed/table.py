@@ -79,7 +79,7 @@ __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
     "write_keyed", "read_keyed", "delete_keyed",
     "compact_keyed", "rollback_keyed", "list_generations",
-    "changefeed_keyed",
+    "changefeed_keyed", "set_ttl",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -738,6 +738,8 @@ def read_keyed(
             (F.col(BUCKET_COL) <= _bucket_of(stop, boundaries))
             & (F.col(key) < stop)
         )
+    if meta.get("ttl"):
+        df = _ttl_filter(df, meta["ttl"])
     df = df.drop(SEQ_COL, BUCKET_COL)
     if family is not None:
         if fields is not None:
@@ -809,6 +811,9 @@ def compact_keyed(
         _migrate_legacy(path, meta)
         key = meta["key"]
         current = _read_raw(spark, path, meta).drop(BUCKET_COL)
+        if meta.get("ttl"):
+            # compaction is where TTL'd rows are physically purged
+            current = _ttl_filter(current, meta["ttl"])
         # The rewrite lands every live bucket on the full manifest
         # schema, so the mergeSchema read path is no longer needed
         # (historical snapshots keep their own flag for time travel).
@@ -845,6 +850,43 @@ def rollback_keyed(path: str, generation: int) -> None:
         _save_meta(path, meta)  # <- the commit point
         _write_history(path, meta)
         _gc_orphans(path, meta)
+
+
+def set_ttl(path: str, ts_col: str, seconds: float | None) -> None:
+    """Declare row TTL (HBase per-family TTL,
+    ``HColumnDescriptor.setTimeToLive`` — cells past their TTL vanish
+    from scans and are purged at compaction): rows whose ``ts_col`` is
+    older than ``seconds`` before the read's wall clock are filtered
+    from every read, and physically dropped by ``compact_keyed``.
+    ``seconds=None`` clears the TTL.  The change is itself a manifest
+    commit, so time-travel reads of pre-TTL snapshots see all rows."""
+    with _writer_lock(path):
+        meta = _load_meta(path)
+        if seconds is None:
+            meta.pop("ttl", None)
+        else:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if ts_col not in {f.name for f in schema.fields}:
+                raise KeyError(f"ttl column {ts_col!r} not in table schema")
+            meta["ttl"] = {"col": ts_col, "seconds": float(seconds)}
+        meta["version"] = meta.get("version", 1) + 1
+        _save_meta(path, meta)
+        _write_history(path, meta)
+        _gc_orphans(path, meta)
+
+
+def _ttl_filter(df: DataFrame, ttl: dict) -> DataFrame:
+    """Drop rows past their TTL relative to the plan-time wall clock
+    (one deterministic cutoff per query, not per row evaluation)."""
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    cutoff = _time.time() - ttl["seconds"]
+    c = F.col(ttl["col"])
+    if isinstance(df.schema[ttl["col"]].dataType, TimestampType):
+        return df.filter(c >= F.timestamp_seconds(F.lit(cutoff)))
+    return df.filter(c.cast("double") >= F.lit(cutoff))
 
 
 def changefeed_keyed(

@@ -82,6 +82,7 @@ _PRIORITY = [
     "approx_percentile_contract",
     "event_gap_stats",
     "text_embed_hashed_bow",
+    "data_quality_report",
 ]
 
 

@@ -1265,3 +1265,57 @@ def text_embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.round(F.col("cnt").cast("double") / F.col("nrm"), 6).alias("weight"),
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
+        count(*) - count(DISTINCT doc_id) AS dup_doc_id,
+        SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+          AS empty_text,
+        SUM(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+          AS unknown_lang,
+        SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+          AS n_chars_drift
+      FROM documents
+    )
+    SELECT 'null_doc_id' AS check_name, CAST(null_doc_id AS BIGINT) AS n_violations FROM agg
+    UNION ALL SELECT 'dup_doc_id', CAST(dup_doc_id AS BIGINT) FROM agg
+    UNION ALL SELECT 'empty_text', CAST(empty_text AS BIGINT) FROM agg
+    UNION ALL SELECT 'unknown_lang', CAST(unknown_lang AS BIGINT) FROM agg
+    UNION ALL SELECT 'n_chars_drift', CAST(n_chars_drift AS BIGINT) FROM agg
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the corpus: null/duplicate keys, empty
+    payloads, out-of-contract enum values, derived-column drift — the
+    validation gate a pipeline runs before promoting a snapshot.  All
+    checks ride ONE partial+final aggregate pass (conditional sums plus
+    a count-distinct), then unpivot to (check, violations) rows; adding
+    a check never adds a scan."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("null_doc_id"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup_doc_id"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).alias("empty_text"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es"), 1).otherwise(0)
+        ).alias("unknown_lang"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_chars_drift"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'null_doc_id', CAST(null_doc_id AS BIGINT), "
+        "'dup_doc_id', CAST(dup_doc_id AS BIGINT), "
+        "'empty_text', CAST(empty_text AS BIGINT), "
+        "'unknown_lang', CAST(unknown_lang AS BIGINT), "
+        "'n_chars_drift', CAST(n_chars_drift AS BIGINT)"
+        ") AS (check_name, n_violations)"
+    )
