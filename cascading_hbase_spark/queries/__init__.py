@@ -83,6 +83,8 @@ _PRIORITY = [
     "event_gap_stats",
     "text_embed_hashed_bow",
     "data_quality_report",
+    "leakage_safe_split",
+    "bloom_semi_filter_contract",
 ]
 
 

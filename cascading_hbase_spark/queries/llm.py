@@ -1319,3 +1319,58 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_chars_drift', CAST(n_chars_drift AS BIGINT)"
         ") AS (check_name, n_violations)"
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN {_H.format(
+               x="CAST(COALESCE(comp.cluster_id, d.doc_id) AS VARCHAR)"
+           )} % 10 < 8 THEN 'train' ELSE 'heldout' END AS split
+    FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: assign every doc to its
+    near-dup cluster (component min-label; singletons are their own
+    cluster), then split by a deterministic hash of the CLUSTER id —
+    so near-duplicates can never straddle the split and contaminate
+    evaluation.  Splitting by doc hash (the naive approach) leaks ~dup
+    fraction of heldout into train.
+
+    Scale shape: the component relation only contains docs that appear
+    in some near-dup pair (a small fraction of the corpus), so the
+    left join is broadcast-able; the split itself is a pure map-side
+    hash — no extra shuffle over the corpus."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    out = d.select("doc_id").join(F.broadcast(comp), "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(hash64(cluster.cast("string")) % 10 < 8, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )

@@ -110,3 +110,104 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 5 * rsd
         ).alias("within_rsd_bound"),
     )
+
+
+_H = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+_BLOOM_M = 1 << 14  # 16384 bits -> 512 words; small enough to broadcast anywhere
+_BLOOM_POS = (
+    "{h} % {m}".replace("{m}", str(_BLOOM_M))
+)
+
+
+def _pos_sql(i: int, key: str) -> str:
+    return _BLOOM_POS.format(
+        h=_H.format(x=f"concat('{i}#', CAST({key} AS VARCHAR))")
+    )
+
+
+@query(
+    "bloom_semi_filter_contract",
+    oracle=f"""
+    WITH pos AS (
+      SELECT {_H.format(x="concat(CAST(i AS VARCHAR), '#', CAST(c_custkey AS VARCHAR))")}
+               % {_BLOOM_M} AS pos
+      FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             {_pos_sql(0, "o_custkey")} AS p0,
+             {_pos_sql(1, "o_custkey")} AS p1,
+             {_pos_sql(2, "o_custkey")} AS p2
+      FROM orders
+    ),
+    flag AS (
+      SELECT p.o_custkey,
+             (w0.bits IS NOT NULL AND (w0.bits
+                & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INTEGER)))
+                = (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INTEGER)))
+         AND (w1.bits IS NOT NULL AND (w1.bits
+                & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER)))
+                = (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INTEGER)))
+         AND (w2.bits IS NOT NULL AND (w2.bits
+                & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER)))
+                = (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INTEGER))) AS pass
+      FROM probe p
+      LEFT JOIN words w0 ON w0.word = p.p0 // 32
+      LEFT JOIN words w1 ON w1.word = p.p1 // 32
+      LEFT JOIN words w2 ON w2.word = p.p2 // 32
+    ),
+    exact AS (SELECT DISTINCT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING')
+    SELECT CAST(SUM(CASE WHEN e.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN f.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN f.pass AND e.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN e.c_custkey IS NOT NULL AND NOT f.pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed
+    FROM flag f LEFT JOIN exact e ON e.c_custkey = f.o_custkey
+    """,
+)
+def bloom_semi_filter_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter join pruning, with its correctness
+    contract made checkable: build a 16 Kbit bloom over BUILDING-
+    segment customer keys, probe every order map-side (k=3 broadcast
+    word lookups, zero shuffles of the fact side), and report
+    (n_exact, n_bloom_pass, n_false_pos, n_missed).  The Bloom
+    guarantee is n_missed = 0 and n_bloom_pass >= n_exact; the oracle
+    rebuilds the bit-identical bitmap in DuckDB, so even the false-
+    positive count is exact-checked.
+
+    At 100 TB this is the lever that prunes a fact-table shuffle by
+    the selectivity of the dim predicate before the real join runs."""
+    from cascading_hbase_spark.functions.bloom import bloom_build, bloom_probe_flag
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(keys, "c_custkey", m_bits=_BLOOM_M, k=3)
+    flagged = bloom_probe_flag(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey", bloom,
+        m_bits=_BLOOM_M, k=3, flag="pass",
+    )
+    exact = keys.distinct().withColumn("_is_exact", F.lit(True))
+    j = flagged.join(
+        F.broadcast(exact), flagged["o_custkey"] == exact["c_custkey"], "left"
+    )
+    is_exact = F.col("_is_exact").isNotNull()
+    return j.agg(
+        F.sum(F.when(is_exact, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("pass") & ~is_exact, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(is_exact & ~F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+    )

@@ -207,3 +207,45 @@ def test_correlated_filter_broadcasts_dim(spark):
     plan = _plan(QUERIES["correlated_avg_filter"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_literal_probe_is_pure_projection(spark):
+    """Default (literal-bitmap) bloom probe: the fact side must reach
+    the pruned output with ZERO joins and ZERO exchanges — one codegen
+    stage over the scan.  That is the whole point of the prune at
+    100 TB."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.functions.bloom import bloom_prune
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pruned = bloom_prune(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey",
+        keys, "c_custkey", m_bits=1 << 14, k=3,
+    )
+    plan = _plan(pruned)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_join_probe_broadcasts_only(spark):
+    """Large-bloom (join) strategy: the probe is k broadcast hash
+    joins; the fact side itself is never sort-merge-joined or
+    hash-repartitioned (only the bounded bitmap build aggregates)."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.functions.bloom import bloom_build, bloom_probe_flag
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(keys, "c_custkey", m_bits=1 << 14, k=3)
+    flagged = bloom_probe_flag(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey", bloom,
+        m_bits=1 << 14, k=3, strategy="join",
+    )
+    plan = _plan(flagged.filter(F.col("bloom_pass")))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
