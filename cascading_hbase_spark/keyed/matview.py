@@ -1,0 +1,197 @@
+"""Incremental materialized aggregate views over keyed tables.
+
+The reference's users kept continuously-updated rollups by re-running a
+Cascading flow over the whole HBase table (`MultiFamilyCascadeHBaseTest`
+re-reads everything per cascade run).  At 100 TB a full re-aggregate per
+refresh is the difference between minutes and seconds — the scalable
+form is incremental view maintenance (IVM): consume the base table's
+changefeed since the last refresh and apply per-group DELTAS.
+
+Supported aggregates: COUNT and SUM — the self-maintainable ones
+(retractable under deletes without re-reading the group).  AVG is
+``sum/n`` at query time.  MIN/MAX are deliberately NOT offered: a
+delete of the current extremum forces a re-scan of its group, which is
+a different (non-incremental) algorithm; honesty over magic.
+
+Exactly-once: the refresh cursor (the base generation last applied)
+lives in the view table's own manifest and is committed via
+``write_keyed(meta_extra=...)`` — the SAME atomic manifest flip as the
+view data.  A crash anywhere leaves either the old (cursor, data) pair
+or the new one, never a half-applied refresh; replaying a refresh is
+therefore always safe.
+
+Cost per refresh: one changefeed join (O(rows at the two base
+snapshots)), one delta aggregate (O(changed rows)), one keyed merge
+touching only the buckets of CHANGED groups.  Unchanged groups are
+never read or rewritten.
+
+Groups whose count reaches zero remain as ``n_rows = 0`` tombstone
+rows (a keyed APPEND cannot also delete in the same atomic commit);
+``read_aggregate_view`` filters them and a ``compact_keyed`` on the
+view physically drops nothing extra — they are a bounded artifact of
+group churn, reclaimable by ``rebuild``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cascading_hbase_spark.keyed.table import (
+    DEFAULT_RETAIN,
+    SinkMode,
+    _load_meta,
+    changefeed_keyed,
+    read_keyed,
+    write_keyed,
+)
+
+__all__ = [
+    "StaleViewError",
+    "create_aggregate_view",
+    "refresh_aggregate_view",
+    "read_aggregate_view",
+]
+
+
+class StaleViewError(RuntimeError):
+    """The view's cursor generation has been garbage-collected from the
+    base table's history (refresh lag exceeded the base's ``retain``);
+    the delta can no longer be computed.  Rebuild with
+    ``create_aggregate_view``."""
+
+
+def create_aggregate_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    group_col: str,
+    sums: dict[str, str] | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """(Re)build the view from the base's CURRENT snapshot: per
+    ``group_col``, ``n_rows`` plus one SUM column per ``sums`` entry
+    (``{out_name: source_col}``).  Rows with a null group are excluded
+    (a keyed table cannot key on null), matching SQL GROUP BY over a
+    non-null key."""
+    sums = sums or {}
+    base_version = _load_meta(base_path)["version"]
+    base = read_keyed(spark, base_path)
+    # SUMs are double throughout (create AND refresh) so the view's
+    # schema never drifts across refreshes regardless of source dtype.
+    aggs = [F.count("*").cast("bigint").alias("n_rows")] + [
+        F.sum(F.coalesce(F.col(src).cast("double"), F.lit(0.0))).alias(out)
+        for out, src in sums.items()
+    ]
+    view = (
+        base.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(*aggs)
+    )
+    write_keyed(
+        view,
+        view_path,
+        group_col,
+        mode=SinkMode.REPLACE,
+        n_buckets=n_buckets,
+        meta_extra={
+            "matview": {
+                "base": base_path,
+                "group": group_col,
+                "sums": sums,
+                "base_version": base_version,
+            }
+        },
+    )
+
+
+def refresh_aggregate_view(
+    spark: SparkSession, base_path: str, view_path: str
+) -> bool:
+    """Apply the base table's changes since the last refresh to the
+    view.  Returns False if the view was already current.  One atomic
+    commit: the new cursor and the new aggregates land together."""
+    meta = _load_meta(view_path)
+    mv = meta.get("matview")
+    if mv is None:
+        raise ValueError(f"{view_path} is not an aggregate view")
+    cursor = mv["base_version"]
+    base_meta = _load_meta(base_path)
+    base_version = base_meta["version"]
+    if base_version == cursor:
+        return False
+    # Readable snapshots are the last `retain` manifests; an older
+    # cursor's data files may already be GC'd.
+    if cursor <= base_version - base_meta.get("retain", DEFAULT_RETAIN):
+        raise StaleViewError(
+            f"base generation {cursor} is no longer retained at "
+            f"{base_path}; rebuild the view with create_aggregate_view"
+        )
+    group, sums = mv["group"], mv["sums"]
+    base_key = _load_meta(base_path)["key"]
+    feed = changefeed_keyed(spark, base_path, cursor, include_old=True)
+
+    def _side(df: DataFrame, sign: int, col_of) -> DataFrame:
+        return df.select(
+            col_of(group).alias(group),
+            F.lit(sign).cast("bigint").alias("_dn"),
+            *[
+                (
+                    F.lit(sign)
+                    * F.coalesce(col_of(src).cast("double"), F.lit(0.0))
+                ).alias(out)
+                for out, src in sums.items()
+            ],
+        )
+
+    def _before(c: str):
+        # The _before struct holds every non-key column's pre-image; the
+        # base KEY itself is identical pre/post by construction.
+        return F.col(c) if c == base_key else F.col("_before").getField(c)
+
+    # Post-change rows add their contribution; pre-change rows retract
+    # theirs.  An update appears on both sides (its group may even have
+    # changed); the union nets out per group.
+    plus = _side(
+        feed.filter(F.col("_change").isin("insert", "update")), 1, F.col
+    )
+    minus = _side(
+        feed.filter(F.col("_change").isin("update", "delete")), -1, _before
+    )
+    delta = (
+        plus.unionByName(minus)
+        .filter(F.col(group).isNotNull())
+        .groupBy(group)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(out).alias(out) for out in sums],
+        )
+    )
+    current = read_keyed(spark, view_path)
+    cur = current.select(
+        F.col(group),
+        F.col("n_rows").alias("_cur_n"),
+        *[F.col(out).alias(f"_cur_{out}") for out in sums],
+    )
+    merged = delta.join(cur, group, "left").select(
+        F.col(group),
+        (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn"))
+        .cast("bigint")
+        .alias("n_rows"),
+        *[
+            (F.coalesce(F.col(f"_cur_{out}"), F.lit(0.0)) + F.col(out)).alias(out)
+            for out in sums
+        ],
+    )
+    write_keyed(
+        merged,
+        view_path,
+        group,
+        mode=SinkMode.APPEND,
+        meta_extra={"matview": {**mv, "base_version": base_version}},
+    )
+    return True
+
+
+def read_aggregate_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The view without zero-count tombstones — the relation a consumer
+    joins against."""
+    return read_keyed(spark, view_path).filter(F.col("n_rows") > 0)

@@ -473,6 +473,22 @@ def _stage_and_publish(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+# Manifest keys the engine owns; meta_extra may not shadow them.
+_RESERVED_META = {
+    "key", "boundaries", "next_seq", "families", "schema", "gens",
+    "last_gen", "version", "retain", "ttl", "schema_evolved",
+}
+
+
+def _merge_meta_extra(meta: dict, meta_extra: dict | None) -> None:
+    if not meta_extra:
+        return
+    bad = sorted(set(meta_extra) & _RESERVED_META)
+    if bad:
+        raise ValueError(f"meta_extra may not override engine keys: {bad}")
+    meta.update(meta_extra)
+
+
 def write_keyed(
     df: DataFrame,
     path: str,
@@ -482,8 +498,14 @@ def write_keyed(
     n_buckets: int | None = None,
     families: dict[str, str] | None = None,
     retain: int | None = None,
+    meta_extra: dict | None = None,
 ) -> None:
     """Write ``df`` as a keyed table at ``path``.
+
+    ``meta_extra`` merges application keys into the manifest in the
+    SAME atomic commit as the data (e.g. a materialized view's refresh
+    cursor) — either both land or neither does.  Core manifest keys
+    cannot be overridden.
 
     ``seq_col`` is the explicit intra-batch write order (the stand-in
     for the HBase cell timestamp); without it, ties collapse
@@ -539,6 +561,7 @@ def write_keyed(
             }
             if retain is not None:
                 meta["retain"] = retain
+            _merge_meta_extra(meta, meta_extra)
             _stage_and_publish(batch, path, key, meta)
             return
 
@@ -597,6 +620,10 @@ def write_keyed(
             key,
             _order_cols(df.columns, key, seq_col),
         )
+        # Merged only now — NOT into the early seq-bump save above — so
+        # a crash between the two cannot advance application cursors
+        # without their data.
+        _merge_meta_extra(meta, meta_extra)
         _stage_and_publish(merged, path, key, meta, affected)
 
 
@@ -894,6 +921,7 @@ def changefeed_keyed(
     path: str,
     from_generation: int,
     to_generation: int | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Per-key diff between two committed snapshots: one row per key
     whose value changed between ``from_generation`` and
@@ -907,7 +935,11 @@ def changefeed_keyed(
     Put).  Here the manifest history IS the version axis, and the diff
     is a single full-outer join shuffled on the table key — both sides
     are generation-pruned scans, so the cost is O(rows at the two
-    snapshots), never O(history)."""
+    snapshots), never O(history).
+
+    ``include_old=True`` appends a ``_before`` struct column carrying
+    the PRE-change row (null for inserts) — what incremental aggregate
+    maintenance needs to retract an update's old contribution."""
     old = read_keyed(spark, path, generation=from_generation)
     new = read_keyed(spark, path, generation=to_generation)
     key = _load_meta(path)["key"]
@@ -931,7 +963,7 @@ def changefeed_keyed(
 
     o = _conform(old).withColumnRenamed("_row", "_old")
     n = _conform(new).withColumnRenamed("_row", "_new")
-    return (
+    feed = (
         o.join(n, key, "full_outer")
         .withColumn(
             "_change",
@@ -940,9 +972,17 @@ def changefeed_keyed(
             .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update")),
         )
         .filter(F.col("_change").isNotNull())
-        .select(key, "_change", F.coalesce("_new", "_old").alias("_row"))
-        .select(key, "_change", "_row.*")
     )
+    if include_old:
+        return feed.select(
+            key,
+            "_change",
+            F.coalesce("_new", "_old").alias("_row"),
+            F.col("_old").alias("_before"),
+        ).select(key, "_change", "_row.*", "_before")
+    return feed.select(
+        key, "_change", F.coalesce("_new", "_old").alias("_row")
+    ).select(key, "_change", "_row.*")
 
 
 class KeyedTable:

@@ -1,0 +1,149 @@
+"""Incremental materialized aggregate views: every refresh must leave
+the view exactly equal to a from-scratch re-aggregate of the base —
+under inserts, group-moving updates, deletes, and group extinction —
+while reading only the changefeed, never the whole base."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cascading_hbase_spark.keyed.matview import (
+    StaleViewError,
+    create_aggregate_view,
+    read_aggregate_view,
+    refresh_aggregate_view,
+)
+from cascading_hbase_spark.keyed.table import (
+    SinkMode,
+    delete_keyed,
+    read_keyed,
+    write_keyed,
+)
+
+
+def _base_df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, grp string, val double")
+
+
+def _expected(spark, base_path):
+    return {
+        (r["grp"], r["n_rows"], round(r["total"], 9))
+        for r in read_keyed(spark, base_path)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("val").cast("double"), F.lit(0.0))).alias(
+                "total"
+            ),
+        )
+        .collect()
+    }
+
+
+def _actual(spark, view_path):
+    return {
+        (r["grp"], r["n_rows"], round(r["total"], 9))
+        for r in read_aggregate_view(spark, view_path).collect()
+    }
+
+
+def test_view_tracks_base_through_full_op_mix(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _base_df(
+            spark,
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+        ),
+        base,
+        "id",
+        retain=10,
+    )
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert _actual(spark, view) == _expected(spark, base)
+
+    # inserts + an update that MOVES a row between groups
+    write_keyed(
+        _base_df(spark, [(5, "b", 5.0), (3, "a", 30.0)]),
+        base,
+        "id",
+        mode=SinkMode.APPEND,
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    assert _actual(spark, view) == _expected(spark, base)
+
+    # delete every member of group c -> tombstone, filtered from reads
+    delete_keyed(spark, base, spark.createDataFrame([(4,)], "id bigint"))
+    assert refresh_aggregate_view(spark, base, view) is True
+    assert _actual(spark, view) == _expected(spark, base)
+    assert "c" not in {r["grp"] for r in read_aggregate_view(spark, view).collect()}
+
+    # value-only update (group unchanged)
+    write_keyed(
+        _base_df(spark, [(1, "a", 100.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    assert _actual(spark, view) == _expected(spark, base)
+
+
+def test_refresh_is_noop_when_current(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id")
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert refresh_aggregate_view(spark, base, view) is False
+
+
+def test_multi_refresh_batches_accumulate(spark, tmp_path):
+    """Several base commits between refreshes collapse into one delta;
+    several refreshes in sequence each apply exactly once."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=20)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    for i in range(2, 8):
+        write_keyed(
+            _base_df(spark, [(i, "a" if i % 2 else "b", float(i))]),
+            base,
+            "id",
+            mode=SinkMode.APPEND,
+        )
+        if i % 3 == 0:  # refresh only sometimes: deltas must accumulate
+            assert refresh_aggregate_view(spark, base, view) is True
+    refresh_aggregate_view(spark, base, view)
+    assert _actual(spark, view) == _expected(spark, base)
+
+
+def test_stale_cursor_raises(spark, tmp_path):
+    """If the base GC'd the cursor generation (refresh lag > retain),
+    refresh must refuse loudly rather than corrupt the view."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id")  # retain=2
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    for i in range(2, 7):
+        write_keyed(
+            _base_df(spark, [(i, "a", float(i))]),
+            base,
+            "id",
+            mode=SinkMode.APPEND,
+        )
+    with pytest.raises(StaleViewError):
+        refresh_aggregate_view(spark, base, view)
+    # rebuild recovers
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert _actual(spark, view) == _expected(spark, base)
+
+
+def test_count_only_view(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _base_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), base, "id", retain=10
+    )
+    create_aggregate_view(spark, base, view, "grp")
+    write_keyed(
+        _base_df(spark, [(3, "b", 9.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    refresh_aggregate_view(spark, base, view)
+    got = {
+        (r["grp"], r["n_rows"])
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == {("a", 1), ("b", 2)}
