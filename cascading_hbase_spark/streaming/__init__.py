@@ -13,6 +13,7 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     running_user_totals,
     session_counts,
     sliding_counts,
+    stream_maintained_view,
     stream_upsert_keyed,
     tumbling_counts,
 )

@@ -377,3 +377,49 @@ def stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_maintained_view(
+    rows: DataFrame,
+    base_path: str,
+    view_path: str,
+    key: str,
+    group_col: str,
+    sums: dict[str, str],
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest with an incrementally-maintained aggregate:
+    each micro-batch (a) LWW-upserts into the keyed base table, then
+    (b) applies the base's changefeed delta to the materialized view
+    (``keyed/matview.py``).
+
+    This is the streaming shape update-mode window aggregation canNOT
+    express: an upsert that changes a row's group must RETRACT its old
+    contribution, which the stream engine only knows how to do for its
+    own stateful aggregates.  Routing through the keyed changefeed
+    makes arbitrary group-by views maintainable under upserts, and the
+    view stays crash-consistent (its refresh cursor commits atomically
+    with its data), so a re-run micro-batch can never double-apply."""
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_keyed(batch_df, base_path, key=key, mode=SinkMode.APPEND, retain=4)
+        from cascading_hbase_spark.keyed.table import META_FILE
+
+        if os.path.exists(os.path.join(view_path, META_FILE)):
+            refresh_aggregate_view(batch_df.sparkSession, base_path, view_path)
+        else:
+            create_aggregate_view(
+                batch_df.sparkSession, base_path, view_path, group_col, sums
+            )
+
+    writer = rows.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

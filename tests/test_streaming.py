@@ -161,3 +161,44 @@ def test_stream_ingest_dedup_matches_sequential_batches(spark, tmp_path):
         for r in read_keyed(spark, corpus_path).select("doc_id").collect()
     }
     assert stored == expected and len(stored) > 0
+
+
+def test_stream_maintained_aggregate_view(spark, tmp_path):
+    """Streaming ingest -> keyed base upsert -> incremental matview
+    refresh per micro-batch.  After the stream drains, the view must
+    equal a from-scratch aggregate of the final base snapshot — even
+    though later events UPSERT earlier users (moving rows between
+    event_type groups, which update-mode stream aggregation cannot
+    retract)."""
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+
+    base = str(tmp_path / "base_kt")
+    view = str(tmp_path / "view_kt")
+    events = S.events_stream(spark, SF, max_files_per_trigger=1)
+    q = S.stream_maintained_view(
+        events,
+        base,
+        view,
+        key="user_id",
+        group_col="event_type",
+        sums={"total_value": "value"},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    expected = {
+        (r["event_type"], r["n_rows"], round(r["total_value"], 6))
+        for r in read_keyed(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("value").cast("double"), F.lit(0.0))).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["n_rows"], round(r["total_value"], 6))
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == expected
