@@ -480,3 +480,71 @@ def simhash_neardup_pairs(
         "doc_b",
         F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator-quality audit for MinHash: for every LSH candidate
+    pair, the signature-estimated Jaccard (matching lanes / n_hashes)
+    next to the exact shingle-set Jaccard and their absolute error.
+    This is how a pipeline validates its dedup threshold choice on its
+    OWN corpus (the estimator's variance is ~J(1-J)/n_hashes, so an
+    8-lane signature is coarse — quantified, not assumed).
+
+    Same shuffle shape as `minhash_neardup_pairs`: candidates come from
+    the band join (never all pairs); the signature compare is one
+    broadcast-size join per side."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures(sh, id_col, n_hashes).persist()
+    bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = bands.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("band_sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_sig") == F.col("band_sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+    exact = _exact_jaccard(cand, sh, id_col)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )

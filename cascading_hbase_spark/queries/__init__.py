@@ -85,6 +85,9 @@ _PRIORITY = [
     "data_quality_report",
     "leakage_safe_split",
     "bloom_semi_filter_contract",
+    "column_profile",
+    "dedup_audit_minhash",
+    "importance_sample_quality",
 ]
 
 

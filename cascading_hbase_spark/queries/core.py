@@ -533,3 +533,51 @@ def bytes_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.substring("text", 1, 16).cast("binary")).alias("head_b64"),
         F.octet_length(F.col("text").cast("binary")).cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_nulls,
+             count(DISTINCT l_returnflag) AS flag_ndv,
+             CAST(min(l_quantity) AS DOUBLE) AS qty_min,
+             CAST(max(l_quantity) AS DOUBLE) AS qty_max,
+             CAST(avg(l_quantity) AS DOUBLE) AS qty_avg,
+             CAST(min(l_shipdate) AS VARCHAR) AS ship_min,
+             CAST(max(l_shipdate) AS VARCHAR) AS ship_max,
+             CAST(avg(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc_avg
+      FROM lineitem
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(price_nulls AS BIGINT) AS price_nulls,
+           CAST(flag_ndv AS BIGINT) AS flag_ndv,
+           qty_min, qty_max, round(qty_avg, 6) AS qty_avg,
+           ship_min, ship_max,
+           round(disc_avg, 6) AS disc_avg
+    FROM agg
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics profile (the ANALYZE TABLE / HBase 'scan the
+    family and summarize' maintenance op): row count, per-column null
+    counts, NDV, min/max/avg, string length stats — ALL columns in ONE
+    partial+final aggregate pass over the table.  At 100 TB this is
+    the pattern for stats collection: never one scan per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("price_nulls"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("flag_ndv"),
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+        F.round(F.avg("l_quantity").cast("double"), 6).alias("qty_avg"),
+        F.min("l_shipdate").cast("string").alias("ship_min"),
+        F.max("l_shipdate").cast("string").alias("ship_max"),
+        F.round(
+            F.avg(F.col("l_discount").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("disc_avg"),
+    )

@@ -1374,3 +1374,100 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("heldout")
         .alias("split"),
     )
+
+
+@query(
+    "dedup_audit_minhash",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    hs AS (
+      SELECT doc_id, h_idx,
+             min((({_H.format(x="shingle")} % 2147483647) * (2 * h_idx + 1)
+                  + h_idx * 2654435761) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
+      GROUP BY doc_id, h_idx
+    ),
+    bands AS (
+      SELECT doc_id, CAST(h_idx // 2 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+      FROM hs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT cand.doc_a, cand.doc_b,
+             SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) / 8.0
+               AS est_jaccard
+      FROM cand
+      JOIN hs ha ON ha.doc_id = cand.doc_a
+      JOIN hs hb ON hb.doc_id = cand.doc_b AND hb.h_idx = ha.h_idx
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS i
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT inter.doc_a, inter.doc_b,
+             round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6)
+               AS jaccard
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = inter.doc_a
+      JOIN cnt cb ON cb.doc_id = inter.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, j.jaccard,
+           round(abs(e.est_jaccard - j.jaccard), 6) AS abs_err
+    FROM est e JOIN jac j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+    """,
+)
+def dedup_audit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit on the corpus's own candidate pairs:
+    estimated vs exact Jaccard with absolute error — the measurement a
+    pipeline runs before trusting an LSH threshold at 100 TB scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_audit(d, "doc_id", "text", n_hashes=8, band_size=2)
+
+
+@query(
+    "importance_sample_quality",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(
+               0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0))
+               + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0),
+               6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality FROM scored
+    WHERE {_H.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+          < CAST(round(quality * 1000000, 0) AS BIGINT)
+    """,
+)
+def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep each doc with probability equal to its
+    quality score, decided by a deterministic hash (NOT rand()) — so
+    the sample is reproducible across runs/retries, survives task
+    replays at 100 TB, and stays a pure map-side filter.  The mixture-
+    shaping step between hard quality gates and uniform sampling."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    keep = hash64(F.col("doc_id").cast("string")) % 1000000 < F.round(
+        q * 1000000, 0
+    ).cast("bigint")
+    return d.filter(keep).select("doc_id", q.alias("quality"))
