@@ -122,6 +122,17 @@ class JsonTap(Tap):
         df.write.mode(self._writer_mode(mode)).json(self.path)
 
 
+class OrcTap(Tap):
+    """ORC source/sink (Spark-native columnar alternative to parquet;
+    same predicate-pushdown and column-pruning behavior)."""
+
+    def read(self, spark):
+        return spark.read.orc(self.path)
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        df.write.mode(self._writer_mode(mode)).orc(self.path)
+
+
 class KeyedTableTap(Tap):
     """The HBaseTap equivalent: keyed table with upsert semantics."""
 

@@ -284,6 +284,29 @@ def test_csv_and_json_tap_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_orc_tap_roundtrip_and_pushdown(spark, tmp_path):
+    """Orc tap round-trips with schema intact and, like parquet, gets
+    predicate pushdown at the scan."""
+    from cascading_hbase_spark.operators.taps import OrcTap
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, score double"
+    )
+    tap = OrcTap(str(tmp_path / "o"))
+    tap.write(df)
+    back = tap.read(spark)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    import pyspark.sql.functions as F
+
+    plan = (
+        back.filter(F.col("id") > 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+
+
 def test_partitioned_tap_routes_and_prunes(spark, tmp_path):
     """TemplateTap analogue: tuples fan out into value-derived
     directories; a filter on the partition column reads only its
