@@ -249,3 +249,33 @@ def test_bloom_join_probe_broadcasts_only(spark):
     plan = _plan(flagged.filter(F.col("bloom_pass")))
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_audit_no_cartesian(spark):
+    """The estimator audit compares signatures only on band-blocked
+    candidates — never all pairs."""
+    plan = _plan(QUERIES["dedup_audit_minhash"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_split_broadcasts_components(spark):
+    """The component relation (only docs appearing in some near-dup
+    pair) joins to the corpus via broadcast; the split expression adds
+    no extra shuffle over the corpus."""
+    plan = _plan(QUERIES["leakage_safe_split"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_sample_is_map_side_only(spark):
+    plan = _plan(QUERIES["importance_sample_quality"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_column_profile_single_pass(spark):
+    """All column stats in one aggregate over one scan — a count
+    distinct expands to at most one extra exchange pair; there must be
+    exactly ONE scan of lineitem."""
+    plan = _plan(QUERIES["column_profile"](spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
