@@ -815,13 +815,15 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
 # ---------------------------------------------------------------------------
 
 def compact_keyed(
-    spark: SparkSession, path: str, n_buckets: int | None = None
+    spark: SparkSession, path: str, n_buckets: int | None = None,
+    min_files: int | None = None,
 ) -> None:
-    """Rewrite every live bucket into one fresh generation — the
-    engine-side major compaction the reference delegated to HBase
+    """Rewrite fragmented storage into fresh generations — the
+    engine-side compaction the reference delegated to HBase
     (TableInputFormatWrap.java:40-82 assumes the region server split and
     compacted regions behind the scenes).
 
+    Major (default): every live bucket rewrites —
     - coalesces the per-bucket file count back to ~1 file per bucket
       (appends leave range-partitioned merge output: several files per
       touched bucket per generation);
@@ -830,13 +832,43 @@ def compact_keyed(
       key-distribution drift after the creation-time boundaries went
       stale (the analogue of region re-splitting).
 
+    Minor (``min_files=K``, HBase's minor compaction): only buckets
+    whose live generation holds more than K data files rewrite; the
+    rest keep their current generation untouched — the cheap periodic
+    maintenance an append-heavy table runs, proportional to
+    fragmentation, not table size.  Mutually exclusive with
+    ``n_buckets`` (re-bucketing is inherently whole-table).
+
     Reads are bit-identical before/after; the swap is one atomic
     manifest flip, and the pre-compaction snapshot stays readable for
     one commit (reader grace) like any other commit."""
+    if min_files is not None and n_buckets is not None:
+        raise ValueError("min_files (minor) and n_buckets (re-bucket) are exclusive")
     with _writer_lock(path):
         meta = _load_meta(path)
         _migrate_legacy(path, meta)
         key = meta["key"]
+        if min_files is not None:
+            fragmented = []
+            for b, g in meta.get("gens", {}).items():
+                d = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+                n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+                if n > min_files:
+                    fragmented.append(int(b))
+            if not fragmented:
+                return
+            current = _read_raw(spark, path, meta).filter(
+                F.col(BUCKET_COL).isin(fragmented)
+            )
+            if meta.get("ttl"):
+                # purge TTL'd rows from the buckets being rewritten
+                current = _ttl_filter(current, meta["ttl"])
+            # schema_evolved stays: untouched buckets may still predate
+            # the evolution and need the mergeSchema read path.
+            _stage_and_publish(
+                current, path, key, meta, sorted(fragmented), by_bucket=True
+            )
+            return
         current = _read_raw(spark, path, meta).drop(BUCKET_COL)
         if meta.get("ttl"):
             # compaction is where TTL'd rows are physically purged

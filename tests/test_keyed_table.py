@@ -762,3 +762,66 @@ def test_ttl_filters_reads_and_compaction_purges(spark, tmp_path):
     # unknown column rejected
     with pytest.raises(KeyError):
         set_ttl(path, "nope", 10)
+
+
+def test_minor_compaction_rewrites_only_fragmented_buckets(spark, tmp_path):
+    """HBase minor-compaction analogue: only buckets whose live
+    generation is fragmented past the threshold rewrite; untouched
+    buckets keep their generation pointer (and files), reads are
+    bit-identical, and a repeat run is a no-op."""
+    import os
+
+    from cascading_hbase_spark.keyed.table import (
+        BUCKET_COL,
+        GEN_PREFIX,
+        _load_meta,
+        compact_keyed,
+    )
+
+    path = str(tmp_path / "kt")
+    df0 = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "k bigint, v bigint"
+    )
+    write_keyed(df0, path, "k", n_buckets=4, retain=10)
+    compact_keyed(spark, path)  # major: ~1 file per bucket baseline
+
+    def files_per_bucket():
+        meta = _load_meta(path)
+        out = {}
+        for b, g in meta["gens"].items():
+            d = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+            out[b] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    # fragment ONE bucket: a multi-key append entirely in the low range
+    write_keyed(
+        spark.createDataFrame(
+            [(i, 999) for i in range(8)], "k bigint, v bigint"
+        ),
+        path,
+        "k",
+        mode=SinkMode.APPEND,
+    )
+    frag = {b for b, n in files_per_bucket().items() if n > 1}
+    assert frag, "append should have fragmented at least one bucket"
+    before_rows = {tuple(r) for r in read_keyed(spark, path).collect()}
+    gens_before = dict(_load_meta(path)["gens"])
+
+    compact_keyed(spark, path, min_files=1)
+    gens_after = dict(_load_meta(path)["gens"])
+    # fragmented buckets moved to a new generation, others untouched
+    for b in gens_before:
+        if b in frag:
+            assert gens_after[b] != gens_before[b]
+        else:
+            assert gens_after[b] == gens_before[b]
+    assert all(n <= 1 for n in files_per_bucket().values())
+    assert {tuple(r) for r in read_keyed(spark, path).collect()} == before_rows
+
+    # idempotent: nothing fragmented -> no new commit
+    v = _load_meta(path)["version"]
+    compact_keyed(spark, path, min_files=1)
+    assert _load_meta(path)["version"] == v
+
+    with pytest.raises(ValueError):
+        compact_keyed(spark, path, n_buckets=2, min_files=1)
