@@ -88,6 +88,7 @@ _PRIORITY = [
     "column_profile",
     "dedup_audit_minhash",
     "importance_sample_quality",
+    "gap_fill_forward",
 ]
 
 

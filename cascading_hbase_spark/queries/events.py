@@ -335,3 +335,74 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
         F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
     )
+
+
+@query(
+    "gap_fill_forward",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hr, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n, h.vs
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hr = s.hr
+    )
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+           round(last_value(vs IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_sum
+    FROM j
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: generate the full hourly spine per event
+    type (`F.sequence` between observed bounds), left-join the actual
+    hourly rollup, and forward-fill missing hours with the last
+    observed value (`last(..., ignorenulls)`) — the resample +
+    carry-forward op every monitoring/feature pipeline needs.
+
+    Scale shape: the spine explodes from the tiny bounds relation (one
+    row per group), never from raw events; the fill is one window pass
+    partitioned by group.  Raw events are touched exactly once by the
+    hourly rollup."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("vs"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.last("vs", ignorenulls=True).over(w), 6).alias("filled_sum"),
+    )
