@@ -89,6 +89,9 @@ _PRIORITY = [
     "dedup_audit_minhash",
     "importance_sample_quality",
     "gap_fill_forward",
+    "window_cume_dist",
+    "token_entropy",
+    "q3_shipping_priority",
 ]
 
 

@@ -1471,3 +1471,40 @@ def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q * 1000000, 0
     ).cast("bigint")
     return d.filter(keep).select("doc_id", q.alias("quality"))
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    tc AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+           FROM tok GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY 1)
+    SELECT tc.doc_id, CAST(tot.n AS BIGINT) AS n_tokens,
+           round(-SUM((c / n) * ln(c / n)), 6) AS entropy
+    FROM tc JOIN tot ON tot.doc_id = tc.doc_id
+    GROUP BY tc.doc_id, tot.n
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats): low entropy flags
+    repetitive/boilerplate text, complementing the Gopher-style
+    repetition fractions.  Two hash aggregates (token counts, then the
+    entropy reduction) — the doc's text never reaches the second one."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy"
+        )
+    )
