@@ -92,6 +92,8 @@ _PRIORITY = [
     "window_cume_dist",
     "token_entropy",
     "q3_shipping_priority",
+    "streaming_dedup_contract",
+    "streaming_stateful_totals_final",
 ]
 
 

@@ -12,6 +12,7 @@ Python state."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cascading_hbase_spark import streaming as S
@@ -149,4 +150,44 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         S.enriched_segment_revenue(S.events_stream(spark, sf_dir), customer),
         "complete",
+    )
+
+
+@query(
+    "streaming_dedup_contract",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkable contract of watermarked streaming dedup: WHICH
+    survivor row wins is arrival-order-dependent (hence the raw op
+    stays rows-only), but the emitted KEY SET is exactly the distinct
+    keys of the input — every key emits at least once, nothing else
+    ever emits.  Project the stream output to its key set and that IS
+    deterministic."""
+    out = S.run_available_now(
+        S.dedup_within_watermark(S.events_stream(spark, sf_dir)), "append"
+    )
+    return out.select("user_id", "event_type").distinct()
+
+
+@query(
+    "streaming_stateful_totals_final",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_stateful_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user state of the applyInPandasWithState running
+    totals: the update-mode sink keeps every intermediate emission, so
+    the final row per user is the one with the highest n_events.  With
+    exact integer-cents state the final totals equal the batch DECIMAL
+    sums bit-for-bit — full oracle, no float-tolerance hedge."""
+    raw = S.run_available_now(
+        S.running_user_totals(S.events_stream(spark, sf_dir)), "update"
+    )
+    return raw.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
     )

@@ -219,26 +219,41 @@ def enriched_segment_revenue(
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals via ``applyInPandasWithState``: managed
-    per-key state, Arrow-batched UDF, update-mode emission per batch."""
+    per-key state, Arrow-batched UDF, update-mode emission per batch.
+
+    The state accumulates integer CENTS (the DECIMAL(18,2) cast happens
+    JVM-side before the UDF), so the running total is exact and
+    independent of arrival/accumulation order — the final emission per
+    user equals the batch ``SUM(CAST(value AS DECIMAL(18,2)))`` to the
+    bit, making the stateful path oracle-checkable rather than
+    'approximately right up to float re-association'."""
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, s = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [cents / 100.0],
+            }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    with_cents = events.withColumn(
+        "cents",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    return with_cents.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, value_sum double",
-        stateStructType="n long, s double",
+        stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
