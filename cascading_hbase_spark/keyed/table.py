@@ -79,7 +79,7 @@ __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
     "write_keyed", "read_keyed", "delete_keyed",
     "compact_keyed", "rollback_keyed", "list_generations",
-    "changefeed_keyed", "set_ttl",
+    "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -1082,3 +1082,37 @@ class KeyedTable:
         """Identity for cascade dependency resolution — the analogue of
         'hbase://tableName' (HBaseTap.java:142-148)."""
         return f"keyed://{os.path.abspath(self.path)}"
+
+
+def clone_keyed(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    generation: int | None = None,
+    retain: int | None = None,
+) -> None:
+    """Clone a committed snapshot into a NEW independent table — the
+    HBase snapshot/cloneSnapshot pair (the reference's tables got
+    cheap server-side snapshots from HBase; here the clone is a fresh
+    keyed table seeded from the source's current or time-travel
+    snapshot).  The clone re-samples its own boundaries and starts its
+    own history; subsequent writes to either table never interact."""
+    meta = _meta_at(src, generation) if generation is not None else _load_meta(src)
+    df = read_keyed(spark, src, generation=generation)
+    write_keyed(
+        df, dst, meta["key"], mode=SinkMode.REPLACE,
+        families={
+            c: f for c, f in meta.get("families", {}).items() if f != "cf"
+        } or None,
+        retain=retain,
+    )
+
+
+def composite_key(*cols: str, sep: str = "\x00") -> "Column":
+    """Compose a multi-column key into one sortable string — the HBase
+    idiom for compound rowkeys (HBase rowkeys are single byte strings;
+    multi-attribute keys are delimiter-joined so lexicographic order
+    nests the attributes).  Use the result as the keyed table's key
+    column; range scans on a prefix then work via ``start=prefix``,
+    ``stop=prefix + '\\xff'``."""
+    return F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])

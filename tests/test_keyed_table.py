@@ -825,3 +825,59 @@ def test_minor_compaction_rewrites_only_fragmented_buckets(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_keyed(spark, path, n_buckets=2, min_files=1)
+
+
+def test_clone_keyed_snapshot_and_independence(spark, tmp_path):
+    """clone_keyed = HBase snapshot/cloneSnapshot: the clone captures
+    the chosen snapshot (current or time-travel), then lives its own
+    life — writes to either side never affect the other."""
+    from cascading_hbase_spark.keyed.table import _load_meta, clone_keyed
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"
+    )
+    write_keyed(df, src, "k", retain=10)
+    v1 = _load_meta(src)["version"]
+    write_keyed(
+        spark.createDataFrame([(3, "c")], "k bigint, v string"),
+        src,
+        "k",
+        mode=SinkMode.APPEND,
+    )
+
+    clone_keyed(spark, src, dst)  # current snapshot: 3 rows
+    assert read_keyed(spark, dst).count() == 3
+
+    old = str(tmp_path / "old")
+    clone_keyed(spark, src, old, generation=v1)  # time-travel clone
+    assert read_keyed(spark, old).count() == 2
+
+    # independence both ways
+    write_keyed(
+        spark.createDataFrame([(9, "z")], "k bigint, v string"),
+        dst,
+        "k",
+        mode=SinkMode.APPEND,
+    )
+    assert read_keyed(spark, src).count() == 3
+    assert read_keyed(spark, dst).count() == 4
+
+
+def test_composite_key_prefix_range_scan(spark, tmp_path):
+    """Compound rowkey idiom: delimiter-joined attributes sort
+    lexicographically, so a prefix range scan fetches one leading
+    attribute's group."""
+    from cascading_hbase_spark.keyed.table import composite_key
+
+    path = str(tmp_path / "kt")
+    df = spark.createDataFrame(
+        [("us", 1, 10), ("us", 2, 20), ("eu", 1, 30), ("eu", 2, 40)],
+        "region string, uid int, v int",
+    ).withColumn("rk", composite_key("region", "uid"))
+    write_keyed(df.select("rk", "region", "uid", "v"), path, "rk")
+    got = read_keyed(spark, path, start="eu", stop="eu\xff")
+    assert sorted((r["region"], r["uid"]) for r in got.collect()) == [
+        ("eu", 1),
+        ("eu", 2),
+    ]
