@@ -176,3 +176,72 @@ def test_changefeed_reconstructs_model_diffs(spark, tmp_path_factory, ops):
             for r in cf.collect()
         }
         assert feed == expected, (i, j, gens)
+
+
+_mv_op = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(
+        st.just("delete"),
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("refresh"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_mv_op, min_size=1, max_size=5))
+def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
+    """Incremental view maintenance against the dict model: after ANY
+    interleaving of appends (updates move rows between groups), deletes,
+    and refreshes, a final refresh leaves the view exactly equal to the
+    model's per-group (count, sum) — deltas accumulate correctly across
+    arbitrarily many base commits between refreshes."""
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        read_aggregate_view,
+        refresh_aggregate_view,
+    )
+
+    base = str(tmp_path_factory.mktemp("mv") / f"b{uuid.uuid4().hex[:8]}")
+    view = base + "_view"
+    model: dict[int, tuple[str, int]] = {}  # key -> (grp, val)
+    view_exists = False
+    for op, arg in ops:
+        if op == "append":
+            rows = [(k, f"g{v % 3}", v, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(
+                rows, "key long, grp string, val long, seq long"
+            )
+            write_keyed(df, base, "key", seq_col="seq", retain=20)
+            for k, v in arg:
+                model[k] = (f"g{v % 3}", v)
+            if not view_exists:
+                create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+                view_exists = True
+        elif op == "delete" and model:
+            from cascading_hbase_spark.keyed.table import delete_keyed
+
+            delete_keyed(
+                spark, base,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "refresh" and view_exists:
+            refresh_aggregate_view(spark, base, view)
+    if not view_exists:
+        return
+    refresh_aggregate_view(spark, base, view)
+    expected: dict[str, tuple[int, float]] = {}
+    for grp, val in model.values():
+        n, s = expected.get(grp, (0, 0.0))
+        expected[grp] = (n + 1, s + float(val))
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == expected
