@@ -378,11 +378,16 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by group.  Raw events are touched exactly once by the
     hourly rollup."""
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("hr"), "event_type"
-    ).agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("vs"),
+    # The rollup feeds BOTH the spine bounds and the fill join; persist
+    # it so raw events are scanned once (the rollup itself is tiny:
+    # hours x event types).
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("vs"),
+        )
+        .persist()
     )
     spine = (
         hourly.groupBy("event_type")

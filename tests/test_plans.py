@@ -279,3 +279,23 @@ def test_column_profile_single_pass(spark):
     exactly ONE scan of lineitem."""
     plan = _plan(QUERIES["column_profile"](spark, SF))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q3_distributed_topk_and_pushdown(spark):
+    """The composition query must take its top-10 distributedly
+    (TakeOrderedAndProject, never a global Sort+Limit of the full agg)
+    and push the segment/date predicates into the scans."""
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_spine_from_bounds_not_events(spark):
+    """The hourly spine must explode from the tiny bounds relation, and
+    both consumers of the rollup (spine bounds + fill join) must read
+    the persisted rollup — raw events materialize once, not once per
+    branch."""
+    plan = _plan(QUERIES["gap_fill_forward"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "Generate" in plan  # the sequence() explode
