@@ -60,13 +60,22 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+def _check_m_bits(m_bits: int) -> None:
+    if m_bits <= 0 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+
+
 def bloom_build(
     small: DataFrame, key: str, m_bits: int = 1 << 17, k: int = 3
 ) -> DataFrame:
-    """Aggregate the small side's keys into a ``(word, bits)`` bitmap."""
+    """Aggregate the small side's keys into a ``(word, bits)`` bitmap.
+    NULL keys are dropped — a null never equality-matches in the join
+    the bloom is pruning for (and a null position row would poison the
+    bitmap)."""
+    _check_m_bits(m_bits)
     pos = F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("pos")
     return (
-        small.select(pos)
+        small.filter(F.col(key).isNotNull()).select(pos)
         .select(
             F.shiftright(F.col("pos"), 5).alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
@@ -96,7 +105,9 @@ def _probe_literal(
     passed = checks[0]
     for c in checks[1:]:
         passed = passed & c
-    return big.withColumn(flag, passed)
+    # a NULL probe key yields NULL checks; it can never equality-match,
+    # so the flag is an explicit False, not NULL
+    return big.withColumn(flag, F.coalesce(passed, F.lit(False)))
 
 
 def _srl(col: Column, shift: Column) -> Column:
@@ -115,11 +126,14 @@ def bloom_probe_flag(
     strategy: str = "auto",
 ) -> DataFrame:
     """Append a boolean ``flag`` column: True iff every one of the
-    key's k bloom positions is set.
+    key's k bloom positions is set (False for a NULL key — it can
+    never equality-match).  An existing column named ``flag`` is
+    replaced.
 
     ``strategy='literal'``: bitmap as an array literal, pure map-side
     projection (zero joins).  ``'join'``: k broadcast hash joins (for
     blooms too big to inline).  ``'auto'`` picks by ``m_bits``."""
+    _check_m_bits(m_bits)
     if strategy == "auto":
         strategy = "literal" if m_bits <= _LITERAL_MAX_BITS else "join"
     if strategy == "literal":
@@ -160,5 +174,9 @@ def bloom_prune(
     """Filter ``big`` to rows whose ``key`` might appear in
     ``small[small_key]`` (superset of the exact semi-join)."""
     bloom = bloom_build(small.select(small_key), small_key, m_bits, k)
-    flagged = bloom_probe_flag(big, key, bloom, m_bits, k, strategy=strategy)
-    return flagged.filter(F.col("bloom_pass")).drop("bloom_pass")
+    # collision-safe internal flag: never clobber a user column
+    flag = "_bloom_pass"
+    while flag in big.columns:
+        flag += "_"
+    flagged = bloom_probe_flag(big, key, bloom, m_bits, k, flag=flag, strategy=strategy)
+    return flagged.filter(F.col(flag)).drop(flag)

@@ -76,7 +76,11 @@ def create_aggregate_view(
     non-null key."""
     sums = sums or {}
     base_version = _load_meta(base_path)["version"]
-    base = read_keyed(spark, base_path)
+    # Pin the read to the version just captured: a base commit landing
+    # between the two lines must not slip into the view while the
+    # cursor records the older version (the first refresh would then
+    # double-apply that commit's delta).
+    base = read_keyed(spark, base_path, generation=base_version)
     # SUMs are double throughout (create AND refresh) so the view's
     # schema never drifts across refreshes regardless of source dtype.
     aggs = [F.count("*").cast("bigint").alias("n_rows")] + [
@@ -126,8 +130,14 @@ def refresh_aggregate_view(
             f"{base_path}; rebuild the view with create_aggregate_view"
         )
     group, sums = mv["group"], mv["sums"]
-    base_key = _load_meta(base_path)["key"]
-    feed = changefeed_keyed(spark, base_path, cursor, include_old=True)
+    base_key = base_meta["key"]
+    # Pin BOTH ends of the diff: to_generation=base_version (not "the
+    # manifest whenever the read resolves") — otherwise a concurrent
+    # base commit gets applied to the view but the cursor records the
+    # older version and the next refresh double-applies it.
+    feed = changefeed_keyed(
+        spark, base_path, cursor, to_generation=base_version, include_old=True
+    )
 
     def _side(df: DataFrame, sign: int, col_of) -> DataFrame:
         return df.select(

@@ -80,6 +80,7 @@ __all__ = [
     "write_keyed", "read_keyed", "delete_keyed",
     "compact_keyed", "rollback_keyed", "list_generations",
     "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
+    "composite_prefix",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -205,35 +206,63 @@ def _pid_alive(pid: int) -> bool:
 
 @contextlib.contextmanager
 def _writer_lock(path: str):
-    """Exclusive per-table writer lock (O_CREAT|O_EXCL, pid-stamped).
+    """Exclusive per-table writer lock, pid-stamped.
+
+    Acquisition is ``os.link`` of a pre-written pid file onto the lock
+    name — atomic creation WITH content, so no observer can ever read a
+    half-created (empty) lock and mistake a live writer for dead.
+    Stale-lock reclaim (dead pid) races are settled by ``os.rename`` of
+    the stale lock to a per-contender name: exactly one contender wins
+    the rename; losers fail their (re)link and raise
+    ``ConcurrentWriteError`` instead of deleting the winner's fresh
+    lock.
 
     Best-effort on a shared filesystem: it serializes writers on one
     host and detects/reclaims locks from dead local pids.  True
     multi-host mutual exclusion needs an external coordinator — the
     documented deployment contract is single writer per table."""
     lock = _lock_path(path)
+    tmp = f"{lock}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(os.getpid()))
+
+    def _claim() -> bool:
+        try:
+            os.link(tmp, lock)
+            return True
+        except FileExistsError:
+            return False
+
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        pid = 0
-        with contextlib.suppress(OSError, ValueError):
-            with open(lock) as f:
-                pid = int(f.read().strip() or "0")
-        if _pid_alive(pid):
-            raise ConcurrentWriteError(
-                f"keyed table {path} is being written by live pid {pid} "
-                f"(lock {lock}); keyed tables are single-writer"
-            ) from None
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)  # stale lock from a dead writer
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, str(os.getpid()).encode())
-    os.close(fd)
-    try:
-        yield
+        if not _claim():
+            pid = 0
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock) as f:
+                    pid = int(f.read().strip() or "0")
+            if _pid_alive(pid):
+                raise ConcurrentWriteError(
+                    f"keyed table {path} is being written by live pid {pid} "
+                    f"(lock {lock}); keyed tables are single-writer"
+                ) from None
+            # stale lock from a dead writer: atomic reclaim — only one
+            # contender's rename succeeds
+            stale = f"{lock}.stale.{os.getpid()}"
+            with contextlib.suppress(FileNotFoundError):
+                os.rename(lock, stale)
+                os.remove(stale)
+            if not _claim():
+                raise ConcurrentWriteError(
+                    f"keyed table {path}: lost the stale-lock reclaim race "
+                    f"to another writer (lock {lock})"
+                ) from None
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
     finally:
         with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+            os.remove(tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -791,7 +820,13 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
         meta = _load_meta(path)
         _migrate_legacy(path, meta)
         key, boundaries = meta["key"], meta["boundaries"]
-        keys = keys.toDF(key).select(key)
+        # Pin the key set before anything inspects it (same hazard the
+        # append path defends against with localCheckpoint): a
+        # non-deterministic keys plan (rand/sample/changed source) must
+        # yield the SAME keys to the affected-bucket collect and the
+        # anti-join, or a key could route to a bucket that is never
+        # rewritten and silently survive.
+        keys = keys.toDF(key).select(key).localCheckpoint(eager=True)
         affected = sorted(
             r[0]
             for r in keys.select(_bucket_expr(key, boundaries).alias("b"))
@@ -1114,5 +1149,30 @@ def composite_key(*cols: str, sep: str = "\x00") -> "Column":
     multi-attribute keys are delimiter-joined so lexicographic order
     nests the attributes).  Use the result as the keyed table's key
     column; range scans on a prefix then work via ``start=prefix``,
-    ``stop=prefix + '\\xff'``."""
-    return F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+    ``stop=prefix + '\\xff'``.
+
+    NULL components are encoded with an explicit marker (``\\x01``;
+    non-null values are prefixed ``\\x02``) — ``concat_ws`` alone would
+    silently SKIP nulls, colliding distinct compound keys like
+    ``('a', NULL, 'b')`` and ``('a', 'b', NULL)`` into one rowkey and
+    letting LWW merge unrelated rows.  Nulls sort before all values
+    within their attribute position.  Component values must not contain
+    ``sep``."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x01")).otherwise(
+            F.concat(F.lit("\x02"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.concat_ws(sep, *parts)
+
+
+def composite_prefix(*values, sep: str = "\x00") -> tuple[str, str]:
+    """(start, stop) bounds for a range scan over every composite key
+    whose leading attributes equal ``values`` exactly: the encoded
+    prefix is terminated with ``sep`` so a sibling value that merely
+    starts with the same characters ('eu' vs 'eu2') is excluded."""
+    enc = sep.join(
+        "\x01" if v is None else "\x02" + str(v) for v in values
+    ) + sep
+    return enc, enc + "\xff"

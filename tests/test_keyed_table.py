@@ -868,15 +868,20 @@ def test_composite_key_prefix_range_scan(spark, tmp_path):
     """Compound rowkey idiom: delimiter-joined attributes sort
     lexicographically, so a prefix range scan fetches one leading
     attribute's group."""
-    from cascading_hbase_spark.keyed.table import composite_key
+    from cascading_hbase_spark.keyed.table import composite_key, composite_prefix
 
     path = str(tmp_path / "kt")
     df = spark.createDataFrame(
-        [("us", 1, 10), ("us", 2, 20), ("eu", 1, 30), ("eu", 2, 40)],
+        [("us", 1, 10), ("us", 2, 20), ("eu", 1, 30), ("eu", 2, 40),
+         ("eu2", 1, 50), (None, 3, 60)],
         "region string, uid int, v int",
     ).withColumn("rk", composite_key("region", "uid"))
     write_keyed(df.select("rk", "region", "uid", "v"), path, "rk")
-    got = read_keyed(spark, path, start="eu", stop="eu\xff")
+    # all 6 rows distinct — a NULL component must NOT collide keys
+    assert read_keyed(spark, path).count() == 6
+    start, stop = composite_prefix("eu")
+    got = read_keyed(spark, path, start=start, stop=stop)
+    # exactly the 'eu' rows: 'eu2' shares the prefix chars but is excluded
     assert sorted((r["region"], r["uid"]) for r in got.collect()) == [
         ("eu", 1),
         ("eu", 2),

@@ -299,3 +299,19 @@ def test_gap_fill_spine_from_bounds_not_events(spark):
     plan = _plan(QUERIES["gap_fill_forward"](spark, SF))
     assert plan.count("InMemoryTableScan") == 2, plan
     assert "Generate" in plan  # the sequence() explode
+
+
+def test_bloom_handles_null_keys_and_validates_m_bits(spark):
+    """Review regressions: NULL keys on either side must not crash or
+    match (a null never equality-joins), and a non-multiple-of-32
+    bitmap size is rejected up front."""
+    from cascading_hbase_spark.functions.bloom import bloom_prune
+
+    small = spark.createDataFrame([(1,), (None,), (3,)], "k bigint")
+    big = spark.createDataFrame([(1, "x"), (None, "y"), (9, "z")], "k bigint, v string")
+    got = bloom_prune(big, "k", small, "k", m_bits=1 << 10, k=3).collect()
+    keys = {r["k"] for r in got}
+    assert 1 in keys and None not in keys
+
+    with pytest.raises(ValueError):
+        bloom_prune(big, "k", small, "k", m_bits=100)
