@@ -548,3 +548,76 @@ def minhash_audit(
         "jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-containment pairs: candidate pairs (band-blocked, same as
+    minhash) whose shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) passes
+    the threshold — catches a short doc embedded in a longer one, which
+    Jaccard misses (the union washes out the small side).  This is the
+    quote/wrapper-page dedup criterion (C4/RefinedWeb-style).
+
+    Emits (doc_a, doc_b, contained_doc, containment): ``contained_doc``
+    is the smaller-set side (tie: doc_a)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures(sh, id_col, n_hashes).persist()
+    bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    b = bands.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("band_sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_sig") == F.col("band_sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cnt = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col(id_col).alias("_doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("c").alias("cb"))
+    containment = F.round(
+        F.col("inter").cast("double")
+        / F.least(F.col("ca"), F.col("cb")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("ca") <= F.col("cb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -77,7 +77,7 @@ from pyspark.sql.types import StructType
 
 __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
-    "write_keyed", "read_keyed", "delete_keyed",
+    "write_keyed", "read_keyed", "get_keyed", "delete_keyed",
     "compact_keyed", "rollback_keyed", "list_generations",
     "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
     "composite_prefix",
@@ -666,12 +666,14 @@ def _read_raw(
     meta: dict,
     min_bucket: int | None = None,
     max_bucket: int | None = None,
+    buckets: set[int] | None = None,
 ):
     """Scan through the manifest's generation pointers (exactly the
-    committed snapshot; orphans are invisible).  Bucket-range pruning
-    happens HERE, driver-side, before any file listing — the analogue
-    of the reference pruning regions before creating splits
-    (TableInputFormatWrap.java:55-65).  Includes SEQ/BUCKET columns."""
+    committed snapshot; orphans are invisible).  Bucket-range (or
+    arbitrary bucket-set) pruning happens HERE, driver-side, before any
+    file listing — the analogue of the reference pruning regions before
+    creating splits (TableInputFormatWrap.java:55-65).  Includes
+    SEQ/BUCKET columns."""
     gens = meta.get("gens")
     if gens is None:  # legacy layout (flat bucket dirs)
         return spark.read.parquet(path)
@@ -680,6 +682,7 @@ def _read_raw(
         for b, g in gens.items()
         if (min_bucket is None or int(b) >= min_bucket)
         and (max_bucket is None or int(b) <= max_bucket)
+        and (buckets is None or int(b) in buckets)
     }
     if not keep:
         schema_json = meta.get("schema")
@@ -807,6 +810,38 @@ def read_keyed(
                 f"{sorted(set(fam_map.values()))}"
             )
         fields = [c for c in df.columns if fam_map.get(c) == family]
+    if fields is not None:
+        df = df.select(key, *[f for f in fields if f != key])
+    return df
+
+
+def get_keyed(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    fields: list[str] | None = None,
+    generation: int | None = None,
+) -> DataFrame:
+    """Point lookups — the HBase Get / multi-Get
+    (``HTable.get(List<Get>)``): fetch exactly the rows whose key is in
+    ``keys`` (a plain Python list of key values, the point-query
+    shape).
+
+    Pruning is maximal: the requested keys route to their buckets
+    driver-side (boundaries live in the manifest), ONLY those buckets'
+    live generation dirs are listed, and the IN-list predicate pushes
+    into the sorted parquet scan (row-group min/max skipping).  A
+    1000-bucket table asked for 3 keys reads at most 3 buckets."""
+    if not keys:
+        raise ValueError("get_keyed requires at least one key")
+    meta = _meta_at(path, generation)
+    key, boundaries = meta["key"], meta["boundaries"]
+    wanted = {_bucket_of(k, boundaries) for k in keys}
+    df = _read_raw(spark, path, meta, buckets=wanted)
+    df = df.filter(F.col(key).isin(list(keys)))
+    if meta.get("ttl"):
+        df = _ttl_filter(df, meta["ttl"])
+    df = df.drop(SEQ_COL, BUCKET_COL)
     if fields is not None:
         df = df.select(key, *[f for f in fields if f != key])
     return df

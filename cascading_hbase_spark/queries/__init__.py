@@ -94,6 +94,7 @@ _PRIORITY = [
     "q3_shipping_priority",
     "streaming_dedup_contract",
     "streaming_stateful_totals_final",
+    "dedup_containment",
 ]
 
 

@@ -1508,3 +1508,54 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("n").cast("bigint").alias("n_tokens"), "entropy"
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    hs AS (
+      SELECT doc_id, h_idx,
+             min((({_H.format(x="shingle")} % 2147483647) * (2 * h_idx + 1)
+                  + h_idx * 2654435761) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h_idx)
+      GROUP BY doc_id, h_idx
+    ),
+    bands AS (
+      SELECT doc_id, CAST(h_idx // 2 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+      FROM hs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS i
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_a, inter.doc_b,
+           CASE WHEN ca.c <= cb.c THEN inter.doc_a ELSE inter.doc_b END
+             AS contained_doc,
+           round(CAST(i AS DOUBLE) / CAST(least(ca.c, cb.c) AS DOUBLE), 6)
+             AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.doc_a
+    JOIN cnt cb ON cb.doc_id = inter.doc_b
+    WHERE round(CAST(i AS DOUBLE) / CAST(least(ca.c, cb.c) AS DOUBLE), 6) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment dedup: a short doc embedded in a longer one
+    passes |A∩B|/min(|A|,|B|) even when Jaccard fails (the union washes
+    out the small side) — the quote/wrapper-page criterion.  Same
+    band-blocked candidate shape as minhash; no all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "doc_id", "text", threshold=0.9)

@@ -886,3 +886,28 @@ def test_composite_key_prefix_range_scan(spark, tmp_path):
         ("eu", 1),
         ("eu", 2),
     ]
+
+
+def test_get_keyed_point_lookup_prunes_buckets(spark, tmp_path):
+    """HBase multi-Get analogue: only the requested keys' buckets are
+    listed (driver-side pruning), the IN predicate pushes to the scan,
+    and results match the full-scan filter."""
+    from cascading_hbase_spark.keyed.table import get_keyed
+
+    path = str(tmp_path / "kt")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "k bigint, v bigint"
+    )
+    write_keyed(df, path, "k", n_buckets=4)
+    got = get_keyed(spark, path, [3, 37])
+    assert sorted(map(tuple, got.collect())) == [(3, 30), (37, 370)]
+    # pruning: the plan's file scan must reference at most 2 bucket dirs
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(k, [3,37])" in plan or "isin" in plan.lower() or "IN (" in plan, plan
+    import re
+
+    dirs = set(re.findall(r"_kt_bucket=(\d+)", plan))
+    assert len(dirs) <= 2, plan
+    # fields projection and missing keys
+    got2 = get_keyed(spark, path, [3, 999], fields=["v"])
+    assert sorted(map(tuple, got2.collect())) == [(3, 30)]
