@@ -32,13 +32,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects.  Read nanos as long and truncate to microsecond
-        # timestamps (identical to DuckDB's ns->us cast semantics).
+        # events.ts arrives with a physical type that varies by how the
+        # driver generated the parquet (TIMESTAMP(NANOS) -> bigint under
+        # nanosAsLong, or TIMESTAMP_NTZ).  Normalize every variant to a
+        # plain session-UTC TIMESTAMP — the dtype all oracles were
+        # validated against, and the one time functions like
+        # ``unix_micros`` accept.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ -> TZ is wall-clock-preserving under the pinned UTC
+            # session zone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -51,11 +51,18 @@ __all__ = [
 
 DEC = "decimal(18,2)"
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the file
-# stream source reads as long under nanosAsLong (catalog.py does the
-# same for batch reads).
-_EVENTS_RAW = (
+# events.parquet's ts physical type varies by how the driver generated
+# the file: TIMESTAMP(NANOS) (read as long under nanosAsLong) or
+# TIMESTAMP_NTZ micros.  The stream source needs a declared schema, so
+# probe the footer with a batch read once and build the matching
+# (schema, ts-normalization) pair — both normalize to session-UTC
+# TIMESTAMP exactly like catalog.load_table.
+_EVENTS_RAW_NANOS = (
     "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+_EVENTS_RAW_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double, props string"
 )
 
@@ -78,11 +85,16 @@ def events_stream(
     scan of new parquet files — at scale, a landing directory)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW)
+    path = os.path.join(sf_dir, "events.parquet")
+    # Footer probe: what does the batch reader see for ts?
+    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(_EVENTS_RAW_NANOS if nanos else _EVENTS_RAW_NTZ)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = reader.parquet(_as_stream_dir(path))
+    if nanos:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
