@@ -95,6 +95,12 @@ _PRIORITY = [
     "streaming_dedup_contract",
     "streaming_stateful_totals_final",
     "dedup_containment",
+    "keyed_point_lookup",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "dedup_chunk_exact",
+    "lm_unigram_logprob",
 ]
 
 

@@ -581,3 +581,26 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("l_discount").cast("decimal(18,6)")).cast("double"), 6
         ).alias("disc_avg"),
     )
+
+
+@query(
+    "keyed_point_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (1, 7, 33, 101, 420, 1024, 2049, 4096)
+    """,
+)
+def keyed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-Get point lookups — the HBase ``HTable.get(List<Get>)``
+    pattern the connector's users run constantly (a Get is the
+    degenerate start==stop scan of TableInputFormatWrap.java:30-32).
+    The IN-list compiles to an OR-of-equalities pushed into the parquet
+    scan (row-group min/max + dictionary filtering); on a keyed table
+    the same predicate additionally prunes buckets
+    (``get_keyed``, keyed/table.py — pytest-covered)."""
+    keys = [1, 7, 33, 101, 420, 1024, 2049, 4096]
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(keys)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

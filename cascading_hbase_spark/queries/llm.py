@@ -1559,3 +1559,102 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-blocked candidate shape as minhash; no all-pairs."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(d, "doc_id", "text", threshold=0.9)
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // 8)) AS i
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+      FROM idx
+    ),
+    spread AS (
+      SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE spread.nd > 1) AS BIGINT)
+             AS n_shared_chunks,
+           round(CAST(count(*) FILTER (WHERE spread.nd > 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS shared_fraction
+    FROM ch JOIN spread ON spread.chunk = ch.chunk
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup signal: cut each document into
+    consecutive 8-token chunks and score what fraction of its chunks
+    also appear in OTHER documents — the standard 'remove duplicated
+    passages' pre-pass (chunk-granular, where minhash is doc-granular).
+
+    The chunking is a map-side higher-order function (sequence +
+    slice + concat_ws — no explode until the chunk rows are needed);
+    the only shuffles are the chunk-spread hash agg and the join back,
+    both keyed on the chunk text.  At 100 TB: identical shape, AQE
+    splits hot boilerplate chunks."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), ((F.size(toks) - 1) / F.lit(8)).cast("int"))
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8))
+    )
+    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    spread = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        ch.join(spread, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared_chunks"),
+            F.round(
+                shared.cast("double") / F.count("*").cast("double"), 6
+            ).alias("shared_fraction"),
+        )
+    )
+
+
+@query(
+    "lm_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    vocab AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS s FROM vocab)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(vocab.c / tot.s)), 6) AS avg_logprob
+    FROM tok JOIN vocab ON vocab.t = tok.t CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model quality score: average per-token
+    log-probability under the corpus's own unigram distribution — the
+    cheap stand-in for perplexity filtering (KenLM-style) that needs no
+    external model.  Repetitive/boilerplate docs score high, rare-token
+    noise scores low; both tails get gated in curation.
+
+    Plan shape for 100 TB: token counts are one partial+final hash agg;
+    the vocabulary (small — vocab grows ~log of corpus) broadcasts back
+    onto the token stream, so the scoring join is map-side; one final
+    agg per doc.  The doc text itself crosses exactly one shuffle (the
+    explode output), never the scoring join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    scored = tok.join(F.broadcast(vocab), "t").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.col("s"))), 6).alias("avg_logprob"),
+    )
