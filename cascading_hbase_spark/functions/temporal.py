@@ -23,24 +23,38 @@ def asof_join(
     on: list[str] | str,
     ts: str,
     value_cols: list[str] | None = None,
-    tolerance: None = None,
+    tolerance: str | int | float | None = None,
+    direction: str = "backward",
     suffix: str = "_right",
 ) -> DataFrame:
-    """For each left row, attach the most recent (at-or-before ``ts``)
-    right row's ``value_cols`` for the same ``on`` key(s).
+    """For each left row, attach the nearest right row's ``value_cols``
+    for the same ``on`` key(s).
 
-    Ties at equal ``ts`` resolve to the right row (at-or-before
-    includes 'at').  Left rows with no earlier right row get nulls.
+    ``direction='backward'`` (default) takes the most recent right row
+    at-or-before the left ``ts``; ``'forward'`` takes the earliest
+    at-or-after.  Ties at equal ``ts`` resolve to the right row
+    (at-or-before/after includes 'at').  ``tolerance`` (a SQL interval
+    body, e.g. ``'30 days'``) nulls out matches further than that from
+    the left ``ts`` — the pandas ``merge_asof(tolerance=...)``
+    contract.  Left rows with no qualifying right row get nulls.
+
+    Plan shape: one shuffle on the key(s), one ordered window pass —
+    the tolerance check is a map-side filter on the carried timestamp,
+    so it adds no extra shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != ts
     ]
     out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
+    ts_type = dict(right.dtypes)[ts]
 
     l = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_asof_src"),
+        F.lit(None).cast(ts_type).alias("_asof_rts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_asof_{c}") for c in value_cols],
     )
     r = right.select(
@@ -48,26 +62,50 @@ def asof_join(
         F.col(ts),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in keys and c != ts],
         F.lit(0).alias("_asof_src"),
+        F.col(ts).alias("_asof_rts"),
         *[F.col(c).alias(f"_asof_{c}") for c in value_cols],
     ).select(*l.columns)  # align column order
 
     merged = l.unionByName(r)
+    order = (
+        [F.col(ts).asc(), F.col("_asof_src").asc()]
+        if direction == "backward"
+        else [F.col(ts).desc(), F.col("_asof_src").asc()]
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts), F.col("_asof_src"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
         "*",
+        F.last("_asof_rts", ignorenulls=True).over(w).alias("_carried_rts"),
         *[
             F.last(f"_asof_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
             for c in value_cols
         ],
     )
+    if tolerance is not None:
+        gap = (
+            F.col(ts) - F.col("_carried_rts")
+            if direction == "backward"
+            else F.col("_carried_rts") - F.col(ts)
+        )
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        in_tol = F.col("_carried_rts").isNotNull() & (gap <= bound)
+        out_cols = [
+            F.when(in_tol, F.col(f"_carried_{c}")).alias(out_names[c])
+            for c in value_cols
+        ]
+    else:
+        out_cols = [
+            F.col(f"_carried_{c}").alias(out_names[c]) for c in value_cols
+        ]
     return (
         carried.filter(F.col("_asof_src") == 1)
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(f"_carried_{c}").alias(out_names[c]) for c in value_cols],
-        )
+        .select(*[F.col(c) for c in left.columns], *out_cols)
     )

@@ -101,6 +101,8 @@ _PRIORITY = [
     "q18_large_orders",
     "dedup_chunk_exact",
     "lm_unigram_logprob",
+    "asof_join_tolerance",
+    "asof_join_forward",
 ]
 
 

@@ -411,3 +411,73 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.round(F.last("vs", ignorenulls=True).over(w), 6).alias("filled_sum"),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT max(s.ts) FROM ev s
+              WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                AND s.ts <= e.ts) AS raw_signup_ts
+      FROM ev e WHERE e.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts - raw_signup_ts <= INTERVAL 3 DAY
+                THEN raw_signup_ts END AS signup_ts
+    FROM m
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-age tolerance (the pandas
+    ``merge_asof(tolerance=...)`` contract): each purchase attaches its
+    user's most recent signup only if it happened within 3 days —
+    older matches null out.  The tolerance is a map-side filter on the
+    carried timestamp; the plan is still one shuffle + one window
+    pass."""
+    from cascading_hbase_spark.functions.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    return asof_join(
+        purchases, signups, on="user_id", ts="ts",
+        value_cols=["signup_ts"], tolerance="3 days",
+    )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(s.ts) FROM ev s
+            WHERE s.user_id = e.user_id AND s.event_type = 'click'
+              AND s.ts >= e.ts) AS next_click_ts
+    FROM ev e WHERE e.event_type = 'purchase'
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase attaches the user's EARLIEST
+    click at-or-after it (post-purchase behavior lookup).  Same
+    union-and-carry plan as backward, running over the reversed
+    ordering."""
+    from cascading_hbase_spark.functions.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("next_click_ts")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        value_cols=["next_click_ts"], direction="forward",
+    )

@@ -46,3 +46,31 @@ def test_asof_basic_semantics(spark):
     # ts=10 matches the equal-ts right row ('at-or-before' includes at);
     # ts=20 takes the latest earlier ('b'); k=2 has no earlier row.
     assert got == {(1, 10): "a", (1, 20): "b", (2, 15): None}
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 50), (2, 15)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 21, "b"), (2, 5, "z")], "k long, ts long, v string"
+    )
+    fwd = {(r.k, r.ts): r.v
+           for r in asof_join(left, right, "k", "ts",
+                              direction="forward").collect()}
+    # earliest at-or-after: ts=10 -> 12('a'), ts=20 -> 21('b'),
+    # ts=50 -> none after, k=2 ts=15 -> none after
+    assert fwd == {(1, 10): "a", (1, 20): "b", (1, 50): None, (2, 15): None}
+
+    tol = {(r.k, r.ts): r.v
+           for r in asof_join(left, right, "k", "ts",
+                              tolerance=3).collect()}
+    # backward within 3: ts=10 no earlier; ts=20 last earlier is 12
+    # (gap 8 > 3, nulled); ts=50 gap 29 nulled; k=2 gap 10 nulled
+    assert tol == {(1, 10): None, (1, 20): None, (1, 50): None, (2, 15): None}
+
+    tol2 = {(r.k, r.ts): r.v
+            for r in asof_join(left, right, "k", "ts",
+                               direction="forward", tolerance=3).collect()}
+    # forward within 3: ts=10 -> 12 gap 2 ok; ts=20 -> 21 gap 1 ok
+    assert tol2 == {(1, 10): "a", (1, 20): "b", (1, 50): None, (2, 15): None}
