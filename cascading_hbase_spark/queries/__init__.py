@@ -103,6 +103,8 @@ _PRIORITY = [
     "lm_unigram_logprob",
     "asof_join_tolerance",
     "asof_join_forward",
+    "hll_sketch_merge_contract",
+    "array_scalar_funcs",
 ]
 
 

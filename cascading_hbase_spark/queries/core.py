@@ -604,3 +604,33 @@ def keyed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey").isin(keys)).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+@query(
+    "array_scalar_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(a)[1:3], ',') AS first3_sorted,
+           list_contains(a, 'the') AS has_the,
+           CAST(len(list_distinct(a)) AS BIGINT) AS n_uniq,
+           CAST(COALESCE(list_position(a, 'data'), 0) AS BIGINT) AS pos_data
+    FROM t
+    """,
+)
+def array_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface (SURVEY.md §2.8: the engine exposes Spark's
+    array library as the expression language): sort, slice, contains,
+    distinct, position — all map-side Catalyst expressions inside one
+    whole-stage-codegen span."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(a).cast("bigint").alias("n_tokens"),
+        F.concat_ws(",", F.slice(F.array_sort(a), 1, 3)).alias("first3_sorted"),
+        F.array_contains(a, "the").alias("has_the"),
+        F.size(F.array_distinct(a)).cast("bigint").alias("n_uniq"),
+        F.array_position(a, "data").cast("bigint").alias("pos_data"),
+    )

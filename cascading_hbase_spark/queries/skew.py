@@ -211,3 +211,41 @@ def bloom_semi_filter_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missed"),
     )
+
+
+@query(
+    "hll_sketch_merge_contract",
+    # Mergeability is the property that matters at 100 TB: per-segment
+    # sketches build in one pass (partial+final agg), persist tiny, and
+    # union to the corpus answer without re-scanning — the incremental
+    # pattern for distinct counts over arriving data.  The oracle checks
+    # the documented accuracy contract (DataSketches HLL lgK=12 ~ 1.6%
+    # rse; 5x band) against the exact count, plus the exact inputs.
+    oracle="""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BOOLEAN) AS within_bound
+    FROM events
+    """,
+)
+def hll_sketch_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL sketches merged via ``hll_union_agg``: the
+    union's estimate must land within the sketch's error band of the
+    exact global distinct-user count.  Builds one sketch per segment
+    (as an incremental pipeline would persist them), then merges —
+    never re-scanning raw data for the global answer."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = sk.agg(
+        F.count("*").cast("bigint").alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    return merged.join(exact).select(
+        "n_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.08
+        ).alias("within_bound"),
+    )
