@@ -315,3 +315,42 @@ def test_bloom_handles_null_keys_and_validates_m_bits(spark):
 
     with pytest.raises(ValueError):
         bloom_prune(big, "k", small, "k", m_bits=100)
+
+
+def test_q4_semi_join_carries_no_lineitem_columns(spark):
+    """EXISTS decorrelation must plan a LeftSemi join (right side
+    contributes no columns) with the date filter pushed to the orders
+    scan."""
+    plan = _plan(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan
+
+
+def test_q18_uses_distributed_topk(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — never a
+    global sort of the join output."""
+    plan = _plan(QUERIES["q18_large_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q13_left_join_preserves_nulls(spark):
+    """The priority filter must live in the join condition (plan keeps
+    the LeftOuter join); a post-filter would have turned it Inner and
+    dropped zero-order customers."""
+    plan = _plan(QUERIES["q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in plan, plan
+
+
+def test_lm_unigram_vocab_broadcasts(spark):
+    """The vocabulary scoring join must broadcast the vocab side: the
+    token stream never shuffles for scoring."""
+    plan = _plan(QUERIES["lm_unigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_point_lookup_pushes_in_list(spark):
+    """The multi-Get IN-list must reach the parquet scan as a pushed
+    In filter."""
+    plan = _plan(QUERIES["keyed_point_lookup"](spark, SF))
+    assert "PushedFilters" in plan and "In(l_orderkey" in plan, plan

@@ -202,3 +202,38 @@ def test_stream_maintained_aggregate_view(spark, tmp_path):
         for r in read_aggregate_view(spark, view).collect()
     }
     assert got == expected
+
+
+def test_stream_upsert_replay_idempotent(spark, tmp_path):
+    """foreachBatch may re-deliver a micro-batch after a failure
+    (at-least-once delivery); the keyed LWW merge must make the sink
+    effectively idempotent — re-applying the same batch leaves the
+    table byte-identical.  This is the documented recovery contract:
+    replay converges, it never duplicates."""
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path = str(tmp_path / "kt")
+    # deterministic batch: one row per user (max_by event_id), fixed
+    # predicate — re-evaluation on each write action yields identical
+    # rows, so the only variable under test is the sink's merge
+    batch = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_id") < 2000)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("event_type"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    write_keyed(batch, path, key="user_id", mode=SinkMode.APPEND)
+    before = sorted(
+        (r.user_id, r.event_type, r.value)
+        for r in read_keyed(spark, path).collect()
+    )
+    # simulated redelivery of the SAME micro-batch
+    write_keyed(batch, path, key="user_id", mode=SinkMode.APPEND)
+    after = sorted(
+        (r.user_id, r.event_type, r.value)
+        for r in read_keyed(spark, path).collect()
+    )
+    assert after == before
