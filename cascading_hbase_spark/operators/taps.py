@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.keyed.table import KeyedTable, SinkMode
 
 __all__ = ["Tap", "ParquetTap", "TextLineTap", "CsvTap", "JsonTap", "KeyedTableTap",
-           "PartitionedParquetTap", "MultiSourceTap", "SinkMode"]
+           "PartitionedParquetTap", "MultiSourceTap", "SequenceFileTap", "SinkMode"]
 
 
 class Tap:
@@ -131,6 +131,54 @@ class OrcTap(Tap):
 
     def write(self, df, mode: SinkMode = SinkMode.REPLACE):
         df.write.mode(self._writer_mode(mode)).orc(self.path)
+
+
+class SequenceFileTap(Tap):
+    """Hadoop SequenceFile of (key, value-tuple) pairs — the Cascading
+    ``SequenceFile`` scheme (the binary tuple format the host framework
+    pairs with ``TextLine``; SURVEY.md §2.1 [D] tap row).
+
+    Rows serialize as (key string, JSON of the remaining fields): the
+    same "first field is the key, the rest is the payload tuple" shape
+    as the HBase scheme's key-prepended tuple (HBaseScheme.java:157-162).
+    The declared ``schema`` (DDL for the non-key fields) makes reads
+    schema-full like Cascading's declared-fields SequenceFile, not
+    schema-on-read.  The only RDD-API use in the engine — Spark has no
+    DataFrame SequenceFile source; conversion in/out is one map."""
+
+    def __init__(self, path: str, key_field: str, schema: str):
+        super().__init__(path)
+        self.key_field = key_field
+        self.schema = schema
+
+    def read(self, spark):
+        import pyspark.sql.functions as F
+
+        # every write lands in its own batch-* subdir (the Hadoop output
+        # committer refuses an existing dir, and this is what makes
+        # APPEND a pure directory add)
+        rdd = spark.sparkContext.sequenceFile(os.path.join(self.path, "batch-*"))
+        raw = spark.createDataFrame(rdd, f"{self.key_field} string, _json string")
+        return raw.select(
+            self.key_field, F.from_json("_json", self.schema).alias("_s")
+        ).select(self.key_field, "_s.*")
+
+    def write(self, df, mode: SinkMode = SinkMode.REPLACE):
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        if mode == SinkMode.KEEP and self.exists():
+            raise FileExistsError(f"{self.path} exists and mode is KEEP")
+        if mode == SinkMode.REPLACE:
+            self.delete()
+        payload = [c for c in df.columns if c != self.key_field]
+        pairs = df.select(
+            F.col(self.key_field).cast("string"),
+            F.to_json(F.struct(*payload)),
+        )
+        out = os.path.join(self.path, f"batch-{uuid.uuid4().hex[:12]}")
+        pairs.rdd.map(tuple).saveAsSequenceFile(out)
 
 
 class KeyedTableTap(Tap):

@@ -393,3 +393,28 @@ def test_curation_pipeline_cascade(spark, tmp_path):
     )
     assert out.count() == expected
     assert "n_tokens" in out.columns
+
+
+def test_sequencefile_tap_roundtrip_and_append(spark, tmp_path):
+    """SequenceFile scheme analogue: key + JSON-tuple payload, declared
+    read schema, APPEND adds a batch directory (13->26 accumulation,
+    MultiFamilyCascadeHBaseTest.java:94-104's shape on a file tap)."""
+    from cascading_hbase_spark.operators.taps import SequenceFileTap, SinkMode
+
+    df = spark.createDataFrame(
+        [(1, "one", 1.5), (2, "two", 2.5), (3, "three", 3.5)],
+        "num long, word string, score double",
+    )
+    tap = SequenceFileTap(
+        str(tmp_path / "seq"), key_field="num", schema="word string, score double"
+    )
+    tap.write(df)
+    back = tap.read(spark)
+    assert sorted((r.num, r.word, r.score) for r in back.collect()) == [
+        ("1", "one", 1.5), ("2", "two", 2.5), ("3", "three", 3.5)
+    ]
+    tap.write(df, mode=SinkMode.APPEND)
+    assert tap.read(spark).count() == 6
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        tap.write(df, mode=SinkMode.KEEP)
