@@ -105,6 +105,7 @@ _PRIORITY = [
     "asof_join_forward",
     "hll_sketch_merge_contract",
     "array_scalar_funcs",
+    "sessionize_events",
 ]
 
 

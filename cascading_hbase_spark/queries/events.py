@@ -481,3 +481,49 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", ts="ts",
         value_cols=["next_click_ts"], direction="forward",
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_index
+    FROM marked
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (gaps-and-islands): every event gets
+    its user's session ordinal, sessions splitting on >10-minute gaps.
+    This is the event->sequence converter a behavioral-sequence training
+    pipeline runs before packing; ``session_window_agg`` is its
+    aggregated cousin.  Both window passes share one (user_id) shuffle —
+    the lag and the running sum use the same partitioning, so Catalyst
+    plans a single Exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 600 * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "event_id", "user_id", "ts", new_session.alias("_ns")
+    ).select(
+        "event_id", "user_id", "ts",
+        F.sum("_ns").over(run).cast("bigint").alias("session_index"),
+    )

@@ -354,3 +354,10 @@ def test_point_lookup_pushes_in_list(spark):
     In filter."""
     plan = _plan(QUERIES["keyed_point_lookup"](spark, SF))
     assert "PushedFilters" in plan and "In(l_orderkey" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes (lag mark + running sum) share the user_id
+    partitioning: exactly one Exchange."""
+    plan = _plan(QUERIES["sessionize_events"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
