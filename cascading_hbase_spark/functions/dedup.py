@@ -218,6 +218,21 @@ def _exact_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc distinct shingle SET as an array column — the
+    explode-free representation: one row per doc, everything computed
+    map-side.  Docs shorter than ``n`` tokens (empty set) are dropped,
+    matching the exploded form (they produce no shingle rows)."""
+    arr = F.array_distinct(shingles(tokens(F.col(text_col)), n))
+    return (
+        _spread(df, id_col)
+        .select(id_col, arr.alias("_sh_arr"))
+        .filter(F.size("_sh_arr") > 0)
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -230,17 +245,33 @@ def minhash_neardup_pairs(
     """MinHash+LSH near-duplicate pairs: band-bucket candidate
     generation, then *exact* Jaccard verification of candidates only.
     No false positives; false negatives only for pairs no band catches
-    (standard LSH trade-off; the band join is the only shuffle that
-    touches pairs)."""
-    # The shingle set feeds the signature build, the intersection join,
-    # and both size lookups — persist it once instead of re-shingling
-    # 4x (at scale this is the operator's working set; MEMORY_AND_DISK
-    # spills gracefully).
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
-    # One row per doc (n_hashes ints): tiny, but it feeds BOTH sides of
-    # the band self-join — without the persist the signature aggregation
-    # over the full shingle set runs twice.
-    sig = minhash_signatures(sh, id_col, n_hashes).persist()
+    (standard LSH trade-off).
+
+    Execution shape (array form — zero shuffles before the band join):
+    signatures come from ``array_min`` over per-lane transforms of the
+    per-doc hashed-shingle ARRAY (md5 once per shingle, lanes by cheap
+    modular arithmetic — identical math to the exploded formulation the
+    DuckDB oracle replicates), and exact Jaccard is ``array_intersect``
+    on the two docs' shingle arrays.  The only shuffles are the band
+    self-join and the two candidate->array joins, all keyed and
+    AQE-splittable; nothing pairwise ever goes unblocked."""
+    arr = shingle_arrays(df, id_col, text_col, shingle_n).persist()
+    hashed = arr.select(
+        id_col,
+        F.size("_sh_arr").alias("_c"),
+        F.transform("_sh_arr", lambda s: hash64(s) % MINHASH_P).alias("_h"),
+    )
+    def _lane(i: int):
+        # single-parameter closure: a 2-arg lambda (even via default
+        # binding) would make F.transform pass the ARRAY INDEX as the
+        # second argument, clobbering the lane constant
+        return lambda h: (h * (2 * i + 1) + i * MINHASH_MIX) % MINHASH_P
+
+    lanes = [
+        F.array_min(F.transform("_h", _lane(i))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    sig = hashed.select(id_col, *lanes)
     bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
@@ -254,7 +285,22 @@ def minhash_neardup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_jaccard(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    aa = arr.select(F.col(id_col).alias("doc_a"), F.col("_sh_arr").alias("_arr_a"))
+    bb = arr.select(F.col(id_col).alias("doc_b"), F.col("_sh_arr").alias("_arr_b"))
+    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+    ca, cb = F.size("_arr_a"), F.size("_arr_b")
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double") / (ca + cb - inter).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_neardup_cross(
