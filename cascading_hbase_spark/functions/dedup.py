@@ -233,6 +233,29 @@ def shingle_arrays(
     )
 
 
+def _array_signatures(arr: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """Map-side minhash signatures from the per-doc shingle ARRAY:
+    md5 once per shingle, then each lane is array_min over a cheap
+    modular transform — identical math to ``minhash_signatures`` (the
+    exploded form the DuckDB oracles replicate), zero shuffles."""
+    hashed = arr.select(
+        id_col,
+        F.transform("_sh_arr", lambda s: hash64(s) % MINHASH_P).alias("_h"),
+    )
+
+    def _lane(i: int):
+        # single-parameter closure: a 2-arg lambda (even via default
+        # binding) would make F.transform pass the ARRAY INDEX as the
+        # second argument, clobbering the lane constant
+        return lambda h: (h * (2 * i + 1) + i * MINHASH_MIX) % MINHASH_P
+
+    lanes = [
+        F.array_min(F.transform("_h", _lane(i))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return hashed.select(id_col, *lanes)
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -256,22 +279,7 @@ def minhash_neardup_pairs(
     self-join and the two candidate->array joins, all keyed and
     AQE-splittable; nothing pairwise ever goes unblocked."""
     arr = shingle_arrays(df, id_col, text_col, shingle_n).persist()
-    hashed = arr.select(
-        id_col,
-        F.size("_sh_arr").alias("_c"),
-        F.transform("_sh_arr", lambda s: hash64(s) % MINHASH_P).alias("_h"),
-    )
-    def _lane(i: int):
-        # single-parameter closure: a 2-arg lambda (even via default
-        # binding) would make F.transform pass the ARRAY INDEX as the
-        # second argument, clobbering the lane constant
-        return lambda h: (h * (2 * i + 1) + i * MINHASH_MIX) % MINHASH_P
-
-    lanes = [
-        F.array_min(F.transform("_h", _lane(i))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
-    sig = hashed.select(id_col, *lanes)
+    sig = _array_signatures(arr, id_col, n_hashes)
     bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
@@ -321,14 +329,17 @@ def minhash_neardup_cross(
     batch-bands x corpus-bands only: at scale the corpus side's
     signatures are computed once per ingest wave (or maintained in a
     keyed table) and the join cost tracks the BATCH size, not
-    corpus^2.  Returns (batch_doc, corpus_doc, jaccard >= threshold)."""
-    sh_b = shingle_rows(batch, id_col, text_col, shingle_n).persist()
-    sh_c = shingle_rows(corpus, id_col, text_col, shingle_n).persist()
+    corpus^2.  Array form like ``minhash_neardup_pairs``: map-side
+    signatures, ``array_intersect`` verification — no shingle explode
+    on either side.  Returns (batch_doc, corpus_doc, jaccard >=
+    threshold)."""
+    arr_b = shingle_arrays(batch, id_col, text_col, shingle_n).persist()
+    arr_c = shingle_arrays(corpus, id_col, text_col, shingle_n).persist()
     bands_b = minhash_band_signatures(
-        minhash_signatures(sh_b, id_col, n_hashes), id_col, band_size, n_hashes
+        _array_signatures(arr_b, id_col, n_hashes), id_col, band_size, n_hashes
     ).select(F.col(id_col).alias("batch_doc"), "band", "band_sig")
     bands_c = minhash_band_signatures(
-        minhash_signatures(sh_c, id_col, n_hashes), id_col, band_size, n_hashes
+        _array_signatures(arr_c, id_col, n_hashes), id_col, band_size, n_hashes
     ).select(
         F.col(id_col).alias("corpus_doc"),
         F.col("band").alias("band_c"),
@@ -343,30 +354,18 @@ def minhash_neardup_cross(
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    inter = (
-        cand.join(sh_b.select(F.col(id_col).alias("batch_doc"), "shingle"), "batch_doc")
-        .join(
-            sh_c.select(
-                F.col(id_col).alias("_cd"), F.col("shingle").alias("shingle_c")
-            ),
-            (F.col("corpus_doc") == F.col("_cd"))
-            & (F.col("shingle") == F.col("shingle_c")),
-        )
-        .groupBy("batch_doc", "corpus_doc")
-        .agg(F.count("*").alias("inter"))
-    )
-    cb = sh_b.groupBy(id_col).agg(F.count("*").alias("cb")).withColumnRenamed(id_col, "batch_doc")
-    cc = sh_c.groupBy(id_col).agg(F.count("*").alias("cc")).withColumnRenamed(id_col, "corpus_doc")
+    aa = arr_b.select(F.col(id_col).alias("batch_doc"), F.col("_sh_arr").alias("_arr_a"))
+    bb = arr_c.select(F.col(id_col).alias("corpus_doc"), F.col("_sh_arr").alias("_arr_b"))
+    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+    ca, cb = F.size("_arr_a"), F.size("_arr_b")
     return (
-        inter.join(cb, "batch_doc")
-        .join(cc, "corpus_doc")
+        cand.join(aa, "batch_doc")
+        .join(bb, "corpus_doc")
         .select(
             "batch_doc",
             "corpus_doc",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("cb") + F.col("cc") - F.col("inter")).cast("double"),
-                6,
+                inter.cast("double") / (ca + cb - inter).cast("double"), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
