@@ -106,6 +106,8 @@ _PRIORITY = [
     "hll_sketch_merge_contract",
     "array_scalar_funcs",
     "sessionize_events",
+    "stats_corr_covar",
+    "window_ratio_to_report",
 ]
 
 

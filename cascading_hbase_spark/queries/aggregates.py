@@ -438,3 +438,30 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("approx_p50") <= F.col("_hi"))).alias("within_rank_bound"),
         )
     )
+
+
+@query(
+    "stats_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, sample covariance,
+    stddev, variance per group — single-pass mergeable moments
+    (partial+final hash agg), the profile pass a feature-engineering
+    pipeline runs per segment.  Covariance rounds at 3 decimals: its
+    magnitude (~1e3) puts the distributed-merge float tail near 1e-9,
+    well inside the bin; corr/stddev are O(1)-O(10) and round at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )

@@ -194,3 +194,32 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice /
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY l_returnflag) AS DOUBLE),
+                 12) AS price_share
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each row's share of its group total — the
+    whole-partition (no ORDER BY) window frame.  The denominator sums
+    as exact DECIMAL so both engines divide by bit-identical totals;
+    one shuffle on the partition key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_returnflag")
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") / total.cast("double"), 12
+        ).alias("price_share"),
+    )
