@@ -108,6 +108,7 @@ _PRIORITY = [
     "sessionize_events",
     "stats_corr_covar",
     "window_ratio_to_report",
+    "curation_end2end",
 ]
 
 

@@ -1658,3 +1658,77 @@ def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg(F.log(F.col("c") / F.col("s"))), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "curation_end2end",
+    oracle=r"""
+    WITH cleaned AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '\s+', ' ', 'g')) AS ct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, ct,
+             round(
+               0.4 * least(CAST(len(string_split(ct, ' ')) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(regexp_extract_all(ct, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                              / greatest(CAST(length(ct) AS DOUBLE), 1.0))
+               + 0.3 * least(CAST(len(list_filter(string_split(ct, ' '),
+                             t -> t IN ('the','a','of','and','or','to','in','is'))) AS DOUBLE)
+                             / CAST(len(string_split(ct, ' ')) AS DOUBLE) * 4.0, 1.0),
+               6) AS quality
+      FROM cleaned
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT ct, min(doc_id) AS keeper,
+             arg_min(lang, doc_id) AS lang,
+             max(quality) AS quality,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM kept GROUP BY ct
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(ct, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(n_copies) AS BIGINT) AS n_source_docs,
+           round(avg(quality), 6) AS avg_quality
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE composed plan: clean -> score ->
+    quality-gate -> exact-dedup-keep-best -> per-language accounting.
+    Every stage before the dedup groupBy is a map-side codegen'd
+    expression over the scan — Catalyst fuses the whole prefix into a
+    single stage, so the pipeline costs exactly two shuffles (dedup by
+    cleaned text, rollup by language) regardless of how many curation
+    steps compose.  This is the operational argument for declarative
+    pipelines at 100 TB: adding a cleaning step adds zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = T.normalize_ws(T.redact_pii(T.strip_html(F.col("text"))))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        clean.alias("ct"),
+        F.round(T.quality_score(clean), 6).alias("quality"),
+    ).filter(F.round(T.quality_score(clean), 6) >= 0.5)
+    deduped = scored.groupBy("ct").agg(
+        F.min("doc_id").alias("keeper"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.max("quality").alias("quality"),
+        F.count("*").alias("n_copies"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("ct", " ")).cast("bigint")).cast("bigint").alias("total_tokens"),
+        F.sum("n_copies").cast("bigint").alias("n_source_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )

@@ -361,3 +361,11 @@ def test_sessionize_single_shuffle(spark):
     partitioning: exactly one Exchange."""
     plan = _plan(QUERIES["sessionize_events"](spark, SF))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_curation_pipeline_two_shuffles(spark):
+    """clean -> score -> gate -> dedup -> rollup must cost exactly two
+    Exchanges (dedup key, language rollup): every map-side curation
+    stage fuses into the scan stage."""
+    plan = _plan(QUERIES["curation_end2end"](spark, SF))
+    assert plan.count("Exchange") == 2, plan
