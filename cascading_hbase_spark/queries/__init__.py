@@ -104,11 +104,13 @@ _PRIORITY = [
     "asof_join_tolerance",
     "asof_join_forward",
     "hll_sketch_merge_contract",
-    "array_scalar_funcs",
     "sessionize_events",
-    "stats_corr_covar",
-    "window_ratio_to_report",
     "curation_end2end",
+    # simplest pairs last: if the driver's ~50-query budget cuts here,
+    # these carry the least verification risk and lead the next round
+    "stats_corr_covar",
+    "array_scalar_funcs",
+    "window_ratio_to_report",
 ]
 
 
