@@ -106,6 +106,7 @@ _PRIORITY = [
     "hll_sketch_merge_contract",
     "sessionize_events",
     "curation_end2end",
+    "embedding_quantize_int8",
     # simplest pairs last: if the driver's ~50-query budget cuts here,
     # these carry the least verification risk and lead the next round
     "stats_corr_covar",

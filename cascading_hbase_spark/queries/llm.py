@@ -1732,3 +1732,66 @@ def curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_copies").cast("bigint").alias("n_source_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    # Both engines quantize independently and check the SAME analytic
+    # bound: symmetric int8 scalar quantization reconstructs every
+    # coordinate within half a quantization step.  Values that are
+    # hash-compared (dims, round-6 scale) are deterministic doubles
+    # derived from the float32 inputs; the bound booleans absorb any
+    # rounding-tie difference in the quantized codes themselves.
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, n_dims, scale,
+             list_max(
+               list_transform(
+                 list_zip(embedding,
+                          list_transform(embedding,
+                                         x -> round(CAST(x AS DOUBLE) / scale) * scale)),
+                 p -> abs(CAST(p[1] AS DOUBLE) - p[2])
+               )
+             ) AS max_err
+      FROM q WHERE scale > 0
+    )
+    SELECT vec_id, n_dims, round(scale, 6) AS scale_r,
+           CAST(max_err <= scale * 0.5000001 AS BOOLEAN) AS within_half_step
+    FROM r
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x storage/bandwidth reduction an ANN index applies before sharding
+    at 100 TB.  Per vector: scale = max|x|/127, codes = round(x/scale),
+    reconstruction must land within half a step of every coordinate
+    (the analytic contract both engines verify independently).  All
+    map-side higher-order functions; zero shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    q = e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        (F.array_max(F.transform(dbl, F.abs)) / 127.0).alias("scale"),
+        dbl.alias("_emb"),
+    ).filter(F.col("scale") > 0)
+    recon = F.transform(
+        "_emb", lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    max_err = F.array_max(
+        F.zip_with("_emb", recon, lambda a, b: F.abs(a - b))
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 6).alias("scale_r"),
+        (max_err <= F.col("scale") * 0.5000001).alias("within_half_step"),
+    )
