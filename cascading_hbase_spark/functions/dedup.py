@@ -413,35 +413,36 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint over distinct whitespace tokens: per bit,
-    majority vote of the tokens' hash bits.  Two hash aggregates; rows
-    expand by ``bits`` map-side only."""
-    tok = (
-        _spread(df, id_col)
-        .select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
-        .distinct()
-        .select(id_col, hash64(F.col("token")).alias("h"))
+    majority vote of the tokens' hash bits (vote > 0 sets the bit).
+
+    Array form — ZERO shuffles: the distinct token set is
+    ``array_distinct`` within the row, tokens hash once via a map-side
+    transform, and each bit's majority vote is an ``aggregate`` HOF
+    over the hashed array.  Identical math to the exploded
+    formulation the DuckDB oracles replicate (per-bit vote over the
+    doc's distinct tokens)."""
+    harr = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: hash64(t)
     )
-    bit_votes = (
-        tok.select(
-            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+
+    def _bitval(b: int):
+        vote = F.aggregate(
+            "_harr",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
-        .select(
-            id_col,
-            "b",
-            F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+        return F.when(vote > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy(id_col, "b")
-        .agg(F.sum("w").alias("vote"))
-    )
-    return (
-        bit_votes.select(
-            id_col,
-            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("bitval"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+
+    total = _bitval(0)
+    for b in range(1, bits):
+        total = total + _bitval(b)
+    return df.select(id_col, harr.alias("_harr")).select(
+        id_col, total.cast("bigint").alias("simhash")
     )
 
 

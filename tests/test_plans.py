@@ -369,3 +369,9 @@ def test_curation_pipeline_two_shuffles(spark):
     stage fuses into the scan stage."""
     plan = _plan(QUERIES["curation_end2end"](spark, SF))
     assert plan.count("Exchange") == 2, plan
+
+
+def test_simhash_fingerprint_zero_shuffles(spark):
+    """The array-form fingerprint is a pure projection: no Exchange."""
+    plan = _plan(QUERIES["simhash_fingerprint"](spark, SF))
+    assert "Exchange" not in plan, plan
