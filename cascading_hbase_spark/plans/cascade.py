@@ -72,9 +72,9 @@ class Cascade:
     def __init__(self, flows: list[Flow]):
         self.flows = flows
 
-    def _ordered(self) -> list[Flow]:
-        """Topological order on tap URIs: a flow reading another flow's
-        sink runs after it, regardless of the argument order
+    def _sorter(self) -> "graphlib.TopologicalSorter":
+        """Dependency graph on tap URIs: a flow reading another flow's
+        sink depends on it, regardless of the argument order
         (MultiFamilyCascadeHBaseTest.java:83-87)."""
         producers: dict[str, Flow] = {}
         for f in self.flows:
@@ -87,16 +87,60 @@ class Cascade:
                 if t.uri() in producers and producers[t.uri()] is not f
             ]
             ts.add(f, *deps)
-        return list(ts.static_order())
+        return ts
 
-    def complete(self, spark: SparkSession, force: bool = False) -> list[str]:
+    def _ordered(self) -> list[Flow]:
+        return list(self._sorter().static_order())
+
+    def complete(
+        self,
+        spark: SparkSession,
+        force: bool = False,
+        parallel: bool = False,
+        max_workers: int = 4,
+    ) -> list[str]:
         """Run stale flows in dependency order; returns the names of the
-        flows that actually ran."""
+        flows that actually ran.
+
+        ``parallel=True`` runs independent flows concurrently (Spark's
+        scheduler accepts actions from multiple threads and shares the
+        cluster across them — Cascading's parallel flow execution).
+        Dependency order still holds: a flow is only submitted once all
+        flows producing its sources have finished."""
         ran: list[str] = []
-        for f in self._ordered():
+        if not parallel:
+            for f in self._ordered():
+                if force or f.is_stale():
+                    f.complete(spark)
+                    ran.append(f.name)
+            return ran
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor, wait
+
+        ts = self._sorter()
+        ts.prepare()
+        lock = threading.Lock()
+
+        def _run(f: Flow) -> Flow:
+            # staleness is evaluated AFTER upstream flows finished, so a
+            # just-rewritten source correctly marks the consumer stale
             if force or f.is_stale():
                 f.complete(spark)
-                ran.append(f.name)
+                with lock:
+                    ran.append(f.name)
+            return f
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            pending = set()
+            while ts.is_active() or pending:
+                for f in ts.get_ready():
+                    pending.add(pool.submit(_run, f))
+                if not pending:
+                    break
+                done, pending = wait(pending, return_when="FIRST_COMPLETED")
+                for fut in done:
+                    ts.done(fut.result())  # re-raises a failed flow
         return ran
 
     def delete_sinks(self) -> None:

@@ -418,3 +418,41 @@ def test_sequencefile_tap_roundtrip_and_append(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileExistsError):
         tap.write(df, mode=SinkMode.KEEP)
+
+
+def test_cascade_parallel_respects_dependencies(spark, tmp_path):
+    """parallel=True runs independent flows concurrently but a consumer
+    flow only after ALL its producers: two independent source flows
+    feed a third that joins their sinks (connected in reversed order on
+    purpose, MultiFamilyCascadeHBaseTest.java:83-87)."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.operators.pipe import CoGroup
+    from cascading_hbase_spark.operators.taps import ParquetTap
+
+    src_a = ParquetTap(str(tmp_path / "a"))
+    src_b = ParquetTap(str(tmp_path / "b"))
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(50)], "k long, va long"
+    ).write.parquet(src_a.path)
+    spark.createDataFrame(
+        [(i, i * 3) for i in range(50)], "kb long, vb long"
+    ).write.parquet(src_b.path)
+
+    t1, t2, t3 = (ParquetTap(str(tmp_path / n)) for n in ("t1", "t2", "t3"))
+    fa = Flow(src_a, t1, Each(Pipe("pa"), None, Identity(), RESULTS), name="fa")
+    fb = Flow(src_b, t2, Each(Pipe("pb"), None, Identity(), RESULTS), name="fb")
+    fj = Flow(
+        {"left": t1, "right": t2},
+        t3,
+        CoGroup(Pipe("left"), ["k"], Pipe("right"), ["kb"]),
+        name="fj",
+    )
+
+    # reversed order on purpose: consumer first
+    ran = Cascade([fj, fa, fb]).complete(spark, force=True, parallel=True)
+    assert set(ran) == {"fa", "fb", "fj"}
+    assert ran[-1] == "fj", ran  # consumer strictly after both producers
+    out = spark.read.parquet(t3.path)
+    assert out.count() == 50
+    assert out.filter(F.col("va") * 3 == F.col("vb") * 2).count() == 50
