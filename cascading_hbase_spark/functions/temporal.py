@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -109,3 +109,38 @@ def asof_join(
         carried.filter(F.col("_asof_src") == 1)
         .select(*[F.col(c) for c in left.columns], *out_cols)
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join WITHOUT an equi key: left rows whose
+    ``left_ts`` falls inside a right interval [start, end].
+
+    The naive formulation is a broadcast-nested-loop/cartesian —
+    unusable at scale.  This plans it as an equi join: each interval
+    explodes to the fixed-width time bins it covers (map-side
+    ``sequence``), points compute their bin, the join shuffles on the
+    bin key, and the exact containment predicate filters the bin-local
+    candidates.  Intervals spanning B bins appear B times — bounded,
+    declared work, vs. the unbounded |L| x |R| of the nested loop.
+    Pick ``bin_seconds`` near the typical interval length: wider bins
+    fewer duplicates but more false candidates per bin.
+    """
+    # exact integer division: a double quotient can round a point
+    # within ~50us of a bin edge into the wrong bin
+    bm = bin_seconds * 1_000_000
+    bin_l = F.expr(f"unix_micros(`{left_ts}`) div {bm}")
+    s_bin = F.expr(f"unix_micros(`{right_start}`) div {bm}")
+    e_bin = F.expr(f"unix_micros(`{right_end}`) div {bm}")
+    r = right.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
+    l = left.withColumn("_bin", bin_l)
+    joined = l.join(r, "_bin").filter(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("_bin")

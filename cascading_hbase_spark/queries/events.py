@@ -527,3 +527,81 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.sum("_ns").over(run).cast("bigint").alias("session_index"),
     )
+
+
+@query(
+    "range_bin_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e,
+             CAST(count(*) AS BIGINT) AS n
+      FROM sess GROUP BY user_id, sid
+      ORDER BY e - s DESC, user_id, sid LIMIT 50
+    )
+    SELECT i.user_id AS interval_user, CAST(i.sid AS BIGINT) AS sid,
+           CAST(count(*) AS BIGINT) AS n_contained
+    FROM intervals i
+    JOIN ev p ON p.ts >= i.s AND p.ts <= i.e
+    GROUP BY i.user_id, i.sid
+    """,
+)
+def range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic range (interval-containment) join with NO equi key: how
+    many events — from ANY user — fall inside each of the corpus's 50
+    longest sessions.  The naive plan is |events| x |intervals| nested
+    loops; ``functions.temporal.range_join`` turns it into an equi join
+    on fixed-width time bins (intervals explode to covered bins
+    map-side, exact containment filters bin-local candidates).  The
+    oracle runs the naive containment join — same rows, different
+    plan."""
+    from cascading_hbase_spark.functions.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = F.when(
+        (us - F.lag(us).over(w)).isNull()
+        | ((us - F.lag(us).over(w)) > 600 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id", "ts", "event_id", new_session.alias("_ns")
+    ).select("user_id", "ts", F.sum("_ns").over(run).alias("sid"))
+    intervals = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .orderBy(
+            (F.unix_micros("e") - F.unix_micros("s")).desc(), "user_id", "sid"
+        )
+        .limit(50)
+        .select(F.col("user_id").alias("interval_user"), "sid", "s", "e")
+    )
+    return (
+        range_join(e.select("event_id", "ts"), intervals, "ts", "s", "e",
+                   bin_seconds=3600)
+        .groupBy("interval_user", "sid")
+        .agg(F.count("*").cast("bigint").alias("n_contained"))
+        .select(
+            "interval_user", F.col("sid").cast("bigint").alias("sid"), "n_contained"
+        )
+    )

@@ -375,3 +375,11 @@ def test_simhash_fingerprint_zero_shuffles(spark):
     """The array-form fingerprint is a pure projection: no Exchange."""
     plan = _plan(QUERIES["simhash_fingerprint"](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The interval-containment join must plan as a bin equi join —
+    never CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = _plan(QUERIES["range_bin_join"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
