@@ -70,3 +70,54 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return b.join(s, [*on, _SALT], how).drop(_SALT)
+
+
+def misra_gries_candidates(
+    tokens_df, token_col: str, k: int = 64,
+):
+    """Mergeable Misra-Gries heavy-hitter candidates: each partition
+    summarizes its token stream with at most ``k`` counters (an
+    Arrow-batched ``mapInPandas`` — bounded memory regardless of
+    cardinality), partial summaries merge with ONE tiny hash aggregate.
+
+    Guarantee (the checkable contract): per partition, a dropped token
+    has local frequency <= N_p/k, so any token with GLOBAL frequency
+    > N/k survives in at least one partial summary — the merged
+    candidate set is a superset of the true heavy hitters.  The
+    candidate set itself depends on partitioning (not oracle-stable);
+    the superset guarantee is what callers verify.
+
+    This is the bounded-memory path for top-token accounting at 100 TB
+    where the exact token->count aggregate's key space no longer fits:
+    sketch candidates first, exact-count only the candidates after."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf[token_col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    # decrement-all step, dropping zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {token_col: list(counters), "mg_count": list(counters.values())}
+            )
+
+    partials = tokens_df.select(token_col).mapInPandas(
+        summarize, f"`{token_col}` string, mg_count long"
+    )
+    return partials.groupBy(token_col).agg(
+        F.sum("mg_count").alias("mg_count")
+    )

@@ -108,6 +108,7 @@ _PRIORITY = [
     "curation_end2end",
     "embedding_quantize_int8",
     "range_bin_join",
+    "heavy_hitters_sketch",
     # simplest pairs last: if the driver's ~50-query budget cuts here,
     # these carry the least verification risk and lead the next round
     "stats_corr_covar",

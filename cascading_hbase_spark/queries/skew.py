@@ -249,3 +249,48 @@ def hll_sketch_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.08
         ).alias("within_bound"),
     )
+
+
+@query(
+    "heavy_hitters_sketch",
+    # The candidate SET is partition-dependent, but the Misra-Gries
+    # guarantee is not: every token with global frequency > N/k must be
+    # among the candidates.  Spark emits the exact heavy hitters (an
+    # exact, deterministic relation) plus the measured membership
+    # boolean; the oracle computes the same heavy hitters exactly and
+    # asserts membership TRUE.  Hash equality fails iff the sketch ever
+    # drops a true heavy hitter.
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    exact AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+    SELECT exact.t AS token, CAST(exact.c AS BIGINT) AS exact_count,
+           CAST(1 AS BOOLEAN) AS in_candidates
+    FROM exact CROSS JOIN tot
+    WHERE exact.c > tot.n / 64.0
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters: Misra-Gries partial summaries per
+    partition (Arrow mapInPandas, <= k counters each) merged by one
+    hash agg; tokens with global frequency > N/k are guaranteed to be
+    candidates.  The exact path then scores candidates only — the
+    pattern for top-token accounting when the full token key space
+    stops fitting."""
+    from cascading_hbase_spark.functions.skew import misra_gries_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    cand = misra_gries_candidates(tok, "t", k=64).select(
+        F.col("t").alias("token")
+    )
+    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = tok.count()
+    hh = exact.filter(F.col("c") > total / 64.0)
+    return hh.join(
+        cand, hh.t == cand.token, "left"
+    ).select(
+        F.col("t").alias("token"),
+        F.col("c").cast("bigint").alias("exact_count"),
+        F.col("token").isNotNull().alias("in_candidates"),
+    )
