@@ -109,6 +109,8 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "range_bin_join",
     "heavy_hitters_sketch",
+    "window_count_distinct",
+    "union_evolved_schema",
     # simplest pairs last: if the driver's ~50-query budget cuts here,
     # these carry the least verification risk and lead the next round
     "stats_corr_covar",

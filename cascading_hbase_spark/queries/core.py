@@ -634,3 +634,29 @@ def array_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(a)).cast("bigint").alias("n_uniq"),
         F.array_position(a, "data").cast("bigint").alias("pos_data"),
     )
+
+
+@query(
+    "union_evolved_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 500
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+    WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+)
+def union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across an evolved schema: the older branch lacks a column
+    and surfaces NULLs — ``unionByName(allowMissingColumns=True)``, the
+    engine's merge semantics for mixed-generation inputs (the same
+    contract the keyed layer's additive schema evolution gives
+    mixed-generation reads)."""
+    o = load_table(spark, sf_dir, "orders")
+    new = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    legacy = o.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+    ).select("o_orderkey", "o_totalprice")
+    return new.unionByName(legacy, allowMissingColumns=True)

@@ -223,3 +223,36 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") / total.cast("double"), 12
         ).alias("price_share"),
     )
+
+
+@query(
+    "window_count_distinct",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT CAST(count(DISTINCT s.event_type) AS BIGINT) FROM ev s
+            WHERE s.user_id = e.user_id
+              AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id)))
+             AS types_seen
+    FROM ev e
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — an operator Spark's SQL
+    window functions don't offer (DISTINCT aggregates are rejected in
+    OVER clauses): composed as ``size(collect_set(...))`` over the
+    running frame.  One shuffle on user_id; the set state is bounded by
+    the event-type cardinality, not the row count.  The oracle is the
+    correlated-subquery formulation."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_seen"),
+    )
