@@ -25,6 +25,7 @@ from cascading_hbase_spark.operators.functions import Aggregator, Filter, Functi
 __all__ = [
     "ALL", "RESULTS", "REPLACE", "SWAP",
     "Pipe", "Each", "EachFilter", "GroupBy", "Every", "Buffer", "CoGroup",
+    "CoGroupBuffer",
     "Merge", "Unique", "Limit", "Rename", "Retain", "Discard", "Debug",
     "InnerJoin", "LeftJoin", "RightJoin", "OuterJoin",
 ]
@@ -202,6 +203,32 @@ class Buffer(_Unary):
     def _compute(self, inputs):
         grp: GroupBy = self.parents[0]  # type: ignore[assignment]
         return inputs[0].groupBy(*grp.group_fields).applyInPandas(self.func, self.schema)
+
+
+class CoGroupBuffer(Pipe):
+    """Two-sided per-key iterator UDF: Cascading's CoGroup feeding a
+    Buffer, as ``groupBy().cogroup().applyInPandas`` — each key's rows
+    from BOTH pipes arrive as two aligned Arrow pandas frames.  The
+    escape hatch for per-key two-stream logic no built-in join
+    expresses (custom merge-asof variants, per-key reconciliation);
+    one co-partitioning shuffle per side, Python sees one key group at
+    a time."""
+
+    def __init__(self, lhs: Pipe, lhs_fields: list[str], rhs: Pipe,
+                 rhs_fields: list[str], func, schema: str,
+                 name: str | None = None):
+        super().__init__(name or lhs.name, (lhs, rhs))
+        self.lhs_fields, self.rhs_fields = lhs_fields, rhs_fields
+        self.func = func
+        self.schema = schema
+
+    def _compute(self, inputs):
+        left, right = inputs
+        return (
+            left.groupBy(*self.lhs_fields)
+            .cogroup(right.groupBy(*self.rhs_fields))
+            .applyInPandas(self.func, self.schema)
+        )
 
 
 class CoGroup(Pipe):

@@ -456,3 +456,41 @@ def test_cascade_parallel_respects_dependencies(spark, tmp_path):
     out = spark.read.parquet(t3.path)
     assert out.count() == 50
     assert out.filter(F.col("va") * 3 == F.col("vb") * 2).count() == 50
+
+
+def test_cogroup_buffer_two_sided_pandas(spark):
+    """CoGroup + Buffer (two-sided per-key iterator): each key's rows
+    from both pipes arrive as aligned pandas frames.  Per-user
+    reconciliation (purchase total minus click total) must equal the
+    plain join-aggregate formulation."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.operators.pipe import CoGroupBuffer
+
+    e = spark.createDataFrame(
+        [(u, t, float(v)) for u in range(20)
+         for t, v in (("click", u), ("click", 2 * u), ("purchase", 10 * u))],
+        "user_id long, event_type string, value double",
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+
+    def reconcile(left_pdf, right_pdf):
+        import pandas as pd
+
+        uid = (left_pdf["user_id"].iloc[0] if len(left_pdf)
+               else right_pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {"user_id": [uid],
+             "net": [right_pdf["value"].sum() - left_pdf["value"].sum()]}
+        )
+
+    left, right = Pipe("clicks"), Pipe("purchases")
+    pipe = CoGroupBuffer(
+        left, ["user_id"], right, ["user_id"], reconcile,
+        "user_id long, net double",
+    )
+    got = {r.user_id: r.net
+           for r in pipe.resolve({"clicks": clicks, "purchases": purchases}).collect()}
+    expect = {u: 10.0 * u - (u + 2.0 * u) for u in range(20)}
+    assert got == expect
