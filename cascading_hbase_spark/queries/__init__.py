@@ -52,70 +52,29 @@ def _load_all() -> None:
 
 
 # Queries the driver's per-round budget (~50 checked per round) must hit
-# FIRST this round: the two §2 cells without a green driver verdict
-# (limit_head never reached the cut in r01/r02; math_scalar_funcs was
-# fixed after its r01 fail but not re-run), then the pairs whose oracle
-# is new/changed this round.
+# FIRST this round (VERDICT r03 items 1-2): the 7 §2 cells that have
+# never received a driver row, then the 8 queries whose driver verdicts
+# predate a rewrite (array-form MinHash 61298a3, zero-shuffle SimHash
+# e8b9fe9, keyed-layer rework), then any pair new or changed this round.
 _PRIORITY = [
-    "limit_head",
-    "math_scalar_funcs",
-    "similarity_ann_lsh_topk",
-    "similarity_ann_ivf_topk",
-    "approx_distinct_sketch",
-    "repetition_stats",
-    "domain_mixture_weights",
-    "mixture_rebalance_sample",
-    "streaming_interval_join",
-    "vocab_top_tokens",
-    "benchmark_decontamination",
-    "quality_filter_percentile",
-    "tfidf_top_terms",
-    "boilerplate_ngrams",
-    "doc_pack_assignment",
-    "embedding_centroid_similarity",
-    "token_dist_divergence",
-    "streaming_static_enrich",
-    "window_range_frame",
-    "correlated_avg_filter",
-    "conditional_pivot_agg",
-    "value_histogram",
-    "approx_percentile_contract",
-    "event_gap_stats",
-    "text_embed_hashed_bow",
-    "data_quality_report",
-    "leakage_safe_split",
-    "bloom_semi_filter_contract",
-    "column_profile",
-    "dedup_audit_minhash",
-    "importance_sample_quality",
-    "gap_fill_forward",
-    "window_cume_dist",
-    "token_entropy",
-    "q3_shipping_priority",
-    "streaming_dedup_contract",
-    "streaming_stateful_totals_final",
-    "dedup_containment",
-    "keyed_point_lookup",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "dedup_chunk_exact",
-    "lm_unigram_logprob",
-    "asof_join_tolerance",
-    "asof_join_forward",
-    "hll_sketch_merge_contract",
-    "sessionize_events",
-    "curation_end2end",
-    "embedding_quantize_int8",
+    # --- never driver-verified (VERDICT r03 rows 52/66/68/75/82/83/88)
     "range_bin_join",
     "heavy_hitters_sketch",
     "window_count_distinct",
     "union_evolved_schema",
-    # simplest pairs last: if the driver's ~50-query budget cuts here,
-    # these carry the least verification risk and lead the next round
     "stats_corr_covar",
     "array_scalar_funcs",
     "window_ratio_to_report",
+    # --- rewritten since their last driver verdict
+    "dedup_minhash_lsh",
+    "neardup_clusters",
+    "dedup_incremental_vs_corpus",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "keyed_upsert_lww",
+    "keyed_range_scan",
+    "keyed_delete_antijoin",
+    # --- new or oracle-changed in round 4 (appended as they land)
 ]
 
 
