@@ -441,8 +441,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     total = _bitval(0)
     for b in range(1, bits):
         total = total + _bitval(b)
-    return df.select(id_col, harr.alias("_harr")).select(
-        id_col, total.cast("bigint").alias("simhash")
+    # null text / empty token set yields NO row — the exploded
+    # formulation (and the DuckDB oracle's unnest) emits nothing for
+    # such docs, so the array form must not invent a 0/NULL fingerprint
+    return (
+        df.select(id_col, harr.alias("_harr"))
+        .filter(F.col("_harr").isNotNull() & (F.size("_harr") > 0))
+        .select(id_col, total.cast("bigint").alias("simhash"))
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_join"]
 
@@ -49,21 +50,31 @@ def asof_join(
         c for c in right.columns if c not in keys and c != ts
     ]
     out_names = {c: (c + suffix if c in left.columns else c) for c in value_cols}
-    ts_type = dict(right.dtypes)[ts]
 
+    # The whole right row travels as ONE struct so the carried timestamp
+    # and the carried values always come from the same row — a right row
+    # with a NULL in one value column must contribute that NULL, not let
+    # an older row's value leak through and dodge the tolerance check
+    # (pandas merge_asof's row-wise carry contract).
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    row_type = T.StructType(
+        [T.StructField("_rts", rtypes[ts])]
+        + [T.StructField(c, rtypes[c]) for c in value_cols]
+    )
     l = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_asof_src"),
-        F.lit(None).cast(ts_type).alias("_asof_rts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_asof_{c}") for c in value_cols],
+        F.lit(None).cast(row_type).alias("_asof_row"),
     )
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(ts),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in keys and c != ts],
         F.lit(0).alias("_asof_src"),
-        F.col(ts).alias("_asof_rts"),
-        *[F.col(c).alias(f"_asof_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts).alias("_rts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_asof_row"),
     ).select(*l.columns)  # align column order
 
     merged = l.unionByName(r)
@@ -79,31 +90,27 @@ def asof_join(
     )
     carried = merged.select(
         "*",
-        F.last("_asof_rts", ignorenulls=True).over(w).alias("_carried_rts"),
-        *[
-            F.last(f"_asof_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
-            for c in value_cols
-        ],
+        F.last("_asof_row", ignorenulls=True).over(w).alias("_carried"),
     )
+    rts = F.col("_carried").getField("_rts")
     if tolerance is not None:
         gap = (
-            F.col(ts) - F.col("_carried_rts")
-            if direction == "backward"
-            else F.col("_carried_rts") - F.col(ts)
+            F.col(ts) - rts if direction == "backward" else rts - F.col(ts)
         )
         bound = (
             F.expr(f"INTERVAL {tolerance}")
             if isinstance(tolerance, str)
             else F.lit(tolerance)
         )
-        in_tol = F.col("_carried_rts").isNotNull() & (gap <= bound)
+        in_tol = rts.isNotNull() & (gap <= bound)
         out_cols = [
-            F.when(in_tol, F.col(f"_carried_{c}")).alias(out_names[c])
+            F.when(in_tol, F.col("_carried").getField(c)).alias(out_names[c])
             for c in value_cols
         ]
     else:
         out_cols = [
-            F.col(f"_carried_{c}").alias(out_names[c]) for c in value_cols
+            F.col("_carried").getField(c).alias(out_names[c])
+            for c in value_cols
         ]
     return (
         carried.filter(F.col("_asof_src") == 1)
@@ -132,15 +139,24 @@ def range_join(
     Pick ``bin_seconds`` near the typical interval length: wider bins
     fewer duplicates but more false candidates per bin.
     """
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"range_join inputs share column names {sorted(shared)}; the "
+            "output would be ambiguous — rename one side first"
+        )
+    bin_col = "_bin"
+    while bin_col in left.columns or bin_col in right.columns:
+        bin_col += "_"
     # exact integer division: a double quotient can round a point
     # within ~50us of a bin edge into the wrong bin
     bm = bin_seconds * 1_000_000
     bin_l = F.expr(f"unix_micros(`{left_ts}`) div {bm}")
     s_bin = F.expr(f"unix_micros(`{right_start}`) div {bm}")
     e_bin = F.expr(f"unix_micros(`{right_end}`) div {bm}")
-    r = right.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
-    l = left.withColumn("_bin", bin_l)
-    joined = l.join(r, "_bin").filter(
+    r = right.withColumn(bin_col, F.explode(F.sequence(s_bin, e_bin)))
+    l = left.withColumn(bin_col, bin_l)
+    joined = l.join(r, bin_col).filter(
         (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
     )
-    return joined.drop("_bin")
+    return joined.drop(bin_col)

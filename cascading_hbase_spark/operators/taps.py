@@ -143,12 +143,19 @@ class SequenceFileTap(Tap):
     as the HBase scheme's key-prepended tuple (HBaseScheme.java:157-162).
     The declared ``schema`` (DDL for the non-key fields) makes reads
     schema-full like Cascading's declared-fields SequenceFile, not
-    schema-on-read.  The only RDD-API use in the engine — Spark has no
-    DataFrame SequenceFile source; conversion in/out is one map."""
+    schema-on-read.  ``key_field`` may carry a dtype like a one-column
+    DDL (``'num long'``): the key travels as a string on disk (Hadoop
+    Text writable) but reads cast it back to the declared type, so the
+    round-trip preserves the key's type like the payload columns'.  A
+    bare name (``'num'``) keeps the legacy string-key contract.  The
+    only RDD-API use in the engine — Spark has no DataFrame
+    SequenceFile source; conversion in/out is one map."""
 
     def __init__(self, path: str, key_field: str, schema: str):
         super().__init__(path)
-        self.key_field = key_field
+        parts = key_field.split(None, 1)
+        self.key_field = parts[0]
+        self.key_type = parts[1] if len(parts) > 1 else "string"
         self.schema = schema
 
     def read(self, spark):
@@ -160,7 +167,8 @@ class SequenceFileTap(Tap):
         rdd = spark.sparkContext.sequenceFile(os.path.join(self.path, "batch-*"))
         raw = spark.createDataFrame(rdd, f"{self.key_field} string, _json string")
         return raw.select(
-            self.key_field, F.from_json("_json", self.schema).alias("_s")
+            F.col(self.key_field).cast(self.key_type).alias(self.key_field),
+            F.from_json("_json", self.schema).alias("_s"),
         ).select(self.key_field, "_s.*")
 
     def write(self, df, mode: SinkMode = SinkMode.REPLACE):

@@ -74,3 +74,52 @@ def test_asof_forward_and_tolerance(spark):
                                direction="forward", tolerance=3).collect()}
     # forward within 3: ts=10 -> 12 gap 2 ok; ts=20 -> 21 gap 1 ok
     assert tol2 == {(1, 10): "a", (1, 20): "b", (1, 50): None, (2, 15): None}
+
+
+def test_asof_null_value_carries_row_wise(spark):
+    """A NULL in the nearest right row's value column must come through
+    as NULL — not let an older row's value leak past the tolerance gate
+    (pandas merge_asof row-wise carry; ADVICE r03)."""
+    left = spark.createDataFrame([(1, 20), (1, 31)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 7.0), (1, 19, None, 9.0)],
+        "k long, ts long, v string, w double",
+    )
+    got = {r.ts: (r.v, r.w)
+           for r in asof_join(left, right, "k", "ts").collect()}
+    # nearest right row for both left rows is ts=19 with v=NULL: v must
+    # be NULL (not 'old' carried from ts=10), w from the same row
+    assert got == {20: (None, 9.0), 31: (None, 9.0)}
+
+    tol = {r.ts: (r.v, r.w)
+           for r in asof_join(left, right, "k", "ts", tolerance=5).collect()}
+    # ts=20: nearest is 19 (gap 1 <= 5) -> (NULL, 9.0).  ts=31: gap to
+    # 19 is 12 > 5 -> everything nulled; the old 'old'@10 must NOT
+    # sneak in under the newer row's timestamp
+    assert tol == {20: (None, 9.0), 31: (None, None)}
+
+
+def test_range_join_guards(spark):
+    import pytest
+
+    from cascading_hbase_spark.functions.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "rid long, s string, e string",
+    ).select(
+        "rid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    # shared column names are ambiguous downstream: refuse loudly
+    with pytest.raises(ValueError, match="share column names"):
+        range_join(left, right.withColumnRenamed("rid", "id"), "ts", "s", "e")
+    # a pre-existing _bin column must survive untouched
+    l2 = left.withColumn("_bin", F.lit(99))
+    out = range_join(l2, right, "ts", "s", "e")
+    rows = out.collect()
+    assert [(r.id, r.rid, r._bin) for r in rows] == [(1, 10, 99)]

@@ -406,13 +406,21 @@ def test_sequencefile_tap_roundtrip_and_append(spark, tmp_path):
         "num long, word string, score double",
     )
     tap = SequenceFileTap(
-        str(tmp_path / "seq"), key_field="num", schema="word string, score double"
+        str(tmp_path / "seq"), key_field="num long", schema="word string, score double"
     )
     tap.write(df)
     back = tap.read(spark)
+    # declared key dtype round-trips (the key is a Text writable on
+    # disk but casts back on read, like the payload columns)
+    assert dict(back.dtypes)["num"] == "bigint"
     assert sorted((r.num, r.word, r.score) for r in back.collect()) == [
-        ("1", "one", 1.5), ("2", "two", 2.5), ("3", "three", 3.5)
+        (1, "one", 1.5), (2, "two", 2.5), (3, "three", 3.5)
     ]
+    # legacy bare-name contract: key stays string
+    legacy = SequenceFileTap(
+        str(tmp_path / "seq"), key_field="num", schema="word string, score double"
+    ).read(spark)
+    assert dict(legacy.dtypes)["num"] == "string"
     tap.write(df, mode=SinkMode.APPEND)
     assert tap.read(spark).count() == 6
     import pytest as _pytest
