@@ -69,6 +69,29 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Sink-side headline: a Z-order clustered write of lineitem (range
+    # repartition + in-file sort + parquet encode — the write path the
+    # read-only queries never exercise).  Same repeat/min policy.
+    import shutil
+    import tempfile
+
+    from cascading_hbase_spark.operators.zorder import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    best = float("inf")
+    zdir = tempfile.mkdtemp(prefix="bench-zorder-")
+    try:
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            write_zordered(
+                li, os.path.join(zdir, "out"), ["l_partkey", "l_orderkey"],
+                n_files=32,
+            )
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+    timings["write_zordered"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

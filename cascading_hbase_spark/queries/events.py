@@ -531,6 +531,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "range_bin_join",
+    bench=True,
     oracle="""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
     marked AS (

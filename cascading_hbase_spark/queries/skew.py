@@ -253,6 +253,7 @@ def hll_sketch_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "heavy_hitters_sketch",
+    bench=True,
     # The candidate SET is partition-dependent, but the Misra-Gries
     # guarantee is not: every token with global frequency > N/k must be
     # among the candidates.  Spark emits the exact heavy hitters (an
@@ -284,9 +285,13 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = misra_gries_candidates(tok, "t", k=64).select(
         F.col("t").alias("token")
     )
-    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
-    total = tok.count()
-    hh = exact.filter(F.col("c") > total / 64.0)
+    # Single pass over the exploded token relation: the grand total is
+    # the sum of the per-token counts, derived from the (persisted,
+    # vocabulary-sized) aggregate and broadcast back as a 1-row join —
+    # no separate tok.count() action re-scanning the corpus.
+    exact = tok.groupBy("t").agg(F.count("*").alias("c")).persist()
+    tot = exact.agg(F.sum("c").cast("double").alias("_n"))
+    hh = exact.join(F.broadcast(tot)).filter(F.col("c") > F.col("_n") / 64.0)
     return hh.join(
         cand, hh.t == cand.token, "left"
     ).select(
