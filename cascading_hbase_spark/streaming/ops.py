@@ -320,10 +320,17 @@ def stream_upsert_keyed(
     key: str,
     checkpoint: str,
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Streaming keyed upsert sink: each micro-batch merges
     last-write-wins into the keyed table — the engine's
-    ``TableOutputFormatWrap`` (buffered Puts flushed per batch)."""
+    ``TableOutputFormatWrap`` (buffered Puts flushed per batch).
+
+    ``available_now=True`` (default) drains the currently-available
+    input and terminates — the replay/test mode.  Pass
+    ``processing_time='5 seconds'`` (with ``available_now=False``) for
+    a long-lived continuous deployment: the query keeps polling the
+    source and each discovered batch upserts with the same semantics."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         write_keyed(batch_df, path, key=key, mode=SinkMode.APPEND)
@@ -332,8 +339,12 @@ def stream_upsert_keyed(
         events.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
     )
+    if available_now and processing_time is not None:
+        raise ValueError("pass either available_now or processing_time, not both")
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 
