@@ -8,10 +8,12 @@ form is incremental view maintenance (IVM): consume the base table's
 changefeed since the last refresh and apply per-group DELTAS.
 
 Supported aggregates: COUNT and SUM — the self-maintainable ones
-(retractable under deletes without re-reading the group).  AVG is
-``sum/n`` at query time.  MIN/MAX are deliberately NOT offered: a
-delete of the current extremum forces a re-scan of its group, which is
-a different (non-incremental) algorithm; honesty over magic.
+(retractable under deletes without re-reading the group) — plus MIN and
+MAX with an honest hybrid: inserts maintain extrema incrementally
+(``least``/``greatest`` against the current value), and a retraction
+that could have removed the extremum (retracted value <= current MIN /
+>= current MAX) triggers a re-aggregate of THAT GROUP ONLY from the
+base snapshot — never a full re-scan.  AVG is ``sum/n`` at query time.
 
 Exactly-once: the refresh cursor (the base generation last applied)
 lives in the view table's own manifest and is committed via
@@ -68,25 +70,40 @@ def create_aggregate_view(
     group_col: str,
     sums: dict[str, str] | None = None,
     n_buckets: int | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> None:
     """(Re)build the view from the base's CURRENT snapshot: per
-    ``group_col``, ``n_rows`` plus one SUM column per ``sums`` entry
-    (``{out_name: source_col}``).  Rows with a null group are excluded
+    ``group_col``, ``n_rows`` plus one SUM column per ``sums`` entry,
+    one MIN per ``mins`` and one MAX per ``maxs`` (each
+    ``{out_name: source_col}``).  Rows with a null group are excluded
     (a keyed table cannot key on null), matching SQL GROUP BY over a
     non-null key."""
-    sums = sums or {}
+    sums, mins, maxs = sums or {}, mins or {}, maxs or {}
+    outs = list(sums) + list(mins) + list(maxs)
+    if len(set(outs)) != len(outs) or "n_rows" in outs or group_col in outs:
+        raise ValueError(
+            f"aggregate output names must be unique and not collide with "
+            f"n_rows/{group_col}: {outs}"
+        )
     base_version = _load_meta(base_path)["version"]
     # Pin the read to the version just captured: a base commit landing
     # between the two lines must not slip into the view while the
     # cursor records the older version (the first refresh would then
     # double-apply that commit's delta).
     base = read_keyed(spark, base_path, generation=base_version)
-    # SUMs are double throughout (create AND refresh) so the view's
-    # schema never drifts across refreshes regardless of source dtype.
-    aggs = [F.count("*").cast("bigint").alias("n_rows")] + [
-        F.sum(F.coalesce(F.col(src).cast("double"), F.lit(0.0))).alias(out)
-        for out, src in sums.items()
-    ]
+    # SUMs/MINs/MAXs are double throughout (create AND refresh) so the
+    # view's schema never drifts across refreshes regardless of source
+    # dtype.
+    aggs = (
+        [F.count("*").cast("bigint").alias("n_rows")]
+        + [
+            F.sum(F.coalesce(F.col(src).cast("double"), F.lit(0.0))).alias(out)
+            for out, src in sums.items()
+        ]
+        + [F.min(F.col(src).cast("double")).alias(out) for out, src in mins.items()]
+        + [F.max(F.col(src).cast("double")).alias(out) for out, src in maxs.items()]
+    )
     view = (
         base.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(*aggs)
     )
@@ -101,6 +118,8 @@ def create_aggregate_view(
                 "base": base_path,
                 "group": group_col,
                 "sums": sums,
+                "mins": mins,
+                "maxs": maxs,
                 "base_version": base_version,
             }
         },
@@ -130,6 +149,8 @@ def refresh_aggregate_view(
             f"{base_path}; rebuild the view with create_aggregate_view"
         )
     group, sums = mv["group"], mv["sums"]
+    mins, maxs = mv.get("mins", {}), mv.get("maxs", {})
+    exts = {**mins, **maxs}
     base_key = base_meta["key"]
     # Pin BOTH ends of the diff: to_generation=base_version (not "the
     # manifest whenever the read resolves") — otherwise a concurrent
@@ -150,6 +171,12 @@ def refresh_aggregate_view(
                 ).alias(out)
                 for out, src in sums.items()
             ],
+            # MIN/MAX travel unsigned: the delta aggregate separates
+            # inserted-side and retracted-side extrema by _dn
+            *[
+                col_of(src).cast("double").alias(f"_x_{out}")
+                for out, src in exts.items()
+            ],
         )
 
     def _before(c: str):
@@ -166,6 +193,8 @@ def refresh_aggregate_view(
     minus = _side(
         feed.filter(F.col("_change").isin("update", "delete")), -1, _before
     )
+    ins = F.col("_dn") == 1
+    ret = F.col("_dn") == -1
     delta = (
         plus.unionByName(minus)
         .filter(F.col(group).isNotNull())
@@ -173,14 +202,32 @@ def refresh_aggregate_view(
         .agg(
             F.sum("_dn").alias("_dn"),
             *[F.sum(out).alias(out) for out in sums],
+            *[F.min(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in mins],
+            *[F.min(F.when(ret, F.col(f"_x_{o}"))).alias(f"_ret_{o}") for o in mins],
+            *[F.max(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in maxs],
+            *[F.max(F.when(ret, F.col(f"_x_{o}"))).alias(f"_ret_{o}") for o in maxs],
         )
     )
     current = read_keyed(spark, view_path)
     cur = current.select(
         F.col(group),
         F.col("n_rows").alias("_cur_n"),
-        *[F.col(out).alias(f"_cur_{out}") for out in sums],
+        *[F.col(out).alias(f"_cur_{out}") for out in list(sums) + list(exts)],
     )
+    # A retraction can only invalidate an extremum if the retracted
+    # value ties-or-beats it; such groups (alone) re-aggregate from the
+    # base snapshot below.  Inserts maintain incrementally.
+    rescan = F.lit(False)
+    for o in mins:
+        rescan = rescan | (
+            F.col(f"_ret_{o}").isNotNull()
+            & (F.col(f"_cur_{o}").isNull() | (F.col(f"_ret_{o}") <= F.col(f"_cur_{o}")))
+        )
+    for o in maxs:
+        rescan = rescan | (
+            F.col(f"_ret_{o}").isNotNull()
+            & (F.col(f"_cur_{o}").isNull() | (F.col(f"_ret_{o}") >= F.col(f"_cur_{o}")))
+        )
     merged = delta.join(cur, group, "left").select(
         F.col(group),
         (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn"))
@@ -190,7 +237,39 @@ def refresh_aggregate_view(
             (F.coalesce(F.col(f"_cur_{out}"), F.lit(0.0)) + F.col(out)).alias(out)
             for out in sums
         ],
+        # least/greatest skip nulls, so a new group (cur NULL) or a
+        # no-insert refresh (ins NULL) falls through to the other side
+        *[F.least(F.col(f"_cur_{o}"), F.col(f"_ins_{o}")).alias(o) for o in mins],
+        *[F.greatest(F.col(f"_cur_{o}"), F.col(f"_ins_{o}")).alias(o) for o in maxs],
+        rescan.alias("_rescan"),
     )
+    if exts:
+        # delta-sized relation (changed groups only); persisted because
+        # both the rescan-group listing and the final merge read it
+        merged = merged.persist()
+        rg = merged.filter("_rescan").select(group)
+        base_now = read_keyed(spark, base_path, generation=base_version)
+        recomputed = (
+            base_now.join(F.broadcast(rg), group)
+            .groupBy(group)
+            .agg(
+                *[F.min(F.col(src).cast("double")).alias(f"_re_{o}") for o, src in mins.items()],
+                *[F.max(F.col(src).cast("double")).alias(f"_re_{o}") for o, src in maxs.items()],
+            )
+        )
+        merged = merged.join(recomputed, group, "left").select(
+            F.col(group),
+            F.col("n_rows"),
+            *[F.col(out) for out in sums],
+            # a rescan group whose rows all vanished recomputes to no
+            # row at all -> NULL extremum, which is the correct answer
+            *[
+                F.when(F.col("_rescan"), F.col(f"_re_{o}")).otherwise(F.col(o)).alias(o)
+                for o in exts
+            ],
+        )
+    else:
+        merged = merged.drop("_rescan")
     write_keyed(
         merged,
         view_path,

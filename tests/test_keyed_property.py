@@ -220,7 +220,10 @@ def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
             for k, v in arg:
                 model[k] = (f"g{v % 3}", v)
             if not view_exists:
-                create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+                create_aggregate_view(
+                    spark, base, view, "grp", {"total": "val"},
+                    mins={"lo": "val"}, maxs={"hi": "val"},
+                )
                 view_exists = True
         elif op == "delete" and model:
             from cascading_hbase_spark.keyed.table import delete_keyed
@@ -236,12 +239,16 @@ def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
     if not view_exists:
         return
     refresh_aggregate_view(spark, base, view)
-    expected: dict[str, tuple[int, float]] = {}
+    expected: dict[str, tuple[int, float, float, float]] = {}
     for grp, val in model.values():
-        n, s = expected.get(grp, (0, 0.0))
-        expected[grp] = (n + 1, s + float(val))
+        n, s, lo, hi = expected.get(
+            grp, (0, 0.0, float("inf"), float("-inf"))
+        )
+        expected[grp] = (
+            n + 1, s + float(val), min(lo, float(val)), max(hi, float(val))
+        )
     got = {
-        r["grp"]: (r["n_rows"], r["total"])
+        r["grp"]: (r["n_rows"], r["total"], r["lo"], r["hi"])
         for r in read_aggregate_view(spark, view).collect()
     }
     assert got == expected
