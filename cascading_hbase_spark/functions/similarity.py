@@ -275,6 +275,7 @@ def ivf_centroids_kmeans(
     max_iter: int = 5,
     sample_fraction: float | None = None,
     seed: int = 42,
+    tol: float = 0.0,
 ) -> DataFrame:
     """Spherical k-means IVF coarse quantizer (Lloyd's iterations):
     hash-sampled init (``ivf_centroids``), then assign-by-dot /
@@ -286,10 +287,12 @@ def ivf_centroids_kmeans(
     faiss convention — centroid quality needs a sample, not the corpus);
     each round is one broadcast-join assignment pass plus one
     map-side-combinable (cell, pos) sum — the shuffle carries
-    n_cells x dim partial sums per task, never the vectors.  Only the
-    n_cells centroid rows ever reach the driver (to flatten the
-    iteration's lineage)."""
-    spark = emb.sparkSession
+    n_cells x dim partial sums per task, never the vectors.  Rounds are
+    driver-coordinated (O(max_iter) round trips), but each round's
+    lineage is flattened with an executor-side ``localCheckpoint`` —
+    the centroid ROWS never reach the driver; the only per-round
+    driver value is the 1-scalar convergence probe (min old/new
+    centroid cosine), which also allows early stop via ``tol``."""
     v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if sample_fraction is not None:
         v = v.sample(False, sample_fraction, seed=seed)
@@ -333,8 +336,7 @@ def ivf_centroids_kmeans(
                 ).alias("cell_vec"),
             )
         )
-        # Keep the previous centroid for any cell that emptied; collect
-        # the n_cells rows to flatten lineage between rounds.
+        # Keep the previous centroid for any cell that emptied.
         merged = (
             cents.alias("old")
             .join(newc.alias("new"), "cell_id", "left")
@@ -343,8 +345,21 @@ def ivf_centroids_kmeans(
                 F.coalesce(F.col("new.cell_vec"), F.col("old.cell_vec")).alias("cell_vec"),
             )
         )
-        rows = merged.collect()
-        cents = spark.createDataFrame(rows, "cell_id long, cell_vec array<double>")
+        # Executor-side lineage cut: the centroid rows stay in block
+        # storage; no driver materialization between rounds.
+        new_cents = merged.localCheckpoint(eager=True)
+        # 1-scalar convergence probe: min cosine between a cell's old
+        # and new (unit) centroid; 1.0 means nothing moved.
+        moved = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cell_id")
+            .select(dot(F.col("o.cell_vec"), F.col("n.cell_vec")).alias("d"))
+            .agg(F.min("d"))
+            .collect()[0][0]
+        )
+        cents = new_cents
+        if tol > 0.0 and moved is not None and moved >= 1.0 - tol:
+            break
     nv.unpersist()
     return cents
 
