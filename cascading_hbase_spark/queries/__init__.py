@@ -49,6 +49,7 @@ def _load_all() -> None:
     from cascading_hbase_spark.queries import core  # noqa: F401
     from cascading_hbase_spark.queries import joins  # noqa: F401
     from cascading_hbase_spark.queries import aggregates  # noqa: F401
+    from cascading_hbase_spark.queries import tpch  # noqa: F401
 
 
 # Queries the driver's per-round budget (~50 checked per round) must hit
@@ -75,6 +76,16 @@ _PRIORITY = [
     "keyed_range_scan",
     "keyed_delete_antijoin",
     # --- new or oracle-changed in round 4 (appended as they land)
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
 ]
 
 
