@@ -383,3 +383,42 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(QUERIES["range_bin_join"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q6_pushes_every_predicate_to_scan(spark):
+    """Q6 is scan-bound at 100 TB: ship-date range, discount band and
+    quantity cap must all reach the parquet reader, and the read schema
+    must be pruned to the 4 referenced columns."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400], plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1][:300]
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    """The snowflake's dims (supplier/customer/nation/region) broadcast;
+    the only shuffled join is lineitem-orders on orderkey."""
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_distributed_topk(spark):
+    plan = _plan(QUERIES["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q19_reduces_broadcast_side(spark):
+    """The derivable part-side disjuncts must shrink the build side
+    BEFORE the broadcast (brand IN-set visible in the part scan's
+    pushed filters), and the join itself stays broadcast-hash."""
+    plan = _plan(QUERIES["q19_bracket_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_brand" in plan, plan
+
+
+def test_q22_anti_join_not_cartesian(spark):
+    plan = _plan(QUERIES["q22_idle_customers"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
