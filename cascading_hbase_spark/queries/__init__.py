@@ -86,6 +86,9 @@ _PRIORITY = [
     "q15_top_supplier",
     "q19_bracket_revenue",
     "q22_idle_customers",
+    "doc_chunk_windows",
+    "lm_bigram_logprob",
+    "weighted_sample_per_source",
 ]
 
 

@@ -1795,3 +1795,165 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale_r"),
         (max_err <= F.col("scale") * 0.5000001).alias("within_half_step"),
     )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, tok, unnest(range(0, len(tok), 48)) AS start FROM t
+      WHERE len(tok) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_index,
+           CAST(len(tok[start+1 : start+64]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(tok[start+1 : start+64], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the pre-tokenizer step that
+    turns raw documents into fixed-size training windows (64-token
+    windows, stride 48, so consecutive chunks overlap by 16 tokens and
+    no token is lost at a boundary).  Entirely map-side: tokenize,
+    ``sequence`` of window starts, explode, ``slice`` — zero shuffles,
+    so at 100 TB it is a pure scan-transform pass.  Chunks travel as
+    (index, length, content-hash); the hash stands in for the chunk
+    text so the result stays narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
+        F.col("tok").isNotNull() & (F.size("tok") > 0)
+    )
+    s = t.select(
+        "doc_id", "tok",
+        F.explode(F.sequence(F.lit(0), F.size("tok") - 1, F.lit(48))).alias("start"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("start") + 1, F.lit(64))
+    return s.select(
+        "doc_id",
+        (F.col("start") / 48).cast("bigint").alias("chunk_index"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "lm_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cbg FROM bi GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS cw1 FROM bi GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT u) AS vocab
+      FROM (SELECT unnest(tok) AS u FROM t)
+    )
+    SELECT bi.doc_id,
+           CAST(round(avg(ln((bc.cbg + 1.0) / (uc.cw1 + v.vocab))), 6)
+                AS DOUBLE) AS bigram_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bi
+    JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+    JOIN uc ON uc.w1 = bi.w1
+    CROSS JOIN v
+    GROUP BY bi.doc_id
+    """,
+)
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language model scoring with add-1
+    smoothing: per doc, the mean log P(w2|w1) where
+    P = (c(w1,w2)+1) / (c(w1·)+V).  The step up from the unigram scorer
+    (``lm_unigram_logprob``) — a context-sensitive fluency/novelty
+    signal for curation (gibberish and boilerplate separate further
+    under a bigram LM than a unigram one).
+
+    Plan shape: bigram pairs are built MAP-SIDE (``zip_with`` of the
+    two shifted token slices — no posexplode+window self-pairing), the
+    pair relation persists once and feeds train and score; the joins
+    shuffle on the bigram/context keys and the vocabulary size arrives
+    as a broadcast 1-row join."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
+        F.col("tok").isNotNull() & (F.size("tok") >= 2)
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("tok"), F.lit(1), F.size("tok") - 1),
+        F.slice(F.col("tok"), F.lit(2), F.size("tok") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        t.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    uc = bi.groupBy("w1").agg(F.count("*").alias("cw1"))
+    vocab = t.select(F.explode("tok").alias("u")).agg(
+        F.count_distinct("u").alias("vocab")
+    )
+    lp = F.log((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("vocab")))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(lp), 6).alias("bigram_logprob"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source,
+             CAST((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000003) AS DOUBLE) / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, source, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, CAST(round(priority, 6) AS DOUBLE) AS priority
+    FROM r WHERE rn <= 20
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling, top-20 per source stratum:
+    each doc draws a reproducible pseudo-uniform from its id
+    (``hash64 % 1000003``) and competes with priority ``u / weight``
+    (weight = n_chars), so longer documents win proportionally more
+    often — the priority-sampling analogue of weighted reservoir
+    sampling, with NO randomness and NO driver state.  One shuffle
+    (the per-source window); at 100 TB the rank runs per-stratum and
+    the candidate set never concentrates on one node unless one source
+    dominates — the same skew profile as any per-key top-k."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pri = (
+        (hash64(F.col("doc_id").cast("string")) % 1000003).cast("double")
+        / F.col("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        d.select("doc_id", "source", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.round("priority", 6).alias("priority"))
+    )
