@@ -422,3 +422,27 @@ def test_q22_anti_join_not_cartesian(spark):
     plan = _plan(QUERIES["q22_idle_customers"](spark, SF))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunk_windows_zero_shuffles(spark):
+    """Chunking is a pure scan-transform (tokenize -> sequence ->
+    explode -> slice): any Exchange would mean the chunker reshuffles
+    the corpus for no reason."""
+    plan = _plan(QUERIES["doc_chunk_windows"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_bigram_lm_broadcasts_vocab_only(spark):
+    """The vocabulary size joins as a broadcast 1-row relation; the
+    train/score joins shuffle on bigram keys — no cartesian, no
+    broadcast of a data-scale side."""
+    plan = _plan(QUERIES["lm_bigram_logprob"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_single_shuffle(spark):
+    """Priority + rank needs exactly one Exchange (the per-source
+    window partitioning); the priority itself is map-side."""
+    plan = _plan(QUERIES["weighted_sample_per_source"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
