@@ -89,6 +89,8 @@ _PRIORITY = [
     "doc_chunk_windows",
     "lm_bigram_logprob",
     "weighted_sample_per_source",
+    "ema_user_value",
+    "histogram_equidepth",
 ]
 
 

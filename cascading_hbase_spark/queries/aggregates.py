@@ -465,3 +465,58 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(len(list_filter(cuts.cs, c -> o.o_totalprice > c))
+                  AS BIGINT) AS bucket,
+             o.o_totalprice
+      FROM orders o CROSS JOIN cuts
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of o_totalprice) — the companion
+    to the equi-width ``value_histogram``: bucket boundaries come from
+    the data's exact percentiles, so every bucket holds ~10% of rows.
+
+    Scale shape deliberately avoids the naive global-sort/ntile plan
+    (one giant partition): exact decile cuts come from ONE percentile
+    aggregate (partial+final), broadcast back as a 1-row join, and
+    bucket assignment is a map-side HOF count of cuts below the value —
+    a scan + tiny agg instead of a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, "
+            "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("cs")
+    )
+    bucket = F.aggregate(
+        "cs",
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+    )
+    return (
+        o.join(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

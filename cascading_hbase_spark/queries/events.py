@@ -606,3 +606,54 @@ def range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interval_user", F.col("sid").cast("bigint").alias("sid"), "n_contained"
         )
     )
+
+
+@query(
+    "ema_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vs,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(round(list_reduce(vs, (acc, x) -> 0.3*x + 0.7*acc), 6)
+                AS DOUBLE) AS ema,
+           CAST(n AS BIGINT) AS n_events
+    FROM ordered
+    """,
+)
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event value (alpha=0.3) —
+    the classic RECURSIVE per-key accumulator (ema_i = a*v_i +
+    (1-a)*ema_{i-1}) that SQL windows cannot express directly,
+    expressed declaratively: collect the ordered value array per key,
+    then a sequential ``aggregate`` HOF fold.  The fold applies the
+    exact same IEEE op sequence as the DuckDB ``list_reduce`` oracle,
+    so results match to the bit before the round-6.
+
+    Scale shape: one shuffle (the groupBy); state per key is the
+    user's event list — fine for per-user event counts, and the
+    streaming twin (``applyInPandasWithState``) is the unbounded-key
+    escape hatch."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("vs")
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vs"), F.lit(2), F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.round(ema, 6).alias("ema"),
+        F.size("vs").cast("bigint").alias("n_events"),
+    )
