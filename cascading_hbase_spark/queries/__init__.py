@@ -91,6 +91,7 @@ _PRIORITY = [
     "weighted_sample_per_source",
     "ema_user_value",
     "histogram_equidepth",
+    "attribution_linear",
 ]
 
 

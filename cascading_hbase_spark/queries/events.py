@@ -657,3 +657,72 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ema, 6).alias("ema"),
         F.size("vs").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    pc AS (
+      SELECT p.event_id AS p_id, p.value AS p_value,
+             c.event_id AS c_id, c.user_id
+      FROM ev p
+      JOIN ev c ON c.user_id = p.user_id
+                AND c.event_type = 'click'
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL '3 days'
+      WHERE p.event_type = 'purchase'
+    ),
+    shares AS (
+      SELECT c_id, user_id, p_id,
+             CAST(round(p_value / count(*) OVER (PARTITION BY p_id), 6)
+                  AS DECIMAL(18,6)) AS share
+      FROM pc
+    )
+    SELECT c_id AS click_event, user_id,
+           CAST(SUM(share) AS DOUBLE) AS attributed,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+    FROM shares GROUP BY c_id, user_id
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) marketing attribution: every purchase's
+    value is split evenly across the SAME USER's clicks in the 3 days
+    leading up to it; per click, the attributed revenue it earned.
+
+    Plan shape: the purchase-click pairing is an equi join on user_id
+    with the interval as a join-side range predicate — keyed shuffle,
+    never a time-bin explode (the per-user stream is small; contrast
+    ``range_bin_join`` for the no-equi-key case).  The per-purchase
+    click count is one window over the pair relation; shares convert
+    to DECIMAL before the final sum so the oracle matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pc = p.join(c, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 days"))
+    )
+    share = F.round(
+        F.col("p_value") / F.count("*").over(Window.partitionBy("p_id")), 6
+    ).cast("decimal(18,6)")
+    return (
+        pc.select("c_id", "user_id", "p_id", share.alias("share"))
+        .groupBy("c_id", "user_id")
+        .agg(
+            F.sum("share").cast("double").alias("attributed"),
+            F.count_distinct("p_id").cast("bigint").alias("n_purchases"),
+        )
+        .select(
+            F.col("c_id").alias("click_event"), "user_id", "attributed", "n_purchases"
+        )
+    )
