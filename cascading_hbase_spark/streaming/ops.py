@@ -167,13 +167,23 @@ def interval_join_clicks_to_purchases(
     purchases: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every purchase matched to the same
     user's clicks in the preceding ``lookback`` — the attribution-join
     shape.  Both sides carry watermarks and the join condition bounds
     event time on both ends, so each side's buffered state is dropped
     once the watermark passes (state is O(rows within the horizon), not
-    O(stream)).  Inner join -> deterministic row set, batch-checkable."""
+    O(stream)).  Inner join -> deterministic row set, batch-checkable.
+
+    ``how='leftOuter'`` additionally emits click-less purchases with a
+    NULL click side — but only once the watermark passes the purchase's
+    event time (the engine must be sure no matching click can still
+    arrive).  Under ``availableNow`` replay the final watermark stops
+    ``watermark`` short of the max event time, so tail purchases inside
+    that horizon never emit their null row: the outer result is the
+    inner result plus null-matches for WATERMARK-EXPIRED unmatched
+    purchases only (contract-tested, not oracle-hashable)."""
     c = (
         clicks.select(
             F.col("user_id").alias("c_user"),
@@ -195,7 +205,7 @@ def interval_join_clicks_to_purchases(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
 
 

@@ -306,3 +306,59 @@ def test_stream_upsert_processing_time_trigger(spark, tmp_path):
     got = sorted(tuple(r) for r in read_keyed(spark, kt).collect())
     want = sorted(tuple(r) for r in read_keyed(spark, batch_kt).collect())
     assert got == want
+
+
+def test_stream_interval_left_outer_contract(spark):
+    """Left-outer stream-stream interval join: the emitted set must be
+    the inner-join rows PLUS exactly one null-click row for each
+    unmatched purchase whose event time the final watermark has passed
+    (purchases inside the trailing watermark horizon legitimately never
+    emit a null row under availableNow — the engine can't yet rule out
+    a late click)."""
+    clicks = S.events_stream(spark, SF).filter(F.col("event_type") == "click")
+    purchases = S.events_stream(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = S.run_available_now(
+        S.interval_join_clicks_to_purchases(
+            clicks, purchases, how="leftOuter"
+        ),
+        "append",
+    ).collect()
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    inner = (
+        p.join(
+            c,
+            (p.user_id == F.col("cu"))
+            & (F.col("cts") <= p.ts)
+            & (F.col("cts") >= p.ts - F.expr("INTERVAL 1 hour")),
+        )
+        .select(F.col("event_id").alias("pid"), F.col("cid"))
+    )
+    inner_pairs = {(r.pid, r.cid) for r in inner.collect()}
+    got_matched = {(r.purchase_id, r.click_id) for r in got if r.click_id is not None}
+    assert got_matched == inner_pairs
+
+    # null rows: exactly the unmatched purchases the watermark expired.
+    # The global watermark is the MIN over both inputs' (max event time
+    # - delay) — clicks and purchases each advance their own clock.
+    import datetime as _dt
+
+    max_c = c.agg(F.max("cts")).collect()[0][0]
+    max_p = p.agg(F.max("ts")).collect()[0][0]
+    horizon = min(max_c, max_p) - _dt.timedelta(hours=2)
+    matched_pids = {pid for pid, _ in inner_pairs}
+    expired_unmatched = {
+        r.event_id
+        for r in p.filter(F.col("ts") < F.lit(horizon)).collect()
+        if r.event_id not in matched_pids
+    }
+    null_pids = [r.purchase_id for r in got if r.click_id is None]
+    assert len(null_pids) == len(set(null_pids))  # one null row each
+    assert set(null_pids) == expired_unmatched
