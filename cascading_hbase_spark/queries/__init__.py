@@ -92,6 +92,11 @@ _PRIORITY = [
     "ema_user_value",
     "histogram_equidepth",
     "attribution_linear",
+    # asof_join gained the row-wise struct carry this round: its r03
+    # verdicts predate the rewrite
+    "asof_join_generic",
+    "asof_join_tolerance",
+    "asof_join_forward",
 ]
 
 
