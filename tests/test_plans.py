@@ -446,3 +446,16 @@ def test_weighted_sample_single_shuffle(spark):
     window partitioning); the priority itself is map-side."""
     plan = _plan(QUERIES["weighted_sample_per_source"](spark, SF))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_heavy_hitters_single_pass_totals(spark):
+    """The N/k threshold must come from the SAME aggregation pass that
+    scores candidates: both consumers of the per-token counts (the
+    threshold side and the score side) read the persisted aggregate
+    (InMemoryTableScan x2), so the exploded corpus is scanned once for
+    the exact path + once for the Misra-Gries sketch path — never a
+    third time for a separate total-count action."""
+    plan = _plan(QUERIES["heavy_hitters_sketch"](spark, SF))
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # textual count includes the cached relation's own (single) scan
+    assert plan.count("Scan parquet") <= 3, plan
