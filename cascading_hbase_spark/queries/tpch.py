@@ -4,8 +4,14 @@ Cascading user would have expressed as multi-pipe flows
 (CoGroup + Every + GroupBy chains; SURVEY.md §2.3-2.4).
 
 Each is written plan-first for 100 TB: selective dim filters push to
-scans, dimension sides broadcast, fact-fact joins shuffle on their
-keys, aggregates run partial+final, top-k is TakeOrderedAndProject.
+scans, fact-fact joins shuffle on their keys, aggregates run
+partial+final, top-k is TakeOrderedAndProject.  Broadcast hints appear
+ONLY on relations whose size does not scale with the data — nation/
+region (fixed cardinality) and 1-row aggregates.  supplier/customer/
+part grow with SF, so their joins stay unhinted: Catalyst's size
+estimate (and AQE at runtime) picks broadcast at test scale and
+sort-merge at 100 TB — a hand-written hint would instead try to
+broadcast billions of rows.
 Money sums go through round+DECIMAL so the DuckDB oracle matches
 bit-for-bit (the float-reassociation guard used by every money query
 in this repo).
@@ -54,9 +60,10 @@ def _rev_dec():
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): the 6-table snowflake with the
     extra LOCAL constraint (supplier and customer share a nation).
-    region->nation prunes the nation dim before it broadcasts; the only
-    big shuffles are lineitem-orders on orderkey — supplier, customer,
-    nation, region all broadcast."""
+    region->nation prunes the nation dim before it broadcasts; the
+    supplier/customer joins are left to Catalyst's size estimates
+    (broadcast here, sort-merge at scale); the one unavoidable big
+    shuffle is lineitem-orders on orderkey."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -69,7 +76,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             c,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -162,7 +169,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -210,9 +217,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): numerator and denominator in
-    ONE aggregation pass (conditional sum), the snowflake's dims all
-    broadcast, ratio computed after exact DECIMAL accumulation so the
-    division is the only float op."""
+    ONE aggregation pass (conditional sum), fixed-size nation/region
+    broadcast (part/supplier/customer joins picked by size estimate),
+    ratio computed after exact DECIMAL accumulation so the division is
+    the only float op."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = load_table(spark, sf_dir, "nation").join(
@@ -228,11 +236,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     vol = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -280,9 +288,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned item reporting): quarter of orders joined to
     returned lineitems, grouped per customer, distributed top-20.  The
-    returnflag filter pushes to the lineitem scan; customer+nation
-    broadcast; TakeOrderedAndProject caps the result without a global
-    sort."""
+    returnflag filter pushes to the lineitem scan; nation broadcasts
+    (customer by size estimate); TakeOrderedAndProject caps the result
+    without a global sort."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -291,7 +299,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
@@ -365,15 +373,15 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): percent-of-total in one aggregation
-    — broadcast part join, conditional DECIMAL sums, single float
-    division at the end."""
+    — part join by size estimate, conditional DECIMAL sums, single
+    float division at the end."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", _rev_dec()).otherwise(zero)
@@ -428,7 +436,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name",
             F.col("total_revenue").cast("double").alias("total_revenue"),
@@ -455,9 +463,9 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (discounted revenue): disjunction of
     (brand, size, quantity) brackets spanning BOTH join sides.  The
     part-side disjuncts (brand IN set, size <= max bound) are
-    derivable and push into the broadcast build side; the mixed
-    predicate evaluates after the join — the canonical 'OR across
-    tables' probe for join-predicate handling."""
+    derivable and push into the part scan, shrinking the build side
+    BEFORE the join; the mixed predicate evaluates after it — the
+    canonical 'OR across tables' probe for join-predicate handling."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         # derivable part-side reduction of the disjunction: shrinks the
@@ -472,7 +480,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#21") & size.between(1, 35) & qty.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
     )
