@@ -97,6 +97,11 @@ _PRIORITY = [
     "asof_join_generic",
     "asof_join_tolerance",
     "asof_join_forward",
+    # broadcast-hint hygiene (hints dropped from SF-scaling sides) —
+    # plans changed, so re-verify
+    "join_star_revenue",
+    "range_predicate_join",
+    "correlated_avg_filter",
 ]
 
 

@@ -181,9 +181,11 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped star join: fact-fact shuffle join on orderkey,
-    then broadcast joins down the dimension chain (customer/nation/region
-    are broadcast-sized — Catalyst broadcasts them automatically).  The
-    per-row revenue is rounded then summed as DECIMAL so the result is
+    then joins down the dimension chain.  Fixed-cardinality dims
+    (nation/region) are hinted broadcast; customer GROWS with SF, so
+    its join is left to Catalyst's size estimate — broadcast at test
+    scale, sort-merge when customer is billions of rows.  The per-row
+    revenue is rounded then summed as DECIMAL so the result is
     order-independent and exactly matches the oracle."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -193,7 +195,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -234,12 +236,13 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-range scan feeding a join: the range predicate pushes to the
-    parquet scan (min/max pruning) before the broadcast join."""
+    parquet scan (min/max pruning) before the join; the customer side
+    is picked by size estimate (it scales with SF)."""
     e = load_table(spark, sf_dir, "events").filter(
         (F.col("value") >= 100.0) & (F.col("value") < 150.0)
     )
     c = load_table(spark, sf_dir, "customer")
-    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+    return e.join(c, e.user_id == c.c_custkey).select(
         "event_id", "user_id", "value", "c_name"
     )
 
@@ -282,7 +285,7 @@ def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pa, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(
