@@ -102,6 +102,8 @@ _PRIORITY = [
     "join_star_revenue",
     "range_predicate_join",
     "correlated_avg_filter",
+    "leakage_safe_split",
+    "bloom_semi_filter_contract",
 ]
 
 

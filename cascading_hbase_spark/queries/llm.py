@@ -1365,7 +1365,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5
     )
     comp = D.connected_components(pairs)
-    out = d.select("doc_id").join(F.broadcast(comp), "doc_id", "left")
+    # comp scales with the corpus's duplication rate (every doc in some
+    # near-dup pair), so no broadcast hint: Catalyst broadcasts at test
+    # scale and shuffles when a crawl corpus is 30%+ duplicates.
+    out = d.select("doc_id").join(comp, "doc_id", "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return out.select(
         "doc_id",

@@ -198,7 +198,9 @@ def bloom_semi_filter_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = keys.distinct().withColumn("_is_exact", F.lit(True))
     j = flagged.join(
-        F.broadcast(exact), flagged["o_custkey"] == exact["c_custkey"], "left"
+        # exact is the BUILDING-segment key set — scales with SF, so
+        # the join strategy is left to the size estimate
+        exact, flagged["o_custkey"] == exact["c_custkey"], "left"
     )
     is_exact = F.col("_is_exact").isNotNull()
     return j.agg(

@@ -261,10 +261,16 @@ def test_minhash_audit_no_cartesian(spark):
 
 def test_leakage_split_broadcasts_components(spark):
     """The component relation (only docs appearing in some near-dup
-    pair) joins to the corpus via broadcast; the split expression adds
-    no extra shuffle over the corpus."""
-    plan = _plan(QUERIES["leakage_safe_split"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    pair) joins to the corpus unhinted: it scales with the corpus's
+    duplication rate, and its RDD-backed lineage (localCheckpoint)
+    carries no size statistics anyway — so the static plan conservatively
+    sort-merges and AQE converts to broadcast AT RUNTIME once it sees
+    the actual size.  Assert the runtime outcome, not the static guess."""
+    df = QUERIES["leakage_safe_split"](spark, SF)
+    df.collect()  # drive THIS df's queryExecution to the AQE final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
 
 
