@@ -104,6 +104,7 @@ _PRIORITY = [
     "correlated_avg_filter",
     "leakage_safe_split",
     "bloom_semi_filter_contract",
+    "grouped_agg_pandas_udf",
 ]
 
 

@@ -520,3 +520,43 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "grouped_agg_pandas_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(round(exp(avg(ln(o_totalprice))), 4) AS DOUBLE) AS geomean_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED-AGG pandas UDF surface (SURVEY §2.9): a custom
+    *scalar-per-group* aggregate usable directly inside ``agg`` —
+    distinct from the per-group-DataFrame ``applyInPandas`` Buffer.
+    Geometric mean is the demo (no Spark built-in); Arrow moves each
+    group's column once, numpy reduces it, and Catalyst still plans a
+    partial/final-less grouped aggregate over the shuffled groups.
+    (Slow path by design — prefer exp(avg(ln)) in pure SQL; this pins
+    the API's plumbing: schema, null handling, grouping.)"""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with built-in aggregates
+        # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count
+        # rides the same Arrow batch
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
+        n_rows("o_totalprice").alias("n"),
+    )

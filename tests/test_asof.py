@@ -123,3 +123,66 @@ def test_range_join_guards(spark):
     out = range_join(l2, right, "ts", "s", "e")
     rows = out.collect()
     assert [(r.id, r.rid, r._bin) for r in rows] == [(1, 10, 99)]
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Property check against pandas.merge_asof — the operator's
+    namesake contract — across random keyed timelines, both directions,
+    with and without tolerance, including NULL right-side values (the
+    row-wise carry).  Right timestamps are unique per key: merge_asof
+    ties on equal right ts by input order, which a distributed engine
+    deliberately does not reproduce."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ts_vals = st.integers(min_value=0, max_value=50)
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 2), ts_vals), min_size=1, max_size=12
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 2), ts_vals,
+                      st.one_of(st.none(), st.integers(-99, 99))),
+            min_size=1, max_size=12,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        direction=st.sampled_from(["backward", "forward"]),
+        tolerance=st.sampled_from([None, 0, 3, 10]),
+    )
+    def check(left, right, direction, tolerance):
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            "k long, ts long, lid long",
+        )
+        rdf = spark.createDataFrame(right, "k long, ts long, v long")
+        got = {
+            (r.k, r.ts, r.lid): r.v
+            for r in asof_join(
+                ldf, rdf, "k", "ts", value_cols=["v"],
+                direction=direction, tolerance=tolerance,
+            ).collect()
+        }
+        lp = pd.DataFrame(left, columns=["k", "ts"]).assign(
+            lid=range(len(left))
+        ).sort_values("ts", kind="mergesort")
+        rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values(
+            "ts", kind="mergesort"
+        )
+        rp["v"] = rp["v"].astype("float64")
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        want = {
+            (int(r.k), int(r.ts), int(r.lid)): (None if pd.isna(r.v) else int(r.v))
+            for r in want_df.itertuples()
+        }
+        assert got == want
+
+    check()

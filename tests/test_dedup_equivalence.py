@@ -95,3 +95,35 @@ def test_simhash_array_form_matches_exploded_form_testdata(spark):
     df = load_table(spark, SF, "documents").select("doc_id", "text")
     got, want = _rows(simhash(df, "doc_id", "text")), _rows(_simhash_exploded(df))
     assert len(got) > 0 and got == want
+
+
+def test_minhash_and_simhash_forms_agree_on_random_docs(spark):
+    """Hypothesis fuzz: the array-form and exploded-form signature
+    pipelines must agree on arbitrary token soup (unicode, repeats,
+    whitespace runs produce empty tokens, sub-shingle docs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters=" \n\r"),
+        min_size=0, max_size=6,
+    )
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        me = _rows(minhash_signatures(shingle_rows(df, "doc_id", "text"), "doc_id", 4))
+        ma = _rows(_array_signatures(shingle_arrays(df, "doc_id", "text"), "doc_id", 4))
+        assert me == ma
+        se = _rows(_simhash_exploded(df, bits=16))
+        sa = _rows(simhash(df, "doc_id", "text", bits=16))
+        assert se == sa
+
+    check()
