@@ -1,0 +1,112 @@
+"""Iterative graph algorithms over edge relations.
+
+``connected_components`` (in ``functions.dedup``) assembles duplicate
+clusters; this module adds PageRank — the authority score a curation
+pipeline uses to pick the CANONICAL document inside a cluster (or to
+weight a link/citation graph) when "lowest doc_id" is too arbitrary.
+
+Same distributed discipline as the CC loop: every round is one join +
+one aggregate on the edge relation, the driver sees only a convergence
+scalar, and lineage is cut per round with ``localCheckpoint`` so the
+plan does not grow with iterations.  No vertex ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank over a directed edge relation; returns (node, rank),
+    ranks summing to ~1.0.
+
+    Standard damped formulation with dangling-node correction: nodes
+    without out-edges redistribute their mass uniformly (the 1-row
+    dangling sum is collected as part of the per-round convergence
+    probe — a scalar, never rows).  Stops early when the L1 delta
+    between rounds drops below ``tol``.
+
+    Plan per round: broadcast-free — contributions shuffle on ``dst``
+    (one keyed aggregate), the rank relation stays partitioned by node,
+    and ``localCheckpoint`` flattens lineage exactly like the
+    connected-components loop (``functions/dedup.py:42``).
+    """
+    spark = edges.sparkSession
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()  # scalar; the node count bounds every round
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(max_iter):
+            r_out = ranks.join(
+                outdeg, ranks.node == outdeg.src, "left"
+            ).select("node", "rank", "deg")
+            # dangling mass: rank held by nodes with no out-edges
+            dangling = (
+                r_out.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contrib = (
+                e.join(
+                    r_out.filter(F.col("deg").isNotNull()).select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("deg")).alias("share"),
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("share").alias("in_mass"))
+                .withColumnRenamed("dst", "node")
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            new_ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            delta = (
+                ranks.select("node", F.col("rank").alias("old"))
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        e.unpersist()
+        nodes.unpersist()
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)

@@ -1,0 +1,62 @@
+"""PageRank: distributed implementation vs a pure-python fixed-point
+oracle on small graphs (including dangling nodes and disconnected
+components), plus structural sanity on the near-dup graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from cascading_hbase_spark.functions.graph import pagerank
+
+
+def _python_pagerank(edges, damping=0.85, max_iter=20, tol=1e-6):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = {v: base for v in nodes}
+        for s, ds in out.items():
+            share = rank[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+GRAPHS = [
+    # classic 4-node example with a dangling node (d has no out-edges)
+    [(1, 2), (1, 3), (2, 3), (3, 4)],
+    # cycle
+    [(1, 2), (2, 3), (3, 1)],
+    # two disconnected components, one a star
+    [(1, 2), (1, 3), (1, 4), (10, 11), (11, 10)],
+]
+
+
+@pytest.mark.parametrize("edges", GRAPHS)
+def test_pagerank_matches_python_oracle(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, max_iter=20).collect()}
+    want = _python_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_pagerank_authority_on_dup_graph(spark):
+    """On a star-shaped near-dup cluster the hub (the doc every other
+    doc links to) must outrank the leaves — the canonical-pick use."""
+    edges = [(i, 99) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    hub = got[99]
+    assert all(hub > got[i] for i in range(1, 8))
