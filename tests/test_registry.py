@@ -60,3 +60,14 @@ def test_coverage_doc_names_every_query():
         f"COVERAGE.md does not mention registered queries: {missing} — "
         f"add them to the section for their SURVEY.md §2 row"
     )
+
+
+def test_priority_names_all_registered():
+    """A typo in _PRIORITY silently drops the query from the driver's
+    head-of-order re-verification — the exact failure mode the list
+    exists to prevent."""
+    from cascading_hbase_spark.queries import _PRIORITY
+
+    missing = [k for k in _PRIORITY if k not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY entries"
