@@ -186,3 +186,21 @@ def test_asof_matches_pandas_merge_asof_property(spark):
         assert got == want
 
     check()
+
+
+def test_asof_compound_keys_and_suffix(spark):
+    """Multi-column join keys, and a value column that collides with a
+    left column gets the _right suffix."""
+    left = spark.createDataFrame(
+        [(1, "x", 10, "L1"), (1, "y", 10, "L2"), (2, "x", 10, "L3")],
+        "k long, sub string, ts long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 5, "R1"), (1, "y", 7, "R2"), (2, "z", 1, "R3")],
+        "k long, sub string, ts long, v string",
+    )
+    out = asof_join(left, right, on=["k", "sub"], ts="ts", value_cols=["v"])
+    assert "v_right" in out.columns
+    got = {(r.k, r.sub): r.v_right for r in out.collect()}
+    # (2,'x') has no right row under the compound key — 'z' must not match
+    assert got == {(1, "x"): "R1", (1, "y"): "R2", (2, "x"): None}

@@ -226,3 +226,33 @@ def test_duplicate_agg_names_rejected(spark, tmp_path):
         create_aggregate_view(
             spark, base, view, "grp", {"x": "val"}, mins={"x": "val"}
         )
+
+
+def test_min_max_view_with_null_values(spark, tmp_path):
+    """NULL source values never count toward MIN/MAX (SQL semantics):
+    inserting NULLs leaves extrema alone, retracting a NULL never
+    triggers a rescan, and a group holding only NULLs reports NULL
+    extrema while n_rows still counts the rows."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _base_df(spark, [(1, "a", 5.0), (2, "a", None), (3, "b", None)]),
+        base, "id", retain=20,
+    )
+    create_aggregate_view(
+        spark, base, view, "grp", {"total": "val"},
+        mins={"lo": "val"}, maxs={"hi": "val"},
+    )
+    assert _actual_ext(spark, view) == _expected_ext(spark, base)
+
+    # retract the NULL row of a: extrema unchanged, no false rescan
+    delete_keyed(spark, base, spark.createDataFrame([(2,)], "id bigint"))
+    refresh_aggregate_view(spark, base, view)
+    assert _actual_ext(spark, view) == _expected_ext(spark, base)
+
+    # insert a NULL into all-NULL group b, then a real value
+    write_keyed(_base_df(spark, [(4, "b", None)]), base, "id", mode=SinkMode.APPEND)
+    refresh_aggregate_view(spark, base, view)
+    assert _actual_ext(spark, view) == _expected_ext(spark, base)
+    write_keyed(_base_df(spark, [(5, "b", 2.5)]), base, "id", mode=SinkMode.APPEND)
+    refresh_aggregate_view(spark, base, view)
+    assert _actual_ext(spark, view) == _expected_ext(spark, base)
