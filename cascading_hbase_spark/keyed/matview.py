@@ -243,10 +243,11 @@ def refresh_aggregate_view(
         *[F.greatest(F.col(f"_cur_{o}"), F.col(f"_ins_{o}")).alias(o) for o in maxs],
         rescan.alias("_rescan"),
     )
+    cached = None
     if exts:
         # delta-sized relation (changed groups only); persisted because
         # both the rescan-group listing and the final merge read it
-        merged = merged.persist()
+        cached = merged = merged.persist()
         rg = merged.filter("_rescan").select(group)
         base_now = read_keyed(spark, base_path, generation=base_version)
         recomputed = (
@@ -277,6 +278,10 @@ def refresh_aggregate_view(
         mode=SinkMode.APPEND,
         meta_extra={"matview": {**mv, "base_version": base_version}},
     )
+    if cached is not None:
+        # the write above materialized everything; repeated refreshes
+        # must not accumulate cache entries (each refresh has a new plan)
+        cached.unpersist()
     return True
 
 
