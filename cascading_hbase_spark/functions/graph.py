@@ -47,6 +47,7 @@ def pagerank(
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    e = nodes = None
     try:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -60,6 +61,11 @@ def pagerank(
             .persist()
         )
         n = nodes.count()  # scalar; the node count bounds every round
+        if n == 0:
+            # no edges -> no graph: an empty rank relation, not a
+            # divide-by-zero (a dup-graph with zero near-dup pairs is a
+            # normal curation outcome)
+            return nodes.withColumn("rank", F.lit(0.0))
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         for _ in range(max_iter):
@@ -105,8 +111,11 @@ def pagerank(
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
-        e.unpersist()
-        nodes.unpersist()
         return ranks
     finally:
+        # unpersist in finally: a failed mid-loop action must not pin
+        # the edge/node sets in executor storage for the session's life
+        for cached in (e, nodes):
+            if cached is not None:
+                cached.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)

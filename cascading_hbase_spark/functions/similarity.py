@@ -348,18 +348,21 @@ def ivf_centroids_kmeans(
         # Executor-side lineage cut: the centroid rows stay in block
         # storage; no driver materialization between rounds.
         new_cents = merged.localCheckpoint(eager=True)
-        # 1-scalar convergence probe: min cosine between a cell's old
-        # and new (unit) centroid; 1.0 means nothing moved.
-        moved = (
-            cents.alias("o")
-            .join(new_cents.alias("n"), "cell_id")
-            .select(dot(F.col("o.cell_vec"), F.col("n.cell_vec")).alias("d"))
-            .agg(F.min("d"))
-            .collect()[0][0]
-        )
+        if tol > 0.0:
+            # 1-scalar convergence probe: min cosine between a cell's
+            # old and new (unit) centroid; 1.0 means nothing moved.
+            # Skipped entirely at tol=0.0 — it would be a wasted job.
+            moved = (
+                cents.alias("o")
+                .join(new_cents.alias("n"), "cell_id")
+                .select(dot(F.col("o.cell_vec"), F.col("n.cell_vec")).alias("d"))
+                .agg(F.min("d"))
+                .collect()[0][0]
+            )
+            if moved is not None and moved >= 1.0 - tol:
+                cents = new_cents
+                break
         cents = new_cents
-        if tol > 0.0 and moved is not None and moved >= 1.0 - tol:
-            break
     nv.unpersist()
     return cents
 

@@ -57,8 +57,13 @@ def asof_join(
     # an older row's value leak through and dodge the tolerance check
     # (pandas merge_asof's row-wise carry contract).
     rtypes = {f.name: f.dataType for f in right.schema.fields}
+    # the struct's timestamp field must not collide with a value column
+    # (duplicate struct fields make getField ambiguous)
+    rts_field = "_rts"
+    while rts_field in value_cols:
+        rts_field += "_"
     row_type = T.StructType(
-        [T.StructField("_rts", rtypes[ts])]
+        [T.StructField(rts_field, rtypes[ts])]
         + [T.StructField(c, rtypes[c]) for c in value_cols]
     )
     l = left.select(
@@ -72,7 +77,7 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in keys and c != ts],
         F.lit(0).alias("_asof_src"),
         F.struct(
-            F.col(ts).alias("_rts"),
+            F.col(ts).alias(rts_field),
             *[F.col(c).alias(c) for c in value_cols],
         ).alias("_asof_row"),
     ).select(*l.columns)  # align column order
@@ -92,7 +97,7 @@ def asof_join(
         "*",
         F.last("_asof_row", ignorenulls=True).over(w).alias("_carried"),
     )
-    rts = F.col("_carried").getField("_rts")
+    rts = F.col("_carried").getField(rts_field)
     if tolerance is not None:
         gap = (
             F.col(ts) - rts if direction == "backward" else rts - F.col(ts)

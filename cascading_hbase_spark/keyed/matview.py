@@ -81,10 +81,19 @@ def create_aggregate_view(
     non-null key."""
     sums, mins, maxs = sums or {}, mins or {}, maxs or {}
     outs = list(sums) + list(mins) + list(maxs)
-    if len(set(outs)) != len(outs) or "n_rows" in outs or group_col in outs:
+    if (
+        len(set(outs)) != len(outs)
+        or "n_rows" in outs
+        or group_col in outs
+        # refresh builds _dn/_rescan and _cur_/_ins_/_ret_/_x_/_re_
+        # temporaries; an underscore-leading output would collide there
+        # AFTER the view was created — refuse at create time instead
+        or any(o.startswith("_") for o in outs)
+    ):
         raise ValueError(
-            f"aggregate output names must be unique and not collide with "
-            f"n_rows/{group_col}: {outs}"
+            f"aggregate output names must be unique, must not start with "
+            f"'_' (reserved for refresh internals), and must not collide "
+            f"with n_rows/{group_col}: {outs}"
         )
     base_version = _load_meta(base_path)["version"]
     # Pin the read to the version just captured: a base commit landing

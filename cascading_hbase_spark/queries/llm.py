@@ -1894,6 +1894,9 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("tok"), F.lit(2), F.size("tok") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # persisted for the three consumers (train x2 + score); stays cached
+    # past return because the result is lazy — CacheManager dedupe + LRU
+    # eviction is the documented policy (functions/dedup.py)
     bi = (
         t.select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -291,6 +291,10 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sum of the per-token counts, derived from the (persisted,
     # vocabulary-sized) aggregate and broadcast back as a 1-row join —
     # no separate tok.count() action re-scanning the corpus.
+    # persisted, not unpersisted: the returned DataFrame is lazy, so the
+    # cache must outlive this function; CacheManager dedupes identical
+    # plans across repeated calls and LRU-evicts (functions/dedup.py's
+    # documented caching policy)
     exact = tok.groupBy("t").agg(F.count("*").alias("c")).persist()
     tot = exact.agg(F.sum("c").cast("double").alias("_n"))
     hh = exact.join(F.broadcast(tot)).filter(F.col("c") > F.col("_n") / 64.0)

@@ -426,6 +426,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
+    # persisted for both consumers (max + filter); stays cached past
+    # return because the result is lazy — CacheManager dedupe + LRU
+    # eviction is the documented policy (functions/dedup.py)
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_dec()).alias("total_revenue"))

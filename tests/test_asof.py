@@ -204,3 +204,12 @@ def test_asof_compound_keys_and_suffix(spark):
     got = {(r.k, r.sub): r.v_right for r in out.collect()}
     # (2,'x') has no right row under the compound key — 'z' must not match
     assert got == {(1, "x"): "R1", (1, "y"): "R2", (2, "x"): None}
+
+
+def test_asof_value_col_named_rts(spark):
+    """A right value column literally named _rts must not collide with
+    the carry struct's timestamp field."""
+    left = spark.createDataFrame([(1, 20)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, 7)], "k long, ts long, _rts long")
+    got = asof_join(left, right, "k", "ts", value_cols=["_rts"]).collect()
+    assert [(r.k, r.ts, r._rts) for r in got] == [(1, 20, 7)]

@@ -60,3 +60,8 @@ def test_pagerank_authority_on_dup_graph(spark):
     got = {r.node: r.rank for r in pagerank(df).collect()}
     hub = got[99]
     assert all(hub > got[i] for i in range(1, 8))
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).collect() == []

@@ -256,3 +256,12 @@ def test_min_max_view_with_null_values(spark, tmp_path):
     write_keyed(_base_df(spark, [(5, "b", 2.5)]), base, "id", mode=SinkMode.APPEND)
     refresh_aggregate_view(spark, base, view)
     assert _actual_ext(spark, view) == _expected_ext(spark, base)
+
+
+def test_reserved_agg_names_rejected(spark, tmp_path):
+    """Underscore-leading outputs collide with refresh internals (_dn,
+    _rescan, _cur_*...) — refused at create time, not first refresh."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id")
+    with pytest.raises(ValueError, match="reserved"):
+        create_aggregate_view(spark, base, view, "grp", {"_dn": "val"})

@@ -462,6 +462,8 @@ def test_heavy_hitters_single_pass_totals(spark):
     the exact path + once for the Misra-Gries sketch path — never a
     third time for a separate total-count action."""
     plan = _plan(QUERIES["heavy_hitters_sketch"](spark, SF))
+    # threshold side + score side both read the cache; a third consumer
+    # (or a cache miss sending one side back to the corpus) changes this.
+    # (No textual Scan-parquet count: InMemoryTableScan nodes print
+    # their cached plan's scans, so that number varies with cache state.)
     assert plan.count("InMemoryTableScan") == 2, plan
-    # textual count includes the cached relation's own (single) scan
-    assert plan.count("Scan parquet") <= 3, plan
