@@ -105,6 +105,12 @@ _PRIORITY = [
     "leakage_safe_split",
     "bloom_semi_filter_contract",
     "grouped_agg_pandas_udf",
+    "event_seasonality_profile",
+    "monthly_yoy_growth",
+    "fuzzy_name_join",
+    "collect_set_csv",
+    "bitwise_agg_flags",
+    "regexp_extract_all_funcs",
 ]
 
 

@@ -560,3 +560,62 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
         n_rows("o_totalprice").alias("n"),
     )
+
+
+@query(
+    "collect_set_csv",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def collect_set_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate surface: the distinct set per group as a
+    deterministically-ordered CSV (collect_set is unordered by
+    contract, so array_sort pins the output before the join —
+    exactly what the oracle's ORDER BY inside string_agg does)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )
+
+
+@query(
+    "bitwise_agg_flags",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 4 END
+               AS flag
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(bit_or(flag) AS BIGINT) AS any_flags,
+           CAST(bit_and(flag) AS BIGINT) AS all_flags
+    FROM f GROUP BY o_orderpriority
+    """,
+)
+def bitwise_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND aggregation over an encoded flag column — the
+    compact presence-mask pattern (which statuses ever/always appear
+    per group) that replaces three boolean aggregates with one long."""
+    o = load_table(spark, sf_dir, "orders")
+    flag = (
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .otherwise(4)
+    )
+    return (
+        o.select("o_orderpriority", flag.alias("flag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("bit_or(flag)").cast("bigint").alias("any_flags"),
+            F.expr("bit_and(flag)").cast("bigint").alias("all_flags"),
+        )
+    )

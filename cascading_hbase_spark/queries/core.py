@@ -660,3 +660,30 @@ def union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
     ).select("o_orderkey", "o_totalprice")
     return new.unionByName(legacy, allowMissingColumns=True)
+
+
+@query(
+    "regexp_extract_all_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
+             AS n_long_words,
+           coalesce(regexp_extract_all(text, '[a-z]{7,}')[1], '')
+             AS first_long
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def regexp_extract_all_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` — the multi-match regex scalar surface
+    (single-match extraction is ``regex_parser``): count of 7+-letter
+    lowercase words per doc plus the first such match.  Pure map-side
+    expression work inside codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    matches = F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0)
+    return d.select(
+        "doc_id",
+        F.size(matches).cast("bigint").alias("n_long_words"),
+        # F.get (0-based) is NULL out of bounds; element_at raises under
+        # ANSI mode when the array is empty
+        F.coalesce(F.get(matches, 0), F.lit("")).alias("first_long"),
+    )

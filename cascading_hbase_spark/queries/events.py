@@ -726,3 +726,75 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_id").alias("click_event"), "user_id", "attributed", "n_purchases"
         )
     )
+
+
+@query(
+    "event_seasonality_profile",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonality matrix — the calendar
+    extraction surface (ISO weekday alignment: Spark's ``weekday`` is
+    0=Monday, DuckDB's ``isodow`` is 1=Monday; +1 aligns them).  One
+    hash agg over at most 168 groups; map-side combine makes the
+    shuffle negligible at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "monthly_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+             SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(y AS BIGINT) AS y, CAST(mo AS BIGINT) AS mo,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(round(
+             CAST(rev AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY mo ORDER BY y) AS DOUBLE),
+             6) AS DOUBLE) AS yoy_ratio
+    FROM m
+    """,
+)
+def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year growth.  The naive plan windows
+    over a single global month ordering (one partition — a scale
+    killer); partitioning the lag by MONTH-OF-YEAR instead makes
+    "12 rows back" become "1 row back inside my calendar-month
+    partition": 12 parallel partitions, same answer."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.round("o_totalprice", 2).cast(DEC)).alias("rev")
+    )
+    w = Window.partitionBy("mo").orderBy("y")
+    return m.select(
+        F.col("y").cast("bigint").alias("y"),
+        F.col("mo").cast("bigint").alias("mo"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.lag("rev").over(w).cast("double"),
+            6,
+        ).alias("yoy_ratio"),
+    )

@@ -468,3 +468,43 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sum_qty").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "fuzzy_name_join",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_name AS name_a, bb.c_name AS name_b,
+           CAST(levenshtein(a.c_name, bb.c_name) AS BIGINT) AS dist
+    FROM b a JOIN b bb
+      ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+    WHERE levenshtein(a.c_name, bb.c_name) <= 1
+    """,
+)
+def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    primitive.  An unblocked levenshtein join is |T|^2; blocking on a
+    shared 16-char prefix turns it into an equi join whose buckets the
+    exact distance predicate then scans.  Blocking bounds recall by
+    construction (pairs differing inside the block key are never
+    compared) — the standard trade, stated in the name; the oracle
+    implements the identical blocking so the contract is exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("ka") < F.col("kb")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+    )
