@@ -467,3 +467,17 @@ def test_heavy_hitters_single_pass_totals(spark):
     # (No textual Scan-parquet count: InMemoryTableScan nodes print
     # their cached plan's scans, so that number varies with cache state.)
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_monthly_yoy_no_global_single_partition(spark):
+    """The YoY lag partitions by month-of-year: the plan must window
+    over a hash partitioning, never collapse to SinglePartition (the
+    global-ordering scale killer)."""
+    plan = _plan(QUERIES["monthly_yoy_growth"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark):
+    plan = _plan(QUERIES["fuzzy_name_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
