@@ -213,3 +213,52 @@ def test_asof_value_col_named_rts(spark):
     right = spark.createDataFrame([(1, 10, 7)], "k long, ts long, _rts long")
     got = asof_join(left, right, "k", "ts", value_cols=["_rts"]).collect()
     assert [(r.k, r.ts, r._rts) for r in got] == [(1, 20, 7)]
+
+
+def test_range_join_matches_naive_containment_property(spark):
+    """Property check of the bin-bucketed range join vs the naive
+    cartesian containment filter on random point/interval sets —
+    especially points landing exactly on bin edges (the integer-div
+    rounding the bin math exists to get right)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cascading_hbase_spark.functions.temporal import range_join
+
+    # micros on a coarse grid so many values hit the 10s-bin edges
+    tick = st.integers(min_value=0, max_value=120).map(lambda s: s * 1_000_000)
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        points=st.lists(tick, min_size=1, max_size=10),
+        ivals=st.lists(st.tuples(tick, tick), min_size=1, max_size=6),
+    )
+    def check(points, ivals):
+        ivals = [(min(s, e), max(s, e)) for s, e in ivals]
+        l = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(points)], "pid long, us long"
+        ).select("pid", F.timestamp_micros("us").alias("ts"))
+        r = spark.createDataFrame(
+            [(j, s, e) for j, (s, e) in enumerate(ivals)],
+            "iid long, s_us long, e_us long",
+        ).select(
+            "iid",
+            F.timestamp_micros("s_us").alias("s"),
+            F.timestamp_micros("e_us").alias("e"),
+        )
+        got = {
+            (r_.pid, r_.iid)
+            for r_ in range_join(l, r, "ts", "s", "e", bin_seconds=10).collect()
+        }
+        want = {
+            (i, j)
+            for i, p in enumerate(points)
+            for j, (s, e) in enumerate(ivals)
+            if s <= p <= e
+        }
+        assert got == want
+
+    check()
