@@ -11,6 +11,7 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     interval_join_clicks_to_purchases,
     run_available_now,
     running_user_totals,
+    session_close_on_timeout,
     session_counts,
     sliding_counts,
     stream_maintained_view,

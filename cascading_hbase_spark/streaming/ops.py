@@ -43,6 +43,7 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join_clicks_to_purchases",
     "running_user_totals",
+    "session_close_on_timeout",
     "run_available_now",
     "stream_upsert_keyed",
     "documents_stream",
@@ -278,6 +279,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+
+def session_close_on_timeout(
+    events: DataFrame, gap_seconds: int = 30, watermark: str = "1 minute"
+) -> DataFrame:
+    """Per-user session totals emitted ONLY when the session closes —
+    ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT: each batch
+    extends the user's state and re-arms a timeout at (last event time
+    + gap); when the watermark passes that point with no new events,
+    the state times out, the closed-session row is emitted (append
+    mode) and the state is removed.  The timeout path is the one piece
+    of the stateful API ``running_user_totals`` (NoTimeout, update
+    mode) does not exercise.
+
+    State is integer cents + event-time micros, so the emitted totals
+    are exact and replay-stable."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, cents, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [cents / 100.0],
+                    "last_event_us": [last_us],
+                }
+            )
+            return
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            last_us = max(last_us, int(pdf["us"].max()))
+        state.update((n, cents, last_us))
+        # timeout timestamp is epoch MILLIS in event time
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield from ()
+
+    prepared = (
+        events.withWatermark("ts", watermark)
+        .withColumn(
+            "cents", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, value_sum double, last_event_us long"
+        ),
+        stateStructType="n long, cents long, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -362,3 +362,55 @@ def test_stream_interval_left_outer_contract(spark):
     null_pids = [r.purchase_id for r in got if r.click_id is None]
     assert len(null_pids) == len(set(null_pids))  # one null row each
     assert set(null_pids) == expired_unmatched
+
+
+def test_session_close_on_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout stateful path: a user's session row is emitted
+    exactly once, AFTER the watermark passes (last event + gap) —
+    driven by later files advancing event time.  File B's events push
+    the watermark past user 1's timeout; file C's batch STARTS with
+    that watermark and fires the timeout (watermarks advance at batch
+    end, so expiry shows one batch later)."""
+    import os
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = 1_700_000_000  # seconds
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def _drop(i, rows):
+        import datetime as dt
+
+        data = [
+            (eid, dt.datetime.utcfromtimestamp(base + off), uid, "click", val, None)
+            for eid, off, uid, val in rows
+        ]
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), str(landing / f"f{i}.parquet"))
+        os.utime(str(landing / f"f{i}.parquet"), (1000 + i, 1000 + i))
+
+    _drop(0, [(1, 0, 1, 1.25), (2, 5, 1, 2.50)])      # user 1: closes later
+    _drop(1, [(3, 600, 2, 9.0)])                      # advances event time 10min
+    _drop(2, [(4, 660, 2, 1.0)])                      # batch that fires the timeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = S.run_available_now(
+        S.session_close_on_timeout(stream, gap_seconds=30, watermark="1 minute"),
+        "append",
+    ).collect()
+    rows = {r.user_id: (r.n_events, r.value_sum) for r in got}
+    # user 1's session closed exactly once with exact totals; user 2's
+    # state never expires before the stream drains
+    assert rows == {1: (2, 3.75)}
