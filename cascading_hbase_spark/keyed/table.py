@@ -78,6 +78,7 @@ from pyspark.sql.types import StructType
 __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
     "write_keyed", "read_keyed", "get_keyed", "delete_keyed",
+    "merge_keyed", "apply_changefeed",
     "compact_keyed", "rollback_keyed", "list_generations",
     "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
     "composite_prefix",
@@ -878,6 +879,94 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
         # the delete is simply absent from the stage and loses its
         # generation pointer at commit.
         _stage_and_publish(remaining, path, key, meta, affected)
+
+
+
+def merge_keyed(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    change_col: str = "_change",
+    seq_col: str | None = None,
+) -> None:
+    """MERGE: apply a mixed batch of inserts/updates/deletes in ONE
+    atomic commit — the CDC-apply primitive the separate
+    ``write_keyed``/``delete_keyed`` pair cannot give (two commits, a
+    reader between them sees the half-applied state).
+
+    ``changes`` carries the table's columns plus ``change_col`` in
+    {'insert', 'update', 'delete'} (insert and update are both upserts
+    — LWW decides).  A key both deleted and upserted in the same batch
+    resolves delete-then-insert: the current row is removed and the
+    batch's row survives.  Additive schema evolution applies like
+    APPEND.  Only buckets touched by EITHER side are rewritten; the
+    manifest flips once.
+    """
+    if change_col not in changes.columns:
+        raise ValueError(f"change column {change_col!r} not in {changes.columns}")
+    with _writer_lock(path):
+        meta = _load_meta(path)
+        _migrate_legacy(path, meta)
+        key, boundaries = meta["key"], meta["boundaries"]
+        # Pin the batch once: the split, the affected-bucket collects and
+        # the staged write must all see the same rows.
+        changes = changes.localCheckpoint(eager=True)
+        is_del = F.col(change_col) == "delete"
+        upserts = changes.filter(~is_del).drop(change_col)
+        del_keys = changes.filter(is_del).select(key)
+
+        # additive schema evolution, same contract as write_keyed APPEND
+        meta.setdefault("schema", upserts.schema.json())
+        declared = StructType.fromJson(json.loads(meta["schema"]))
+        known = {f.name for f in declared.fields}
+        new_fields = [
+            f for f in upserts.schema.fields
+            if f.name not in known and f.name not in (SEQ_COL, BUCKET_COL)
+        ]
+        if new_fields:
+            meta["schema"] = StructType(list(declared.fields) + new_fields).json()
+            meta["schema_evolved"] = True
+            fam = meta.get("families", {})
+            for f in new_fields:
+                fam.setdefault(f.name, "cf")
+            meta["families"] = fam
+
+        seq = meta["next_seq"]
+        # seq bump persists BEFORE the data write (crash-replay keeps
+        # LWW order = write order; see write_keyed)
+        meta["next_seq"] = seq + 1
+        _save_meta(path, meta)
+        batch = upserts.withColumn(SEQ_COL, F.lit(seq)).withColumn(
+            BUCKET_COL, _bucket_expr(key, boundaries)
+        )
+        affected = sorted(
+            {r[0] for r in batch.select(BUCKET_COL).distinct().collect()}
+            | {
+                r[0]
+                for r in del_keys.select(
+                    _bucket_expr(key, boundaries).alias("b")
+                ).distinct().collect()
+            }
+        )
+        current = _read_raw(spark, path, meta).filter(F.col(BUCKET_COL).isin(affected))
+        after_delete = current.join(del_keys, key, "left_anti")
+        merged = _lww(
+            after_delete.unionByName(batch, allowMissingColumns=True),
+            key,
+            _order_cols(upserts.columns, key, seq_col),
+        )
+        _stage_and_publish(merged, path, key, meta, affected)
+
+
+def apply_changefeed(spark: SparkSession, path: str, feed: DataFrame) -> None:
+    """Apply a ``changefeed_keyed`` diff to another keyed table — the
+    replication loop: ``changefeed_keyed(primary, since)`` produces,
+    ``apply_changefeed(replica, feed)`` consumes, and the replica
+    converges to the primary's snapshot in one atomic commit.  The
+    feed's optional ``_before`` pre-image column is ignored (only
+    incremental aggregate maintenance needs it)."""
+    cols = [c for c in feed.columns if c != "_before"]
+    merge_keyed(spark, path, feed.select(*cols))
 
 
 # ---------------------------------------------------------------------------

@@ -911,3 +911,73 @@ def test_get_keyed_point_lookup_prunes_buckets(spark, tmp_path):
     # fields projection and missing keys
     got2 = get_keyed(spark, path, [3, 999], fields=["v"])
     assert sorted(map(tuple, got2.collect())) == [(3, 30)]
+
+
+def test_merge_keyed_mixed_batch_is_one_commit(spark, tmp_path):
+    """MERGE applies inserts + updates + deletes atomically: one
+    manifest version bump, final contents exact, delete+reinsert of the
+    same key resolves delete-then-insert."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, list_generations, merge_keyed, read_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "kt")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, v double",
+        ),
+        path, "k", retain=10,
+    )
+    gens_before = list_generations(spark_path := path)
+    changes = spark.createDataFrame(
+        [
+            (4, "d", 40.0, "insert"),     # new key
+            (2, "B", 22.0, "update"),     # existing key
+            (3, None, None, "delete"),    # drop key 3
+            (1, None, None, "delete"),    # delete ...
+            (1, "A2", 11.0, "insert"),    # ... then reinsert same key
+        ],
+        "k long, name string, v double, _change string",
+    )
+    merge_keyed(spark, path, changes)
+    got = sorted(
+        (r.k, r.name, r.v) for r in read_keyed(spark, path).collect()
+    )
+    assert got == [(1, "A2", 11.0), (2, "B", 22.0), (4, "d", 40.0)]
+    assert len(list_generations(spark_path)) == len(gens_before) + 1
+
+
+def test_apply_changefeed_replicates(spark, tmp_path):
+    """CDC loop: replica + changefeed-apply converges to the primary,
+    across appends, deletes AND an additive schema evolution."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, apply_changefeed, changefeed_keyed, delete_keyed,
+        read_keyed, write_keyed, _load_meta,
+    )
+
+    primary, replica = str(tmp_path / "p"), str(tmp_path / "r")
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    write_keyed(initial, primary, "k", retain=20)
+    write_keyed(initial, replica, "k", retain=20)
+    v0 = _load_meta(primary)["version"]
+
+    # mutate the primary: update, insert-with-new-column, delete
+    write_keyed(
+        spark.createDataFrame(
+            [(2, "B", 21.0, "x"), (9, "i", 90.0, "y")],
+            "k long, name string, v double, extra string",
+        ),
+        primary, "k", mode=SinkMode.APPEND,
+    )
+    delete_keyed(spark, primary, spark.createDataFrame([(3,)], "k long"))
+
+    feed = changefeed_keyed(spark, primary, v0)
+    apply_changefeed(spark, replica, feed)
+
+    want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
+    got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
+    assert got == want and len(got) > 0
