@@ -1,0 +1,92 @@
+"""Incremental keyed-table replication.
+
+``changefeed_keyed`` (diff) + ``apply_changefeed`` (MERGE) compose into
+a pull-based replica: each sync ships only the keys that changed since
+the last one.  The replica's cursor — the primary generation last
+applied — commits in the SAME atomic manifest flip as the applied data
+(``meta_extra``, exactly the matview refresh-cursor pattern at
+``keyed/matview.py``), so a crash leaves either the old consistent
+(cursor, data) pair or the new one; replaying a sync is always safe.
+
+The reference's deployments got replication from HBase itself
+(cluster-level WAL shipping); here it is an explicit, testable operator
+over the manifest history.  Cost per sync: one generation-pruned diff
+join (O(rows at the two snapshots)) + a MERGE rewriting only the
+buckets the changed keys land in.
+
+Lag bound: the primary's ``retain`` depth.  A replica that falls more
+than ``retain`` generations behind raises ``StaleReplicaError`` —
+rebuild with ``create_replica``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from cascading_hbase_spark.keyed.table import (
+    DEFAULT_RETAIN,
+    SinkMode,
+    _load_meta,
+    apply_changefeed,
+    changefeed_keyed,
+    read_keyed,
+    write_keyed,
+)
+
+__all__ = ["StaleReplicaError", "create_replica", "sync_replica"]
+
+
+class StaleReplicaError(RuntimeError):
+    """The replica's cursor generation is no longer retained on the
+    primary; the incremental diff cannot be computed.  Rebuild with
+    ``create_replica``."""
+
+
+def create_replica(
+    spark: SparkSession, primary_path: str, replica_path: str
+) -> None:
+    """(Re)seed the replica from the primary's CURRENT snapshot and
+    record the cursor."""
+    meta = _load_meta(primary_path)
+    version, key = meta["version"], meta["key"]
+    # Pin the copy to the version just captured (a primary commit
+    # landing in between must not slip in ahead of the cursor).
+    snap = read_keyed(spark, primary_path, generation=version)
+    write_keyed(
+        snap,
+        replica_path,
+        key,
+        mode=SinkMode.REPLACE,
+        meta_extra={"replica": {"of": primary_path, "cursor": version}},
+    )
+
+
+def sync_replica(
+    spark: SparkSession, primary_path: str, replica_path: str
+) -> bool:
+    """Apply the primary's changes since the last sync.  Returns False
+    when already current.  One atomic commit: cursor + data together."""
+    rmeta = _load_meta(replica_path)
+    rep = rmeta.get("replica")
+    if rep is None:
+        raise ValueError(f"{replica_path} is not a replica (create_replica first)")
+    cursor = rep["cursor"]
+    pmeta = _load_meta(primary_path)
+    version = pmeta["version"]
+    if version == cursor:
+        return False
+    if cursor <= version - pmeta.get("retain", DEFAULT_RETAIN):
+        raise StaleReplicaError(
+            f"primary generation {cursor} no longer retained at "
+            f"{primary_path}; rebuild with create_replica"
+        )
+    feed = changefeed_keyed(
+        spark, primary_path, cursor, to_generation=version
+    )
+    apply_changefeed(
+        spark,
+        replica_path,
+        feed,
+        meta_extra={"replica": {**rep, "cursor": version}},
+    )
+    return True

@@ -888,6 +888,7 @@ def merge_keyed(
     changes: DataFrame,
     change_col: str = "_change",
     seq_col: str | None = None,
+    meta_extra: dict | None = None,
 ) -> None:
     """MERGE: apply a mixed batch of inserts/updates/deletes in ONE
     atomic commit — the CDC-apply primitive the separate
@@ -955,10 +956,18 @@ def merge_keyed(
             key,
             _order_cols(upserts.columns, key, seq_col),
         )
+        # application metadata (e.g. a replica's sync cursor) commits in
+        # the same atomic manifest flip as the applied changes
+        _merge_meta_extra(meta, meta_extra)
         _stage_and_publish(merged, path, key, meta, affected)
 
 
-def apply_changefeed(spark: SparkSession, path: str, feed: DataFrame) -> None:
+def apply_changefeed(
+    spark: SparkSession,
+    path: str,
+    feed: DataFrame,
+    meta_extra: dict | None = None,
+) -> None:
     """Apply a ``changefeed_keyed`` diff to another keyed table — the
     replication loop: ``changefeed_keyed(primary, since)`` produces,
     ``apply_changefeed(replica, feed)`` consumes, and the replica
@@ -966,7 +975,7 @@ def apply_changefeed(spark: SparkSession, path: str, feed: DataFrame) -> None:
     feed's optional ``_before`` pre-image column is ignored (only
     incremental aggregate maintenance needs it)."""
     cols = [c for c in feed.columns if c != "_before"]
-    merge_keyed(spark, path, feed.select(*cols))
+    merge_keyed(spark, path, feed.select(*cols), meta_extra=meta_extra)
 
 
 # ---------------------------------------------------------------------------

@@ -981,3 +981,71 @@ def test_apply_changefeed_replicates(spark, tmp_path):
     want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
     got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
     assert got == want and len(got) > 0
+
+
+def test_replica_incremental_sync_and_staleness(spark, tmp_path):
+    """Cursor-based replication: repeated syncs each apply exactly the
+    new delta (no-op when current), survive interleaved primary
+    commits, and refuse loudly once the cursor falls out of the
+    primary's retain window."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError, create_replica, sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, read_keyed, write_keyed,
+    )
+
+    primary, replica = str(tmp_path / "p"), str(tmp_path / "r")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, v double"
+        ),
+        primary, "k", retain=20,
+    )
+    create_replica(spark, primary, replica)
+    assert sync_replica(spark, primary, replica) is False  # already current
+
+    def _same():
+        want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
+        got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
+        assert got == want
+
+    # several primary commits between syncs collapse into one delta
+    write_keyed(
+        spark.createDataFrame([(3, "c", 3.0)], "k long, name string, v double"),
+        primary, "k", mode=SinkMode.APPEND,
+    )
+    delete_keyed(spark, primary, spark.createDataFrame([(1,)], "k long"))
+    assert sync_replica(spark, primary, replica) is True
+    _same()
+
+    write_keyed(
+        spark.createDataFrame([(2, "B", 9.0)], "k long, name string, v double"),
+        primary, "k", mode=SinkMode.APPEND,
+    )
+    assert sync_replica(spark, primary, replica) is True
+    _same()
+
+    # staleness: primary with retain=2 outruns the replica's cursor
+    p2, r2 = str(tmp_path / "p2"), str(tmp_path / "r2")
+    write_keyed(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double"),
+        p2, "k",
+    )  # default retain=2
+    create_replica(spark, p2, r2)
+    for i in range(2, 6):
+        write_keyed(
+            spark.createDataFrame(
+                [(i, "x", float(i))], "k long, name string, v double"
+            ),
+            p2, "k", mode=SinkMode.APPEND,
+        )
+    with _pytest.raises(StaleReplicaError):
+        sync_replica(spark, p2, r2)
+    # rebuild recovers
+    create_replica(spark, p2, r2)
+    want = sorted(tuple(r) for r in read_keyed(spark, p2).collect())
+    got = sorted(tuple(r) for r in read_keyed(spark, r2).collect())
+    assert got == want
