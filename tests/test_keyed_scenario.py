@@ -23,6 +23,7 @@ from cascading_hbase_spark.keyed.matview import (
     read_aggregate_view,
     refresh_aggregate_view,
 )
+from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
 from cascading_hbase_spark.keyed.table import (
     SinkMode,
     compact_keyed,
@@ -76,9 +77,18 @@ def test_maintenance_day(spark, tmp_path):
     model = {r[0]: (r[1], r[2], r[3]) for r in rows}
     _check(spark, path, model)
 
-    # 2. index + matview on the loaded snapshot
+    # 2. index + matview + replica on the loaded snapshot
+    rpath = str(tmp_path / "r")
     create_index(spark, path, "grp")
     create_aggregate_view(spark, path, vpath, "grp", sums={"amount_sum": "amount"})
+    create_replica(spark, path, rpath)
+
+    def _sync():
+        sync_replica(spark, path, rpath)
+        want = sorted(tuple(r) for r in read_keyed(spark, path).collect())
+        got = sorted(tuple(r) for r in read_keyed(spark, rpath).collect())
+        assert got == want, "replica diverged from primary"
+
     _check_view(spark, vpath, model)
     assert index_lookup(spark, path, "grp", "g1").count() == sum(
         1 for g, _, _ in model.values() if g == "g1"
@@ -102,6 +112,7 @@ def test_maintenance_day(spark, tmp_path):
     # incremental refresh applies exactly the upsert delta
     refresh_aggregate_view(spark, path, vpath)
     _check_view(spark, vpath, model)
+    _sync()
 
     # 4. delete every 7th key; refresh applies the delete delta
     dels = [k for k in model if k % 7 == 0]
@@ -111,6 +122,7 @@ def test_maintenance_day(spark, tmp_path):
     _check(spark, path, model)
     refresh_aggregate_view(spark, path, vpath)
     _check_view(spark, vpath, model)
+    _sync()
 
     # 5. TTL: the untouched old-ts rows (k<10 minus deleted/upserted)
     #    vanish from reads; the changefeed sees them as deletions, so
@@ -120,6 +132,7 @@ def test_maintenance_day(spark, tmp_path):
     _check(spark, path, model)
     refresh_aggregate_view(spark, path, vpath)
     _check_view(spark, vpath, model)
+    _sync()  # TTL expirations arrive at the replica as deletes
 
     # 6. re-bucketing major compaction: purges TTL'd + deleted rows,
     #    resamples boundaries; reads identical and the refresh delta is
@@ -128,6 +141,7 @@ def test_maintenance_day(spark, tmp_path):
     _check(spark, path, model)
     refresh_aggregate_view(spark, path, vpath)
     _check_view(spark, vpath, model)
+    _sync()  # compaction = physical-only change; the sync delta is empty
 
     # 8. the table kept committing throughout: generations are monotone
     #    and the latest is readable via explicit pin
@@ -145,6 +159,7 @@ def test_maintenance_day(spark, tmp_path):
     _check(spark, path, model)
     refresh_aggregate_view(spark, path, vpath)
     _check_view(spark, vpath, model)
+    _sync()
 
     # 10. a view left unrefreshed past the retain window must refuse a
     #     silently-wrong incremental refresh and demand a rebuild — the
