@@ -31,7 +31,7 @@ from cascading_hbase_spark.functions.hashing import hash64
 __all__ = ["dot", "norm2", "cosine", "np_dot", "cosine_topk", "lsh_signature",
            "lsh_ann_topk", "ivf_centroids", "ivf_centroids_kmeans",
            "ivf_quantization_objective", "ivf_ann_topk",
-           "embedding_neardup_pairs"]
+           "embedding_neardup_pairs", "semantic_dedup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -507,3 +507,59 @@ def embedding_neardup_pairs(
         "doc_b",
         F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    keep_by: DataFrame | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication end-to-end: LSH-blocked
+    cosine near-dup pairs -> connected components -> one survivor per
+    cluster.  Returns (id, cluster_id, kept) for EVERY input vector —
+    singletons keep themselves with their own id as cluster.
+
+    Survivor choice: highest ``score_col`` from ``keep_by`` (an
+    (id, score) relation — e.g. a quality score), ties and the default
+    (no scores) resolved by lowest id; deterministic either way.
+    This is the composition a curation pipeline actually runs (the
+    pieces — ``embedding_neardup_pairs``, ``connected_components``,
+    keep-best — each have their own oracle-checked queries); packaged
+    so the decision logic is not re-derived per pipeline.
+
+    Scale shape: inherits the pieces' — pairs only inside LSH bands,
+    CC is O(diameter) keyed joins, keep-best one window per cluster."""
+    from cascading_hbase_spark.functions.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        emb, id_col, vec_col, dim=dim, threshold=threshold
+    )
+    comp = connected_components(pairs)  # only ids appearing in a pair
+    ids = emb.select(F.col(id_col).alias("doc_id"))
+    labeled = ids.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    if keep_by is not None:
+        sc = keep_by.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        )
+        labeled = labeled.join(sc, "doc_id", "left").withColumn(
+            "_score", F.coalesce("_score", F.lit(float("-inf")))
+        )
+    else:
+        labeled = labeled.withColumn("_score", F.lit(0.0))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "cluster_id",
+            (F.col("_rn") == 1).alias("kept"),
+        )
+    )

@@ -11,6 +11,10 @@ from cascading_hbase_spark.functions import similarity as S
 SF = "/root/testdata/sf0.001"
 
 
+def _dim(e) -> int:
+    return len(e.select("embedding").first()[0])
+
+
 def _topk_sets(df):
     return {(r.q_id, r.vec_id) for r in df.collect()}
 
@@ -91,3 +95,47 @@ def test_wide_vector_numpy_dot_agrees_with_hof(spark):
         (r["q_id"], r["vec_id"], r["cos_sim"], r["rnk"]) for r in df.collect()
     )
     assert rows(hof) == rows(wide)
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """End-to-end semantic dedup on the real embeddings: exactly one
+    survivor per cluster, singletons keep themselves, and the kept set
+    contains no near-dup pair at the operating threshold (self-check
+    via the exact pairwise verifier)."""
+    e = load_table(spark, SF, "embeddings")
+    out = S.semantic_dedup(e, "vec_id", "embedding", dim=_dim(e), threshold=0.92)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m.kept) == 1, cid
+    kept_ids = {r.vec_id for r in rows if r.kept}
+    kept = e.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "vec_id long"),
+        "vec_id",
+    )
+    leftover = S.embedding_neardup_pairs(
+        kept, "vec_id", "embedding", dim=_dim(e), threshold=0.92
+    ).count()
+    assert leftover == 0
+
+
+def test_semantic_dedup_keep_by_score(spark):
+    """The survivor is the highest-scored member when scores are given."""
+    e = load_table(spark, SF, "embeddings")
+    scores = e.select("vec_id", (F.col("vec_id") % 97).cast("double").alias("score"))
+    out = S.semantic_dedup(
+        e, "vec_id", "embedding", dim=_dim(e), threshold=0.92,
+        keep_by=scores, score_col="score",
+    )
+    sc = {r.vec_id: float(r.vec_id % 97) for r in e.select("vec_id").collect()}
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (sc[m.vec_id], -m.vec_id))
+        assert kept[0].vec_id == best.vec_id
