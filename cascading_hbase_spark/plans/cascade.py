@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.operators.pipe import Pipe
 from cascading_hbase_spark.operators.taps import SinkMode, Tap
 
-__all__ = ["Flow", "Cascade", "FlowConnector", "CascadeConnector"]
+__all__ = ["Flow", "MaintenanceFlow", "Cascade", "FlowConnector", "CascadeConnector"]
 
 
 class Flow:
@@ -66,6 +66,32 @@ class Flow:
             self.sink.write(df, self.sink_mode)
         else:
             self.sink.write(df)
+
+
+class MaintenanceFlow:
+    """A cascade node wrapping a table-MAINTENANCE action (replica
+    sync, matview refresh, compaction) instead of a tap->pipe->tap
+    dataflow.  The reference's cascades only chained data flows — the
+    maintenance its HBase cluster did implicitly (replication, view
+    upkeep) becomes an explicit, schedulable node here.
+
+    Declares source/sink taps purely for dependency ordering and the
+    freshness protocol (keyed sinks: always stale, so maintenance
+    re-runs whenever its cascade runs — matching the incremental
+    no-op-when-current semantics of sync/refresh themselves)."""
+
+    def __init__(self, sources, sink, fn, name: str | None = None):
+        if isinstance(sources, Tap):
+            sources = {"src": sources}
+        self.sources = sources
+        self.sink = sink
+        self._fn = fn
+        self.name = name or "maintenance"
+
+    is_stale = Flow.is_stale
+
+    def complete(self, spark: SparkSession) -> None:
+        self._fn(spark)
 
 
 class Cascade:

@@ -502,3 +502,47 @@ def test_cogroup_buffer_two_sided_pandas(spark):
            for r in pipe.resolve({"clicks": clicks, "purchases": purchases}).collect()}
     expect = {u: 10.0 * u - (u + 2.0 * u) for u in range(20)}
     assert got == expect
+
+
+def test_cascade_schedules_maintenance_nodes(spark, small_txt, tmp_path):
+    """Replica sync and matview refresh as first-class cascade nodes:
+    connected in reversed order, the scheduler still runs ingest ->
+    sync -> (view refresh after sync's sink); after the cascade the
+    replica equals the primary and the view equals the aggregate."""
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        read_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
+    from cascading_hbase_spark.keyed.table import read_keyed
+    from cascading_hbase_spark.plans.cascade import CascadeConnector, MaintenanceFlow
+
+    primary = str(tmp_path / "primary")
+    replica = str(tmp_path / "replica")
+    vpath = str(tmp_path / "view")
+
+    ingest = _parse_flow(small_txt, primary)
+    ingest.complete(spark)  # seed so replica/view can be created
+    create_replica(spark, primary, replica)
+    create_aggregate_view(spark, primary, vpath, "lower")
+
+    ptap = KeyedTableTap(primary, key="num")
+    sync = MaintenanceFlow(
+        ptap, KeyedTableTap(replica, key="num"),
+        lambda s: sync_replica(s, primary, replica), name="sync",
+    )
+    refresh = MaintenanceFlow(
+        KeyedTableTap(replica, key="num"),  # depends on sync's sink
+        KeyedTableTap(vpath, key="lower"),
+        lambda s: refresh_aggregate_view(s, primary, vpath), name="refresh",
+    )
+    cascade = CascadeConnector().connect(refresh, sync, ingest)  # reversed
+    ran = cascade.complete(spark)
+    assert ran[0] == ingest.name and ran.index("sync") < ran.index("refresh")
+
+    want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
+    got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
+    assert got == want and len(got) > 0
+    view_groups = {r[0] for r in read_aggregate_view(spark, vpath).collect()}
+    assert view_groups == {r[1] for r in want}
