@@ -498,6 +498,8 @@ def stream_maintained_view(
     sums: dict[str, str],
     checkpoint: str,
     available_now: bool = True,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Streaming ingest with an incrementally-maintained aggregate:
     each micro-batch (a) LWW-upserts into the keyed base table, then
@@ -524,7 +526,8 @@ def stream_maintained_view(
             refresh_aggregate_view(batch_df.sparkSession, base_path, view_path)
         else:
             create_aggregate_view(
-                batch_df.sparkSession, base_path, view_path, group_col, sums
+                batch_df.sparkSession, base_path, view_path, group_col, sums,
+                mins=mins, maxs=maxs,
             )
 
     writer = rows.writeStream.foreachBatch(sink).option(

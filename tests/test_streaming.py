@@ -414,3 +414,74 @@ def test_session_close_on_event_time_timeout(spark, tmp_path):
     # user 1's session closed exactly once with exact totals; user 2's
     # state never expires before the stream drains
     assert rows == {1: (2, 3.75)}
+
+
+def test_stream_maintained_view_min_max(spark, tmp_path):
+    """Streaming-maintained view with MIN/MAX: upserts that move rows
+    between groups (retracting the old group's extremum) stay exact —
+    the hybrid per-group rescan runs inside each micro-batch refresh."""
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+
+    base = str(tmp_path / "base_kt")
+    view = str(tmp_path / "view_kt")
+    events = S.events_stream(spark, SF, max_files_per_trigger=1)
+    q = S.stream_maintained_view(
+        events, base, view, key="user_id", group_col="event_type",
+        sums={"total_value": "value"},
+        mins={"min_value": "value"}, maxs={"max_value": "value"},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    expected = {
+        (r.event_type, r.n_rows, round(r.total_value, 6), r.min_value, r.max_value)
+        for r in read_keyed(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("value").cast("double"), F.lit(0.0))).alias("total_value"),
+            F.min(F.col("value").cast("double")).alias("min_value"),
+            F.max(F.col("value").cast("double")).alias("max_value"),
+        )
+        .collect()
+    }
+    got = {
+        (r.event_type, r.n_rows, round(r.total_value, 6), r.min_value, r.max_value)
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == expected
+
+
+def test_stream_maintained_replica(spark, tmp_path):
+    """Streaming ingest with a replica maintained per micro-batch:
+    each batch upserts the primary then syncs the replica through the
+    changefeed→MERGE path; after the stream drains the replica equals
+    the primary."""
+    from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    primary = str(tmp_path / "primary_kt")
+    replica = str(tmp_path / "replica_kt")
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        write_keyed(batch_df, primary, key="user_id", mode=SinkMode.APPEND, retain=4)
+        import os as _os
+
+        from cascading_hbase_spark.keyed.table import META_FILE
+
+        if _os.path.exists(_os.path.join(replica, META_FILE)):
+            sync_replica(s, primary, replica)
+        else:
+            create_replica(s, primary, replica)
+
+    q = (
+        S.events_stream(spark, SF, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
+    got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
+    assert got == want and len(got) > 0
