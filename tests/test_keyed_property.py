@@ -50,6 +50,20 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.integers(min_value=1, max_value=4)),
     # schema-evolving append: carries an extra column
     st.tuples(st.just("append_wide"), _batch),
+    # MERGE: mixed upsert/delete batch, one atomic commit; the bool
+    # marks each row as a delete
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(0, 10**6),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
 )
 
 
@@ -93,6 +107,28 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
             )
             for k in arg:
                 model.pop(k, None)
+        elif op == "merge" and created:
+            from cascading_hbase_spark.keyed.table import merge_keyed
+
+            rows = [
+                (k, v, i, "delete" if is_del else "insert")
+                for i, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            # model semantics: deletes remove the PRE-merge row; batch
+            # upserts then apply in seq order (delete-then-insert)
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = (v, None)
         elif op == "compact" and created:
             compact_keyed(spark, path, n_buckets=arg)
     if created:
