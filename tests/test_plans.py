@@ -481,3 +481,36 @@ def test_fuzzy_join_blocked_not_cartesian(spark):
     plan = _plan(QUERIES["fuzzy_name_join"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q7_q8_no_cartesian_anywhere(spark):
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q12_partial_final_agg(spark):
+    """The two-class conditional count must run partial+final around
+    its (4-row) exchange — map-side combine carries the whole query."""
+    plan = _plan(QUERIES["q12_late_shipment_priority"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_seasonality_single_agg_pass(spark):
+    """dow x hour matrix: one partial+final aggregation, zero joins."""
+    plan = _plan(QUERIES["event_seasonality_profile"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_histogram_equidepth_broadcasts_cuts(spark):
+    """The decile cuts come back as a broadcast 1-row join — the corpus
+    side is never shuffled for bucket assignment."""
+    plan = _plan(QUERIES["histogram_equidepth"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_single_fact_join_no_cartesian(spark):
+    plan = _plan(QUERIES["attribution_linear"](spark, SF))
+    assert "CartesianProduct" not in plan
