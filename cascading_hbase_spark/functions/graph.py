@@ -31,10 +31,16 @@ def pagerank(
     ranks summing to ~1.0.
 
     Standard damped formulation with dangling-node correction: nodes
-    without out-edges redistribute their mass uniformly (the 1-row
-    dangling sum is collected as part of the per-round convergence
-    probe — a scalar, never rows).  Stops early when the L1 delta
-    between rounds drops below ``tol``.
+    without out-edges redistribute their mass uniformly.  Stops early
+    when the L1 delta between rounds drops below ``tol``.
+
+    Exactly ONE driver action per round: the convergence probe is a
+    single 1-row aggregate that returns both the L1 delta AND the next
+    round's dangling mass (the rank relation carries the out-degree, so
+    ``sum(rank where deg is null)`` folds into the same aggregate).
+    The round-0 dangling mass needs no action at all — initial ranks
+    are uniform ``1/n``, so it is ``n_dangling / n``, computed from the
+    setup counts.  The driver only ever sees scalars, never rows.
 
     Plan per round: broadcast-free — contributions shuffle on ``dst``
     (one keyed aggregate), the rank relation stays partitioned by node,
@@ -47,7 +53,7 @@ def pagerank(
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
-    e = nodes = None
+    e = nodes = nodes_deg = None
     try:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -67,20 +73,23 @@ def pagerank(
             # normal curation outcome)
             return nodes.withColumn("rank", F.lit(0.0))
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        # (node, deg) with deg NULL for dangling nodes — carried through
+        # every rank relation so the convergence aggregate can fold the
+        # next round's dangling mass into the same 1-row probe.
+        nodes_deg = (
+            nodes.join(outdeg, nodes.node == outdeg.src, "left")
+            .select("node", "deg")
+            .persist()
+        )
+        n_dangling = nodes_deg.filter(F.col("deg").isNull()).count()
+        # round-0 ranks are uniform 1/n, so the dangling mass is exact
+        # without touching the cluster
+        dangling = n_dangling / n
+        ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n))
         for _ in range(max_iter):
-            r_out = ranks.join(
-                outdeg, ranks.node == outdeg.src, "left"
-            ).select("node", "rank", "deg")
-            # dangling mass: rank held by nodes with no out-edges
-            dangling = (
-                r_out.filter(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )
             contrib = (
                 e.join(
-                    r_out.filter(F.col("deg").isNotNull()).select(
+                    ranks.filter(F.col("deg").isNotNull()).select(
                         F.col("node").alias("src"),
                         (F.col("rank") / F.col("deg")).alias("share"),
                     ),
@@ -92,9 +101,10 @@ def pagerank(
             )
             base = (1.0 - damping) / n + damping * dangling / n
             new_ranks = (
-                nodes.join(contrib, "node", "left")
+                nodes_deg.join(contrib, "node", "left")
                 .select(
                     "node",
+                    "deg",
                     (
                         F.lit(base)
                         + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
@@ -102,20 +112,28 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
-            delta = (
+            # the ONLY action this round: L1 delta + next dangling mass
+            # in one 1-row aggregate
+            delta, dangling = (
                 ranks.select("node", F.col("rank").alias("old"))
                 .join(new_ranks, "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-                .collect()[0][0]
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("dang"),
+                )
+                .collect()[0]
             )
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
-        return ranks
+        return ranks.select("node", "rank")
     finally:
         # unpersist in finally: a failed mid-loop action must not pin
         # the edge/node sets in executor storage for the session's life
-        for cached in (e, nodes):
+        for cached in (e, nodes, nodes_deg):
             if cached is not None:
                 cached.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)

@@ -544,8 +544,16 @@ def semantic_dedup(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
     if keep_by is not None:
-        sc = keep_by.select(
-            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        # one score per id: duplicate ids in keep_by would otherwise fan
+        # out the labeled relation and break the one-row-per-input
+        # contract (a kept=True row plus kept=False twins)
+        sc = (
+            keep_by.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(score_col).alias("_score"),
+            )
+            .groupBy("doc_id")
+            .agg(F.max("_score").alias("_score"))
         )
         labeled = labeled.join(sc, "doc_id", "left").withColumn(
             "_score", F.coalesce("_score", F.lit(float("-inf")))

@@ -391,18 +391,20 @@ def stream_upsert_keyed(
     path: str,
     key: str,
     checkpoint: str,
-    available_now: bool = True,
+    available_now: bool | None = None,
     processing_time: str | None = None,
 ) -> StreamingQuery:
     """Streaming keyed upsert sink: each micro-batch merges
     last-write-wins into the keyed table — the engine's
     ``TableOutputFormatWrap`` (buffered Puts flushed per batch).
 
-    ``available_now=True`` (default) drains the currently-available
-    input and terminates — the replay/test mode.  Pass
-    ``processing_time='5 seconds'`` (with ``available_now=False``) for
-    a long-lived continuous deployment: the query keeps polling the
-    source and each discovered batch upserts with the same semantics."""
+    Trigger selection: with neither argument the query drains the
+    currently-available input and terminates (availableNow — the
+    replay/test mode).  ``processing_time='5 seconds'`` alone selects
+    the long-lived continuous deployment: the query keeps polling the
+    source and each discovered batch upserts with the same semantics.
+    Passing ``available_now=True`` together with a ``processing_time``
+    is the only rejected combination (an explicit conflict)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         write_keyed(batch_df, path, key=key, mode=SinkMode.APPEND)
@@ -413,6 +415,10 @@ def stream_upsert_keyed(
     )
     if available_now and processing_time is not None:
         raise ValueError("pass either available_now or processing_time, not both")
+    if available_now is None:
+        # a requested processingTime trigger implies the continuous
+        # mode; otherwise default to the drain-and-stop replay mode
+        available_now = processing_time is None
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time is not None:

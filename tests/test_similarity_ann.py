@@ -139,3 +139,32 @@ def test_semantic_dedup_keep_by_score(spark):
         assert len(kept) == 1
         best = max(members, key=lambda m: (sc[m.vec_id], -m.vec_id))
         assert kept[0].vec_id == best.vec_id
+
+
+def test_semantic_dedup_keep_by_duplicate_ids(spark):
+    """Duplicate ids in keep_by must not fan out the labeled relation:
+    still exactly one row per input vector and one survivor per
+    cluster, scored by the per-id MAX."""
+    e = load_table(spark, SF, "embeddings")
+    scores = e.select(
+        "vec_id", (F.col("vec_id") % 97).cast("double").alias("score")
+    )
+    dup_scores = scores.unionByName(
+        scores.withColumn("score", F.col("score") - 1000.0)
+    )
+    out = S.semantic_dedup(
+        e, "vec_id", "embedding", dim=_dim(e), threshold=0.92,
+        keep_by=dup_scores, score_col="score",
+    )
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    sc = {r.vec_id: float(r.vec_id % 97) for r in e.select("vec_id").collect()}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (sc[m.vec_id], -m.vec_id))
+        assert kept[0].vec_id == best.vec_id

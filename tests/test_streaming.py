@@ -284,9 +284,16 @@ def test_stream_upsert_processing_time_trigger(spark, tmp_path):
 
     _drop(0)
     docs = S.documents_stream(spark, str(landing), max_files_per_trigger=1)
+    # processing_time alone implies the continuous mode (available_now
+    # is inferred False); passing both explicitly is the only error
+    with pytest.raises(ValueError, match="not both"):
+        S.stream_upsert_keyed(
+            docs, kt, key="doc_id", checkpoint=str(tmp_path / "ckpt"),
+            available_now=True, processing_time="500 milliseconds",
+        )
     q = S.stream_upsert_keyed(
         docs, kt, key="doc_id", checkpoint=str(tmp_path / "ckpt"),
-        available_now=False, processing_time="500 milliseconds",
+        processing_time="500 milliseconds",
     )
     try:
         _wait_for_keys({1, 2})
