@@ -1894,23 +1894,28 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("tok"), F.lit(2), F.size("tok") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    # persisted for the three consumers (train x2 + score); stays cached
-    # past return because the result is lazy — CacheManager dedupe + LRU
-    # eviction is the documented policy (functions/dedup.py)
+    # persisted for the remaining two consumers (model train + score);
+    # stays cached past return because the result is lazy — CacheManager
+    # dedupe + LRU eviction is the documented policy (functions/dedup.py)
     bi = (
         t.select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .persist()
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
-    uc = bi.groupBy("w1").agg(F.count("*").alias("cw1"))
+    # cw1 (bigram count with first word w1) is sum(cbg) over w1 — a
+    # window on the model-sized bigram-count relation, NOT a third
+    # aggregate pass over the corpus-scale pair relation
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cbg"))
+        .withColumn("cw1", F.sum("cbg").over(Window.partitionBy("w1")))
+    )
     vocab = t.select(F.explode("tok").alias("u")).agg(
         F.count_distinct("u").alias("vocab")
     )
     lp = F.log((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("vocab")))
     return (
         bi.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
         .join(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

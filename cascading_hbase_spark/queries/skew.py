@@ -6,7 +6,7 @@ preserves exact semantics."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.functions.skew import salted_join, salted_two_phase_agg
@@ -288,16 +288,14 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("token")
     )
     # Single pass over the exploded token relation: the grand total is
-    # the sum of the per-token counts, derived from the (persisted,
-    # vocabulary-sized) aggregate and broadcast back as a 1-row join —
-    # no separate tok.count() action re-scanning the corpus.
-    # persisted, not unpersisted: the returned DataFrame is lazy, so the
-    # cache must outlive this function; CacheManager dedupes identical
-    # plans across repeated calls and LRU-evicts (functions/dedup.py's
-    # documented caching policy)
-    exact = tok.groupBy("t").agg(F.count("*").alias("c")).persist()
-    tot = exact.agg(F.sum("c").cast("double").alias("_n"))
-    hh = exact.join(F.broadcast(tot)).filter(F.col("c") > F.col("_n") / 64.0)
+    # sum(c) OVER () on the vocabulary-sized aggregate — the threshold
+    # derives from the same relation in the same plan, so there is no
+    # second corpus scan, no cache, and nothing pinned in executor
+    # storage across the driver's 174-query session.  The empty-frame
+    # window is one extra exchange over |vocabulary| rows only.
+    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = F.sum("c").over(Window.partitionBy()).cast("double")
+    hh = exact.withColumn("_n", tot).filter(F.col("c") > F.col("_n") / 64.0)
     return hh.join(
         cand, hh.t == cand.token, "left"
     ).select(

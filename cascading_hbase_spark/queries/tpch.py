@@ -27,7 +27,7 @@ queries) are out of scope.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.queries import query
@@ -419,25 +419,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): a view-over-aggregate compared against
-    its own MAX — the scalar subquery becomes a broadcast 1-row join,
-    and the equality runs on exact DECIMAL so ties (and the oracle)
-    agree bit-for-bit.  The quarterly revenue agg is computed ONCE and
-    reused for both sides via persist."""
+    its own MAX — expressed as ``max(total_revenue) OVER ()`` on the
+    aggregated relation, so the revenue view is computed ONCE with no
+    cache and no second scan (the empty-frame window is a single extra
+    exchange over the already supplier-sized aggregate; at 100 TB that
+    relation is |suppliers|, not |lineitem|).  The equality runs on
+    exact DECIMAL so ties (and the oracle) agree bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    # persisted for both consumers (max + filter); stays cached past
-    # return because the result is lazy — CacheManager dedupe + LRU
-    # eviction is the documented policy (functions/dedup.py)
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev_dec()).alias("total_revenue"))
-        .persist()
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_dec()).alias("total_revenue")
     )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     s = load_table(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("_mx", mx)
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(

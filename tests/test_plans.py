@@ -456,17 +456,15 @@ def test_weighted_sample_single_shuffle(spark):
 
 def test_heavy_hitters_single_pass_totals(spark):
     """The N/k threshold must come from the SAME aggregation pass that
-    scores candidates: both consumers of the per-token counts (the
-    threshold side and the score side) read the persisted aggregate
-    (InMemoryTableScan x2), so the exploded corpus is scanned once for
-    the exact path + once for the Misra-Gries sketch path — never a
-    third time for a separate total-count action."""
+    scores candidates: the grand total is an empty-frame window over
+    the vocabulary-sized per-token aggregate, so the exploded corpus is
+    scanned once for the exact path + once for the Misra-Gries sketch
+    path — never a third time for a separate total-count action, and
+    (since r05) with nothing persisted across the session."""
     plan = _plan(QUERIES["heavy_hitters_sketch"](spark, SF))
-    # threshold side + score side both read the cache; a third consumer
-    # (or a cache miss sending one side back to the corpus) changes this.
-    # (No textual Scan-parquet count: InMemoryTableScan nodes print
-    # their cached plan's scans, so that number varies with cache state.)
-    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "Window" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_monthly_yoy_no_global_single_partition(spark):
