@@ -53,64 +53,99 @@ def _load_all() -> None:
 
 
 # Queries the driver's per-round budget (~50 checked per round) must hit
-# FIRST this round (VERDICT r03 items 1-2): the 7 §2 cells that have
-# never received a driver row, then the 8 queries whose driver verdicts
-# predate a rewrite (array-form MinHash 61298a3, zero-shuffle SimHash
-# e8b9fe9, keyed-layer rework), then any pair new or changed this round.
+# FIRST this round (VERDICT r04 item 1): every r04-and-earlier action
+# item is closed, so the budget rotates the STALEST driver verdicts —
+# queries changed/added this round first (the standing rule), then the
+# 44 pairs whose only driver verdict dates from round 1, then the 35
+# from round 2 (testdata is regenerated per round, so verdict age is
+# the weakest link in the CORRECTNESS artifact).
 _PRIORITY = [
-    # --- never driver-verified (VERDICT r03 rows 52/66/68/75/82/83/88)
-    "range_bin_join",
-    "heavy_hitters_sketch",
-    "window_count_distinct",
-    "union_evolved_schema",
-    "stats_corr_covar",
-    "array_scalar_funcs",
-    "window_ratio_to_report",
-    # --- rewritten since their last driver verdict
-    "dedup_minhash_lsh",
-    "neardup_clusters",
-    "dedup_incremental_vs_corpus",
-    "simhash_fingerprint",
-    "simhash_neardup",
-    "keyed_upsert_lww",
-    "keyed_range_scan",
-    "keyed_delete_antijoin",
-    # --- new or oracle-changed in round 4 (appended as they land)
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "doc_chunk_windows",
-    "lm_bigram_logprob",
-    "weighted_sample_per_source",
-    "ema_user_value",
-    "histogram_equidepth",
-    "attribution_linear",
-    # asof_join gained the row-wise struct carry this round: its r03
-    # verdicts predate the rewrite
-    "asof_join_generic",
-    "asof_join_tolerance",
-    "asof_join_forward",
-    # broadcast-hint hygiene (hints dropped from SF-scaling sides) —
-    # plans changed, so re-verify
-    "join_star_revenue",
-    "range_predicate_join",
-    "correlated_avg_filter",
-    "leakage_safe_split",
-    "bloom_semi_filter_contract",
-    "grouped_agg_pandas_udf",
-    "event_seasonality_profile",
-    "monthly_yoy_growth",
-    "fuzzy_name_join",
-    "collect_set_csv",
-    "bitwise_agg_flags",
-    "regexp_extract_all_funcs",
+    # --- changed or new in round 5 (appended as they land)
+    "q15_top_supplier",        # persist -> max() OVER () rewrite
+    "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite
+    "lm_bigram_logprob",       # third corpus pass -> window over model
+    # --- last driver verdict r01 (registration order)
+    "each_identity",
+    "regex_splitter",
+    "expression_function",
+    "regex_filter",
+    "filter_bool_combinators",
+    "filter_null",
+    "insert_literal",
+    "regex_parser",
+    "regex_replace",
+    "regex_generator",
+    "date_formatter",
+    "date_parser",
+    "field_joiner",
+    "field_formatter",
+    "ungroup_unpivot",
+    "pivot_agg",
+    "merge_union",
+    "intersect_op",
+    "except_op",
+    "json_extract",
+    "string_scalar_funcs",
+    "bytes_codec",
+    "cogroup_inner",
+    "cogroup_left",
+    "cogroup_right",
+    "cogroup_outer",
+    "cogroup_mixed_nary",
+    "self_join",
+    "semi_join",
+    "anti_join",
+    "broadcast_dim_join",
+    "agg_pricing_summary",
+    "groupby_count",
+    "groupby_first_last",
+    "unique_distinct",
+    "percentile_agg",
+    "count_distinct",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "buffer_apply_in_pandas",
+    "secondary_sort_first",
+    "topk_per_group",
+    "global_sort_limit",
+    # --- last driver verdict r02 (registration order; the ~50 budget
+    #     reaches partway in — the rest head next round's rotation)
+    "window_ntile_firstlast",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "event_dedup_earliest",
+    "asof_join_last_signup",
+    "funnel_signup_to_purchase",
+    "event_rate_per_user_hour",
+    "retention_cohorts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "embedding_neardup",
+    "embedding_stats",
+    "text_stats",
+    "token_count_regex",
+    "lang_id_heuristic",
+    "quality_score",
+    "text_clean_pipeline",
+    "dedup_cluster_keep_best",
+    "stratified_sample_hash",
+    "token_budget_cap",
+    "doc_fingerprint",
+    "multimodal_image_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "multimodal_frame_slices",
+    "multimodal_audio_stats",
+    "streaming_tumbling_window_agg",
+    "streaming_session_window_agg",
+    "streaming_sliding_window_agg",
+    "streaming_dedup_within_watermark",
+    "streaming_user_running_totals",
+    "salted_two_phase_agg",
+    "salted_join_rollup",
 ]
 
 
