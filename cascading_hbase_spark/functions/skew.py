@@ -1,17 +1,31 @@
 """Skew-mitigation operators.
 
-AQE's skew-join splitting (enabled in the engine session) handles most
-runtime skew; these helpers cover the cases the optimizer can't:
+Policy — when to salt vs when to let AQE handle it (tested by
+``tests/test_skew.py::test_skew_policy_aqe_vs_salting``):
 
-- ``salted_two_phase_agg``: aggregation where a handful of group keys
-  dominate.  Phase 1 aggregates on (key, salt) — the hot key's rows
-  spread over ``n_salt`` reducers — phase 2 merges the per-salt partial
-  aggregates.  Results are identical to a direct groupBy for the
-  algebraic aggregates exposed here (sum/count/min/max), so the DuckDB
-  oracle checks it exactly.
-- ``salted_join``: replicate the small side ``n_salt`` times so a
-  skewed big-side key spreads over ``n_salt`` reducers; exact same
-  join result.
+- **Join skew: delegate to AQE.** The engine session enables
+  ``spark.sql.adaptive.skewJoin.enabled`` (``session.py``), which
+  splits oversized sort-merge join partitions at runtime by replaying
+  the other side — the same trick as manual salting, chosen from
+  actual partition sizes instead of a guessed ``n_salt``.  Plain
+  ``df.join`` is therefore the DEFAULT for skewed equi-joins;
+  ``salted_join`` remains for the cases AQE's splitter does not
+  cover — broadcast-ineligible joins that AQE plans as shuffled-hash
+  (no sort-merge partitions to split), and deployments where AQE is
+  off.
+- **Aggregation skew: salt, AQE will not help.** AQE never splits a
+  hash-aggregate partition: every row of a hot group key must reach
+  the one reducer owning that key.  Map-side partial aggregation
+  absorbs skew only when the per-key state is tiny; for hot keys with
+  wide state (count-distinct-like, collect-like) the final aggregate
+  still serializes on one task.  ``salted_two_phase_agg`` aggregates
+  on (key, salt) first — the hot key's rows spread over ``n_salt``
+  reducers — then merges per-salt partials.  Results are identical to
+  a direct groupBy for the algebraic aggregates exposed here
+  (sum/count/min/max), so the DuckDB oracle checks it exactly.
+
+``salted_join``: replicate the small side ``n_salt`` times so a skewed
+big-side key spreads over ``n_salt`` reducers; exact same join result.
 """
 
 from __future__ import annotations

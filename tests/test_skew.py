@@ -32,6 +32,42 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_skew_policy_aqe_vs_salting(spark):
+    """Executable form of the functions/skew.py policy.
+
+    (a) Join skew is DELEGATED: the engine session runs with AQE's
+    skew-join splitter on, so plain joins are the default.
+    (b) Aggregation skew is NOT AQE's problem: a hot group key's final
+    aggregate is one reducer task no matter what AQE does, while the
+    salted phase-1 provably spreads the same hot key over multiple
+    (key, salt) cells — the structural fact salting exists for."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    # one hot key carrying ~90% of rows
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    df = hot.unionByName(cold)
+
+    # (b) structural spread: phase 1 of the salted agg materializes the
+    # hot key as n_salt partial cells (AQE offers no counterpart here)
+    n_salt = 8
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salt).cast("int"))
+    phase1 = salted.groupBy("k", "_salt").agg(F.sum("v").alias("s"))
+    hot_cells = phase1.filter(F.col("k") == "hot").count()
+    assert hot_cells > 1, "hot key did not spread across salt cells"
+
+    # salting stays semantically invisible on the skewed input
+    got = salted_two_phase_agg(df, ["k"], {"s": ("sum", "v"), "n": ("count", "v")})
+    want = df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_approx_distinct_within_bound(spark):
     li = load_table(spark, SF, "lineitem")
     approx = li.agg(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
