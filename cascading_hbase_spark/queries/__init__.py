@@ -64,6 +64,8 @@ _PRIORITY = [
     "q15_top_supplier",        # persist -> max() OVER () rewrite
     "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite
     "lm_bigram_logprob",       # third corpus pass -> window over model
+    "fuzzy_name_join_deletion_blocked",  # new: full-recall ER blocking
+    "fuzzy_join_blocking_audit",         # new: recall measurement
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -508,3 +508,194 @@ def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("name_a", "name_b", "dist")
     )
+
+
+def _deletion_variants(c: DataFrame, key: str, name: str) -> DataFrame:
+    """(key, name, variant) with one row per single-character-deletion
+    variant of ``name`` plus the original string (p=0).  Two strings at
+    edit distance <= 1 ALWAYS share at least one variant (substitution:
+    delete the differing position from both; insert/delete: the longer
+    string's deletion equals the shorter original) — so an equi join on
+    ``variant`` is a 100%-recall blocking scheme for lev <= 1, at a
+    linear (len+1)x row blowup instead of a quadratic comparison."""
+    return c.select(
+        F.col(key),
+        F.col(name),
+        F.explode(F.sequence(F.lit(0), F.length(name))).alias("p"),
+    ).select(
+        key,
+        name,
+        F.when(F.col("p") == 0, F.col(name))
+        .otherwise(
+            F.concat(
+                F.expr(f"substring({name}, 1, p - 1)"),
+                F.expr(f"substring({name}, p + 1, 100000)"),
+            )
+        )
+        .alias("variant"),
+    )
+
+
+@query(
+    "fuzzy_name_join_deletion_blocked",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN p = 0 THEN c_name
+                  ELSE substring(c_name, 1, p-1) || substring(c_name, p+1, 100000)
+             END AS variant
+      FROM customer, unnest(range(0, length(c_name)+1)) AS t(p)
+    )
+    SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_join_deletion_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recall fuzzy self-join via deletion-neighborhood blocking —
+    the multi-pass upgrade of `fuzzy_name_join`'s prefix blocking.
+    Each name emits its original form plus every one-character-deletion
+    variant; candidates equi-join on the variant key and the exact
+    levenshtein predicate prunes false positives.  Unlike prefix
+    blocking (recall bounded by where the edit lands), this finds EVERY
+    pair at distance <= 1 by the pigeonhole argument in
+    `_deletion_variants` — with a (len+1)x map-side blowup and a single
+    shuffle on the variant key, never a cartesian.
+    `fuzzy_join_blocking_audit` measures both schemes against an
+    exhaustive ground truth."""
+    c = load_table(spark, sf_dir, "customer")
+    v = _deletion_variants(c, "c_custkey", "c_name")
+    a = v.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("name_a"),
+        "variant",
+    )
+    b = v.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("name_b"),
+        F.col("variant").alias("variant_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("variant") == F.col("variant_b"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+        .distinct()
+    )
+
+
+@query(
+    "fuzzy_join_blocking_audit",
+    oracle="""
+    WITH truth AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM customer a JOIN customer b
+        ON b.c_custkey > a.c_custkey
+       AND length(b.c_name) BETWEEN length(a.c_name)-1 AND length(a.c_name)+1
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    pref AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM customer a JOIN customer b
+        ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+       AND b.c_custkey > a.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    v AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN p = 0 THEN c_name
+                  ELSE substring(c_name, 1, p-1) || substring(c_name, p+1, 100000)
+             END AS variant
+      FROM customer, unnest(range(0, length(c_name)+1)) AS t(p)
+    ),
+    del AS (
+      SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM truth) AS true_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM pref) AS prefix_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM del) AS deletion_pairs,
+      round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+            ELSE (SELECT count(*) FROM pref) * 1.0
+                 / (SELECT count(*) FROM truth) END, 6) AS recall_prefix,
+      round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+            ELSE (SELECT count(*) FROM del) * 1.0
+                 / (SELECT count(*) FROM truth) END, 6) AS recall_deletion
+    """,
+)
+def fuzzy_join_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall audit: quantifies the recall trade `fuzzy_name_join`
+    states.  Ground truth is the exhaustive lev<=1 pair set, computed
+    with length blocking (exact: distance <= 1 forces lengths within
+    +-1, so only the |T|^2/B within-length-block comparisons run —
+    this audit is a small-sf diagnostic by design; you cannot measure
+    recall without ground truth).  Against it: pairs found by the
+    16-char-prefix blocking and by deletion-neighborhood blocking.
+    One summary row — counts plus recall fractions."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("name_b"))
+    lev_ok = F.levenshtein("name_a", "name_b") <= 1
+
+    al = a.withColumn(
+        "lb",
+        F.explode(
+            F.array(
+                F.length("name_a") - 1,
+                F.length("name_a"),
+                F.length("name_a") + 1,
+            )
+        ),
+    )
+    truth = al.join(
+        b, (F.length("name_b") == F.col("lb")) & (F.col("ka") < F.col("kb"))
+    ).filter(lev_ok)
+
+    pref = a.withColumn("blk", F.substring("name_a", 1, 16)).join(
+        b.withColumn("blk_b", F.substring("name_b", 1, 16)),
+        (F.col("blk") == F.col("blk_b")) & (F.col("ka") < F.col("kb")),
+    ).filter(lev_ok)
+
+    v = _deletion_variants(c, "c_custkey", "c_name")
+    dele = (
+        v.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("name_a"), "variant")
+        .join(
+            v.select(
+                F.col("c_custkey").alias("kb"),
+                F.col("c_name").alias("name_b"),
+                F.col("variant").alias("variant_b"),
+            ),
+            (F.col("variant") == F.col("variant_b")) & (F.col("ka") < F.col("kb")),
+        )
+        .filter(lev_ok)
+        .select("ka", "kb")
+        .distinct()
+    )
+
+    t = truth.agg(F.count("*").cast("bigint").alias("true_pairs"))
+    p = pref.agg(F.count("*").cast("bigint").alias("prefix_pairs"))
+    d = dele.agg(F.count("*").cast("bigint").alias("deletion_pairs"))
+    recall = lambda n: F.round(  # noqa: E731
+        F.when(F.col("true_pairs") == 0, F.lit(1.0)).otherwise(
+            F.col(n) / F.col("true_pairs")
+        ),
+        6,
+    )
+    return (
+        t.join(F.broadcast(p))
+        .join(F.broadcast(d))
+        .select(
+            "true_pairs",
+            "prefix_pairs",
+            "deletion_pairs",
+            recall("prefix_pairs").alias("recall_prefix"),
+            recall("deletion_pairs").alias("recall_deletion"),
+        )
+    )

@@ -512,3 +512,21 @@ def test_histogram_equidepth_broadcasts_cuts(spark):
 def test_attribution_single_fact_join_no_cartesian(spark):
     plan = _plan(QUERIES["attribution_linear"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_deletion_blocking_no_cartesian(spark):
+    """Deletion-neighborhood blocking must plan as an equi join on the
+    variant key — never a cartesian/nested-loop over the name pairs."""
+    plan = _plan(QUERIES["fuzzy_name_join_deletion_blocked"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fuzzy_blocking_audit_recall_contract(spark):
+    """The audit's own contract: deletion-neighborhood blocking is
+    provably complete for lev <= 1 (recall 1.0); prefix blocking can
+    only be <= that."""
+    row = QUERIES["fuzzy_join_blocking_audit"](spark, SF).collect()[0]
+    assert row.recall_deletion == 1.0, row
+    assert row.recall_prefix <= row.recall_deletion, row
+    assert row.deletion_pairs == row.true_pairs, row
