@@ -11,7 +11,12 @@ from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.operators.bucketed import colocated_join, write_bucketed
 from cascading_hbase_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.01"
+# Overridable so the sf1 scale probe can re-run the same structural
+# asserts against 10x data (tools/scale_testdata.py + VERDICT r04 #2):
+#   SPARK_GRAFT_PLAN_SF=/root/repo/.scaledata/sf1 pytest tests/test_plans.py
+import os
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
 
 
 def _plan(df) -> str:

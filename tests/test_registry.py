@@ -71,3 +71,31 @@ def test_priority_names_all_registered():
     missing = [k for k in _PRIORITY if k not in QUERIES]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY entries"
+
+
+def test_api_doc_names_every_export():
+    """API.md is the user-facing surface doc; every ``__all__`` export
+    of every public module must be mentioned (literal substring — names
+    are unique enough; pipe/functions constants included)."""
+    import importlib
+
+    api_path = os.path.join(os.path.dirname(MANIFEST), "..", "API.md")
+    with open(api_path) as f:
+        api = f.read()
+    mods = [
+        "session", "catalog",
+        "keyed.table", "keyed.index", "keyed.matview", "keyed.replica",
+        "operators.pipe", "operators.functions", "operators.taps",
+        "operators.zorder", "operators.bucketed",
+        "functions.dedup", "functions.similarity", "functions.graph",
+        "functions.temporal", "functions.text", "functions.hashing",
+        "functions.skew", "functions.bloom", "functions.multimodal",
+        "plans.cascade", "streaming.ops",
+    ]
+    missing = []
+    for mn in mods:
+        m = importlib.import_module(f"cascading_hbase_spark.{mn}")
+        for name in getattr(m, "__all__", []):
+            if name not in api:
+                missing.append(f"{mn}.{name}")
+    assert not missing, f"API.md does not mention exports: {missing}"
