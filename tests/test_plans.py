@@ -530,8 +530,13 @@ def test_fuzzy_deletion_blocking_no_cartesian(spark):
 def test_fuzzy_blocking_audit_recall_contract(spark):
     """The audit's own contract: deletion-neighborhood blocking is
     provably complete for lev <= 1 (recall 1.0); prefix blocking can
-    only be <= that."""
-    row = QUERIES["fuzzy_join_blocking_audit"](spark, SF).collect()[0]
+    only be <= that.  Pinned to sf0.001 regardless of the
+    SPARK_GRAFT_PLAN_SF override — the audit's ground truth is
+    quadratic within length blocks by design (a small-sf diagnostic,
+    per its docstring), so it must not run against scale-probe data."""
+    row = QUERIES["fuzzy_join_blocking_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
     assert row.recall_deletion == 1.0, row
     assert row.recall_prefix <= row.recall_deletion, row
     assert row.deletion_pairs == row.true_pairs, row
