@@ -20,7 +20,7 @@ MEMORY_AND_DISK entries evict LRU under pressure."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from cascading_hbase_spark.functions.hashing import hash64
 from cascading_hbase_spark.functions.text import shingles, tokens
@@ -264,11 +264,24 @@ def minhash_neardup_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: band-bucket candidate
     generation, then *exact* Jaccard verification of candidates only.
     No false positives; false negatives only for pairs no band catches
     (standard LSH trade-off).
+
+    ``max_bucket`` is the 100 TB mega-bucket guard: a band bucket with
+    w members emits w^2/2 candidates, so one boilerplate-heavy bucket
+    (near-identical headers/footers hashing to the same band signature)
+    can dominate the whole job.  When set, buckets wider than
+    ``max_bucket`` are skipped BEFORE the self-join (a windowed count
+    on the same (band, band_sig) key the join shuffles on — no extra
+    shuffle), capping per-bucket cost at max_bucket^2.  Recall trade,
+    stated plainly: docs meeting only inside a skipped bucket lose that
+    band; they can still pair via their other n_hashes/band_size - 1
+    bands, and the capped pair set is always a SUBSET of the uncapped
+    one (same no-false-positives contract).
 
     Execution shape (array form — zero shuffles before the band join):
     signatures come from ``array_min`` over per-lane transforms of the
@@ -281,6 +294,15 @@ def minhash_neardup_pairs(
     arr = shingle_arrays(df, id_col, text_col, shingle_n).persist()
     sig = _array_signatures(arr, id_col, n_hashes)
     bands = minhash_band_signatures(sig, id_col, band_size, n_hashes)
+    if max_bucket is not None:
+        bands = (
+            bands.withColumn(
+                "_bw",
+                F.count("*").over(Window.partitionBy("band", "band_sig")),
+            )
+            .filter(F.col("_bw") <= max_bucket)
+            .drop("_bw")
+        )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("band_sig_b"))
     cand = (

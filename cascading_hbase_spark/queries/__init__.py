@@ -66,6 +66,7 @@ _PRIORITY = [
     "lm_bigram_logprob",       # third corpus pass -> window over model
     "fuzzy_name_join_deletion_blocked",  # new: full-recall ER blocking
     "fuzzy_join_blocking_audit",         # new: recall measurement
+    "dedup_minhash_lsh_capped",          # new: mega-bucket guard
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -90,6 +90,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5)
 
 
+# The mega-bucket-guarded variant: band buckets wider than _LSH_CAP are
+# skipped before the self-join (see minhash_neardup_pairs.max_bucket —
+# the guard that keeps one boilerplate bucket from going quadratic at
+# 100 TB).  _LSH_CAP=2 provably bites at sf0.01 (buckets reach width 3)
+# so the driver verifies the cap path, not a no-op.
+_LSH_CAP = 2
+_MINHASH_PAIRS_CAPPED_SQL = _MINHASH_PAIRS_SQL.replace(
+    """    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),""",
+    f"""    bw AS (
+      SELECT band, band_sig, count(*) AS w FROM bands GROUP BY 1, 2
+    ),
+    bandsc AS (
+      SELECT b.* FROM bands b
+      JOIN bw ON bw.band = b.band AND bw.band_sig = b.band_sig
+      WHERE bw.w <= {_LSH_CAP}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsc a JOIN bandsc b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),""",
+)
+assert "bandsc" in _MINHASH_PAIRS_CAPPED_SQL  # replace() must have matched
+
+
+@query("dedup_minhash_lsh_capped", oracle=_MINHASH_PAIRS_CAPPED_SQL)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the mega-bucket guard
+    (max_bucket): band buckets wider than the cap emit no candidates,
+    bounding per-bucket cost at cap^2 — the guard a 100 TB corpus needs
+    against boilerplate band signatures.  Capped pairs are a subset of
+    `dedup_minhash_lsh`'s (tested); the oracle implements the identical
+    bucket-width filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5,
+        max_bucket=_LSH_CAP,
+    )
+
+
 @query(
     "neardup_clusters",
     oracle=f"""

@@ -127,3 +127,26 @@ def test_minhash_and_simhash_forms_agree_on_random_docs(spark):
         assert se == sa
 
     check()
+
+
+def test_minhash_max_bucket_subset_and_bites(spark):
+    """The mega-bucket guard's contract: capped pairs are a SUBSET of
+    the uncapped pairs (no false positives introduced), and at sf0.01
+    the cap=2 actually drops something (buckets reach width 3), so the
+    guard path is exercised, not a no-op."""
+    from cascading_hbase_spark.functions.dedup import minhash_neardup_pairs
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    kw = dict(n_hashes=8, band_size=2, threshold=0.5)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(d, "doc_id", "text", **kw).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(
+            d, "doc_id", "text", max_bucket=2, **kw
+        ).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
