@@ -67,6 +67,7 @@ _PRIORITY = [
     "fuzzy_name_join_deletion_blocked",  # new: full-recall ER blocking
     "fuzzy_join_blocking_audit",         # new: recall measurement
     "dedup_minhash_lsh_capped",          # new: mega-bucket guard
+    "q21_suppliers_kept_waiting",        # new: Q21 via order-stats rewrite
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -535,3 +535,72 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 90
+      AND n.n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND date_diff('day', o.o_orderdate, l3.l_shipdate) > 90)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    partsupp-free query: late lines on finished orders where ANOTHER
+    supplier was also on the order (EXISTS) but NO other supplier was
+    late (NOT EXISTS).  "Late" is datediff(ship, order) > 90 days, the
+    same proxy as Q12's 90+ bucket on this trimmed schema.
+
+    Plan-first rewrite: the canonical double correlated subquery would
+    self-join lineitem twice.  Instead, one pass over the F-order lines
+    computes per-order COUNT(DISTINCT supplier) and COUNT(DISTINCT late
+    supplier); a late line l1 qualifies iff its order has >1 distinct
+    suppliers and exactly 1 distinct late supplier (which must then be
+    l1's own — l1 is late, so its supplier is always among the late
+    set).  The order-stats aggregate and the l1-stats join share the
+    orderkey partitioning from the orders join, so lineitem is shuffled
+    once and never self-joined row-to-row.  The nation dim filter
+    broadcasts; supplier stays unhinted (scales with SF)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late_supp"),
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = lo.filter(late).join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        l1.join(stats, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -540,3 +540,16 @@ def test_fuzzy_blocking_audit_recall_contract(spark):
     assert row.recall_deletion == 1.0, row
     assert row.recall_prefix <= row.recall_deletion, row
     assert row.deletion_pairs == row.true_pairs, row
+
+
+def test_q21_no_lineitem_self_join(spark):
+    """Q21's double correlated EXISTS/NOT EXISTS is rewritten as one
+    per-order distinct-supplier aggregate: no cartesian/nested-loop,
+    and the lineitem scan appears at most twice (the lo relation is
+    consumed by l1 and by the stats agg), never as a row-to-row
+    lineitem-lineitem comparison."""
+    plan = _plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # partial+final distinct agg around the orderkey exchange
+    assert plan.count("HashAggregate") >= 2
