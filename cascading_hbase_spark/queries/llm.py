@@ -2014,3 +2014,84 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source", F.round("priority", 6).alias("priority"))
     )
+
+
+@query(
+    "perplexity_bucket_ccnet",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cbg FROM bi GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS cw1 FROM bi GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT u) AS vocab
+      FROM (SELECT unnest(tok) AS u FROM t)
+    ),
+    scored AS (
+      SELECT bi.doc_id,
+             CAST(round(avg(ln((bc.cbg + 1.0) / (uc.cw1 + v.vocab))), 6)
+                  AS DOUBLE) AS lm_score
+      FROM bi
+      JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+      JOIN uc ON uc.w1 = bi.w1
+      CROSS JOIN v
+      GROUP BY bi.doc_id
+    ),
+    sl AS (
+      SELECT s.doc_id, d.lang, s.lm_score
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(lm_score, [0.25, 0.75]) AS cs
+      FROM sl GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.lm_score,
+           CASE WHEN sl.lm_score > cuts.cs[2] THEN 'head'
+                WHEN sl.lm_score > cuts.cs[1] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN cuts ON cuts.lang = sl.lang
+    """,
+)
+def perplexity_bucket_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-trained add-1 bigram LM (``lm_bigram_logprob``), then split
+    each LANGUAGE into head / middle / tail by its own LM-score
+    quantiles — the standard web-corpus curation move (fluent top,
+    noisy bottom, per language, so no language is filtered against
+    another language's fluency scale).  Cut points are the 0.25/0.75
+    quartiles rather than CCNet's terciles: 1/3 is not exactly
+    representable and Spark SQL parses `1.0/3.0` as DECIMAL division,
+    so tercile literals drift an ulp between engines and flip boundary
+    docs; 0.25/0.75 are exact binary fractions on every engine.
+
+    Scale shape: the LM scoring keeps ``lm_bigram_logprob``'s plan
+    (map-side zip_with pairs, model-keyed shuffles); the tercile cuts
+    are ONE per-language exact-percentile aggregate over the scored
+    relation — a #languages-row result broadcast back for map-side
+    labeling (never a per-language global sort).  Cuts are computed on
+    the round-6 scores, so the bucket comparisons see bit-identical
+    doubles on both engines (the histogram_equidepth parity pattern)."""
+    scored = lm_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("bigram_logprob").alias("lm_score")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sl = scored.join(d, "doc_id")
+    cuts = sl.groupBy("lang").agg(
+        F.expr("percentile(lm_score, array(0.25D, 0.75D))").alias("cs")
+    )
+    bucket = (
+        F.when(F.col("lm_score") > F.col("cs").getItem(1), "head")
+        .when(F.col("lm_score") > F.col("cs").getItem(0), "middle")
+        .otherwise("tail")
+    )
+    return (
+        sl.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "lm_score", bucket.alias("bucket"))
+    )
