@@ -33,6 +33,7 @@ __all__ = [
     "minhash_neardup_pairs",
     "minhash_neardup_cross",
     "ngram_jaccard_pairs",
+    "setsim_prefix_join",
     "simhash",
     "simhash_neardup_pairs",
     "connected_components",
@@ -430,6 +431,97 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 1,
+    t_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT set-similarity self-join:
+    all pairs with shingle-set Jaccard >= t_num/t_den, found without
+    ever probing the full inverted index.
+
+    Why it beats ``ngram_jaccard_pairs`` at scale: that blocking joins
+    on EVERY shared shingle, so a shingle occurring in k docs costs
+    O(k^2) candidate rows — common shingles dominate the shuffle.
+    Prefix filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin)
+    orders each doc's shingle set by ascending global frequency and
+    indexes only the first ``len - ceil(t*len) + 1`` shingles: any pair
+    with Jaccard >= t provably shares an element in BOTH prefixes
+    (pigeonhole, since Jaccard >= t forces intersection >= ceil(t*len)),
+    and prefixes are the RAREST shingles, so the hot keys never enter
+    the index.  Candidates then pass an integer length filter
+    (min*den >= max*num) and exact array_intersect verification.
+
+    All threshold math is integer (ceil(t*len) as (num*len+den-1) DIV
+    den; the Jaccard gate as i*den >= num*union), so no float rounding
+    can drop a boundary pair on either engine.  Exact-complete: the
+    DuckDB oracle uses the exhaustive inverted-index form."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_tf"))
+    # Per-doc shingle array in (global freq, shingle) order — one total
+    # order shared by every doc, which the prefix theorem requires.
+    # Persisted: consumed by the prefix index and both verify probes
+    # (CacheManager dedupe + LRU eviction, the documented policy).
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_tf", "shingle"))).alias("_st"))
+        .select(
+            id_col,
+            F.transform("_st", lambda s: s["shingle"]).alias("_toks"),
+            F.size("_st").alias("_sz"),
+        )
+        .persist()
+    )
+    prefix_len = F.expr(
+        f"_sz - ((CAST({t_num} AS BIGINT) * _sz + {t_den - 1}) DIV {t_den}) + 1"
+    )
+    pre = ordered.select(
+        id_col,
+        "_sz",
+        F.explode(F.slice("_toks", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a = pre.select(
+        F.col(id_col).alias("doc_a"), F.col("_sz").alias("_sza"), "shingle"
+    )
+    b = pre.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_sz").alias("_szb"),
+        F.col("shingle").alias("_shb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("_shb")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(
+            F.least("_sza", "_szb") * F.lit(t_den)
+            >= F.greatest("_sza", "_szb") * F.lit(t_num)
+        )
+        .select("doc_a", "doc_b", "_sza", "_szb")
+        .distinct()
+    )
+    oa = ordered.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"))
+    ob = ordered.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"))
+    union_sz = F.col("_sza") + F.col("_szb") - F.col("_i")
+    return (
+        cand.join(oa, "doc_a")
+        .join(ob, "doc_b")
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .filter(F.col("_i") * F.lit(t_den) >= F.lit(t_num) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_i").cast("double") / union_sz.cast("double"), 6
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -68,7 +68,8 @@ _PRIORITY = [
     "fuzzy_join_blocking_audit",         # new: recall measurement
     "dedup_minhash_lsh_capped",          # new: mega-bucket guard
     "q21_suppliers_kept_waiting",        # new: Q21 via order-stats rewrite
-    "perplexity_bucket_ccnet",           # new: per-lang LM terciles
+    "perplexity_bucket_ccnet",           # new: per-lang LM quantiles
+    "setsim_prefix_jaccard",             # new: PPJoin prefix filtering
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2095,3 +2095,37 @@ def perplexity_bucket_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.join(F.broadcast(cuts), "lang")
         .select("doc_id", "lang", "lm_score", bucket.alias("bucket"))
     )
+
+
+@query(
+    "setsim_prefix_jaccard",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6)
+                AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE i * 2 >= 1 * (ca.c + cb.c - i)
+    """,
+)
+def setsim_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup pairs via PPJoin prefix filtering
+    (``functions.dedup.setsim_prefix_join``): only each doc's
+    rarest-first prefix enters the inverted index, so common shingles
+    never fan out candidate pairs — the exact-similarity counterpart
+    to the approximate MinHash path, with the same output contract as
+    ``dedup_ngram_jaccard`` but a candidate set bounded by prefix
+    length instead of total shingle frequency.  The oracle is the
+    EXHAUSTIVE inverted-index join: prefix filtering is provably
+    lossless, and this pair proves it on real data."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.setsim_prefix_join(d, "doc_id", "text", t_num=1, t_den=2)

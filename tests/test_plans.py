@@ -553,3 +553,14 @@ def test_q21_no_lineitem_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # partial+final distinct agg around the orderkey exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_setsim_prefix_smaller_index(spark):
+    """PPJoin prefix filtering: no cartesian/nested-loop anywhere, and
+    the inverted index the candidate join probes is built from the
+    SLICED prefix arrays (slice shows up in the plan), not the full
+    shingle relation."""
+    plan = _plan(QUERIES["setsim_prefix_jaccard"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "slice(" in plan, plan
