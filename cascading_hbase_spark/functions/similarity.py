@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 
 from cascading_hbase_spark.functions.hashing import hash64
 
-__all__ = ["dot", "norm2", "cosine", "np_dot", "cosine_topk", "lsh_signature",
+__all__ = ["dot", "norm2", "cosine", "np_dot", "cosine_topk", "hard_negative_topk",
+           "lsh_signature",
            "lsh_ann_topk", "ivf_centroids", "ivf_centroids_kmeans",
            "ivf_quantization_objective", "ivf_ann_topk",
            "embedding_neardup_pairs", "semantic_dedup"]
@@ -124,6 +125,59 @@ def cosine_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rnk"))
+    )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most-similar candidates with a DIFFERENT label — the
+    negatives that actually teach a metric model something (random
+    negatives are trivially far; the near-but-wrong ones define the
+    decision boundary).
+
+    Same plan shape as ``cosine_topk`` (broadcast queries, candidate
+    side never shuffles, per-side norms hoisted out of the pair loop);
+    the label inequality rides the join condition, so same-label pairs
+    are dropped before any scoring work."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+        norm2(F.col(vec_col)).alias("q_n2"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_id")) & (F.col("c_label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.col("c_label").alias("neg_label"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / F.sqrt(F.col("q_n2") * F.col("c_n2")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id", "vec_id", "neg_label", "cos_sim",
+            F.col("rn").cast("int").alias("rnk"),
+        )
     )
 
 

@@ -70,6 +70,8 @@ _PRIORITY = [
     "q21_suppliers_kept_waiting",        # new: Q21 via order-stats rewrite
     "perplexity_bucket_ccnet",           # new: per-lang LM quantiles
     "setsim_prefix_jaccard",             # new: PPJoin prefix filtering
+    "mad_outliers_robust",               # new: median/MAD outlier gate
+    "hard_negative_mining",              # new: contrastive negatives
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -619,3 +619,65 @@ def bitwise_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_and(flag)").cast("bigint").alias("all_flags"),
         )
     )
+
+
+@query(
+    "mad_outliers_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.m,
+             abs(e.value - med.m) AS ad
+      FROM events e JOIN med ON med.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(round(d.value, 6) AS DOUBLE) AS value,
+           CAST(round((d.value - d.m) / (1.4826 * mad.mad), 6) AS DOUBLE)
+             AS robust_z
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    WHERE mad.mad > 0.0
+      AND abs(d.value - d.m) > 3.0 * 1.4826 * mad.mad
+    """,
+)
+def mad_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with the median/MAD rule: per group
+    (event_type), flag values more than 3 robust standard deviations
+    (1.4826 * MAD) from the group median.  The median-based detector a
+    data-quality pipeline wants instead of mean/stddev z-scores — one
+    giant outlier inflates the stddev and hides itself, but moves the
+    median and MAD almost not at all (50% breakdown point).
+
+    Scale shape: two exact-percentile aggregates over the SAME
+    group-keyed relation (median, then median absolute deviation) —
+    each a partial+final agg to #groups rows, broadcast back for
+    map-side flagging.  Never a per-group sort of the data-scale
+    relation.  Arithmetic order is pinned identically in the oracle so
+    the boundary comparison sees bit-equal doubles."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("m"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0.0)
+            & (F.abs(F.col("value") - F.col("m")) > 3.0 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(
+                (F.col("value") - F.col("m")) / (1.4826 * F.col("mad")), 6
+            ).alias("robust_z"),
+        )
+    )

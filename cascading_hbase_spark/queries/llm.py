@@ -2129,3 +2129,37 @@ def setsim_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless, and this pair proves it on real data."""
     d = load_table(spark, sf_dir, "documents")
     return D.setsim_prefix_join(d, "doc_id", "text", t_num=1, t_den=2)
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label
+          FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT q.q_id, c.vec_id, c.label AS neg_label,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * c.v[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * q.q_vec[i]))
+                      * list_sum(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]))),
+               6) AS cos_sim
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id AND c.label <> q.q_label
+    )
+    SELECT q_id, vec_id, neg_label, cos_sim, CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (most-similar DIFFERENT-label embeddings)
+    per query vector vec_id < 16 — the contrastive-training companion
+    to ``similarity_cosine_topk``; same broadcast-query / unshuffled-
+    candidate plan, label inequality dropped into the join condition so
+    positives never reach the scoring HOF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 16)
+    return S.hard_negative_topk(e, q, "vec_id", "embedding", "label", k=5)
