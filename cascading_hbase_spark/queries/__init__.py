@@ -72,6 +72,8 @@ _PRIORITY = [
     "setsim_prefix_jaccard",             # new: PPJoin prefix filtering
     "mad_outliers_robust",               # new: median/MAD outlier gate
     "hard_negative_mining",              # new: contrastive negatives
+    "max_drawdown_per_user",             # new: running-peak drawdown
+    "mode_per_group_deterministic",      # new: tie-broken mode
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -256,3 +256,77 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_seen"),
     )
+
+
+@query(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(round(MIN(value / peak - 1.0), 6) AS DOUBLE) AS max_drawdown
+    FROM r WHERE peak > 0.0
+    GROUP BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the worst peak-to-trough drop of the
+    event value sequence (value / running-max - 1, minimized) — the
+    classic risk/quality metric computed as a running-peak window plus
+    one aggregate.  One shuffle on user_id; the running MAX frame is
+    O(1) state per row (monotone), and the final per-user MIN is a
+    partial+final agg — nothing here is quadratic in events-per-user."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "value", F.max("value").over(w).alias("peak"))
+        .filter(F.col("peak") > 0.0)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min(F.col("value") / F.col("peak") - 1.0), 6).alias(
+                "max_drawdown"
+            )
+        )
+    )
+
+
+@query(
+    "mode_per_group_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, cnt
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY cnt DESC, event_type) AS rn FROM c)
+    WHERE rn = 1
+    """,
+)
+def mode_per_group_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie-break
+    (highest count, then lexicographically smallest value) — built-in
+    ``mode()``/``max_by()`` leave ties engine- and partition-order-
+    dependent, which is exactly what a reproducible pipeline cannot
+    have.  Count-then-rank: the count aggregate shrinks the relation to
+    (group x value) BEFORE the rank window, so the window sorts the
+    small counted relation, never the raw events."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
+    )
