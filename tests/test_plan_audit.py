@@ -1,0 +1,78 @@
+"""Whole-registry physical-plan audit: every registered query's
+executed plan is swept for the two absolute scale-killers —
+CartesianProduct (quadratic pair blowup) and BatchEvalPython
+(row-at-a-time Python in the hot path).  Zero tolerance, no allowlist:
+if a new query trips this, fix the plan.
+
+BroadcastNestedLoopJoin is different: it IS the right plan when a
+constant-bounded side (a 1-row aggregate, a fixed query set, decile
+cuts, a vocabulary) is broadcast against a non-equi condition — the
+big side still streams map-side.  Those uses are PINNED by name below;
+an unlisted query acquiring a BNL fails, so every new one is a
+conscious decision (either the small side is provably bounded and gets
+allowlisted, or the join needs an equi/bin key).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cascading_hbase_spark.queries import QUERIES
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
+
+# Queries where a BroadcastNestedLoopJoin is the intended plan because
+# the broadcast side is constant-bounded (does NOT scale with SF):
+BNL_BY_DESIGN = {
+    "lm_bigram_logprob",          # 1-row vocabulary size
+    "lm_unigram_logprob",         # 1-row vocabulary size
+    "perplexity_bucket_ccnet",    # 1-row vocab (scoring reuse)
+    "fuzzy_join_blocking_audit",  # small-sf diagnostic by contract
+    "hard_negative_mining",       # fixed query-vector set
+    "similarity_cosine_topk",     # fixed query-vector set
+    "similarity_ann_ivf_topk",    # fixed query set + centroid table
+    "mixture_rebalance_sample",   # per-source count table (#sources rows)
+    "quality_filter_percentile",  # 1-row percentile threshold
+    "tfidf_top_terms",            # 1-row doc-count aggregate
+    "token_dist_divergence",      # per-split distribution (vocab-bounded)
+    "hll_sketch_merge_contract",  # 1-row sketch union
+    "histogram_equidepth",        # 1-row decile-cuts aggregate
+    "q22_idle_customers",         # 1-row global-average balance
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        out[name] = (
+            fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_cartesian_anywhere(plans):
+    hits = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not hits, f"cartesian product in: {hits}"
+
+
+def test_no_row_python_udf_anywhere(plans):
+    """Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is the sanctioned escape hatch; row-at-a-time
+    BatchEvalPython is never acceptable."""
+    hits = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not hits, f"row-at-a-time Python UDF in: {hits}"
+
+
+def test_bnl_only_where_designed(plans):
+    hits = {n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p}
+    unexpected = hits - BNL_BY_DESIGN
+    vanished = BNL_BY_DESIGN - set(QUERIES)
+    assert not unexpected, (
+        f"unreviewed BroadcastNestedLoopJoin in: {sorted(unexpected)} — "
+        f"either bound the broadcast side and add it to BNL_BY_DESIGN, "
+        f"or give the join an equi/bin key"
+    )
+    assert not vanished, f"BNL_BY_DESIGN names unknown queries: {vanished}"
