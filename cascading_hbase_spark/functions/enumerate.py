@@ -1,0 +1,93 @@
+"""Scalable global row enumeration (SURVEY.md §2.5 ordering surface).
+
+``global_row_index`` assigns contiguous 0..N-1 indices in a total key
+order — the DataFrame replacement for RDD ``zipWithIndex`` and for the
+single-partition trap ``row_number() OVER (ORDER BY ...)`` (a global
+window with no PARTITION BY moves ALL rows to one task; at 100 TB that
+is the whole dataset on one executor).
+
+The scale shape is the equi-depth-histogram pattern:
+
+1. ONE exact-percentile aggregate computes B-1 key cut points
+   (partial+final, #cuts rows back to the driver side of the plan —
+   never the data).
+2. Rows map-side bucket themselves by counting cuts below their key.
+3. Per-bucket counts (B rows) prefix-sum into bucket offsets via a
+   window over the B-row relation — trivially small.
+4. ``row_number()`` runs PARTITIONED BY bucket — B parallel windows of
+   ~N/B rows each — and adds the broadcast bucket offset.
+
+Every stage is a shuffle on the bucket key or a broadcast of B rows;
+no stage ever holds more than ~N/B rows in one task.  Requires a
+UNIQUE numeric/orderable key (enforced: ties across bucket boundaries
+would make indices ambiguous anyway)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["global_row_index"]
+
+
+def global_row_index(
+    df: DataFrame,
+    key_col: str,
+    index_col: str = "row_index",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``index_col``: the 0-based rank of ``key_col`` in the total
+    ascending order, contiguous across the whole relation.
+
+    ``n_buckets`` bounds per-task window size (~N/n_buckets rows); at
+    cluster scale set it to O(cores).  Deterministic for unique keys
+    (duplicate keys raise at percentile-cut collision points only by
+    luck — callers must pass a unique key)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    qs = ", ".join(
+        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
+    )
+    cuts = df.agg(
+        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
+        if n_buckets > 1
+        else F.expr("array(cast(null as double))").alias("_cs")
+    )
+    bucket = (
+        F.aggregate(
+            "_cs",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
+        )
+        if n_buckets > 1
+        else F.lit(0)
+    )
+    bucketed = df.join(F.broadcast(cuts)).select(
+        df["*"], bucket.alias("_bucket")
+    )
+    # B-row prefix sum: offset(b) = total rows in buckets < b.
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_bucket",
+            (
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("_offset"),
+        )
+        .fillna({"_offset": 0})
+    )
+    w = Window.partitionBy("_bucket").orderBy(key_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            index_col,
+            (F.row_number().over(w) - 1 + F.col("_offset")).cast("bigint"),
+        )
+        .drop("_bucket", "_cs", "_offset")
+    )

@@ -74,6 +74,8 @@ _PRIORITY = [
     "hard_negative_mining",              # new: contrastive negatives
     "max_drawdown_per_user",             # new: running-peak drawdown
     "mode_per_group_deterministic",      # new: tie-broken mode
+    "global_row_index",                  # new: scalable zipWithIndex
+    "twap_per_user",                     # new: time-weighted average
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -687,3 +687,26 @@ def regexp_extract_all_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANSI mode when the array is empty
         F.coalesce(F.get(matches, 0), F.lit("")).alias("first_long"),
     )
+
+
+@query(
+    "global_row_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS row_index
+    FROM documents
+    """,
+)
+def global_row_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 enumeration of documents by doc_id — sample
+    indexing for a training pipeline.  The oracle is the naive global
+    window; the engine (`functions.enumerate.global_row_index`) gets
+    the same answer with percentile-cut bucketing, per-bucket parallel
+    windows and broadcast prefix offsets, so no task ever sees more
+    than ~N/B rows (the naive form would put ALL rows in ONE task —
+    the classic 100 TB window trap)."""
+    from cascading_hbase_spark.functions.enumerate import global_row_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_index(d, "doc_id", n_buckets=32)

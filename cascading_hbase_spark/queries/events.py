@@ -798,3 +798,52 @@ def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_ratio"),
     )
+
+
+@query(
+    "twap_per_user",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    held AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS w_us
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(round(
+             CAST(SUM(CAST(round(value * w_us, 4) AS DECIMAL(38,4)))
+                  AS DOUBLE)
+             / CAST(SUM(w_us) AS DOUBLE), 6) AS DOUBLE) AS twap,
+           CAST(SUM(w_us) AS BIGINT) AS span_us
+    FROM held WHERE w_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is held until the user's next event and weighted by that holding
+    time — the right average for irregularly-sampled series, where the
+    arithmetic mean over-weights bursts.  The last event per user has
+    no holding interval and is excluded (same rule both engines).
+
+    One shuffle on user_id (lead window + aggregate compose on the
+    same key).  Weighted sums go value*microseconds -> round(4) ->
+    DECIMAL(38,4): exact, order-independent addition — a double sum
+    would expose parallel-reduction reassociation at 100 TB — with one
+    float division at the end."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    held = e.select(
+        "user_id", "value", (F.lead(us).over(w) - us).alias("w_us")
+    ).filter(F.col("w_us").isNotNull())
+    return held.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.round(F.col("value") * F.col("w_us"), 4).cast("decimal(38,4)"))
+            .cast("double")
+            / F.sum("w_us").cast("double"),
+            6,
+        ).alias("twap"),
+        F.sum("w_us").cast("bigint").alias("span_us"),
+    )

@@ -1,0 +1,48 @@
+"""global_row_index: contiguity, order-consistency, and the
+any-cut-quality correctness property (bucketing only needs to be
+monotone in the key — even degenerate cuts give a correct answer)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cascading_hbase_spark.functions.enumerate import global_row_index
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32, 1000])
+def test_contiguous_and_ordered(spark, n_buckets):
+    # Unique keys, deliberately clumped (skewed) so percentile cuts
+    # collide: many equal cut values must still bucket monotonically.
+    keys = [1, 2, 3, 5, 8, 1000, 1001, 1002, 1003, 2000, -7, 0]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = global_row_index(df, "k", n_buckets=n_buckets).collect()
+    got = {r.k: r.row_index for r in out}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want, (n_buckets, got)
+
+
+def test_extra_columns_survive(spark):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k long, v string")
+    out = global_row_index(df, "k", index_col="idx", n_buckets=2)
+    assert [r.v for r in out.orderBy("idx").collect()] == ["a", "b", "c"]
+
+
+def test_rejects_bad_buckets(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        global_row_index(df, "k", n_buckets=0)
+
+
+def test_no_global_data_window(spark):
+    """The data-scale window must be partitioned by bucket; the only
+    unpartitioned window allowed is the B-row offset prefix sum."""
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = (
+        global_row_index(df, "k", n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # row_number's window spec must carry the bucket partition key
+    assert "windowspecdefinition(_bucket" in plan, plan

@@ -40,6 +40,7 @@ BNL_BY_DESIGN = {
     "hll_sketch_merge_contract",  # 1-row sketch union
     "histogram_equidepth",        # 1-row decile-cuts aggregate
     "q22_idle_customers",         # 1-row global-average balance
+    "global_row_index",           # 1-row percentile cuts + B-row offsets
 }
 
 

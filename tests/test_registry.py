@@ -90,6 +90,7 @@ def test_api_doc_names_every_export():
         "functions.dedup", "functions.similarity", "functions.graph",
         "functions.temporal", "functions.text", "functions.hashing",
         "functions.skew", "functions.bloom", "functions.multimodal",
+        "functions.enumerate",
         "plans.cascade", "streaming.ops",
     ]
     missing = []
