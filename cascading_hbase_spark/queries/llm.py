@@ -2099,6 +2099,7 @@ def perplexity_bucket_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "setsim_prefix_jaccard",
+    bench=True,
     oracle=f"""
     WITH tok AS ({_SQL_TOK}),
     sh AS ({_SQL_SH}),

@@ -564,3 +564,11 @@ def test_setsim_prefix_smaller_index(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "slice(" in plan, plan
+
+
+def test_q21_no_expand(spark):
+    """The per-order distinct-supplier counts must be the two-level
+    aggregate, not countDistinct x2's Expand (which doubles the
+    shuffled rows of the joined fact relation)."""
+    plan = _plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF))
+    assert "Expand" not in plan, plan
