@@ -76,6 +76,7 @@ _PRIORITY = [
     "mode_per_group_deterministic",      # new: tie-broken mode
     "global_row_index",                  # new: scalable zipWithIndex
     "twap_per_user",                     # new: time-weighted average
+    "sequence_funnel_3step",             # new: CEP state-machine fold
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -847,3 +847,97 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.sum("w_us").cast("bigint").alias("span_us"),
     )
+
+
+@query(
+    "sequence_funnel_3step",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    r AS (SELECT user_id, ts, event_type,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM ev),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (SELECT user_id, min(rn) AS r1 FROM r
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT r.user_id, min(r.rn) AS r2 FROM r
+           JOIN s1 ON s1.user_id = r.user_id AND r.rn > s1.r1
+           WHERE r.event_type = 'click' GROUP BY r.user_id),
+    s3 AS (SELECT r.user_id, min(r.rn) AS r3 FROM r
+           JOIN s2 ON s2.user_id = r.user_id AND r.rn > s2.r2
+           WHERE r.event_type = 'purchase' GROUP BY r.user_id)
+    SELECT u.user_id,
+           t1.ts AS signup_ts, t2.ts AS click_ts, t3.ts AS purchase_ts,
+           CAST(CASE WHEN s3.r3 IS NOT NULL THEN 3
+                     WHEN s2.r2 IS NOT NULL THEN 2
+                     WHEN s1.r1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    LEFT JOIN r t1 ON t1.user_id = u.user_id AND t1.rn = s1.r1
+    LEFT JOIN r t2 ON t2.user_id = u.user_id AND t2.rn = s2.r2
+    LEFT JOIN r t3 ON t3.user_id = u.user_id AND t3.rn = s3.r3
+    """,
+)
+def sequence_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step sequence funnel (signup -> click -> purchase):
+    per user, the first signup, the first click strictly AFTER that
+    signup, and the first purchase strictly after that click — the
+    complex-event-processing shape (MATCH_RECOGNIZE / sequential
+    pattern matching) Spark SQL has no operator for.
+
+    Implemented as a state-machine FOLD: one shuffle collects each
+    user's events, array_sort orders them (ts, event_id — a total
+    order), and an ``aggregate`` HOF threads the (t1, t2, t3) state
+    struct through the sequence.  Each step reads the PRE-update state,
+    so a stage only advances on an event strictly later in the sorted
+    order — the oracle pins identical semantics with row_number
+    chaining (min rn of each type with rn > previous stage's rn).
+    Generalizes to k steps with per-user memory O(k), not O(events):
+    the chained-aggregation alternative costs one shuffle per step."""
+    e = load_table(spark, sf_dir, "events")
+    evs = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, ev):
+        t1 = F.when(
+            acc["t1"].isNull() & (ev["event_type"] == "signup"), ev["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t1"].isNotNull()
+            & acc["t2"].isNull()
+            & (ev["event_type"] == "click"),
+            ev["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t2"].isNotNull()
+            & acc["t3"].isNull()
+            & (ev["event_type"] == "purchase"),
+            ev["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    st = F.aggregate(evs, init, step)
+    stage = (
+        F.when(F.col("_st.t3").isNotNull(), 3)
+        .when(F.col("_st.t2").isNotNull(), 2)
+        .when(F.col("_st.t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(st.alias("_st"))
+        .select(
+            "user_id",
+            F.col("_st.t1").alias("signup_ts"),
+            F.col("_st.t2").alias("click_ts"),
+            F.col("_st.t3").alias("purchase_ts"),
+            stage.cast("bigint").alias("stage"),
+        )
+    )
