@@ -77,6 +77,8 @@ _PRIORITY = [
     "global_row_index",                  # new: scalable zipWithIndex
     "twap_per_user",                     # new: time-weighted average
     "sequence_funnel_3step",             # new: CEP state-machine fold
+    "winsorize_clip",                    # new: p01/p99 group clamp
+    "market_basket_pairs",               # new: co-purchase counts
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

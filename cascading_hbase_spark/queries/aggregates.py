@@ -681,3 +681,50 @@ def mad_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@query(
+    "winsorize_clip",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round(CASE WHEN e.value < c.lo THEN c.lo
+                           WHEN e.value > c.hi THEN c.hi
+                           ELSE e.value END, 6) AS DOUBLE) AS value_w,
+           e.value < c.lo OR e.value > c.hi AS clipped
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    """,
+)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values into its own [p01, p99]
+    band — the standard outlier-taming transform before training on
+    heavy-tailed features (clipping preserves row count where the MAD
+    gate drops rows).  ONE exact-percentile aggregate per group
+    (partial+final), broadcast back for a map-side clamp — the
+    equi-depth-histogram scale pattern; the data relation is never
+    sorted or re-shuffled."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01D)").alias("lo"),
+        F.expr("percentile(value, 0.99D)").alias("hi"),
+    )
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value")),
+                6,
+            ).alias("value_w"),
+            clipped.alias("clipped"),
+        )
+    )

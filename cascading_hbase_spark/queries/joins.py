@@ -699,3 +699,47 @@ def fuzzy_join_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             recall("deletion_pairs").alias("recall_deletion"),
         )
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together
+    in the same order (frequently-bought-together).  The self-join is
+    keyed on orderkey, so the pair blowup is quadratic only in
+    LINES-PER-ORDER (single digits, bounded by the order document
+    itself) — never in parts or orders; distinct-ing (order, part)
+    first kills multi-line duplicates before any pairing.  One shuffle
+    for the distinct, one co-partitioned self-join, one pair count,
+    distributed top-100 (TakeOrderedAndProject)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
