@@ -79,6 +79,8 @@ _PRIORITY = [
     "sequence_funnel_3step",             # new: CEP state-machine fold
     "winsorize_clip",                    # new: p01/p99 group clamp
     "market_basket_pairs",               # new: co-purchase counts
+    "decayed_popularity",                # new: 2^-weeks decay weights
+    "fk_violation_report",               # new: referential-integrity audit
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

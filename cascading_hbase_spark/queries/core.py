@@ -710,3 +710,81 @@ def global_row_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_row_index(d, "doc_id", n_buckets=32)
+
+
+@query(
+    "fk_violation_report",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    """,
+)
+def fk_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema — the ingest-validation report a pipeline runs
+    before trusting joins (an orphan silently vanishes from every inner
+    join downstream; count them HERE, once, instead of debugging row
+    losses later).
+
+    Each edge is a LEFT ANTI join (child minus matched parents)
+    aggregated to one row — anti joins carry only the key column of the
+    parent side — cross-joined with the child's 1-row count and
+    unioned; the whole report is ONE lazy DataFrame, no driver-side
+    counting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = (
+            child.select(child_key)
+            .join(
+                parent.select(F.col(parent_key).alias(child_key)),
+                child_key,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("bigint").alias("orphans"))
+        )
+        total = child.agg(F.count("*").cast("bigint").alias("child_rows"))
+        return orphans.join(F.broadcast(total)).select(
+            F.lit(name).alias("fk_edge"), "orphans", "child_rows"
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey",
+             o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey",
+             load_table(spark, sf_dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey",
+             load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        edge("orders->customer", o, "o_custkey",
+             load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

@@ -941,3 +941,51 @@ def sequence_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.cast("bigint").alias("stage"),
         )
     )
+
+
+@query(
+    "decayed_popularity",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ref AS (SELECT max(ts) AS now FROM ev),
+    w AS (
+      SELECT event_type,
+             pow(2.0, -CAST(date_diff('day', ts, ref.now) // 7 AS DOUBLE))
+               AS wt
+      FROM ev CROSS JOIN ref
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(wt AS DECIMAL(28,10))) AS DOUBLE) AS decayed_count,
+           CAST(count(*) AS BIGINT) AS raw_count
+    FROM w GROUP BY event_type
+    """,
+)
+def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity: each event contributes 2^-(age_weeks)
+    (one-week half-life) toward its type's score — the recency-weighted
+    count a freshness-aware sampler or trending ranker wants.
+
+    Cross-engine float discipline: the decay base is 2 and the exponent
+    an INTEGER week count, so every weight is an exactly-representable
+    binary fraction (pow(2,-k) has no rounding), weights sum as exact
+    DECIMAL (order-independent), and the reference 'now' is max(ts)
+    from the data itself (deterministic — wall-clock now would change
+    every run).  Plan: 1-row max broadcast back, map-side weights, one
+    partial+final agg."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("_now"))
+    wt = F.pow(
+        F.lit(2.0),
+        -(F.floor(F.datediff(F.col("_now"), F.col("ts")) / 7)).cast("double"),
+    )
+    return (
+        e.join(F.broadcast(ref))
+        .select("event_type", wt.alias("_wt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_wt").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("decayed_count"),
+            F.count("*").cast("bigint").alias("raw_count"),
+        )
+    )

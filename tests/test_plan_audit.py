@@ -41,6 +41,8 @@ BNL_BY_DESIGN = {
     "histogram_equidepth",        # 1-row decile-cuts aggregate
     "q22_idle_customers",         # 1-row global-average balance
     "global_row_index",           # 1-row percentile cuts + B-row offsets
+    "fk_violation_report",        # 1-row orphan count x 1-row total count
+    "decayed_popularity",         # 1-row max(ts) reference point
 }
 
 
