@@ -81,6 +81,7 @@ _PRIORITY = [
     "market_basket_pairs",               # new: co-purchase counts
     "decayed_popularity",                # new: 2^-weeks decay weights
     "fk_violation_report",               # new: referential-integrity audit
+    "event_transition_matrix",           # new: Markov journey matrix
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -989,3 +989,56 @@ def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("raw_count"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    tr AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM ev
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST(round(CAST(n AS DOUBLE)
+                      / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6)
+                AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (current, next) event-type pair, the transition count and the
+    row-normalized probability P(next | current) — the behavioral
+    fingerprint used for journey analysis and anomaly scoring (an
+    unlikely transition chain is a bot/fraud signal).
+
+    One shuffle: the lead window and the pair count share the user_id
+    partitioning's output; the row normalization is a window over the
+    #types x #types matrix — a constant-size relation, so the
+    'unpartitioned window' here sorts 25 rows, not the event log.
+    Probabilities divide exact integer counts (deterministic IEEE
+    division, round 6)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = tr.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("n"))
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("cur")).cast("double"),
+            6,
+        ).alias("p"),
+    )
