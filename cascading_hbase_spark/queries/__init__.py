@@ -82,6 +82,7 @@ _PRIORITY = [
     "decayed_popularity",                # new: 2^-weeks decay weights
     "fk_violation_report",               # new: referential-integrity audit
     "event_transition_matrix",           # new: Markov journey matrix
+    "label_centroid_similarity",         # new: label-confusion audit
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2164,3 +2164,65 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 16)
     return S.hard_negative_topk(e, q, "vec_id", "embedding", "label", k=5)
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i.i AS pos,
+             round(CAST(embedding[i.i] AS DOUBLE), 6) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    arr AS (SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(
+             list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+             / sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))
+                    * list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i]))),
+             6) AS cos_sim
+    FROM arr a JOIN arr b ON a.label < b.label
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-confusion audit: cosine similarity between every pair of
+    per-label embedding CENTROIDS — two labels whose centroids nearly
+    coincide are the ones a classifier (or a labeling pipeline) is
+    mixing up, and the ones to re-examine before training on the data.
+
+    Cross-engine float discipline: per-dimension means sum
+    round-6 components as exact DECIMAL (parallel reduction order
+    cannot change them) before ONE double division; the pair cosines
+    then run the sequential-fold HOF over the 10 exact centroids.
+    Plan: component explode shuffles on (label, dim) — partial+final —
+    the pair join touches only the #labels-row centroid relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    arr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_st"))
+        .select("label", F.transform("_st", lambda s: s["c"]).alias("v"))
+    )
+    a = arr.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    cos = S.dot(F.col("va"), F.col("vb")) / F.sqrt(
+        S.norm2(F.col("va")) * S.norm2(F.col("vb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(cos, 6).alias("cos_sim"))
+    )

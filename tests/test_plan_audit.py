@@ -43,6 +43,7 @@ BNL_BY_DESIGN = {
     "global_row_index",           # 1-row percentile cuts + B-row offsets
     "fk_violation_report",        # 1-row orphan count x 1-row total count
     "decayed_popularity",         # 1-row max(ts) reference point
+    "label_centroid_similarity",  # #labels-row centroid pair join
 }
 
 
