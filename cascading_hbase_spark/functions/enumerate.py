@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["global_row_index"]
+__all__ = ["global_row_index", "bucketed_running_sum"]
 
 
 def global_row_index(
@@ -90,4 +90,84 @@ def global_row_index(
             (F.row_number().over(w) - 1 + F.col("_offset")).cast("bigint"),
         )
         .drop("_bucket", "_cs", "_offset")
+    )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sum_col: str = "running_sum",
+    descending: bool = False,
+    n_buckets: int = 32,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``key_col`` order —
+    ``SUM(v) OVER (ORDER BY key)`` without the single-partition global
+    window, via the same bucket decomposition as ``global_row_index``:
+
+    1. percentile cuts on the key -> map-side bucket (monotone, so any
+       cut quality is correct),
+    2. per-bucket value TOTALS (B rows) prefix-sum into bucket base
+       offsets,
+    3. the running sum windows PARTITION BY bucket and adds the base.
+
+    ``value_col`` should be an exact type (DECIMAL/integer): the bucket
+    base is added to every row of the bucket, so float rounding would
+    differ from the single-window formulation; exact types make the
+    decomposition literally equal to it.  Equal keys always land in the
+    same bucket (bucketing is a function of the key), so a
+    ``tiebreak_col`` gives ties a deterministic running order; without
+    one the key must be unique."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    qs = ", ".join(
+        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
+    )
+    cuts = df.agg(
+        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
+        if n_buckets > 1
+        else F.expr("array(cast(null as double))").alias("_cs")
+    )
+    asc_bucket = (
+        F.aggregate(
+            "_cs",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
+        )
+        if n_buckets > 1
+        else F.lit(0)
+    )
+    bucket = (F.lit(n_buckets - 1) - asc_bucket) if descending else asc_bucket
+    bucketed = df.join(F.broadcast(cuts)).select(
+        df["*"], bucket.alias("_bucket")
+    )
+    bases = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum(value_col).alias("_bt"))
+        .select(
+            "_bucket",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_base"),
+        )
+    )
+    order = [F.col(key_col).desc() if descending else F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(bases), "_bucket")
+        .withColumn(sum_col, F.sum(value_col).over(w) + F.col("_base"))
+        .drop("_bucket", "_cs", "_base")
     )

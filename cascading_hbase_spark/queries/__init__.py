@@ -83,6 +83,7 @@ _PRIORITY = [
     "fk_violation_report",               # new: referential-integrity audit
     "event_transition_matrix",           # new: Markov journey matrix
     "label_centroid_similarity",         # new: label-confusion audit
+    "pareto_revenue_share",              # new: bucketed running sum
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -728,3 +728,68 @@ def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             clipped.alias("clipped"),
         )
     )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                      AS DECIMAL(18,4))) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    run AS (
+      SELECT l_suppkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT l_suppkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                AS DOUBLE) AS cum_share,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+             AS in_top_80
+    FROM run
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 analysis: suppliers ranked by revenue with each
+    one's CUMULATIVE share of total revenue and an in-top-80% flag —
+    the concentration curve behind vendor consolidation and long-tail
+    pruning decisions.
+
+    The oracle's ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY is
+    the single-partition trap (the per-supplier relation scales with
+    SF); the engine runs
+    ``functions.enumerate.bucketed_running_sum`` instead — percentile
+    cuts on revenue, per-bucket DECIMAL totals prefix-summed into base
+    offsets, per-bucket parallel running-sum windows.  DECIMAL sums
+    make the decomposition bit-equal to the single window; the grand
+    total is a 1-row broadcast."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    run = bucketed_running_sum(
+        rev, "revenue", "revenue", sum_col="cum",
+        descending=True, n_buckets=32, tiebreak_col="l_suppkey",
+    )
+    total = rev.agg(F.sum("revenue").alias("_total"))
+    share = F.col("cum").cast("double") / F.col("_total").cast("double")
+    return (
+        run.join(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            (share <= 0.8).alias("in_top_80"),
+        )
+    )

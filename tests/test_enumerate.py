@@ -46,3 +46,29 @@ def test_no_global_data_window(spark):
     )
     # row_number's window spec must carry the bucket partition key
     assert "windowspecdefinition(_bucket" in plan, plan
+
+
+@pytest.mark.parametrize("n_buckets,desc", [(1, False), (4, True), (32, True), (500, False)])
+def test_running_sum_matches_naive_window(spark, n_buckets, desc):
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+    from pyspark.sql import Window
+    import pyspark.sql.functions as FN
+
+    # values include ties on the key to exercise tiebreak_col
+    rows = [(i, float(k), v) for i, (k, v) in enumerate(
+        [(5, 10), (3, 1), (5, 2), (8, 7), (1, 4), (3, 3), (9, 5), (8, 6)]
+    )]
+    df = spark.createDataFrame(rows, "id long, k double, v long")
+    got = {
+        r.id: r.rs
+        for r in bucketed_running_sum(
+            df, "k", "v", sum_col="rs", descending=desc,
+            n_buckets=n_buckets, tiebreak_col="id",
+        ).collect()
+    }
+    order = FN.col("k").desc() if desc else FN.col("k").asc()
+    w = Window.orderBy(order, FN.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r.id: r.rs for r in df.withColumn("rs", FN.sum("v").over(w)).collect()}
+    assert got == want, (n_buckets, desc, got, want)
