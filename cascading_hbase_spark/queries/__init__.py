@@ -84,6 +84,7 @@ _PRIORITY = [
     "event_transition_matrix",           # new: Markov journey matrix
     "label_centroid_similarity",         # new: label-confusion audit
     "pareto_revenue_share",              # new: bucketed running sum
+    "rolling_7d_active_users",           # new: WAU via window explode
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1042,3 +1042,43 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM ev
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(i.i AS INTEGER) AS day
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i
+    )
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib GROUP BY day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day: for each day, distinct
+    users active in the trailing week — THE retention headline metric.
+
+    Scale shape: distinct (user, day) first (the only corpus-scale
+    shuffle, with map-side partial distinct), then each active day
+    contributes to the 7 calendar days it covers via a CONSTANT-factor
+    map-side explode — never a ts-range self-join of the event log and
+    never a 7-day window over a global ordering.  The per-day distinct
+    runs on the already-deduped (user, day) relation, 7x its size."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("day"))
+    return contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
