@@ -1,0 +1,145 @@
+"""Write-time data-quality expectations for keyed tables.
+
+The ingest-validation layer a training-data pipeline needs in front of
+a keyed sink (the role Delta constraints / DLT expectations play):
+declare named boolean conditions over the incoming batch and pick what
+a violation does —
+
+- ``fail``       reject the whole batch (atomic: nothing is written)
+- ``drop``       silently exclude violating rows
+- ``quarantine`` divert violating rows (tagged with which expectations
+                 they broke) to a side parquet dir for triage
+
+Everything is one map-side pass: each condition is a Catalyst boolean
+column, the violation tag is an array filter over a literal name
+array, and the split is two filters over the same tagged relation —
+no shuffle is added to the write path.  ``fail`` is the only action
+that runs a driver action (one boolean ``isEmpty`` probe), because
+rejecting the batch must happen before the sink commits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+__all__ = [
+    "Expectation",
+    "ExpectationError",
+    "apply_expectations",
+    "write_keyed_validated",
+]
+
+_TAG = "_violated"
+
+
+class ExpectationError(ValueError):
+    """A ``fail``-action expectation was violated (batch rejected)."""
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-level contract: ``condition`` (SQL string or Column)
+    must hold; ``action`` is 'fail', 'drop', or 'quarantine'."""
+
+    name: str
+    condition: str | Column
+    action: str = "quarantine"
+
+    def __post_init__(self):
+        if self.action not in ("fail", "drop", "quarantine"):
+            raise ValueError(
+                f"action must be fail|drop|quarantine, got {self.action!r}"
+            )
+        if _TAG == self.name:
+            raise ValueError(f"{_TAG!r} is reserved")
+
+    def col(self) -> Column:
+        c = F.expr(self.condition) if isinstance(self.condition, str) else self.condition
+        # NULL condition results count as violations (same rule as SQL
+        # CHECK constraints would be too lenient for ML ingest: a NULL
+        # quality score should not sail through a score threshold).
+        return F.coalesce(c.cast("boolean"), F.lit(False))
+
+
+def apply_expectations(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (passed, violations).  ``violations`` carries
+    every original column plus ``_violated``: the sorted array of
+    expectation names the row broke.  Lazy; one map-side pass."""
+    if not expectations:
+        return df, df.limit(0).withColumn(
+            _TAG, F.array().cast("array<string>")
+        )
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(e.name).alias("n"), e.col().alias("ok"))
+            for e in expectations
+        ]
+    )
+    violated = F.array_sort(
+        F.transform(
+            F.filter(pairs, lambda p: ~p["ok"]), lambda p: p["n"]
+        )
+    )
+    tagged = df.withColumn(_TAG, violated)
+    passed = tagged.filter(F.size(_TAG) == 0).drop(_TAG)
+    violations = tagged.filter(F.size(_TAG) > 0)
+    return passed, violations
+
+
+def write_keyed_validated(
+    df: DataFrame,
+    path: str,
+    key: str,
+    expectations: list[Expectation],
+    quarantine_path: str | None = None,
+    mode: SinkMode = SinkMode.APPEND,
+    **write_kwargs,
+) -> None:
+    """``write_keyed`` with an expectations gate in front of the sink.
+
+    Order of operations: ``fail`` expectations are probed FIRST (one
+    scalar isEmpty action; any hit raises ``ExpectationError`` and
+    nothing is written — the batch either fully passes the hard gates
+    or is fully rejected).  Then drop/quarantine rows are split out;
+    quarantined rows (with their ``_violated`` tags) append to
+    ``quarantine_path`` as plain parquet BEFORE the keyed commit, so a
+    crash between the two writes can duplicate quarantine rows but can
+    never lose them (at-least-once on the triage side, exactly-once on
+    the table side via the manifest flip)."""
+    hard = [e for e in expectations if e.action == "fail"]
+    soft = [e for e in expectations if e.action != "fail"]
+    if hard:
+        hard_violations = apply_expectations(df, hard)[1]
+        sample = hard_violations.select(_TAG).limit(1).collect()
+        if sample:
+            raise ExpectationError(
+                f"fail-action expectation(s) violated: "
+                f"{sorted(set(sample[0][0]))} — batch rejected"
+            )
+    passed, violations = apply_expectations(df, soft)
+    if quarantine_path is None:
+        quarantined = [e.name for e in soft if e.action == "quarantine"]
+        if quarantined:
+            raise ValueError(
+                f"quarantine-action expectations {quarantined} need a "
+                f"quarantine_path"
+            )
+    else:
+        qnames = F.array(
+            *[F.lit(e.name) for e in soft if e.action == "quarantine"]
+        )
+        q = violations.filter(
+            F.size(F.array_intersect(_TAG, qnames)) > 0
+        )
+        q.write.mode("append").parquet(quarantine_path)
+    write_keyed(passed, path, key, mode=mode, **write_kwargs)

@@ -1,0 +1,117 @@
+"""Write-time expectations: split semantics, fail atomicity,
+quarantine round-trip, and interaction with the keyed LWW sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cascading_hbase_spark.keyed.expectations import (
+    Expectation,
+    ExpectationError,
+    apply_expectations,
+    write_keyed_validated,
+)
+from cascading_hbase_spark.keyed.table import read_keyed
+
+
+@pytest.fixture()
+def batch(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good text", 0.9),
+            (2, None, 0.8),          # null text
+            (3, "x", 0.2),           # low score
+            (4, "also fine", 0.7),
+            (5, None, 0.1),          # breaks both
+        ],
+        "k long, text string, score double",
+    )
+
+
+E_TEXT = Expectation("text_not_null", "text IS NOT NULL")
+E_SCORE = Expectation("score_ok", "score >= 0.5")
+
+
+def test_split_tags_every_broken_expectation(batch):
+    passed, violations = apply_expectations(batch, [E_TEXT, E_SCORE])
+    assert sorted(r.k for r in passed.collect()) == [1, 4]
+    got = {r.k: list(r._violated) for r in violations.collect()}
+    assert got == {
+        2: ["text_not_null"],
+        3: ["score_ok"],
+        5: ["score_ok", "text_not_null"],
+    }
+
+
+def test_null_condition_counts_as_violation(spark):
+    df = spark.createDataFrame([(1, None)], "k long, score double")
+    # score >= 0.5 is NULL for a NULL score -> must NOT pass
+    passed, violations = apply_expectations(
+        df, [Expectation("s", "score >= 0.5")]
+    )
+    assert passed.count() == 0
+    assert violations.count() == 1
+
+
+def test_fail_rejects_whole_batch_atomically(batch, tmp_path):
+    tbl = str(tmp_path / "t")
+    with pytest.raises(ExpectationError, match="text_not_null"):
+        write_keyed_validated(
+            batch, tbl, "k",
+            [Expectation("text_not_null", "text IS NOT NULL", "fail")],
+        )
+    import os
+
+    assert not os.path.exists(os.path.join(tbl, "manifest.json"))
+
+
+def test_quarantine_roundtrip_and_clean_table(spark, batch, tmp_path):
+    tbl, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    write_keyed_validated(
+        batch, tbl, "k", [E_TEXT, E_SCORE], quarantine_path=qdir
+    )
+    assert sorted(r.k for r in read_keyed(spark, tbl).collect()) == [1, 4]
+    q = spark.read.parquet(qdir)
+    assert sorted(r.k for r in q.collect()) == [2, 3, 5]
+    tags = {r.k: list(r._violated) for r in q.collect()}
+    assert tags[5] == ["score_ok", "text_not_null"]
+
+
+def test_drop_excludes_without_quarantine_dir(spark, batch, tmp_path):
+    tbl = str(tmp_path / "t")
+    write_keyed_validated(
+        batch, tbl, "k",
+        [Expectation("text_not_null", "text IS NOT NULL", "drop"),
+         Expectation("score_ok", F.col("score") >= 0.5, "drop")],
+    )
+    assert sorted(r.k for r in read_keyed(spark, tbl).collect()) == [1, 4]
+
+
+def test_quarantine_action_requires_path(batch, tmp_path):
+    with pytest.raises(ValueError, match="quarantine_path"):
+        write_keyed_validated(batch, str(tmp_path / "t"), "k", [E_TEXT])
+
+
+def test_mixed_actions_route_correctly(spark, batch, tmp_path):
+    tbl, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    write_keyed_validated(
+        batch, tbl, "k",
+        [Expectation("text_not_null", "text IS NOT NULL", "drop"),
+         Expectation("score_ok", F.col("score") >= 0.5, "quarantine")],
+        quarantine_path=qdir,
+    )
+    assert sorted(r.k for r in read_keyed(spark, tbl).collect()) == [1, 4]
+    # only score_ok violations reach quarantine; row 2 (drop-only) does not
+    q = {r.k for r in spark.read.parquet(qdir).collect()}
+    assert q == {3, 5}
+
+
+def test_bad_action_rejected():
+    with pytest.raises(ValueError, match="fail|drop|quarantine"):
+        Expectation("x", "1=1", "explode")
+
+
+def test_duplicate_names_rejected(batch):
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_expectations(batch, [E_TEXT, Expectation("text_not_null", "1=1")])
