@@ -393,6 +393,8 @@ def stream_upsert_keyed(
     checkpoint: str,
     available_now: bool | None = None,
     processing_time: str | None = None,
+    expectations: list | None = None,
+    quarantine_path: str | None = None,
 ) -> StreamingQuery:
     """Streaming keyed upsert sink: each micro-batch merges
     last-write-wins into the keyed table — the engine's
@@ -404,10 +406,28 @@ def stream_upsert_keyed(
     the long-lived continuous deployment: the query keeps polling the
     source and each discovered batch upserts with the same semantics.
     Passing ``available_now=True`` together with a ``processing_time``
-    is the only rejected combination (an explicit conflict)."""
+    is the only rejected combination (an explicit conflict).
+
+    ``expectations`` (``keyed.expectations.Expectation``) gate every
+    micro-batch through ``write_keyed_validated``: drop/quarantine
+    rows are diverted per batch (``quarantine_path`` collects tagged
+    rejects), and a ``fail``-action violation raises inside the batch
+    — deliberately killing the stream, because a poison batch should
+    stop ingestion at the gate, not land in the table.  Restart after
+    fixing the source; the checkpoint replays the failed batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_keyed(batch_df, path, key=key, mode=SinkMode.APPEND)
+        if expectations:
+            from cascading_hbase_spark.keyed.expectations import (
+                write_keyed_validated,
+            )
+
+            write_keyed_validated(
+                batch_df, path, key, expectations,
+                quarantine_path=quarantine_path, mode=SinkMode.APPEND,
+            )
+        else:
+            write_keyed(batch_df, path, key=key, mode=SinkMode.APPEND)
 
     writer = (
         events.writeStream.foreachBatch(sink)

@@ -492,3 +492,46 @@ def test_stream_maintained_replica(spark, tmp_path):
     want = sorted(tuple(r) for r in read_keyed(spark, primary).collect())
     got = sorted(tuple(r) for r in read_keyed(spark, replica).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_with_expectations_quarantines(spark, tmp_path):
+    """Streaming ingest through the DQ gate: per micro-batch, clean
+    rows upsert into the keyed table and violating rows land (tagged)
+    in the quarantine dir; the stored table never sees a reject."""
+    from cascading_hbase_spark.keyed.expectations import Expectation
+
+    events = S.events_stream(spark, SF, max_files_per_trigger=1)
+    qdir = str(tmp_path / "quarantine")
+    q = S.stream_upsert_keyed(
+        events,
+        str(tmp_path / "kt"),
+        key="user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        expectations=[Expectation("value_nonneg", "value >= 1.0")],
+        quarantine_path=qdir,
+    )
+    q.awaitTermination()
+    stored = read_keyed(spark, str(tmp_path / "kt"))
+    assert stored.filter(F.col("value") < 1.0).count() == 0
+    rejects = spark.read.parquet(qdir)
+    batch = load_table(spark, SF, "events")
+    assert rejects.count() == batch.filter(F.col("value") < 1.0).count()
+    assert rejects.filter(F.col("value") >= 1.0).count() == 0
+    tags = rejects.select("_violated").limit(1).collect()[0][0]
+    assert list(tags) == ["value_nonneg"]
+
+
+def test_stream_upsert_fail_expectation_kills_stream(spark, tmp_path):
+    from cascading_hbase_spark.keyed.expectations import Expectation
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    events = S.events_stream(spark, SF, max_files_per_trigger=1)
+    q = S.stream_upsert_keyed(
+        events,
+        str(tmp_path / "kt"),
+        key="user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        expectations=[Expectation("impossible", "value > 1e12", "fail")],
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
