@@ -2103,10 +2103,11 @@ def perplexity_bucket_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS ({_SQL_TOK}),
     sh AS ({_SQL_SH}),
-    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    hs AS (SELECT DISTINCT doc_id, {_H.format(x="shingle")} AS h FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id),
     inter AS (
       SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
-      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      FROM hs sa JOIN hs sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
