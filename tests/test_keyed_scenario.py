@@ -114,6 +114,43 @@ def test_maintenance_day(spark, tmp_path):
     _check_view(spark, vpath, model)
     _sync()
 
+    # 3b. expectations-gated ingest wave: a dirty batch (negative
+    #     amounts, empty groups) arrives; only clean rows reach the
+    #     table, rejects land tagged in quarantine, and the
+    #     view/replica apply exactly the clean delta
+    from cascading_hbase_spark.keyed.expectations import (
+        Expectation,
+        write_keyed_validated,
+    )
+
+    qdir = str(tmp_path / "quarantine")
+    dirty = [
+        (80, "g0", 5.0, now),       # clean
+        (81, "", 6.0, now),         # empty group
+        (82, "g1", -1.0, now),      # negative amount
+        (83, "", -2.0, now),        # both
+        (84, "g2", 7.0, now),       # clean
+    ]
+    write_keyed_validated(
+        _df(spark, dirty), path, "k",
+        [Expectation("grp_nonempty", "grp <> ''"),
+         Expectation("amount_nonneg", "amount >= 0.0")],
+        quarantine_path=qdir,
+    )
+    for r in dirty:
+        if r[1] and r[2] >= 0.0:
+            model[r[0]] = (r[1], r[2], r[3])
+    _check(spark, path, model)
+    q = {r.k: sorted(r._violated) for r in spark.read.parquet(qdir).collect()}
+    assert q == {
+        81: ["grp_nonempty"],
+        82: ["amount_nonneg"],
+        83: ["amount_nonneg", "grp_nonempty"],
+    }
+    refresh_aggregate_view(spark, path, vpath)
+    _check_view(spark, vpath, model)
+    _sync()
+
     # 4. delete every 7th key; refresh applies the delete delta
     dels = [k for k in model if k % 7 == 0]
     delete_keyed(spark, path, _df(spark, [(k, "", 0.0, 0.0) for k in dels]).select("k"))
