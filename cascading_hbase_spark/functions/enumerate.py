@@ -30,6 +30,41 @@ from pyspark.sql import DataFrame, Window
 __all__ = ["global_row_index", "bucketed_running_sum"]
 
 
+def _percentile_buckets(
+    df: DataFrame, key_col: str, n_buckets: int, descending: bool = False
+) -> DataFrame:
+    """Shared bucket-decomposition step: ``df`` plus ``_bucket`` (int,
+    ascending in the key — or descending when asked), assigned by an
+    exact-percentile cut aggregate broadcast back and a map-side
+    monotone count-of-cuts-below fold.  Equal keys always get equal
+    buckets; ANY cut quality yields a correct (merely unbalanced)
+    decomposition, because the consumers only require monotonicity."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    qs = ", ".join(
+        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
+    )
+    cuts = df.agg(
+        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
+        if n_buckets > 1
+        else F.expr("array(cast(null as double))").alias("_cs")
+    )
+    asc = (
+        F.aggregate(
+            "_cs",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
+        )
+        if n_buckets > 1
+        else F.lit(0)
+    )
+    bucket = (F.lit(n_buckets - 1) - asc) if descending else asc
+    return df.join(F.broadcast(cuts)).select(
+        df["*"], bucket.alias("_bucket")
+    )
+
+
 def global_row_index(
     df: DataFrame,
     key_col: str,
@@ -43,29 +78,7 @@ def global_row_index(
     cluster scale set it to O(cores).  Deterministic for unique keys
     (duplicate keys raise at percentile-cut collision points only by
     luck — callers must pass a unique key)."""
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    qs = ", ".join(
-        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
-    )
-    cuts = df.agg(
-        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
-        if n_buckets > 1
-        else F.expr("array(cast(null as double))").alias("_cs")
-    )
-    bucket = (
-        F.aggregate(
-            "_cs",
-            F.lit(0),
-            lambda acc, c: acc
-            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
-        )
-        if n_buckets > 1
-        else F.lit(0)
-    )
-    bucketed = df.join(F.broadcast(cuts)).select(
-        df["*"], bucket.alias("_bucket")
-    )
+    bucketed = _percentile_buckets(df, key_col, n_buckets)
     # B-row prefix sum: offset(b) = total rows in buckets < b.
     offsets = (
         bucketed.groupBy("_bucket")
@@ -119,30 +132,7 @@ def bucketed_running_sum(
     same bucket (bucketing is a function of the key), so a
     ``tiebreak_col`` gives ties a deterministic running order; without
     one the key must be unique."""
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    qs = ", ".join(
-        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
-    )
-    cuts = df.agg(
-        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
-        if n_buckets > 1
-        else F.expr("array(cast(null as double))").alias("_cs")
-    )
-    asc_bucket = (
-        F.aggregate(
-            "_cs",
-            F.lit(0),
-            lambda acc, c: acc
-            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
-        )
-        if n_buckets > 1
-        else F.lit(0)
-    )
-    bucket = (F.lit(n_buckets - 1) - asc_bucket) if descending else asc_bucket
-    bucketed = df.join(F.broadcast(cuts)).select(
-        df["*"], bucket.alias("_bucket")
-    )
+    bucketed = _percentile_buckets(df, key_col, n_buckets, descending)
     bases = (
         bucketed.groupBy("_bucket")
         .agg(F.sum(value_col).alias("_bt"))

@@ -134,7 +134,7 @@ def write_keyed_validated(
                 f"quarantine-action expectations {quarantined} need a "
                 f"quarantine_path"
             )
-    else:
+    elif any(e.action == "quarantine" for e in soft):
         qnames = F.array(
             *[F.lit(e.name) for e in soft if e.action == "quarantine"]
         )

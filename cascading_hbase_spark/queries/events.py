@@ -818,6 +818,7 @@ def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(w_us) AS BIGINT) AS span_us
     FROM held WHERE w_us IS NOT NULL
     GROUP BY user_id
+    HAVING SUM(w_us) > 0
     """,
 )
 def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,7 +826,11 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     is held until the user's next event and weighted by that holding
     time — the right average for irregularly-sampled series, where the
     arithmetic mean over-weights bursts.  The last event per user has
-    no holding interval and is excluded (same rule both engines).
+    no holding interval and is excluded (same rule both engines); a
+    user whose every event shares one timestamp has a zero total span
+    and is excluded too (HAVING span > 0 — under ANSI mode the
+    division would otherwise throw DIVIDE_BY_ZERO, and the oracle
+    would produce inf/NaN).
 
     One shuffle on user_id (lead window + aggregate compose on the
     same key).  Weighted sums go value*microseconds -> round(4) ->
@@ -838,14 +843,22 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = e.select(
         "user_id", "value", (F.lead(us).over(w) - us).alias("w_us")
     ).filter(F.col("w_us").isNotNull())
-    return held.groupBy("user_id").agg(
-        F.round(
-            F.sum(F.round(F.col("value") * F.col("w_us"), 4).cast("decimal(38,4)"))
-            .cast("double")
-            / F.sum("w_us").cast("double"),
-            6,
-        ).alias("twap"),
-        F.sum("w_us").cast("bigint").alias("span_us"),
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * F.col("w_us"), 4).cast("decimal(38,4)")
+            ).alias("_wsum"),
+            F.sum("w_us").cast("bigint").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            F.round(
+                F.col("_wsum").cast("double") / F.col("span_us").cast("double"), 6
+            ).alias("twap"),
+            "span_us",
+        )
     )
 
 

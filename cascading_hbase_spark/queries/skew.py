@@ -287,15 +287,16 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = misra_gries_candidates(tok, "t", k=64).select(
         F.col("t").alias("token")
     )
-    # Single pass over the exploded token relation: the grand total is
-    # sum(c) OVER () on the vocabulary-sized aggregate — the threshold
-    # derives from the same relation in the same plan, so there is no
-    # second corpus scan, no cache, and nothing pinned in executor
-    # storage across the driver's 174-query session.  The empty-frame
-    # window is one extra exchange over |vocabulary| rows only.
+    # The grand total is a 1-ROW sum of the vocabulary aggregate
+    # broadcast back — not sum(c) OVER (), whose empty-frame window
+    # would funnel the whole per-token relation through one task
+    # (vocabulary grows with corpus size at 100 TB of text).  The
+    # vocabulary aggregate feeds both consumers as an identical
+    # subtree, which Spark dedupes via ReusedExchange — one corpus
+    # scan, no cache, nothing pinned across the driver's session.
     exact = tok.groupBy("t").agg(F.count("*").alias("c"))
-    tot = F.sum("c").over(Window.partitionBy()).cast("double")
-    hh = exact.withColumn("_n", tot).filter(F.col("c") > F.col("_n") / 64.0)
+    tot = exact.agg(F.sum("c").cast("double").alias("_n"))
+    hh = exact.join(F.broadcast(tot)).filter(F.col("c") > F.col("_n") / 64.0)
     return hh.join(
         cand, hh.t == cand.token, "left"
     ).select(

@@ -419,22 +419,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): a view-over-aggregate compared against
-    its own MAX — expressed as ``max(total_revenue) OVER ()`` on the
-    aggregated relation, so the revenue view is computed ONCE with no
-    cache and no second scan (the empty-frame window is a single extra
-    exchange over the already supplier-sized aggregate; at 100 TB that
-    relation is |suppliers|, not |lineitem|).  The equality runs on
-    exact DECIMAL so ties (and the oracle) agree bit-for-bit."""
+    its own MAX — the max is a 1-ROW aggregate of the revenue view
+    broadcast back, NOT ``max() OVER ()``: the empty-frame window would
+    move the whole |suppliers| relation (which scales with SF) through
+    one task, the exact single-partition trap
+    ``functions/enumerate.py`` exists to avoid.  The revenue view
+    appears as two consumers of an identical subtree, which Spark
+    dedupes via ReusedExchange — one lineitem scan, no cache.  The
+    equality runs on exact DECIMAL so ties (and the oracle) agree
+    bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev_dec()).alias("total_revenue")
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        rev.withColumn("_mx", mx)
+        rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(

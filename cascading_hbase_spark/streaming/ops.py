@@ -435,6 +435,14 @@ def stream_upsert_keyed(
     )
     if available_now and processing_time is not None:
         raise ValueError("pass either available_now or processing_time, not both")
+    if available_now is False and processing_time is None:
+        # explicit False with no trigger would silently start Spark's
+        # default ASAP-polling query, which never terminates — make the
+        # continuous mode an explicit choice
+        raise ValueError(
+            "available_now=False requires processing_time (the continuous "
+            "mode's trigger); omit both for drain-and-stop"
+        )
     if available_now is None:
         # a requested processingTime trigger implies the continuous
         # mode; otherwise default to the drain-and-stop replay mode

@@ -115,3 +115,18 @@ def test_bad_action_rejected():
 def test_duplicate_names_rejected(batch):
     with pytest.raises(ValueError, match="duplicate"):
         apply_expectations(batch, [E_TEXT, Expectation("text_not_null", "1=1")])
+
+
+def test_drop_only_gate_writes_no_quarantine_files(spark, batch, tmp_path):
+    """A drop/fail-only gate must not touch the quarantine dir at all
+    (review finding: the unconditional write appended empty parquet
+    datasets every call — every micro-batch under streaming)."""
+    import os
+
+    tbl, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    write_keyed_validated(
+        batch, tbl, "k",
+        [Expectation("text_not_null", "text IS NOT NULL", "drop")],
+        quarantine_path=qdir,
+    )
+    assert not os.path.exists(qdir)

@@ -110,3 +110,30 @@ def test_prefix_join_lossless_on_adversarial_freqs(spark):
         set(want) - set(got), set(got) - set(want))
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_twap_excludes_zero_span_users(spark):
+    """A user whose every event shares one timestamp has zero total
+    holding time; under ANSI mode the unguarded division would throw
+    DIVIDE_BY_ZERO — the query must exclude the group instead (review
+    finding, round 5)."""
+    import cascading_hbase_spark.queries.events as EV
+
+    t = datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t, 7, "view", 10.0, "{}"),
+        (2, t, 7, "click", 20.0, "{}"),   # same ts -> zero span
+        (3, t, 8, "view", 5.0, "{}"),
+        (4, t + timedelta(seconds=10), 8, "view", 15.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = EV.load_table
+    try:
+        EV.load_table = lambda s, d, n: df
+        out = {r.user_id: r.twap for r in EV.twap_per_user(spark, "x").collect()}
+    finally:
+        EV.load_table = orig
+    assert 7 not in out          # zero-span user excluded, no throw
+    assert out[8] == 5.0         # value 5 held for the whole span

@@ -535,3 +535,14 @@ def test_stream_upsert_fail_expectation_kills_stream(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
+
+
+def test_stream_upsert_explicit_false_requires_trigger(spark, tmp_path):
+    """available_now=False with no processing_time would silently start
+    a never-terminating default-trigger query; it must raise instead."""
+    events = S.events_stream(spark, SF)
+    with pytest.raises(ValueError, match="processing_time"):
+        S.stream_upsert_keyed(
+            events, str(tmp_path / "kt"), key="user_id",
+            checkpoint=str(tmp_path / "ckpt"), available_now=False,
+        )
