@@ -85,6 +85,8 @@ _PRIORITY = [
     "label_centroid_similarity",         # new: label-confusion audit
     "pareto_revenue_share",              # new: bucketed running sum
     "rolling_7d_active_users",           # new: WAU via window explode
+    "psi_distribution_drift",            # new: PSI drift monitor
+    "daily_count_anomaly",               # new: trailing-window z-score
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1095,3 +1095,66 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("day").agg(
         F.count_distinct("user_id").cast("bigint").alias("wau")
     )
+
+
+@query(
+    "daily_count_anomaly",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS mu,
+             stddev(n) OVER w AS sd,
+             count(*) OVER w AS n_obs
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           CAST(round((n - mu) / sd, 6) AS DOUBLE) AS zscore,
+           abs(round((n - mu) / sd, 6)) > 3.0 AS is_anomaly
+    FROM r WHERE n_obs >= 3 AND sd > 0.0
+    """,
+)
+def daily_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly score: each day's event count vs the mean
+    and stddev of its own TRAILING window (previous 7 observations,
+    current day excluded — the detector must not contaminate its
+    baseline with the value it is judging).  Days with fewer than 3
+    prior observations or a degenerate (zero-variance) baseline are
+    not scored.
+
+    Scale shape: the corpus-scale work is one (type, day) count
+    aggregate; the trailing windows run over the per-day relation —
+    #types x #days rows — partitioned by event_type.  The anomaly flag
+    derives from the ROUNDED z on both engines, so a last-ulp stddev
+    difference cannot flip it."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    r = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev("n").over(w).alias("_sd"),
+        F.count("*").over(w).alias("_n_obs"),
+    ).filter((F.col("_n_obs") >= 3) & (F.col("_sd") > 0.0))
+    z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 6)
+    return r.select(
+        "event_type", "day", "n",
+        z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )

@@ -2227,3 +2227,106 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+_PSI_REF = ", ".join(f"'src{i}'" for i in range(10))
+
+
+@query(
+    "psi_distribution_drift",
+    oracle=f"""
+    WITH ref AS (SELECT n_chars FROM documents WHERE source IN ({_PSI_REF})),
+    cur AS (SELECT n_chars FROM documents WHERE source NOT IN ({_PSI_REF})),
+    cuts AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+      FROM ref
+    ),
+    rb AS (
+      SELECT len(list_filter(cuts.cs, c -> CAST(r.n_chars AS DOUBLE) > c))
+               AS bucket, count(*) AS n
+      FROM ref r CROSS JOIN cuts GROUP BY 1
+    ),
+    cb AS (
+      SELECT len(list_filter(cuts.cs, c -> CAST(r.n_chars AS DOUBLE) > c))
+               AS bucket, count(*) AS n
+      FROM cur r CROSS JOIN cuts GROUP BY 1
+    ),
+    b AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    sh AS (
+      SELECT b.bucket,
+             COALESCE(rb.n, 0) / CAST((SELECT sum(n) FROM rb) AS DOUBLE) AS p_ref,
+             COALESCE(cb.n, 0) / CAST((SELECT sum(n) FROM cb) AS DOUBLE) AS p_cur
+      FROM b LEFT JOIN rb ON rb.bucket = b.bucket
+             LEFT JOIN cb ON cb.bucket = b.bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(round(p_ref, 6) AS DOUBLE) AS p_ref,
+           CAST(round(p_cur, 6) AS DOUBLE) AS p_cur,
+           CAST(round((p_cur - p_ref)
+                * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6)
+                AS DOUBLE) AS psi_term
+    FROM sh
+    """,
+)
+def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference cohort (sources
+    src0-src9) and the current cohort (the rest) over the n_chars
+    distribution — the standard production drift monitor (sum the
+    psi_term column: <0.1 stable, >0.25 investigate).  Bin edges are
+    the REFERENCE deciles (canonical PSI), so a shifted current
+    distribution concentrates in few bins and the term blows up.
+
+    Scale shape: one percentile aggregate on the reference broadcast
+    back (the histogram_equidepth pattern), map-side bucketing of both
+    cohorts, two 10-row share aggregates joined on the literal bucket
+    spine.  Zero-share bins are epsilon-clamped inside ln() in both
+    engines identically."""
+    d = load_table(spark, sf_dir, "documents")
+    refs = [f"src{i}" for i in range(10)]
+    ref = d.filter(F.col("source").isin(refs))
+    cur = d.filter(~F.col("source").isin(refs))
+    cuts = ref.agg(
+        F.expr(
+            "percentile(CAST(n_chars AS DOUBLE), "
+            "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("cs")
+    )
+    bucket = F.aggregate(
+        "cs",
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("n_chars").cast("double") > c, 1).otherwise(0),
+    )
+
+    def shares(cohort, name):
+        b = (
+            cohort.join(F.broadcast(cuts))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+        )
+        return b.select(
+            "bucket",
+            (
+                F.col("_n")
+                / F.sum("_n").over(Window.partitionBy()).cast("double")
+            ).alias(name),
+        )
+
+    spine = spark.range(10).select(F.col("id").cast("bigint").alias("bucket"))
+    sh = (
+        spine.join(F.broadcast(shares(ref, "p_ref")), "bucket", "left")
+        .join(F.broadcast(shares(cur, "p_cur")), "bucket", "left")
+        .fillna({"p_ref": 0.0, "p_cur": 0.0})
+    )
+    eps = F.lit(1e-6)
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.greatest(F.col("p_cur"), eps) / F.greatest(F.col("p_ref"), eps)
+    )
+    return sh.select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -45,6 +45,7 @@ BNL_BY_DESIGN = {
     "fk_violation_report",        # 1-row orphan count x 1-row total count
     "decayed_popularity",         # 1-row max(ts) reference point
     "label_centroid_similarity",  # #labels-row centroid pair join
+    "psi_distribution_drift",     # 1-row cuts + 10-row share spine
     "pareto_revenue_share",       # 1-row cuts + B-row bases + 1-row total
 }
 
