@@ -460,16 +460,20 @@ def test_weighted_sample_single_shuffle(spark):
 
 
 def test_heavy_hitters_single_pass_totals(spark):
-    """The N/k threshold must come from the SAME aggregation pass that
-    scores candidates: the grand total is an empty-frame window over
-    the vocabulary-sized per-token aggregate, so the exploded corpus is
-    scanned once for the exact path + once for the Misra-Gries sketch
-    path — never a third time for a separate total-count action, and
-    (since r05) with nothing persisted across the session."""
-    plan = _plan(QUERIES["heavy_hitters_sketch"](spark, SF))
-    assert plan.count("FileScan") == 2, plan
-    assert "Window" in plan, plan
+    """The N/k threshold must come from the SAME vocabulary aggregate
+    that scores candidates — as a 1-row grand-total broadcast, NOT an
+    empty-frame window (which would single-partition the per-token
+    relation; round-5 review fix) and NOT a cache.  At runtime AQE
+    reuses the shared vocabulary-aggregate exchange, so the corpus is
+    scanned for the exact path + the sketch path and never a third
+    time for the total."""
+    df = QUERIES["heavy_hitters_sketch"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 
 def test_monthly_yoy_no_global_single_partition(spark):
