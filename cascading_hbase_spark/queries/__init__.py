@@ -87,6 +87,8 @@ _PRIORITY = [
     "rolling_7d_active_users",           # new: WAU via window explode
     "psi_distribution_drift",            # new: PSI drift monitor
     "daily_count_anomaly",               # new: trailing-window z-score
+    "pmi_collocations",                  # new: collocation mining
+    "conversion_latency_deciles",        # new: time-to-convert curve
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1158,3 +1158,70 @@ def daily_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "conversion_latency_deciles",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    s AS (SELECT user_id, min(ts) AS t1 FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 min(epoch_us(e.ts) - epoch_us(s.t1)) AS lat_us
+          FROM ev e JOIN s ON s.user_id = e.user_id AND e.ts >= s.t1
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    q AS (
+      SELECT quantile_cont(CAST(lat_us AS DOUBLE),
+        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs,
+        count(*) AS n_converted
+      FROM p
+    )
+    SELECT CAST(i.i AS BIGINT) AS decile,
+           CAST(round(q.qs[i.i], 6) AS DOUBLE) AS latency_us,
+           CAST(q.n_converted AS BIGINT) AS n_converted
+    FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i
+    """,
+)
+def conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user, microseconds
+    from first signup to first at-or-after purchase, summarized as the
+    nine deciles — the survival-curve cut a growth team reads ("half
+    convert within X hours").
+
+    Per-user step times come from ONE conditional aggregation pass
+    (the funnel pattern — min signup via window, min gated purchase in
+    the same groupBy; no event-log self-join); the decile summary is a
+    single percentile aggregate whose 1-row result explodes map-side
+    into the 9 output rows.  Latencies are exact integer microseconds
+    into the interpolated percentile."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    lat = e.withColumn("_t1", t1).filter(F.col("_t1").isNotNull())
+    per_user = (
+        lat.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("_t1")),
+                    F.unix_micros("ts") - F.unix_micros("_t1"),
+                )
+            ).alias("lat_us")
+        )
+        .filter(F.col("lat_us").isNotNull())
+    )
+    q = per_user.agg(
+        F.expr(
+            "percentile(CAST(lat_us AS DOUBLE), "
+            "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("qs"),
+        F.count("*").alias("n_converted"),
+    )
+    return q.select(
+        F.posexplode("qs").alias("_p", "_v"), F.col("n_converted")
+    ).select(
+        (F.col("_p") + 1).cast("bigint").alias("decile"),
+        F.round("_v", 6).alias("latency_us"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+    )

@@ -2330,3 +2330,85 @@ def psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_cur", 6).alias("p_cur"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i FROM t)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cxy FROM bi GROUP BY w1, w2),
+    uc AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi
+      ) GROUP BY w
+    ),
+    n AS (SELECT count(*) AS nbg FROM bi)
+    SELECT bc.w1, bc.w2, CAST(bc.cxy AS BIGINT) AS cxy,
+           CAST(round(ln(2.0 * bc.cxy * n.nbg
+                         / (CAST(c1.c AS DOUBLE) * c2.c)), 6)
+                AS DOUBLE) AS pmi
+    FROM bc
+    JOIN uc c1 ON c1.w = bc.w1
+    JOIN uc c2 ON c2.w = bc.w2
+    CROSS JOIN n
+    WHERE bc.cxy >= 5
+    ORDER BY pmi DESC, bc.w1, bc.w2
+    LIMIT 100
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-100 adjacent word pairs by pointwise
+    mutual information, PMI = ln(P(x,y) / (P(x)P(y))) over the corpus
+    bigram distribution (count >= 5 kills the noisy singleton tail) —
+    the classic signal for multi-word expressions a tokenizer or
+    phrase-vocabulary builder should treat as units.
+
+    Unigram occurrence counts come from the SAME bigram relation (each
+    bigram contributes one first-slot and one second-slot occurrence:
+    c(w) sums both, N doubles for the marginals — hence the 2*cxy*N
+    numerator), so marginals and joints are consistent by construction
+    and the corpus is tokenized once.  Map-side zip_with pair building
+    (the lm_bigram plan); joins shuffle on the word keys; distributed
+    top-100."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
+        F.col("tok").isNotNull() & (F.size("tok") >= 2)
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("tok"), F.lit(1), F.size("tok") - 1),
+        F.slice(F.col("tok"), F.lit(2), F.size("tok") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    uc = (
+        bi.select(F.col("w1").alias("w"))
+        .unionAll(bi.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = bi.agg(F.count("*").alias("nbg"))
+    pmi = F.log(
+        2.0 * F.col("cxy") * F.col("nbg")
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        bc.filter(F.col("cxy") >= 5)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1", "w2",
+            F.col("cxy").cast("bigint").alias("cxy"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )

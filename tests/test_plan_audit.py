@@ -46,6 +46,7 @@ BNL_BY_DESIGN = {
     "decayed_popularity",         # 1-row max(ts) reference point
     "label_centroid_similarity",  # #labels-row centroid pair join
     "psi_distribution_drift",     # 1-row cuts + 10-row share spine
+    "pmi_collocations",           # 1-row bigram-total broadcast
     "pareto_revenue_share",       # 1-row cuts + B-row bases + 1-row total
 }
 
