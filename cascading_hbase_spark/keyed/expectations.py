@@ -32,6 +32,7 @@ __all__ = [
     "ExpectationError",
     "apply_expectations",
     "write_keyed_validated",
+    "reprocess_quarantine",
 ]
 
 _TAG = "_violated"
@@ -143,3 +144,36 @@ def write_keyed_validated(
         )
         q.write.mode("append").parquet(quarantine_path)
     write_keyed(passed, path, key, mode=mode, **write_kwargs)
+
+
+def reprocess_quarantine(
+    spark,
+    quarantine_path: str,
+    path: str,
+    key: str,
+    expectations: list[Expectation],
+    fixer=None,
+    mode: SinkMode = SinkMode.APPEND,
+    **write_kwargs,
+) -> DataFrame:
+    """Drain the triage loop: re-validate quarantined rows (optionally
+    after ``fixer``, a DataFrame -> DataFrame repair transform), upsert
+    the now-passing rows into the keyed table, and RETURN the still-
+    failing remainder (tagged) for the next triage pass.
+
+    The quarantine dir itself is append-only and is not rewritten —
+    rows that pass re-validation are upserted by key, so replaying the
+    same quarantine twice is idempotent on the table (LWW merge), and
+    the returned remainder is what a fresh quarantine should contain.
+    Callers who want to compact the dir write the returned DataFrame to
+    a new path and swap directories themselves."""
+    q = spark.read.parquet(quarantine_path).drop(_TAG)
+    if fixer is not None:
+        fixed = fixer(q)
+        missing = set(q.columns) - set(fixed.columns)
+        if missing:
+            raise ValueError(f"fixer dropped required columns: {sorted(missing)}")
+        q = fixed
+    passed, still_failing = apply_expectations(q, expectations)
+    write_keyed(passed, path, key, mode=mode, **write_kwargs)
+    return still_failing

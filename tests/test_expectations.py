@@ -130,3 +130,39 @@ def test_drop_only_gate_writes_no_quarantine_files(spark, batch, tmp_path):
         quarantine_path=qdir,
     )
     assert not os.path.exists(qdir)
+
+
+def test_reprocess_quarantine_roundtrip(spark, batch, tmp_path):
+    """Fix-and-replay: a repair transform rescues some quarantined
+    rows; they upsert into the table and the unfixable remainder comes
+    back tagged.  Replaying is idempotent on the table (LWW)."""
+    from cascading_hbase_spark.keyed.expectations import reprocess_quarantine
+
+    tbl, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    write_keyed_validated(
+        batch, tbl, "k", [E_TEXT, E_SCORE], quarantine_path=qdir
+    )
+    # fixer backfills missing text but cannot repair low scores
+    def fixer(df):
+        return df.withColumn("text", F.coalesce(F.col("text"), F.lit("backfilled")))
+
+    rest = reprocess_quarantine(
+        spark, qdir, tbl, "k", [E_TEXT, E_SCORE], fixer=fixer
+    )
+    assert sorted(r.k for r in read_keyed(spark, tbl).collect()) == [1, 2, 4]
+    got = {r.k: sorted(r._violated) for r in rest.collect()}
+    assert got == {3: ["score_ok"], 5: ["score_ok"]}
+    # replay: same quarantine, same fixer — table unchanged (LWW upsert)
+    reprocess_quarantine(spark, qdir, tbl, "k", [E_TEXT, E_SCORE], fixer=fixer)
+    assert sorted(r.k for r in read_keyed(spark, tbl).collect()) == [1, 2, 4]
+
+
+def test_reprocess_rejects_column_dropping_fixer(spark, batch, tmp_path):
+    from cascading_hbase_spark.keyed.expectations import reprocess_quarantine
+
+    tbl, qdir = str(tmp_path / "t"), str(tmp_path / "q")
+    write_keyed_validated(batch, tbl, "k", [E_TEXT], quarantine_path=qdir)
+    with pytest.raises(ValueError, match="dropped required columns"):
+        reprocess_quarantine(
+            spark, qdir, tbl, "k", [E_TEXT], fixer=lambda df: df.drop("text")
+        )
