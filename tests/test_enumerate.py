@@ -72,3 +72,60 @@ def test_running_sum_matches_naive_window(spark, n_buckets, desc):
     )
     want = {r.id: r.rs for r in df.withColumn("rs", FN.sum("v").over(w)).collect()}
     assert got == want, (n_buckets, desc, got, want)
+
+
+def test_fuzz_enumerate_and_running_sum_vs_naive(spark):
+    """Hypothesis fuzz: arbitrary key sets (negatives, clumps, tied
+    keys with a tiebreak id) and bucket counts — global_row_index must
+    equal the sorted-position map, bucketed_running_sum must equal the
+    naive single window, ascending and descending."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as FN
+    from pyspark.sql import Window
+    from cascading_hbase_spark.functions.enumerate import (
+        bucketed_running_sum,
+        global_row_index,
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1, max_size=20,
+        ),
+        n_buckets=st.sampled_from([1, 2, 5, 64]),
+        desc=st.booleans(),
+    )
+    def check(keys, n_buckets, desc):
+        rows = [(i, float(k), k % 7) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "id long, k double, v long")
+        got_rs = {
+            r.id: r.rs
+            for r in bucketed_running_sum(
+                df, "k", "v", sum_col="rs", descending=desc,
+                n_buckets=n_buckets, tiebreak_col="id",
+            ).collect()
+        }
+        order = FN.col("k").desc() if desc else FN.col("k").asc()
+        w = Window.orderBy(order, FN.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want_rs = {
+            r.id: r.rs for r in df.withColumn("rs", FN.sum("v").over(w)).collect()
+        }
+        assert got_rs == want_rs, (keys, n_buckets, desc)
+        if len(set(keys)) == len(keys):  # unique-key contract
+            got_ix = {
+                r.id: r.row_index
+                for r in global_row_index(df, "k", n_buckets=n_buckets).collect()
+            }
+            pos = {k: i for i, k in enumerate(sorted(keys))}
+            want_ix = {i: pos[k] for i, (k) in enumerate(keys)}
+            assert got_ix == want_ix, (keys, n_buckets)
+
+    check()
