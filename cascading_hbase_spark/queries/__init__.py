@@ -89,6 +89,7 @@ _PRIORITY = [
     "daily_count_anomaly",               # new: trailing-window z-score
     "pmi_collocations",                  # new: collocation mining
     "conversion_latency_deciles",        # new: time-to-convert curve
+    "source_overlap_jaccard",            # new: source-level mirror detector
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2412,3 +2412,77 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+@query(
+    "source_overlap_jaccard",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS ({_SQL_SH}),
+    ss AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cnt AS (SELECT source, count(*) AS c FROM ss GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(i AS BIGINT) AS n_shared,
+           CAST(round(CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE), 6)
+                AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.source = source_a
+    JOIN cnt cb ON cb.source = source_b
+    """,
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level provenance analysis: shingle-set Jaccard between
+    every pair of SOURCES — the mirror-site / syndication detector
+    (two crawl sources with high overlap should be deduped at the
+    source level before any doc-level pass wastes compute on their
+    pairwise near-dups).
+
+    Scale shape: each source's shingle SET is the distinct
+    (source, shingle) relation — one shuffle with map-side partial
+    distinct; the inverted-index self-join fans out per shingle by the
+    number of sources containing it, bounded by |sources| (a
+    fixed-cardinality dimension), never by doc count.  Output is the
+    #sources^2 matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d, "doc_id", "text", 3)
+    src = d.select("doc_id", "source")
+    ss = (
+        sh.join(src, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    cnt = ss.groupBy("source").agg(F.count("*").alias("c"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), F.col("shingle").alias("_shb"))
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("_shb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
