@@ -90,6 +90,8 @@ _PRIORITY = [
     "pmi_collocations",                  # new: collocation mining
     "conversion_latency_deciles",        # new: time-to-convert curve
     "source_overlap_jaccard",            # new: source-level mirror detector
+    "dup_cluster_size_histogram",        # new: dup-inflation profile
+    "session_bounce_dwell",              # new: bounce/dwell by entry
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

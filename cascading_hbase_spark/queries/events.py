@@ -1225,3 +1225,91 @@ def conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_v", 6).alias("latency_us"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
     )
+
+
+@query(
+    "session_bounce_dwell",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    entry AS (
+      SELECT *, first_value(event_type) OVER (
+               PARTITION BY user_id, sid ORDER BY ts, event_id) AS entry0
+      FROM sess
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             min(entry0) AS entry_type,
+             count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+      FROM entry GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS DOUBLE)
+             AS bounce_rate,
+           CAST(round(quantile_cont(CAST(dwell_us AS DOUBLE), 0.5), 6)
+                AS DOUBLE) AS median_dwell_us
+    FROM per_sess GROUP BY entry_type
+    """,
+)
+def session_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and dwell time by session ENTRY type: sessions are
+    10-minute-gap islands per user; each session's entry event decides
+    its bucket; bounce = single-event session — the landing-page
+    quality readout, sliced by what users arrived to do.
+
+    One shuffle on user_id serves the gap-marking lag, the
+    gaps-and-islands session id and the per-session aggregate
+    (min_by struct gives the deterministic entry event under ts ties);
+    the per-entry-type rollup then runs on the session-count-sized
+    relation.  Dwell is exact integer microseconds into the one
+    interpolated median."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > 600 * 1_000_000), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_s).over(run).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dwell_us"
+        ),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.expr("percentile(CAST(dwell_us AS DOUBLE), 0.5D)"), 6
+        ).alias("median_dwell_us"),
+    )

@@ -2486,3 +2486,68 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    cc AS (SELECT id, min(r) AS cl FROM walk GROUP BY id),
+    sizes AS (SELECT cl, count(*) AS sz FROM cc GROUP BY cl)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    UNION ALL
+    SELECT 1, CAST((SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM cc) AS BIGINT)
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-inflation profile: the histogram of near-dup cluster
+    sizes (including the singleton mass) — the one-look answer to "how
+    much of this corpus is copies", and the denominator for dedup
+    savings estimates (a corpus of many size-2 clusters dedups very
+    differently from one mega-cluster).
+
+    Composition on the oracled components pipeline: MinHash pairs ->
+    connected components -> per-cluster counts -> size histogram; the
+    singleton row is total docs minus clustered docs (two 1-row
+    aggregates broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=2, threshold=0.5
+    )
+    cc = D.connected_components(pairs)
+    hist = (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("_sz"))
+        .groupBy("_sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("_sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint"),
+        )
+    )
+    total = d.agg(F.count("*").alias("_nd"))
+    clustered = cc.agg(F.count("*").alias("_nc"))
+    singles = (
+        total.join(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("_nd") - F.col("_nc")).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles)
