@@ -1180,6 +1180,7 @@ def daily_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(q.qs[i.i], 6) AS DOUBLE) AS latency_us,
            CAST(q.n_converted AS BIGINT) AS n_converted
     FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i
+    WHERE q.n_converted > 0
     """,
 )
 def conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:

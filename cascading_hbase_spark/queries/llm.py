@@ -2255,8 +2255,12 @@ _PSI_REF = ", ".join(f"'src{i}'" for i in range(10))
     b AS (SELECT unnest(generate_series(0, 9)) AS bucket),
     sh AS (
       SELECT b.bucket,
-             COALESCE(rb.n, 0) / CAST((SELECT sum(n) FROM rb) AS DOUBLE) AS p_ref,
-             COALESCE(cb.n, 0) / CAST((SELECT sum(n) FROM cb) AS DOUBLE) AS p_cur
+             COALESCE(rb.n, 0)
+               / GREATEST(CAST((SELECT COALESCE(sum(n), 0) FROM rb) AS DOUBLE),
+                          1.0) AS p_ref,
+             COALESCE(cb.n, 0)
+               / GREATEST(CAST((SELECT COALESCE(sum(n), 0) FROM cb) AS DOUBLE),
+                          1.0) AS p_cur
       FROM b LEFT JOIN rb ON rb.bucket = b.bucket
              LEFT JOIN cb ON cb.bucket = b.bucket
     )

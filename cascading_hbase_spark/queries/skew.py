@@ -6,7 +6,7 @@ preserves exact semantics."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.functions.skew import salted_join, salted_two_phase_agg

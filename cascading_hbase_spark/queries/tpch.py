@@ -27,7 +27,7 @@ queries) are out of scope.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.queries import query

@@ -63,7 +63,10 @@ def test_fail_rejects_whole_batch_atomically(batch, tmp_path):
         )
     import os
 
-    assert not os.path.exists(os.path.join(tbl, "manifest.json"))
+    from cascading_hbase_spark.keyed.table import META_FILE
+
+    assert not os.path.exists(os.path.join(tbl, META_FILE))
+    assert not os.path.exists(tbl)  # nothing at all was written
 
 
 def test_quarantine_roundtrip_and_clean_table(spark, batch, tmp_path):
