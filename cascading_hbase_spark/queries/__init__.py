@@ -92,6 +92,7 @@ _PRIORITY = [
     "source_overlap_jaccard",            # new: source-level mirror detector
     "dup_cluster_size_histogram",        # new: dup-inflation profile
     "session_bounce_dwell",              # new: bounce/dwell by entry
+    "longest_streak_per_user",           # new: islands-on-position runs
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1314,3 +1314,68 @@ def session_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(CAST(dwell_us AS DOUBLE), 0.5D)"), 6
         ).alias("median_dwell_us"),
     )
+
+
+@query(
+    "longest_streak_per_user",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM ev
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM r GROUP BY user_id, event_type, rn_all - rn_type
+    ),
+    best AS (
+      SELECT user_id, event_type, run_len,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY run_len DESC, event_type) AS pick
+      FROM runs
+    )
+    SELECT user_id, event_type AS streak_type, run_len AS streak_len
+    FROM best WHERE pick = 1
+    """,
+)
+def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type run per user (the "streak": N
+    clicks in a row with nothing between) — the gaps-and-islands shape
+    keyed on SEQUENCE POSITION rather than time gaps: rn_overall -
+    rn_within_type is constant exactly across a consecutive run, so
+    runs fall out of one GROUP BY with no iteration and no
+    self-join.  Repetitive streaks (error loops, bot click runs) are a
+    behavioral-quality signal the transition matrix's first-order view
+    cannot see.
+
+    Both row_number windows and the run/winner aggregates share the
+    user_id shuffle; ties (equal-length streaks) break
+    deterministically by event_type."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("_island"),
+    )
+    runs = r.groupBy("user_id", "event_type", "_island").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), "event_type"
+    )
+    return (
+        runs.withColumn("_pick", F.row_number().over(pick))
+        .filter(F.col("_pick") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("run_len").alias("streak_len"),
+        )
+    )
