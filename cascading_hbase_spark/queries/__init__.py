@@ -93,6 +93,7 @@ _PRIORITY = [
     "dup_cluster_size_histogram",        # new: dup-inflation profile
     "session_bounce_dwell",              # new: bounce/dwell by entry
     "longest_streak_per_user",           # new: islands-on-position runs
+    "idf_novelty_score",                 # new: doc-level rarity signal
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2555,3 +2555,51 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionByName(singles)
+
+
+@query(
+    "idf_novelty_score",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL)
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL)
+    SELECT dt.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(round(avg(ln(CAST(n.nd AS DOUBLE) / dfreq.df)), 6) AS DOUBLE)
+             AS novelty
+    FROM dt JOIN dfreq ON dfreq.token = dt.token CROSS JOIN n
+    GROUP BY dt.doc_id
+    """,
+)
+def idf_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty: the mean inverse-document-frequency of a
+    doc's distinct tokens — boilerplate built from ubiquitous
+    vocabulary scores near ln(N/N)=0, documents full of corpus-rare
+    terms score high.  The doc-level companion to per-term TF-IDF:
+    a one-number curation signal for up-weighting informative docs
+    (and a cheap prior for the dedup pipeline — low-novelty docs are
+    where near-dup mass concentrates).
+
+    One shuffle on the token key (distinct + document frequency), one
+    doc-keyed mean; the corpus doc count arrives as a broadcast 1-row
+    join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    dfreq = dt.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("nd"))
+    idf = F.log(F.col("nd").cast("double") / F.col("df"))
+    return (
+        dt.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.round(F.avg(idf), 6).alias("novelty"),
+        )
+    )

@@ -48,6 +48,7 @@ BNL_BY_DESIGN = {
     "psi_distribution_drift",     # 1-row cuts + 10-row share spine
     "pmi_collocations",           # 1-row bigram-total broadcast
     "dup_cluster_size_histogram", # two 1-row count aggregates
+    "idf_novelty_score",          # 1-row corpus doc count
     "pareto_revenue_share",       # 1-row cuts + B-row bases + 1-row total
 }
 
