@@ -94,6 +94,13 @@ _PRIORITY = [
     "session_bounce_dwell",              # new: bounce/dwell by entry
     "longest_streak_per_user",           # new: islands-on-position runs
     "idf_novelty_score",                 # new: doc-level rarity signal
+    "bm25_topk",                         # new: sparse-retrieval ranker
+    "substring_dup_spans",               # new: Lee-et-al span-level dedup
+    "cms_frequency_contract",            # new: bit-identical count-min sketch
+    "ab_conversion_ztest",               # new: two-proportion experiment test
+    "cohort_ltv_triangle",               # new: cohort-age revenue triangle
+    "session_path_topk",                 # new: first-5-event path mining
+    "decile_lift_table",                 # new: targeting lift/capture table
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

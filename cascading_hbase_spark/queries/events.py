@@ -1379,3 +1379,284 @@ def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_len").alias("streak_len"),
         )
     )
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    users AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+             max(CASE WHEN event_type = 'purchase'
+                       AND epoch(ts) - epoch(first_ts) <= 86400
+                      THEN 1 ELSE 0 END) AS converted
+      FROM (SELECT user_id, ts, event_type,
+                   min(ts) OVER (PARTITION BY user_id) AS first_ts FROM ev)
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(converted) AS DOUBLE) AS conv
+      FROM users GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n_control,
+        max(CASE WHEN variant = 0 THEN conv END) AS conv_control,
+        max(CASE WHEN variant = 1 THEN n END) AS n_treat,
+        max(CASE WHEN variant = 1 THEN conv END) AS conv_treat
+      FROM arms
+    )
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(conv_control AS BIGINT) AS conv_control,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(conv_treat AS BIGINT) AS conv_treat,
+           CAST(round(conv_treat / n_treat - conv_control / n_control, 6) AS DOUBLE)
+             AS rate_lift,
+           CAST(round(
+             (conv_treat / n_treat - conv_control / n_control)
+             / sqrt(nullif(
+                 ((conv_control + conv_treat) / (n_control + n_treat))
+                 * (1.0 - (conv_control + conv_treat) / (n_control + n_treat))
+                 * (1.0 / n_control + 1.0 / n_treat), 0.0)), 6) AS DOUBLE)
+             AS z_score,
+           CAST(abs(
+             (conv_treat / n_treat - conv_control / n_control)
+             / sqrt(nullif(
+                 ((conv_control + conv_treat) / (n_control + n_treat))
+                 * (1.0 - (conv_control + conv_treat) / (n_control + n_treat))
+                 * (1.0 / n_control + 1.0 / n_treat), 0.0))) >= 1.96 AS BOOLEAN)
+             AS significant_95
+    FROM wide
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: deterministic
+    assignment (user_id parity as the variant), conversion = the user
+    ever fired a ``purchase`` event, pooled-variance z-score and the
+    95% two-sided significance verdict — the experiment-analysis
+    primitive every event pipeline grows eventually.
+
+    Conversion is 'purchased within 24 hours of the user's first
+    event' — an onboarding-style metric with real variance (every user
+    eventually purchases in this corpus, so lifetime conversion would
+    be degenerate at 100%).
+
+    Scale shape: the first-seen window and the per-user fold share ONE
+    user-keyed shuffle, then a 2-row arm rollup folds to a single row;
+    every statistic is arithmetic over that 1-row relation.  The
+    pooled-variance term is nullif-guarded so a degenerate cohort
+    (0% or 100% both arms) yields NULL rather than an ANSI error."""
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    users = (
+        ev.select(
+            "user_id", "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp(first_ts)).alias("since"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("since") <= 86400),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = users.groupBy("variant").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_control"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_control"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_treat"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_treat"),
+    )
+    p0 = F.col("conv_control") / F.col("n_control")
+    p1 = F.col("conv_treat") / F.col("n_treat")
+    pooled = (F.col("conv_control") + F.col("conv_treat")) / (
+        F.col("n_control") + F.col("n_treat")
+    )
+    var_term = pooled * (1.0 - pooled) * (
+        1.0 / F.col("n_control") + 1.0 / F.col("n_treat")
+    )
+    z = (p1 - p0) / F.sqrt(F.nullif(var_term, F.lit(0.0)))
+    return wide.select(
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("conv_control").cast("bigint").alias("conv_control"),
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        F.col("conv_treat").cast("bigint").alias("conv_treat"),
+        F.round(p1 - p0, 6).alias("rate_lift"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant_95"),
+    )
+
+
+@query(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM ev GROUP BY user_id
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_users
+              FROM cohort GROUP BY cohort_week),
+    rev AS (
+      SELECT c.cohort_week,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort_week))
+                  / 604800 AS INTEGER) AS age_weeks,
+             sum(CAST(e.value AS DECIMAL(18,2))) AS revenue
+      FROM ev e JOIN cohort c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week, r.age_weeks,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(r.revenue AS DOUBLE) AS revenue,
+           CAST(sum(r.revenue) OVER (PARTITION BY r.cohort_week
+                                     ORDER BY r.age_weeks) AS DOUBLE)
+             AS cum_revenue,
+           CAST(round(sum(r.revenue) OVER (PARTITION BY r.cohort_week
+                                           ORDER BY r.age_weeks)
+                      / s.cohort_users, 6) AS DOUBLE) AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by first-seen week,
+    purchase revenue bucketed by weeks-since-cohort, cumulative LTV per
+    user down each cohort row — the retention-economics view (each
+    diagonal is a calendar week, each row a cohort aging rightward).
+
+    Scale shape: first-seen is one user-keyed aggregate; revenue joins
+    the (user -> cohort) relation on the user key it is already
+    shuffled by; the triangle itself is #weeks^2 rows, so the cumsum
+    window and size join are over a tiny relation.  Exact DECIMAL sums
+    throughout, cast to DOUBLE only at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    age = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week"))
+        )
+        / 604800
+    ).cast("int")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy("cohort_week", age.alias("age_weeks"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+            F.round(
+                (F.sum("revenue").over(w) / F.col("cohort_users")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    marked AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_no
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths: sessionize on 30-minute idle gaps,
+    take each session's first five event types as an ordered '>' path,
+    count path frequency — the clickstream shape behind funnel design
+    and landing-flow audits (the n-gram generalization of the Markov
+    transition matrix, which only sees pairs).
+
+    Scale shape: sessionization and path extraction run inside ONE
+    user-keyed shuffle (the gap lag, session cumsum, and rank windows
+    all share the user partitioning); the path count is a hash agg on
+    a <= 5-token string key; top-k is distributed TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    ).select(
+        "user_id", "ts", "event_type", "event_id",
+        F.sum("new_session").over(w).alias("session_no"),
+    )
+    ranked = sess.select(
+        "user_id", "session_no", "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    paths = (
+        ranked.groupBy("user_id", "session_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)

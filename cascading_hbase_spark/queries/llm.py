@@ -2603,3 +2603,269 @@ def idf_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(idf), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT unnest(['spark', 'window', 'hash', 'stream']) AS term),
+    tf AS (
+      SELECT doc_id, token AS term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM d)
+      WHERE token IN (SELECT term FROM q)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25, n_terms_hit
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed
+    query-term set (k1=1.2, b=0.75, Lucene idf) and return the top-20.
+    The classic sparse-retrieval ranker — the lexical half of a hybrid
+    RAG retrieval stack, and the standard baseline ANN recall is judged
+    against.
+
+    Scale shape: the corpus-wide work is ONE stats aggregate (doc
+    count + average length, broadcast back as a 1-row relation) plus a
+    term-frequency aggregate that is filtered to the query terms
+    MAP-SIDE before any shuffle — the (doc, term) relation entering the
+    shuffle is |hits|, not |tokens|.  Document frequencies come from
+    the same tiny relation; final ranking is a distributed top-k."""
+    terms = ["spark", "window", "hash", "stream"]
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    dl = d.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("nd"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            "n_terms_hit",
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+@query(
+    "substring_dup_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 16
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 15),
+                                     i -> array_to_string(t[i:i+15], ' '))) AS gram
+        FROM tok)
+    ),
+    gd AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram_h)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE gd.n_docs >= 2) AS BIGINT) AS n_dup_grams,
+           CAST(round(count(*) FILTER (WHERE gd.n_docs >= 2)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_fraction
+    FROM g JOIN gd ON gd.gram_h = g.gram_h
+    GROUP BY g.doc_id
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' signal): for every
+    16-token window of every document, does that exact window also occur
+    in ANOTHER document?  Reports per-doc window count, cross-doc
+    duplicated-window count, and the duplicated fraction — the
+    span-level complement to set-based MinHash (which cannot see that
+    only a quoted paragraph is shared).
+
+    Scale shape: windows are built MAP-SIDE with sequence+slice (no
+    self-join), keyed by a 60-bit hash so the shuffle key is 8 bytes
+    instead of a ~100-char string; one shuffle counts distinct docs per
+    window hash, one doc-keyed aggregate folds the flags.  Window count
+    per doc is |tokens|, so total work is a constant factor of corpus
+    token count — the same budget as tokenization itself."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 16)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 15),
+                lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(16))),
+            )
+        ).alias("gram"),
+    ).select("doc_id", hash64(F.col("gram")).alias("gram_h"))
+    gd = grams.groupBy("gram_h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.col("n_docs") >= 2
+    return (
+        grams.join(gd, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(dup.cast("bigint")).cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.sum(dup.cast("bigint")) / F.count("*").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "decile_lift_table",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             n_distinct * 10000000 + doc_id AS ukey
+      FROM d
+    ),
+    idx AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY ukey) - 1 AS ri,
+             count(*) OVER () AS n
+      FROM keyed
+    ),
+    dec AS (
+      SELECT CAST(9 - (ri * 10) // n AS INTEGER) AS decile_from_top,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM idx GROUP BY 1
+    )
+    SELECT decile_from_top, n_docs, n_pos,
+           CAST(round(n_pos / CAST(n_docs AS DOUBLE), 6) AS DOUBLE) AS pos_rate,
+           CAST(round((n_pos / CAST(n_docs AS DOUBLE))
+                      / (sum(n_pos) OVER () / CAST(sum(n_docs) OVER () AS DOUBLE)),
+                      6) AS DOUBLE) AS lift,
+           CAST(round(sum(n_pos) OVER (ORDER BY decile_from_top)
+                      / CAST(sum(n_pos) OVER () AS DOUBLE), 6) AS DOUBLE)
+             AS cum_capture
+    FROM dec
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation decile lift table: rank documents by a score
+    (distinct-vocabulary size, standing in for a classifier score),
+    cut into population deciles, and report per-decile positive rate
+    (label: lang='en'), lift over the base rate, and cumulative
+    capture from the top decile down — the standard targeting/quality-
+    gate evaluation artifact.
+
+    Scale shape: ranking uses ``global_row_index`` (bucket-decomposed
+    enumeration — percentile cuts broadcast, per-bucket windows), NEVER
+    a global single-partition ``row_number``; the key is pure integer
+    arithmetic (n_distinct * 1e7 + doc_id) so the total order is exact
+    and identical cross-engine.  Everything after the per-doc pass
+    operates on a 10-row relation."""
+    from cascading_hbase_spark.functions.enumerate import global_row_index
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+    keyed = d.select(
+        "pos",
+        (F.col("n_distinct").cast("bigint") * 10000000 + F.col("doc_id")).alias(
+            "ukey"
+        ),
+    )
+    idx = global_row_index(keyed, "ukey", index_col="ri")
+    n = keyed.agg(F.count("*").alias("_n"))
+    dec = (
+        idx.join(F.broadcast(n))
+        .select(
+            "pos",
+            (9 - F.floor(F.col("ri") * 10 / F.col("_n"))).cast("int").alias(
+                "decile_from_top"
+            ),
+        )
+        .groupBy("decile_from_top")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    # all windows below run over the 10-row decile relation
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile_from_top").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_pos") / F.col("n_docs").cast("double")
+    base = F.sum("n_pos").over(w_all) / F.sum("n_docs").over(w_all).cast("double")
+    return dec.select(
+        "decile_from_top",
+        "n_docs",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(rate / base, 6).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(w_cum) / F.sum("n_pos").over(w_all).cast("double"),
+            6,
+        ).alias("cum_capture"),
+    )

@@ -304,3 +304,86 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("exact_count"),
         F.col("token").isNotNull().alias("in_candidates"),
     )
+
+
+_CMS_W = 512  # buckets per row; 3 rows -> <=1536 counters, broadcastable anywhere
+
+
+@query(
+    "cms_frequency_contract",
+    # Unlike the HLL contract (whose sketch internals differ per
+    # engine), the count-min sketch here is built from the shared
+    # md5-derived hash64, so DuckDB rebuilds the BIT-IDENTICAL sketch:
+    # the estimates themselves hash-match, and the CMS guarantee
+    # (estimate >= exact, always) is carried as a checked column.
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE text IS NOT NULL),
+    cells AS (
+      SELECT i,
+             {_H.format(x="concat(CAST(i AS VARCHAR), '#', t)")} % {_CMS_W} AS bucket
+      FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    sketch AS (SELECT i, bucket, count(*) AS c FROM cells GROUP BY i, bucket),
+    exact AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top AS (SELECT t, c FROM exact ORDER BY c DESC, t LIMIT 30),
+    probe AS (
+      SELECT top.t, top.c, s.c AS cell
+      FROM top
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows
+      JOIN sketch s
+        ON s.i = rows.j
+       AND s.bucket = {_H.format(x="concat(CAST(rows.j AS VARCHAR), '#', top.t)")} % {_CMS_W}
+    )
+    SELECT t AS token, CAST(min(c) AS BIGINT) AS exact_count,
+           CAST(min(cell) AS BIGINT) AS cms_estimate,
+           CAST(min(cell) >= min(c) AS BOOLEAN) AS never_underestimates
+    FROM probe GROUP BY t
+    """,
+)
+def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimation with the sketch
+    rebuilt bit-identically by the oracle: 3 hash rows x 512 buckets
+    over the corpus token stream, estimate = min over rows of the
+    probed counter.  Reports the estimate next to the exact count for
+    the 30 most frequent tokens plus the CMS one-sided guarantee
+    (never underestimates).
+
+    This is the mergeable fixed-memory frequency sketch for 100 TB
+    streams: per-partition sketches are plain (row, bucket) partial
+    counts, so ONE partial+final hash aggregate builds the global
+    sketch (<= 1536 counters, broadcast back for probing) no matter
+    the corpus size; token text never enters the sketch shuffle."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+
+    def _bucket(row: int, col):
+        return hash64(F.concat(F.lit(f"{row}#"), col)) % _CMS_W
+
+    cells = tok.select(
+        F.posexplode(
+            F.array(*[_bucket(i, F.col("t")) for i in range(3)])
+        ).alias("i", "bucket")
+    )
+    sketch = cells.groupBy("i", "bucket").agg(F.count("*").alias("cell"))
+    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    top = exact.orderBy(F.col("c").desc(), "t").limit(30)
+    probes = top.select(
+        "t", "c",
+        F.posexplode(
+            F.array(*[_bucket(i, F.col("t")) for i in range(3)])
+        ).alias("i", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("t", "c")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("token"),
+        F.col("c").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("c")).alias("never_underestimates"),
+    )

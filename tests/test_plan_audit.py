@@ -50,6 +50,8 @@ BNL_BY_DESIGN = {
     "dup_cluster_size_histogram", # two 1-row count aggregates
     "idf_novelty_score",          # 1-row corpus doc count
     "pareto_revenue_share",       # 1-row cuts + B-row bases + 1-row total
+    "bm25_topk",                  # 1-row corpus stats (N, avgdl)
+    "decile_lift_table",          # 1-row doc count + enumeration cuts
 }
 
 
