@@ -101,6 +101,9 @@ _PRIORITY = [
     "cohort_ltv_triangle",               # new: cohort-age revenue triangle
     "session_path_topk",                 # new: first-5-event path mining
     "decile_lift_table",                 # new: targeting lift/capture table
+    "zipf_fit_slope",                    # new: token-spectrum health check
+    "poisson_bootstrap_ci",              # new: hash-deterministic bootstrap CI
+    "rfm_quintile_features",             # new: RFM segmentation quintiles
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

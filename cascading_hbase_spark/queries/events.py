@@ -1660,3 +1660,108 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions")
     )
     return counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+
+
+@query(
+    "rfm_quintile_features",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    ref AS (SELECT max(ts) AS now_ts FROM ev),
+    users AS (
+      SELECT user_id,
+             CAST(floor(epoch(ref.now_ts)) AS BIGINT)
+               - CAST(floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                             FILTER (WHERE event_type = 'purchase'), 0)
+                  * 100 AS BIGINT) AS monetary_cents
+      FROM ev CROSS JOIN ref GROUP BY user_id, ref.now_ts
+    ),
+    q AS (
+      SELECT user_id, recency_s, frequency, monetary_cents,
+             ((row_number() OVER (ORDER BY recency_s * 10000000 + user_id) - 1)
+               * 5) // (count(*) OVER ()) AS rq,
+             ((row_number() OVER (ORDER BY frequency * 10000000 + user_id) - 1)
+               * 5) // (count(*) OVER ()) AS fq,
+             ((row_number() OVER (ORDER BY monetary_cents * 10000000 + user_id) - 1)
+               * 5) // (count(*) OVER ()) AS mq
+      FROM users
+    )
+    SELECT user_id, recency_s, frequency,
+           CAST(monetary_cents / 100.0 AS DOUBLE) AS monetary,
+           CAST(5 - rq AS INTEGER) AS r_score,
+           CAST(fq + 1 AS INTEGER) AS f_score,
+           CAST(mq + 1 AS INTEGER) AS m_score,
+           CAST((5 - rq) * 100 + (fq + 1) * 10 + (mq + 1) AS INTEGER) AS rfm
+    FROM q
+    """,
+)
+def rfm_quintile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (seconds since last
+    event, against the corpus max timestamp), Frequency (event count)
+    and Monetary (exact DECIMAL purchase revenue), each scored 1-5 by
+    population quintile (5 = most recent / most frequent / highest
+    spend), plus the composite RFM code — the feature table behind
+    churn targeting and lifecycle campaigns.
+
+    Scale shape: ONE user-keyed aggregate builds the metric table; the
+    three quintile rankings run through ``global_row_index`` (bucket-
+    decomposed enumeration — no single-partition ORDER BY window over
+    the scaling user relation) on pure-integer composite keys
+    (metric * 1e7 + user_id), so the total order — and therefore every
+    score — is exact and identical cross-engine."""
+    from cascading_hbase_spark.functions.enumerate import global_row_index
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("now_ts"))
+    users = (
+        ev.join(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.max("now_ts")) - F.unix_timestamp(F.max("ts"))
+            ).cast("bigint").alias("recency_s"),
+            F.count("*").cast("bigint").alias("frequency"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value").cast(DEC),
+                        )
+                    ),
+                    F.lit(0).cast(DEC),
+                )
+                * 100
+            ).cast("bigint").alias("monetary_cents"),
+        )
+    )
+    n = users.agg(F.count("*").alias("_n"))
+
+    def quint(metric: str, out: str) -> DataFrame:
+        keyed = users.select(
+            "user_id",
+            (F.col(metric) * 10000000 + F.col("user_id")).alias("_ukey"),
+        )
+        idx = global_row_index(keyed, "_ukey", index_col="_ri")
+        return idx.join(F.broadcast(n)).select(
+            "user_id", F.expr("(_ri * 5) div _n").cast("int").alias(out)
+        )
+
+    scored = (
+        users.join(quint("recency_s", "rq"), "user_id")
+        .join(quint("frequency", "fq"), "user_id")
+        .join(quint("monetary_cents", "mq"), "user_id")
+    )
+    return scored.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        (5 - F.col("rq")).cast("int").alias("r_score"),
+        (F.col("fq") + 1).cast("int").alias("f_score"),
+        (F.col("mq") + 1).cast("int").alias("m_score"),
+        (
+            (5 - F.col("rq")) * 100 + (F.col("fq") + 1) * 10 + F.col("mq") + 1
+        ).cast("int").alias("rfm"),
+    )

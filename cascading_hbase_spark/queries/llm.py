@@ -2869,3 +2869,161 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_capture"),
     )
+
+
+@query(
+    "zipf_fit_slope",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents WHERE text IS NOT NULL),
+    freq AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY t),
+    top AS (SELECT t, c FROM freq ORDER BY c DESC, t LIMIT 1000),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE) AS r
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           CAST(round(regr_slope(ln(c), ln(r)), 6) AS DOUBLE) AS zipf_slope,
+           CAST(round(regr_intercept(ln(c), ln(r)), 6) AS DOUBLE) AS zipf_intercept,
+           CAST(round(regr_r2(ln(c), ln(r)), 6) AS DOUBLE) AS fit_r2
+    FROM ranked
+    """,
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: regress
+    ln(frequency) on ln(rank) for the top-1000 tokens and report the
+    slope (natural text sits near -1), intercept, and R^2 — a one-row
+    corpus health check that catches template/boilerplate corpora
+    (too-steep head) and synthetic uniform text (flat) before they
+    poison a training mix.
+
+    Scale shape: the frequency table is one token-keyed hash agg; the
+    top-1000 cut is a distributed TakeOrdered; ranking and the
+    regression run over the fixed 1000-row relation, so nothing after
+    the first aggregate scales with the corpus."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "t").limit(1000)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "t"))
+        .cast("double")
+        .alias("r"),
+    )
+    lc, lr = F.log("c"), F.log("r")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+    )
+
+
+# Poisson(1) bootstrap-weight thresholds on the hash64 range: replicate
+# weight w = #{k : hash < T_k} follows Poisson(1) when the 60-bit hash
+# is uniform.  Integer literals shared by BOTH engines, so the weights
+# are bit-identical cross-engine (no float comparison anywhere).
+import math as _math
+
+_POIS_T: list[int] = []
+_acc = 0.0
+for _k in range(7):
+    _acc += _math.exp(-1) / _math.factorial(_k)
+    _POIS_T.append(int(_acc * (1 << 60)))
+
+
+def _pois_w_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH purch AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    expl AS (
+      SELECT b,
+             {_pois_w_sql(_H.format(x="concat(CAST(event_id AS VARCHAR), '#', CAST(b AS VARCHAR))"))}
+               AS w,
+             value
+      FROM purch CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    ),
+    reps AS (
+      SELECT b, sum(w * value) / nullif(CAST(sum(w) AS DOUBLE), 0.0) AS est
+      FROM expl GROUP BY b
+    ),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(value) AS mu FROM purch)
+    SELECT base.n,
+           CAST(round(base.mu, 6) AS DOUBLE) AS point_mean,
+           CAST(round(quantile_cont(reps.est, 0.025), 6) AS DOUBLE) AS ci_lo,
+           CAST(round(quantile_cont(reps.est, 0.975), 6) AS DOUBLE) AS ci_hi,
+           CAST(count(reps.est) AS BIGINT) AS n_replicates
+    FROM reps CROSS JOIN base
+    GROUP BY base.n, base.mu
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: a 95% confidence interval for the mean
+    purchase value from 64 hash-deterministic pseudo-replicates.  Each
+    row's weight in replicate b is Poisson(1)-distributed (the n-to-
+    infinity limit of with-replacement resampling), derived from
+    hash64(event_id#b) against precomputed integer thresholds — so the
+    'randomness' is replayable and BIT-IDENTICAL in the oracle.
+
+    This is THE way to put error bars on 100 TB statistics: no
+    row-level resampling pass per replicate, no driver-side data — one
+    map-side explode by the replicate count, one partial+final
+    aggregate to 64 weighted means (map-side combine collapses each
+    partition to <=64 partials), one tiny percentile over them."""
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    h = hash64(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("#"), F.col("b").cast("string")
+        )
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < _POIS_T[k], k).otherwise(w)
+    expl = purch.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    ).select("b", w.alias("w"), "value")
+    reps = expl.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("value"))
+            / F.nullif(F.sum("w").cast("double"), F.lit(0.0))
+        ).alias("est")
+    )
+    base = purch.agg(
+        F.count("*").cast("bigint").alias("n"), F.avg("value").alias("mu")
+    )
+    return (
+        reps.join(F.broadcast(base))
+        .groupBy("n", "mu")
+        .agg(
+            F.round(F.expr("percentile(est, 0.025D)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(est, 0.975D)"), 6).alias("ci_hi"),
+            F.count("est").cast("bigint").alias("n_replicates"),
+        )
+        .select(
+            "n",
+            F.round("mu", 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicates",
+        )
+    )

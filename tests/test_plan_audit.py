@@ -52,6 +52,8 @@ BNL_BY_DESIGN = {
     "pareto_revenue_share",       # 1-row cuts + B-row bases + 1-row total
     "bm25_topk",                  # 1-row corpus stats (N, avgdl)
     "decile_lift_table",          # 1-row doc count + enumeration cuts
+    "poisson_bootstrap_ci",       # 1-row base mean/count broadcast
+    "rfm_quintile_features",      # 1-row max(ts) + 1-row user count x3
 }
 
 
