@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["global_row_index", "bucketed_running_sum"]
+__all__ = ["global_row_index", "bucketed_running_sum", "bucketed_running_max"]
 
 
 def _percentile_buckets(
@@ -159,5 +159,63 @@ def bucketed_running_sum(
     return (
         bucketed.join(F.broadcast(bases), "_bucket")
         .withColumn(sum_col, F.sum(value_col).over(w) + F.col("_base"))
+        .drop("_bucket", "_cs", "_base")
+    )
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_col: str = "running_max",
+    strict: bool = False,
+    n_buckets: int = 32,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Global running max of ``value_col`` in ``key_col`` order —
+    ``MAX(v) OVER (ORDER BY key)`` without the single-partition global
+    window, via the same bucket decomposition as
+    ``bucketed_running_sum`` (cuts broadcast, per-bucket windows, B-row
+    exclusive prefix over the bucket maxima).
+
+    ``strict=True`` returns the max over STRICTLY PRECEDING rows (NULL
+    for the global first row) — the form skyline/Pareto-frontier
+    pruning needs.  Max is reorder-safe, so unlike the running sum
+    there is no exact-type caveat; keys may tie if a ``tiebreak_col``
+    fixes the order (ties still see each other's values under
+    ``strict`` according to that order)."""
+    bucketed = _percentile_buckets(df, key_col, n_buckets)
+    bases = (
+        bucketed.groupBy("_bucket")
+        .agg(F.max(value_col).alias("_bm"))
+        .select(
+            "_bucket",
+            F.max("_bm")
+            .over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("_base"),
+        )
+    )
+    order = [F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    upper = -1 if strict else Window.currentRow
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    # greatest() skips NULLs, so a NULL within-bucket prefix (first row
+    # of the bucket under strict) falls back to the base alone, and a
+    # NULL base (bucket 0) to the within-bucket prefix alone; only the
+    # global first row under strict stays NULL.
+    return (
+        bucketed.join(F.broadcast(bases), "_bucket")
+        .withColumn(
+            max_col, F.greatest(F.max(value_col).over(w), F.col("_base"))
+        )
         .drop("_bucket", "_cs", "_base")
     )

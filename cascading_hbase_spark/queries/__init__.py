@@ -104,6 +104,10 @@ _PRIORITY = [
     "zipf_fit_slope",                    # new: token-spectrum health check
     "poisson_bootstrap_ci",              # new: hash-deterministic bootstrap CI
     "rfm_quintile_features",             # new: RFM segmentation quintiles
+    "random_projection_jl",              # new: JL sign-matrix projection audit
+    "knn_label_purity",                  # new: leave-one-out 5-NN label audit
+    "weighted_quantiles",                # new: weighted median via running sum
+    "skyline_price_quantity",            # new: Pareto frontier via running max
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -793,3 +793,122 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share <= 0.8).alias("in_top_80"),
         )
     )
+
+
+@query(
+    "weighted_quantiles",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    rs AS (
+      SELECT price, w,
+             sum(w) OVER (ORDER BY price, rid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_w
+      FROM li
+    ),
+    tot AS (SELECT sum(w) AS total_w FROM li)
+    SELECT CAST(min(CASE WHEN run_w * 20 >= total_w * 5  THEN price END) AS DOUBLE)
+             AS wq25,
+           CAST(min(CASE WHEN run_w * 20 >= total_w * 10 THEN price END) AS DOUBLE)
+             AS wq50,
+           CAST(min(CASE WHEN run_w * 20 >= total_w * 15 THEN price END) AS DOUBLE)
+             AS wq75,
+           CAST(min(CASE WHEN run_w * 20 >= total_w * 18 THEN price END) AS DOUBLE)
+             AS wq90,
+           CAST(min(total_w) AS BIGINT) AS total_weight
+    FROM rs CROSS JOIN tot
+    """,
+)
+def weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles (p25/p50/p75/p90): the
+    smallest price at which the cumulative quantity reaches p of the
+    total — 'the median dollar of volume', which plain percentile(price)
+    gets wrong whenever weight correlates with value.
+
+    Scale shape: the global cumulative weight comes from
+    ``bucketed_running_sum`` (percentile cuts broadcast, per-bucket
+    windows — never a single-partition ORDER BY over the fact table);
+    the quantile selection is pure integer arithmetic (run*20 >=
+    total*k — no float thresholds, so bucket boundaries can't flip
+    cross-engine) folded in ONE aggregate."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    rs = bucketed_running_sum(li, "price", "w", sum_col="run_w", tiebreak_col="rid")
+    tot = li.agg(F.sum("w").alias("total_w"))
+    picked = rs.join(F.broadcast(tot))
+    def q(k: int):
+        return F.min(
+            F.when(F.col("run_w") * 20 >= F.col("total_w") * k, F.col("price"))
+        ).cast("double")
+    return picked.agg(
+        q(5).alias("wq25"),
+        q(10).alias("wq50"),
+        q(15).alias("wq75"),
+        q(18).alias("wq90"),
+        F.min("total_w").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "skyline_price_quantity",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    levels AS (SELECT price, max(qty) AS max_qty, count(*) AS n_points
+               FROM pts GROUP BY price),
+    rm AS (
+      SELECT price, max_qty, n_points,
+             max(max_qty) OVER (ORDER BY price
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+      FROM levels
+    )
+    SELECT CAST(price AS DOUBLE) AS price,
+           CAST(max_qty AS BIGINT) AS qty,
+           CAST(n_points AS BIGINT) AS n_at_price
+    FROM rm WHERE prev_max IS NULL OR max_qty > prev_max
+    """,
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): line items not dominated on
+    (price low, quantity high) — a point survives iff no strictly
+    cheaper item carries at least its quantity.  The multi-objective
+    'best trade-offs' operator behind price-performance dashboards.
+
+    Scale shape: collapse to one row per price level first (hash agg),
+    then the strictly-preceding running max comes from
+    ``bucketed_running_max(strict=True)`` — the bucket-decomposed
+    form of MAX() OVER (ORDER BY price ROWS ... 1 PRECEDING), so no
+    single-partition window ever sees the scaling relation."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_max
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    levels = pts.groupBy("price").agg(
+        F.max("qty").alias("max_qty"), F.count("*").alias("n_points")
+    )
+    rm = bucketed_running_max(
+        levels, "price", "max_qty", max_col="prev_max", strict=True
+    )
+    return rm.filter(
+        F.col("prev_max").isNull() | (F.col("max_qty") > F.col("prev_max"))
+    ).select(
+        F.col("price").cast("double").alias("price"),
+        F.col("max_qty").cast("bigint").alias("qty"),
+        F.col("n_points").cast("bigint").alias("n_at_price"),
+    )

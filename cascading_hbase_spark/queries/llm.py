@@ -3027,3 +3027,204 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+@query(
+    "random_projection_jl",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    diffs AS (
+      SELECT id_a, id_b,
+             list_transform(generate_series(1, 64), i -> va[i] - vb[i]) AS dv
+      FROM pairs
+    ),
+    comps AS (
+      SELECT id_a, id_b,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> dv[i] * dv[i]))) AS d_orig,
+             0.25 * list_sum(list_transform(generate_series(1, 64), i ->
+               (1 - 2 * (CAST(('0x' || substring(md5(
+                  'jl' || CAST(jj.j AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)
+                ), 1, 15)) AS BIGINT) % 2)) * dv[i])) AS comp
+      FROM diffs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj
+    ),
+    proj AS (
+      SELECT id_a, id_b, min(d_orig) AS d_orig,
+             sqrt(sum(comp * comp)) AS d_proj
+      FROM comps GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(round(d_orig, 6) AS DOUBLE) AS d_orig,
+           CAST(round(d_proj, 6) AS DOUBLE) AS d_proj,
+           CAST(round(d_proj / nullif(d_orig, 0.0), 6) AS DOUBLE) AS ratio
+    FROM proj
+    """,
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d -> 16-d with a
+    hash-derived +/-1 sign matrix (scaled 1/sqrt(16)), audited on 100
+    even/odd vector pairs: original vs projected Euclidean distance
+    and their ratio.  The dimensionality-reduction front end for
+    billion-scale similarity search — and because the 'random' matrix
+    is the shared hash64, the oracle reproduces the projection exactly.
+
+    Scale shape: the projection is a pure map-side HOF expression (no
+    shuffle, no Python); the d->k work per row is k*d multiply-adds
+    inside whole-stage codegen.  The audit pair join is an id+1 equi
+    join on the 200-row sample."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    K, D = 16, 64
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("id_a"), F.col("v").alias("vb"),
+                 F.col("vec_id").alias("id_b"))
+    pairs = a.join(b, "id_a").select(
+        "id_a", "id_b", F.zip_with("va", "vb", lambda x, y: x - y).alias("dv")
+    )
+
+    def sign(j, i):
+        return 1 - 2 * (
+            hash64(
+                F.concat(F.lit("jl"), j.cast("string"), F.lit("_"), i.cast("string"))
+            ) % 2
+        )
+
+    def sq_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    comp = lambda j: F.lit(0.25) * F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("dv"),
+            F.sequence(F.lit(0), F.lit(D - 1)),
+            lambda x, i: sign(j, i).cast("double") * x,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    projected = pairs.select(
+        "id_a", "id_b",
+        F.sqrt(sq_sum(F.col("dv"))).alias("d_orig"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(0), F.lit(K - 1)), comp),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("d_proj"),
+    )
+    return projected.select(
+        "id_a", "id_b",
+        F.round("d_orig", 6).alias("d_orig"),
+        F.round("d_proj", 6).alias("d_proj"),
+        F.round(F.col("d_proj") / F.nullif(F.col("d_orig"), F.lit(0.0)), 6).alias(
+            "ratio"
+        ),
+    )
+
+
+@query(
+    "knn_label_purity",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec
+          FROM e WHERE vec_id < 100),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.vec_id, c.label,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * c.v[i]))
+               / sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.q_vec[i] * q.q_vec[i]))
+                      * list_sum(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]))),
+               6) AS cos_sim
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+    ),
+    top5 AS (
+      SELECT q_id, q_label, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT q_id, q_label, label, count(*) AS n_votes
+      FROM top5 GROUP BY q_id, q_label, label
+    )
+    SELECT q_id, q_label,
+           CAST(label AS INTEGER) AS knn_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(label = q_label AS BOOLEAN) AS agree
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY n_votes DESC, label) AS vr
+          FROM votes) WHERE vr = 1
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label audit: for each of 100 query vectors,
+    the majority label among its five nearest neighbors (exact cosine,
+    ties to the smaller vec_id / smaller label) and whether it agrees
+    with the query's own label.  Low agreement means labels are noisy
+    or the embedding space doesn't separate them — checked before
+    anyone trains on either.
+
+    Scale shape: same broadcast-query / unshuffled-candidate plan as
+    ``similarity_cosine_topk`` (the fixed query sample is the only
+    thing joined against the corpus); voting runs on the 500-row
+    (query x 5) relation."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q_vec"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a_, b_: a_ * b_), F.lit(0.0), lambda acc, z: acc + z
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label", "vec_id", "label",
+            F.round(
+                dot(F.col("q_vec"), F.col("v"))
+                / F.sqrt(
+                    dot(F.col("q_vec"), F.col("q_vec")) * dot(F.col("v"), F.col("v"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    top5 = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("q_id", "q_label", "label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    best = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), "label")
+        ),
+    ).filter(F.col("vr") == 1)
+    return best.select(
+        "q_id",
+        "q_label",
+        F.col("label").cast("int").alias("knn_label"),
+        "n_votes",
+        (F.col("label") == F.col("q_label")).alias("agree"),
+    )

@@ -129,3 +129,73 @@ def test_fuzz_enumerate_and_running_sum_vs_naive(spark):
             assert got_ix == want_ix, (keys, n_buckets)
 
     check()
+
+
+@pytest.mark.parametrize("n_buckets,strict", [(1, False), (4, True), (32, True), (500, False)])
+def test_running_max_matches_naive_window(spark, n_buckets, strict):
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_max
+    from pyspark.sql import Window
+    import pyspark.sql.functions as FN
+
+    rows = [(i, float(k), v) for i, (k, v) in enumerate(
+        [(5, 10), (3, 1), (5, 2), (8, 7), (1, 4), (3, 3), (9, 5), (8, 6)]
+    )]
+    df = spark.createDataFrame(rows, "id long, k double, v long")
+    got = {
+        r.id: r.rm
+        for r in bucketed_running_max(
+            df, "k", "v", max_col="rm", strict=strict,
+            n_buckets=n_buckets, tiebreak_col="id",
+        ).collect()
+    }
+    upper = -1 if strict else Window.currentRow
+    w = Window.orderBy(FN.col("k").asc(), FN.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, upper
+    )
+    want = {r.id: r.rm for r in df.withColumn("rm", FN.max("v").over(w)).collect()}
+    assert got == want, (n_buckets, strict, got, want)
+
+
+def test_fuzz_running_max_vs_naive(spark):
+    """Hypothesis fuzz for bucketed_running_max: tied keys, degenerate
+    cuts, strict and inclusive forms — must equal the naive single
+    window (strict: NULL for the global first row only)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as FN
+    from pyspark.sql import Window
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_max
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1, max_size=20,
+        ),
+        n_buckets=st.sampled_from([1, 2, 5, 64]),
+        strict=st.booleans(),
+    )
+    def check(keys, n_buckets, strict):
+        rows = [(i, float(k), (k * 13) % 23) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "id long, k double, v long")
+        got = {
+            r.id: r.rm
+            for r in bucketed_running_max(
+                df, "k", "v", max_col="rm", strict=strict,
+                n_buckets=n_buckets, tiebreak_col="id",
+            ).collect()
+        }
+        upper = -1 if strict else Window.currentRow
+        w = Window.orderBy(FN.col("k").asc(), FN.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, upper
+        )
+        want = {
+            r.id: r.rm for r in df.withColumn("rm", FN.max("v").over(w)).collect()
+        }
+        assert got == want, (keys, n_buckets, strict)
+
+    check()

@@ -54,6 +54,9 @@ BNL_BY_DESIGN = {
     "decile_lift_table",          # 1-row doc count + enumeration cuts
     "poisson_bootstrap_ci",       # 1-row base mean/count broadcast
     "rfm_quintile_features",      # 1-row max(ts) + 1-row user count x3
+    "knn_label_purity",           # fixed query-vector sample broadcast
+    "weighted_quantiles",         # 1-row total weight + percentile cuts
+    "skyline_price_quantity",     # 1-row percentile cuts broadcast
 }
 
 
