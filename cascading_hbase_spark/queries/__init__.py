@@ -108,6 +108,10 @@ _PRIORITY = [
     "knn_label_purity",                  # new: leave-one-out 5-NN label audit
     "weighted_quantiles",                # new: weighted median via running sum
     "skyline_price_quantity",            # new: Pareto frontier via running max
+    "cusum_changepoint",                 # new: CUSUM drift detector
+    "seasonal_naive_mase",               # new: forecast-skill baseline
+    "benford_digit_audit",               # new: first-digit anomaly screen
+    "gini_concentration",                # new: revenue inequality index
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -912,3 +912,122 @@ def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_qty").cast("bigint").alias("qty"),
         F.col("n_points").cast("bigint").alias("n_at_price"),
     )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT obs.digit,
+           CAST(obs.n AS BIGINT) AS n_obs,
+           CAST(round(obs.n / tot.total, 6) AS DOUBLE) AS observed_p,
+           CAST(round(log10(1.0 + 1.0 / obs.digit), 6) AS DOUBLE) AS benford_p,
+           CAST(round(
+             pow(obs.n / tot.total - log10(1.0 + 1.0 / obs.digit), 2)
+             / log10(1.0 + 1.0 / obs.digit) * tot.total, 6) AS DOUBLE)
+             AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on prices: observed leading-
+    digit shares vs the log10(1+1/d) expectation, with each digit's
+    chi-square contribution — the classic anomaly screen for
+    fabricated or clipped numeric columns (synthetic uniform prices
+    fail it loudly, which is itself the finding).
+
+    Scale shape: digit extraction is a map-side expression on the
+    DECIMAL's canonical string form; everything after is a 9-row
+    relation joined with a 1-row total."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    d = li.select(
+        F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").cast("double").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    p_obs = F.col("n") / F.col("total")
+    return obs.join(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(p_obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.pow(p_obs - benford, 2) / benford * F.col("total"), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH sup AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents * 100000 + l_suppkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev_cents) OVER () AS total
+      FROM sup
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_suppliers,
+           CAST(round(min(total) / 100.0, 2) AS DOUBLE) AS total_revenue,
+           CAST(round(
+             2.0 * sum(CAST(i AS DOUBLE) * rev_cents) / (min(n) * min(total))
+             - (min(n) + 1.0) / min(n), 6) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration — the
+    0-to-1 inequality number behind 'how dependent are we on our top
+    suppliers' (0 = equal shares, 1 = one supplier takes all), via the
+    rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-revenue ranks.
+
+    Scale shape: revenue is one supplier-keyed DECIMAL aggregate;
+    ranks come from ``global_row_index`` on the pure-integer
+    (rev_cents, suppkey) composite key — exact cross-engine order, no
+    single-partition window; the Gini itself is ONE aggregate over
+    the supplier relation."""
+    from cascading_hbase_spark.functions.enumerate import global_row_index
+
+    sup = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    keyed = sup.select(
+        "rev_cents",
+        (F.col("rev_cents") * 100000 + F.col("l_suppkey")).alias("_ukey"),
+    )
+    ranked = global_row_index(keyed, "_ukey", index_col="_ri")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.round(F.sum("rev_cents") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0
+            * F.sum((F.col("_ri") + 1).cast("double") * F.col("rev_cents"))
+            / (F.count("*") * F.sum("rev_cents"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

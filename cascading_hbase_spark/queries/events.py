@@ -1765,3 +1765,143 @@ def rfm_quintile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (5 - F.col("rq")) * 100 + (F.col("fq") + 1) * 10 + F.col("mq") + 1
         ).cast("int").alias("rfm"),
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sigma
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             (d.x - s.mu) / nullif(s.sigma, 0.0) - 0.5 AS y
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    p AS (
+      SELECT event_type, day,
+             sum(y) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      FROM z
+    ),
+    s AS (
+      SELECT event_type, day,
+             pf - least(0.0, min(pf) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS cusum
+      FROM p
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(round(max(cusum), 6) AS DOUBLE) AS max_cusum,
+           CAST(min(CASE WHEN cusum > 4.0 THEN day END) AS TIMESTAMP)
+             AS first_alarm_day
+    FROM s GROUP BY event_type
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event counts: per type,
+    standardize the series, subtract the k=0.5 slack, and compute the
+    one-sided CUSUM statistic; report its max and the first day it
+    crosses the h=4 alarm threshold (the classic upward-shift
+    detector, far more sensitive to small persistent drifts than the
+    pointwise z-score of ``daily_count_anomaly``).
+
+    Scale shape: the textbook recursion S_t = max(0, S_{t-1} + y_t)
+    looks sequential, but equals P_t - min(0, min_{j<=t} P_j) for
+    prefix sums P — so the whole detector is TWO running windows
+    PARTITIONED BY event type (each partition is #days rows, bounded
+    by the calendar, never by event volume); the raw stream collapses
+    to (type, day) in one hash aggregate first."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    z = daily.join(stats, "event_type").select(
+        "event_type", "day",
+        ((F.col("x") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)) - 0.5
+         ).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = z.select(
+        "event_type", "day", F.sum("y").over(w).alias("pf")
+    ).select(
+        "event_type", "day",
+        (F.col("pf") - F.least(F.lit(0.0), F.min("pf").over(w))).alias("cusum"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+        F.min(F.when(F.col("cusum") > 4.0, F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+@query(
+    "seasonal_naive_mase",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x_season,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x_prev
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(x_season) AS BIGINT) AS n_forecasts,
+           CAST(round(avg(abs(x - x_season)), 6) AS DOUBLE) AS mae_seasonal,
+           CAST(round(avg(abs(x - x_prev)), 6) AS DOUBLE) AS mae_naive,
+           CAST(round(avg(abs(x - x_season))
+                      / nullif(avg(abs(x - x_prev)), 0.0), 6) AS DOUBLE) AS mase
+    FROM lagged GROUP BY event_type
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill baseline: per event type, score the seasonal-
+    naive forecast (x[t-7], same weekday last week) against the plain
+    naive forecast (x[t-1]) on daily counts, reporting both MAEs and
+    their ratio (MASE, the scale-free forecast-accuracy standard —
+    below 1 means weekly seasonality carries real signal).  The
+    go/no-go gate before anyone ships a fancier model.
+
+    Scale shape: one hash aggregate collapses events to (type, day);
+    both lags share one window PARTITIONED BY type over calendar-
+    bounded partitions; the scoring is a per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "x",
+        F.lag("x", 7).over(w).alias("x_season"),
+        F.lag("x", 1).over(w).alias("x_prev"),
+    )
+    mae_s = F.avg(F.abs(F.col("x") - F.col("x_season")))
+    mae_n = F.avg(F.abs(F.col("x") - F.col("x_prev")))
+    return lagged.groupBy("event_type").agg(
+        F.count("x_season").cast("bigint").alias("n_forecasts"),
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_n, 6).alias("mae_naive"),
+        F.round(mae_s / F.nullif(mae_n, F.lit(0.0)), 6).alias("mase"),
+    )

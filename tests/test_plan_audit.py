@@ -57,6 +57,8 @@ BNL_BY_DESIGN = {
     "knn_label_purity",           # fixed query-vector sample broadcast
     "weighted_quantiles",         # 1-row total weight + percentile cuts
     "skyline_price_quantity",     # 1-row percentile cuts broadcast
+    "benford_digit_audit",        # 9-row digit relation x 1-row total
+    "gini_concentration",         # 1-row enumeration cuts broadcast
 }
 
 
