@@ -44,8 +44,17 @@ def _percentile_buckets(
     qs = ", ".join(
         f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
     )
+    # approx_percentile, not percentile: consumers only need MONOTONE
+    # cuts (any quality gives a correct, merely unbalanced,
+    # decomposition — asserted by the fuzz tests, which cover
+    # degenerate cuts), and the exact variant builds a full value
+    # map per partition (~14x slower on a 6M-row key at sf1).  The
+    # t-digest's cuts are deterministic for a fixed input, so plans
+    # and results stay reproducible.
     cuts = df.agg(
-        F.expr(f"percentile({key_col}, array({qs}))").alias("_cs")
+        F.expr(
+            f"approx_percentile(cast({key_col} as double), array({qs}), 1000)"
+        ).alias("_cs")
         if n_buckets > 1
         else F.expr("array(cast(null as double))").alias("_cs")
     )

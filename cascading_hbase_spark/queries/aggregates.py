@@ -830,21 +830,28 @@ def weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — 'the median dollar of volume', which plain percentile(price)
     gets wrong whenever weight correlates with value.
 
-    Scale shape: the global cumulative weight comes from
-    ``bucketed_running_sum`` (percentile cuts broadcast, per-bucket
-    windows — never a single-partition ORDER BY over the fact table);
-    the quantile selection is pure integer arithmetic (run*20 >=
-    total*k — no float thresholds, so bucket boundaries can't flip
-    cross-engine) folded in ONE aggregate."""
+    Scale shape: rows collapse to DISTINCT PRICE LEVELS first (one
+    map-side-combinable hash aggregate — a weighted quantile only ever
+    needs the cumulative weight at each distinct value, so the sorting
+    stage never sees the fact table); the cumulative weight over
+    levels comes from ``bucketed_running_sum`` (cuts broadcast,
+    per-bucket windows — never a single-partition ORDER BY); the
+    quantile selection is pure integer arithmetic (run*20 >= total*k —
+    no float thresholds, so bucket boundaries can't flip cross-engine)
+    folded in ONE aggregate."""
     from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        F.col("l_quantity").cast("bigint").alias("w"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    levels = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("price")
+        .agg(F.sum("w").alias("w"))
     )
-    rs = bucketed_running_sum(li, "price", "w", sum_col="run_w", tiebreak_col="rid")
-    tot = li.agg(F.sum("w").alias("total_w"))
+    rs = bucketed_running_sum(levels, "price", "w", sum_col="run_w")
+    tot = levels.agg(F.sum("w").alias("total_w"))
     picked = rs.join(F.broadcast(tot))
     def q(k: int):
         return F.min(
