@@ -112,6 +112,9 @@ _PRIORITY = [
     "seasonal_naive_mase",               # new: forecast-skill baseline
     "benford_digit_audit",               # new: first-digit anomaly screen
     "gini_concentration",                # new: revenue inequality index
+    "heaps_law_fit",                     # new: vocabulary-growth exponent
+    "kaplan_meier_retention",            # new: censored survival curve
+    "price_elasticity_by_brand",         # new: log-log demand slope
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

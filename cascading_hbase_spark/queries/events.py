@@ -1905,3 +1905,93 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae_n, 6).alias("mae_naive"),
         F.round(mae_s / F.nullif(mae_n, F.lit(0.0)), 6).alias("mase"),
     )
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    users AS (
+      SELECT user_id, CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS churn_day
+      FROM ev GROUP BY user_id
+    ),
+    horizon AS (SELECT max(churn_day) AS end_day, count(*) AS n_users FROM users),
+    deaths AS (
+      SELECT u.churn_day AS day, count(*) AS d
+      FROM users u CROSS JOIN horizon h
+      WHERE u.churn_day < h.end_day
+      GROUP BY u.churn_day
+    ),
+    risk AS (
+      SELECT day, d,
+             h.n_users
+               - coalesce(sum(d) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM deaths CROSS JOIN horizon h
+    ),
+    km AS (
+      SELECT day, d, n_risk,
+             exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                 OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS surv
+      FROM risk
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(round(surv, 6) AS DOUBLE) AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-survival curve: a user 'churns' on the day of
+    their last event (censored if that day is the corpus horizon —
+    they may still be active), and S(t) multiplies the per-day hazard
+    complements (1 - churned/at-risk) — the estimator that handles
+    censoring correctly, which a naive retention ratio does not.
+
+    Scale shape: users collapse to (user, last-day) in one aggregate;
+    everything after runs on the per-DAY relation (calendar-bounded),
+    where the product becomes exp of a running sum of logs and the
+    at-risk count a strictly-preceding running sum — plain windows
+    over tiny partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.max("ts")).alias("churn_day")
+    )
+    horizon = users.agg(
+        F.max("churn_day").alias("end_day"), F.count("*").alias("n_users")
+    )
+    deaths = (
+        users.join(F.broadcast(horizon))
+        .filter(F.col("churn_day") < F.col("end_day"))
+        .groupBy(F.col("churn_day").alias("day"))
+        .agg(F.count("*").alias("d"))
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        deaths.join(F.broadcast(horizon))
+        .withColumn(
+            "n_risk",
+            F.col("n_users") - F.coalesce(F.sum("d").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "surv",
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                ).over(w_run)
+            ),
+        )
+    )
+    return km.select(
+        "day",
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.round("surv", 6).alias("survival"),
+    )

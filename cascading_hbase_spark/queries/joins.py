@@ -743,3 +743,61 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@query(
+    "price_elasticity_by_brand",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+               AS unit_price
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    )
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(regr_slope(ln(li.qty), ln(li.unit_price)), 6) AS DOUBLE)
+             AS elasticity,
+           CAST(round(regr_r2(ln(li.qty), ln(li.unit_price)), 6) AS DOUBLE)
+             AS fit_r2
+    FROM li JOIN part p ON p.p_partkey = li.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log regression
+    slope of quantity on unit price across a brand's order lines
+    (economists' elasticity — -1 means 1% price rise costs 1% volume),
+    with R^2 as the trust gate.  The pricing-analytics staple on any
+    sales fact table.
+
+    Scale shape: the log transforms are map-side; the part join is an
+    equi join whose strategy is left to size estimates/AQE (part is a
+    dim that scales with SF — no broadcast hint, per the star-join
+    policy); regr_slope/r2 are single-pass mergeable moments, so the
+    whole query is one join + one hash aggregate."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("double").alias("qty"),
+            (
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_price"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    lq, lp = F.log("qty"), F.log("unit_price")
+    return (
+        li.join(p, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.regr_slope(lq, lp), 6).alias("elasticity"),
+            F.round(F.regr_r2(lq, lp), 6).alias("fit_r2"),
+        )
+    )

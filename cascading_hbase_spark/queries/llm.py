@@ -3228,3 +3228,84 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("label") == F.col("q_label")).alias("agree"),
     )
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    mx AS (SELECT max(doc_id) AS max_id FROM d),
+    cps AS (SELECT (mx.max_id * i) // 20 AS cp
+            FROM mx CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS i)),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+    fd AS (
+      SELECT token, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(t) AS token FROM d) GROUP BY token
+    ),
+    pts AS (
+      SELECT cps.cp,
+             (SELECT CAST(sum(n_tok) AS DOUBLE) FROM dl
+              WHERE dl.doc_id <= cps.cp) AS n_tokens,
+             (SELECT CAST(count(*) AS DOUBLE) FROM fd
+              WHERE fd.first_doc <= cps.cp) AS vocab
+      FROM cps
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+           CAST(round(regr_slope(ln(vocab), ln(n_tokens)), 6) AS DOUBLE)
+             AS heaps_beta,
+           CAST(round(exp(regr_intercept(ln(vocab), ln(n_tokens))), 6) AS DOUBLE)
+             AS heaps_k,
+           CAST(round(regr_r2(ln(vocab), ln(n_tokens)), 6) AS DOUBLE) AS fit_r2
+    FROM pts WHERE n_tokens > 0 AND vocab > 0
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, measured
+    at 20 corpus checkpoints (by doc-id progress) and fitted by log-log
+    regression.  Natural language sits near beta ~ 0.5; beta falling
+    toward 0 as a crawl grows means the corpus has stopped contributing
+    new vocabulary — the 'is more data still worth ingesting' curve.
+
+    Scale shape: running count-distinct over the whole corpus is
+    replaced by each token's FIRST-occurrence doc (one token-keyed
+    aggregate): V at a checkpoint is just how many first-occurrences
+    precede it, so both curve coordinates are 20-way conditional sums
+    (a constant-factor explode of the doc-level and vocab-level
+    relations), and the regression runs over 20 rows."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    cps = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"), "max_id"
+        )
+        .select(F.expr("(max_id * i) div 20").alias("cp"))
+    )
+    dl = d.select("doc_id", F.size("t").cast("bigint").alias("n_tok"))
+    fd = d.select(
+        "doc_id", F.explode("t").alias("token")
+    ).groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    n_at = (
+        dl.join(F.broadcast(cps), dl.doc_id <= cps.cp)
+        .groupBy("cp")
+        .agg(F.sum("n_tok").cast("double").alias("n_tokens"))
+    )
+    v_at = (
+        fd.join(F.broadcast(cps), fd.first_doc <= cps.cp)
+        .groupBy("cp")
+        .agg(F.count("*").cast("double").alias("vocab"))
+    )
+    pts = n_at.join(v_at, "cp").filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    )
+    lv, ln_ = F.log("vocab"), F.log("n_tokens")
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_checkpoints"),
+        F.round(F.regr_slope(lv, ln_), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln_)), 6).alias("heaps_k"),
+        F.round(F.regr_r2(lv, ln_), 6).alias("fit_r2"),
+    )

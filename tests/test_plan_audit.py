@@ -59,6 +59,8 @@ BNL_BY_DESIGN = {
     "skyline_price_quantity",     # 1-row percentile cuts broadcast
     "benford_digit_audit",        # 9-row digit relation x 1-row total
     "gini_concentration",         # 1-row enumeration cuts broadcast
+    "heaps_law_fit",              # 20-row checkpoint spine broadcast
+    "kaplan_meier_retention",     # 1-row horizon broadcast
 }
 
 
