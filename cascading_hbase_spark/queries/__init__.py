@@ -115,6 +115,10 @@ _PRIORITY = [
     "heaps_law_fit",                     # new: vocabulary-growth exponent
     "kaplan_meier_retention",            # new: censored survival curve
     "price_elasticity_by_brand",         # new: log-log demand slope
+    "contingency_association",           # new: chi2/CramersV/MI triple
+    "acf_daily_counts",                  # new: autocorrelation lags 1-7
+    "correlation_matrix",                # new: one-pass pairwise Pearson
+    "ks_two_sample_chars",               # new: exact 2-sample KS statistic
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

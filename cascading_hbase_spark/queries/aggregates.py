@@ -1038,3 +1038,77 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "correlation_matrix",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS discount,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem
+    ),
+    wide AS (
+      SELECT corr(qty, price) AS c_qty_price,
+             corr(qty, discount) AS c_qty_discount,
+             corr(qty, tax) AS c_qty_tax,
+             corr(price, discount) AS c_price_discount,
+             corr(price, tax) AS c_price_tax,
+             corr(discount, tax) AS c_discount_tax,
+             count(*) AS n
+      FROM li
+    )
+    SELECT col_a, col_b,
+           CAST(round(r, 6) AS DOUBLE) AS pearson_r,
+           CAST(n AS BIGINT) AS n_rows
+    FROM wide, (VALUES
+      ('qty', 'price'), ('qty', 'discount'), ('qty', 'tax'),
+      ('price', 'discount'), ('price', 'tax'), ('discount', 'tax')
+    ) AS pairs(col_a, col_b),
+    LATERAL (SELECT CASE col_a || '_' || col_b
+               WHEN 'qty_price' THEN c_qty_price
+               WHEN 'qty_discount' THEN c_qty_discount
+               WHEN 'qty_tax' THEN c_qty_tax
+               WHEN 'price_discount' THEN c_price_discount
+               WHEN 'price_tax' THEN c_price_tax
+               WHEN 'discount_tax' THEN c_discount_tax END AS r) l
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, price, discount, tax) — the multivariate
+    extension of ``stats_corr_covar`` and the standard first look at
+    feature redundancy, emitted as tidy (col_a, col_b, r) rows.
+
+    Scale shape: all six correlations are single-pass mergeable
+    moments computed in ONE aggregate over one scan (never a pass per
+    pair); the unpivot to rows runs on the 1-row wide result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    cols = ["qty", "price", "discount", "tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    wide = li.agg(
+        F.count("*").alias("n"),
+        *[
+            F.corr(a, b).alias(f"c_{a}_{b}") for a, b in pairs
+        ],
+    )
+    stack_expr = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)"
+        ),
+        "n",
+    ).select(
+        "col_a", "col_b",
+        F.round("r", 6).alias("pearson_r"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )

@@ -1995,3 +1995,160 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_churned"),
         F.round("surv", 6).alias("survival"),
     )
+
+
+@query(
+    "contingency_association",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    joint AS (
+      SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS total,
+                   count(DISTINCT event_type) AS r,
+                   count(DISTINCT dow) AS c
+            FROM joint),
+    mt AS (SELECT event_type, sum(n) AS n_t FROM joint GROUP BY event_type),
+    md AS (SELECT dow, sum(n) AS n_d FROM joint GROUP BY dow),
+    terms AS (
+      SELECT j.n, mt.n_t * md.n_d / tot.total AS expected, tot.total,
+             tot.r, tot.c
+      FROM joint j
+      JOIN mt ON mt.event_type = j.event_type
+      JOIN md ON md.dow = j.dow
+      CROSS JOIN tot
+    )
+    SELECT CAST(round(sum(pow(n - expected, 2) / expected), 6) AS DOUBLE)
+             AS chi2,
+           CAST((min(r) - 1) * (min(c) - 1) AS BIGINT) AS dof,
+           CAST(round(sqrt(sum(pow(n - expected, 2) / expected)
+                           / (min(total) * least(min(r) - 1, min(c) - 1))), 6)
+                AS DOUBLE) AS cramers_v,
+           CAST(round(sum((n / total) * ln(n / expected)), 6) AS DOUBLE)
+             AS mutual_info_nats
+    FROM terms
+    """,
+)
+def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between event type and ISO weekday from one
+    contingency table: chi-square statistic with degrees of freedom,
+    Cramer's V (the 0-1 effect size chi-square alone can't give), and
+    mutual information in nats — the categorical-dependence triple
+    behind 'does behavior actually vary by weekday'.
+
+    Scale shape: ONE hash aggregate builds the #types x 7 joint table;
+    marginals, expecteds, and all three statistics are computed on
+    that tiny relation (every join after the first aggregate is
+    between fixed-cardinality inputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.dayofweek(F.col("ts")).alias("_dow_raw")
+    ).agg(F.count("*").cast("double").alias("n"))
+    # dayofweek is 1=Sunday; ISO dow is 1=Monday..7=Sunday
+    joint = joint.select(
+        "event_type",
+        F.when(F.col("_dow_raw") == 1, 7).otherwise(F.col("_dow_raw") - 1)
+        .cast("int")
+        .alias("dow"),
+        "n",
+    )
+    tot = joint.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    mt = joint.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    md = joint.groupBy("dow").agg(F.sum("n").alias("n_d"))
+    terms = (
+        joint.join(mt, "event_type")
+        .join(md, "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "n", "total", "r", "c",
+            (F.col("n_t") * F.col("n_d") / F.col("total")).alias("expected"),
+        )
+    )
+    chi2 = F.sum(F.pow(F.col("n") - F.col("expected"), 2) / F.col("expected"))
+    return terms.agg(
+        F.round(chi2, 6).alias("chi2"),
+        ((F.min("r") - 1) * (F.min("c") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2 / (F.min("total") * F.least(F.min("r") - 1, F.min("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(
+            F.sum(
+                (F.col("n") / F.col("total"))
+                * F.log(F.col("n") / F.col("expected"))
+            ),
+            6,
+        ).alias("mutual_info_nats"),
+    )
+
+
+@query(
+    "acf_daily_counts",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT d.event_type, lags.lag_k, d.x,
+             lag(d.x, lags.lag_k) OVER (PARTITION BY d.event_type, lags.lag_k
+                                        ORDER BY d.day) AS x_lag
+      FROM daily d
+      CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag_k) lags
+    )
+    SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k,
+           CAST(count(x_lag) AS BIGINT) AS n_pairs,
+           CAST(round(corr(x, x_lag), 6) AS DOUBLE) AS acf
+    FROM lagged WHERE x_lag IS NOT NULL
+    GROUP BY event_type, lag_k
+    """,
+)
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event counts, lags 1-7 per
+    event type — the periodicity fingerprint (a weekly cycle shows as
+    an ACF spike at lag 7) that picks the seasonal period
+    ``seasonal_naive_mase`` then validates.
+
+    Scale shape: events collapse to (type, day) in one hash aggregate;
+    the 7 lags come from a constant-factor explode of that calendar-
+    bounded relation, each lag windowed within its own (type, lag)
+    partition; corr is a single-pass mergeable moment per group."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    lagged = daily.select(
+        "event_type", "day", "x",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag_k"),
+    )
+    # lag(x, k) with per-row k isn't expressible; emulate with a self
+    # join on the day offset.  The offset is applied on the LEFT side
+    # (day - lag_k), so the join is a pure (type, day) EQUI join —
+    # never a per-group nested-loop condition.
+    shifted = daily.select(
+        "event_type",
+        F.col("day").alias("day_base"),
+        F.col("x").alias("x_lag"),
+    )
+    pairs = lagged.withColumn(
+        "day_base",
+        F.date_sub(F.col("day").cast("date"), F.col("lag_k").cast("int")).cast(
+            "timestamp"
+        ),
+    ).join(shifted, ["event_type", "day_base"]).select(
+        "event_type", "lag_k", "x", "x_lag"
+    )
+    return pairs.groupBy("event_type", "lag_k").agg(
+        F.count("x_lag").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("x", "x_lag"), 6).alias("acf"),
+    )

@@ -3309,3 +3309,105 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept(lv, ln_)), 6).alias("heaps_k"),
         F.round(F.regr_r2(lv, ln_), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "ks_two_sample_chars",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    levels AS (
+      SELECT n_chars,
+             CAST(sum(is_en) AS BIGINT) AS n1,
+             CAST(sum(1 - is_en) AS BIGINT) AS n2
+      FROM d GROUP BY n_chars
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM levels),
+    cdf AS (
+      SELECT n_chars,
+             sum(n1) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rs1,
+             sum(n2) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rs2
+      FROM levels
+    ),
+    diffs AS (
+      SELECT c.n_chars,
+             abs(c.rs1 / CAST(t.t1 AS DOUBLE) - c.rs2 / CAST(t.t2 AS DOUBLE))
+               AS dd
+      FROM cdf c CROSS JOIN tot t
+    ),
+    mx AS (SELECT max(dd) AS ks FROM diffs)
+    SELECT CAST(round(mx.ks, 6) AS DOUBLE) AS ks_stat,
+           CAST(min(d2.n_chars) AS BIGINT) AS at_value,
+           CAST(min(t.t1) AS BIGINT) AS n_en,
+           CAST(min(t.t2) AS BIGINT) AS n_other
+    FROM diffs d2 CROSS JOIN mx CROSS JOIN tot t
+    WHERE d2.dd = mx.ks
+    GROUP BY mx.ks
+    """,
+)
+def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between English
+    and non-English document lengths: the max absolute gap between the
+    two empirical CDFs, plus where it occurs — the distribution-shift
+    detector that needs no binning choices (the binned cousin of
+    ``psi_distribution_drift``).
+
+    Scale shape: rows collapse to distinct VALUE LEVELS with both
+    group counts in one hash aggregate; both CDFs are
+    ``bucketed_running_sum`` passes over that level relation (integer
+    counts, so the CDF ratios are identical IEEE divisions in both
+    engines and the argmax can use exact equality); the max and its
+    location are two aggregates over the level relation."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        )
+    )
+    levels = d.groupBy("n_chars").agg(
+        F.sum("is_en").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is_en")).cast("bigint").alias("n2"),
+    )
+    tot = levels.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    rs1 = bucketed_running_sum(levels, "n_chars", "n1", sum_col="rs1")
+    rs2 = bucketed_running_sum(
+        levels.select("n_chars", "n2"), "n_chars", "n2", sum_col="rs2"
+    )
+    cdf = rs1.select("n_chars", "rs1").join(
+        rs2.select("n_chars", "rs2"), "n_chars"
+    )
+    diffs = cdf.join(F.broadcast(tot)).select(
+        "n_chars", "t1", "t2",
+        F.abs(
+            F.col("rs1") / F.col("t1").cast("double")
+            - F.col("rs2") / F.col("t2").cast("double")
+        ).alias("dd"),
+    )
+    mx = diffs.agg(F.max("dd").alias("ks"))
+    return (
+        diffs.join(F.broadcast(mx))
+        .filter(F.col("dd") == F.col("ks"))
+        .groupBy("ks")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("at_value"),
+            F.min("t1").cast("bigint").alias("n_en"),
+            F.min("t2").cast("bigint").alias("n_other"),
+        )
+        .select(
+            F.round("ks", 6).alias("ks_stat"),
+            "at_value",
+            "n_en",
+            "n_other",
+        )
+    )

@@ -61,6 +61,8 @@ BNL_BY_DESIGN = {
     "gini_concentration",         # 1-row enumeration cuts broadcast
     "heaps_law_fit",              # 20-row checkpoint spine broadcast
     "kaplan_meier_retention",     # 1-row horizon broadcast
+    "contingency_association",    # #types x 7 table x 1-row totals
+    "ks_two_sample_chars",        # 1-row totals + 1-row max broadcast
 }
 
 
