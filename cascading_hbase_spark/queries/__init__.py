@@ -119,6 +119,10 @@ _PRIORITY = [
     "acf_daily_counts",                  # new: autocorrelation lags 1-7
     "correlation_matrix",                # new: one-pass pairwise Pearson
     "ks_two_sample_chars",               # new: exact 2-sample KS statistic
+    "entropy_rate_markov",               # new: next-action predictability
+    "interevent_burstiness",             # new: Goh-Barabasi burstiness index
+    "lang_diversity_simpson",            # new: per-source diversity triple
+    "keyness_loglikelihood_tokens",      # new: Dunning G2 keyness top-30
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

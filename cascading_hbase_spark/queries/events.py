@@ -2152,3 +2152,121 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("x_lag").cast("bigint").alias("n_pairs"),
         F.round(F.corr("x", "x_lag"), 6).alias("acf"),
     )
+
+
+@query(
+    "entropy_rate_markov",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM ev
+    ),
+    trans AS (
+      SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    row_tot AS (SELECT cur, sum(n) AS n_cur FROM trans GROUP BY cur),
+    grand AS (SELECT sum(n) AS total FROM trans)
+    SELECT CAST(round(
+             -sum((r.n_cur / g.total) * (t.n / r.n_cur) * ln(t.n / r.n_cur)),
+             6) AS DOUBLE) AS entropy_rate_nats,
+           CAST(round(
+             -sum((r.n_cur / g.total) * (t.n / r.n_cur) * ln(t.n / r.n_cur))
+             / ln((SELECT count(*) FROM row_tot)), 6) AS DOUBLE)
+             AS normalized_rate,
+           CAST(sum(t.n) AS BIGINT) AS n_transitions
+    FROM trans t
+    JOIN row_tot r ON r.cur = t.cur
+    CROSS JOIN grand g
+    """,
+)
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = -sum_i pi_i sum_j P_ij ln P_ij with the stationary weights
+    taken from the empirical transition mass — how predictable the
+    NEXT action is given the current one, in nats, plus the 0-1 form
+    normalized by ln(#states).  The one-number sequel to
+    ``event_transition_matrix`` (near 0 = scripted behavior, near 1 =
+    uniform wandering).
+
+    Scale shape: ordering is one per-user window (the same user-keyed
+    shuffle the transition matrix uses); everything after the
+    transition aggregate runs on the #types^2 relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").cast("double").alias("n"))
+    row_tot = trans.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    grand = trans.agg(F.sum("n").alias("total"))
+    n_states = row_tot.agg(F.count("*").alias("k"))
+    p = F.col("n") / F.col("n_cur")
+    term = (F.col("n_cur") / F.col("total")) * p * F.log(p)
+    return (
+        trans.join(row_tot, "cur")
+        .join(F.broadcast(grand))
+        .join(F.broadcast(n_states))
+        .agg(
+            F.round(-F.sum(term), 6).alias("entropy_rate_nats"),
+            F.round(-F.sum(term) / F.log(F.min("k").cast("double")), 6).alias(
+                "normalized_rate"
+            ),
+            F.sum("n").cast("bigint").alias("n_transitions"),
+        )
+    )
+
+
+@query(
+    "interevent_burstiness",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    secs AS (
+      SELECT user_id, ts, event_id, floor(epoch(ts)) AS es FROM ev
+    ),
+    gaps AS (
+      SELECT user_id,
+             es - lag(es) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS gap_s
+      FROM secs
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           CAST(round(avg(gap_s), 6) AS DOUBLE) AS mean_gap_s,
+           CAST(round(stddev_pop(gap_s), 6) AS DOUBLE) AS std_gap_s,
+           CAST(round((stddev_pop(gap_s) - avg(gap_s))
+                      / nullif(stddev_pop(gap_s) + avg(gap_s), 0.0), 6)
+                AS DOUBLE) AS burstiness
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness index per user: B = (sigma - mu) /
+    (sigma + mu) over inter-event gaps — -1 is a metronome, 0 is a
+    Poisson process, +1 is extreme bursts-and-silences.  Separates
+    bot-like regular traffic from human bursty traffic in a way the
+    mean rate cannot; the distilled sequel to the raw gap-stats pair.
+
+    Scale shape: the gap lag and the per-user moments share ONE
+    user-keyed shuffle (window then aggregate on the same key);
+    stddev/avg are single-pass mergeable moments."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("double").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    mu, sd = F.avg("gap_s"), F.stddev_pop("gap_s")
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("std_gap_s"),
+        F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6).alias("burstiness"),
+    )

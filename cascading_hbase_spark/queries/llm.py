@@ -3411,3 +3411,130 @@ def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_other",
         )
     )
+
+
+@query(
+    "lang_diversity_simpson",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, sum(n) AS total FROM counts GROUP BY source)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(min(t.total) AS BIGINT) AS n_docs,
+           CAST(round(1.0 - sum(pow(c.n / t.total, 2)), 6) AS DOUBLE)
+             AS simpson_diversity,
+           CAST(round(1.0 / sum(pow(c.n / t.total, 2)), 6) AS DOUBLE)
+             AS effective_langs,
+           CAST(round(-sum((c.n / t.total) * ln(c.n / t.total)), 6) AS DOUBLE)
+             AS shannon_nats
+    FROM counts c JOIN tot t ON t.source = c.source
+    GROUP BY c.source
+    """,
+)
+def lang_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per source: Simpson's index (1 - sum p^2 —
+    the chance two random docs differ in language), its inverse (the
+    'effective number of languages'), and Shannon entropy — the
+    ecology-style diversity triple that tells a corpus curator whether
+    a source is monolingual-with-noise or genuinely multilingual
+    before mixture weights are assigned.
+
+    Scale shape: ONE hash aggregate to (source, lang) counts; totals
+    and all three indices run on the #sources x #langs relation."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.min("total").cast("bigint").alias("n_docs"),
+            F.round(1.0 - F.sum(F.pow(p, 2)), 6).alias("simpson_diversity"),
+            F.round(1.0 / F.sum(F.pow(p, 2)), 6).alias("effective_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_nats"),
+        )
+    )
+
+
+@query(
+    "keyness_loglikelihood_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT t,
+             CAST(sum(is_en) AS DOUBLE) AS a,
+             CAST(sum(1 - is_en) AS DOUBLE) AS b
+      FROM tok GROUP BY t
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts),
+    g2 AS (
+      SELECT c.t, c.a, c.b,
+             2.0 * (
+               CASE WHEN c.a > 0
+                    THEN c.a * ln(c.a / ((c.a + c.b) * t.na / (t.na + t.nb)))
+                    ELSE 0.0 END
+             + CASE WHEN c.b > 0
+                    THEN c.b * ln(c.b / ((c.a + c.b) * t.nb / (t.na + t.nb)))
+                    ELSE 0.0 END) AS g2,
+             CASE WHEN c.a * t.nb > c.b * t.na THEN 'en' ELSE 'other' END
+               AS leans
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT t AS token, CAST(a AS BIGINT) AS n_en, CAST(b AS BIGINT) AS n_other,
+           CAST(round(g2, 6) AS DOUBLE) AS g2, leans
+    FROM g2
+    ORDER BY round(g2, 6) DESC, token LIMIT 30
+    """,
+)
+def keyness_loglikelihood_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics keyness: the top-30 tokens whose frequency
+    differs most between English and non-English documents by the
+    log-likelihood ratio G2 (Dunning's statistic — robust where
+    chi-square breaks on rare words), tagged with which side they
+    lean.  The 'what words characterize this subcorpus' operator
+    behind domain-mixture debugging.
+
+    Scale shape: one token-keyed hash aggregate carries BOTH group
+    counts (no second corpus pass); totals arrive as a 1-row
+    broadcast; ranking is a distributed top-k.  The lean test uses
+    cross-multiplied integers, so it cannot flip cross-engine."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+    )
+    counts = tok.groupBy("t").agg(
+        F.sum("is_en").cast("double").alias("a"),
+        F.sum(1 - F.col("is_en")).cast("double").alias("b"),
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    ea = (F.col("a") + F.col("b")) * F.col("na") / (F.col("na") + F.col("nb"))
+    eb = (F.col("a") + F.col("b")) * F.col("nb") / (F.col("na") + F.col("nb"))
+    g2 = 2.0 * (
+        F.when(F.col("a") > 0, F.col("a") * F.log(F.col("a") / ea)).otherwise(0.0)
+        + F.when(F.col("b") > 0, F.col("b") * F.log(F.col("b") / eb)).otherwise(0.0)
+    )
+    scored = counts.join(F.broadcast(tot)).select(
+        F.col("t").alias("token"),
+        F.col("a").cast("bigint").alias("n_en"),
+        F.col("b").cast("bigint").alias("n_other"),
+        F.round(g2, 6).alias("g2"),
+        F.when(
+            F.col("a") * F.col("nb") > F.col("b") * F.col("na"), "en"
+        ).otherwise("other").alias("leans"),
+    )
+    return scored.orderBy(F.col("g2").desc(), "token").limit(30)

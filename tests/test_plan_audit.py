@@ -63,6 +63,8 @@ BNL_BY_DESIGN = {
     "kaplan_meier_retention",     # 1-row horizon broadcast
     "contingency_association",    # #types x 7 table x 1-row totals
     "ks_two_sample_chars",        # 1-row totals + 1-row max broadcast
+    "entropy_rate_markov",        # 1-row grand total + 1-row state count
+    "keyness_loglikelihood_tokens",  # 1-row group-total broadcast
 }
 
 
