@@ -2607,6 +2607,7 @@ def idf_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bm25_topk",
+    bench=True,
     oracle="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
                FROM documents WHERE text IS NOT NULL),
@@ -2696,6 +2697,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "substring_dup_spans",
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS t

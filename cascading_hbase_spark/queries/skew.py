@@ -311,6 +311,7 @@ _CMS_W = 512  # buckets per row; 3 rows -> <=1536 counters, broadcastable anywhe
 
 @query(
     "cms_frequency_contract",
+    bench=True,
     # Unlike the HLL contract (whose sketch internals differ per
     # engine), the count-min sketch here is built from the shared
     # md5-derived hash64, so DuckDB rebuilds the BIT-IDENTICAL sketch:
