@@ -570,3 +570,77 @@ def stream_maintained_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_maintained_cms(
+    docs: DataFrame,
+    base_path: str,
+    view_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    n_rows: int = 3,
+    width: int = 512,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming-maintained count-min sketch: each micro-batch of
+    documents folds its tokens into a PARTIAL sketch (n_rows x width
+    cell counts — the mergeable property doing the work), appends the
+    partial keyed by (batch, cell), and refreshes a SUM-maintained
+    view keyed by cell — so the view IS the corpus-global sketch at
+    every commit, queryable mid-flight.
+
+    The streaming twin of ``cms_frequency_contract``: per-batch cost
+    tracks the BATCH token count (never the corpus), sketch state
+    lives in the keyed table (not stream state stores, so restarts are
+    cheap), and a replayed micro-batch LWW-overwrites its own partial
+    rows instead of double-counting — the exactly-once accumulation
+    contract, tested by ``test_stream_maintained_cms``."""
+    from cascading_hbase_spark.functions.hashing import hash64
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.table import META_FILE
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tok = batch_df.filter(F.col(text_col).isNotNull()).select(
+            F.explode(F.split(text_col, " ")).alias("t")
+        )
+        cells = tok.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        hash64(F.concat(F.lit(f"{i}#"), F.col("t"))) % width
+                        for i in range(n_rows)
+                    ]
+                )
+            ).alias("i", "bucket")
+        )
+        part = (
+            cells.groupBy("i", "bucket")
+            .agg(F.count("*").alias("c"))
+            .select(
+                (
+                    F.lit(batch_id) * (n_rows * width)
+                    + F.col("i") * width
+                    + F.col("bucket")
+                ).alias("cell_key"),
+                (F.col("i") * width + F.col("bucket")).alias("cell"),
+                "c",
+            )
+        )
+        write_keyed(part, base_path, key="cell_key", mode=SinkMode.APPEND, retain=4)
+        if os.path.exists(os.path.join(view_path, META_FILE)):
+            refresh_aggregate_view(batch_df.sparkSession, base_path, view_path)
+        else:
+            create_aggregate_view(
+                batch_df.sparkSession, base_path, view_path, "cell",
+                {"c_total": "c"},
+            )
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -546,3 +546,46 @@ def test_stream_upsert_explicit_false_requires_trigger(spark, tmp_path):
             events, str(tmp_path / "kt"), key="user_id",
             checkpoint=str(tmp_path / "ckpt"), available_now=False,
         )
+
+
+def test_stream_maintained_cms(spark, tmp_path):
+    """Streaming-maintained count-min sketch: after the documents
+    stream drains (one file per trigger), the SUM-maintained view must
+    equal the batch-computed sketch cell-for-cell — the mergeable-
+    sketch accumulation contract under micro-batch ingest."""
+    from cascading_hbase_spark.functions.hashing import hash64
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+
+    base = str(tmp_path / "cms_base")
+    view = str(tmp_path / "cms_view")
+    docs = S.documents_stream(spark, SF, max_files_per_trigger=1)
+    q = S.stream_maintained_cms(
+        docs, base, view, checkpoint=str(tmp_path / "ckpt"),
+        n_rows=3, width=64,
+    )
+    q.awaitTermination()
+
+    tok = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    cells = tok.select(
+        F.posexplode(
+            F.array(
+                *[hash64(F.concat(F.lit(f"{i}#"), F.col("t"))) % 64
+                  for i in range(3)]
+            )
+        ).alias("i", "bucket")
+    )
+    expected = {
+        (r["cell"], r["c"])
+        for r in cells.groupBy(
+            (F.col("i") * 64 + F.col("bucket")).alias("cell")
+        ).agg(F.count("*").alias("c")).collect()
+    }
+    got = {
+        (r["cell"], r["c_total"])
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == expected
