@@ -123,6 +123,10 @@ _PRIORITY = [
     "interevent_burstiness",             # new: Goh-Barabasi burstiness index
     "lang_diversity_simpson",            # new: per-source diversity triple
     "keyness_loglikelihood_tokens",      # new: Dunning G2 keyness top-30
+    "ccf_clicks_purchases",              # new: lead-lag cross-correlation
+    "dow_detrended_anomaly",             # new: weekday-median robust anomaly
+    "hll_overlap_estimate",              # new: sketch-algebra set overlap
+    "kfold_assignment_report",           # new: deterministic CV folds
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2270,3 +2270,136 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 6).alias("std_gap_s"),
         F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6).alias("burstiness"),
     )
+
+
+@query(
+    "ccf_clicks_purchases",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS clicks,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchases
+      FROM ev GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag_k),
+    pairs AS (
+      SELECT l.lag_k, a.clicks, b.purchases
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + to_days(CAST(l.lag_k AS INTEGER))
+    )
+    SELECT CAST(lag_k AS INTEGER) AS lag_k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(corr(clicks, purchases), 6) AS DOUBLE) AS ccf
+    FROM pairs GROUP BY lag_k
+    """,
+)
+def ccf_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily clicks and purchases
+    at lags -7..+7: corr(clicks[t], purchases[t+k]) — positive-lag
+    peaks mean clicks LEAD purchases by k days (the marketing
+    lead-lag question), the two-series companion to
+    ``acf_daily_counts``.
+
+    Scale shape: one hash aggregate to the daily two-series relation;
+    the 15 lags are a constant-factor explode joined back by a pure
+    (day) EQUI key (offset applied on one side); corr is a mergeable
+    moment per lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+    )
+    lagged = daily.select(
+        "day", "clicks", F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag_k")
+    ).withColumn(
+        "day_tgt",
+        F.date_add(F.col("day").cast("date"), F.col("lag_k").cast("int")).cast(
+            "timestamp"
+        ),
+    )
+    purch = daily.select(F.col("day").alias("day_tgt"), "purchases")
+    pairs = lagged.join(purch, "day_tgt")
+    return pairs.groupBy("lag_k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("clicks", "purchases"), 6).alias("ccf"),
+    ).select(F.col("lag_k").cast("int").alias("lag_k"), "n_pairs", "ccf")
+
+
+@query(
+    "dow_detrended_anomaly",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(isodow(date_trunc('day', ts)) AS INTEGER) AS dow,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    dow_med AS (
+      SELECT dow, quantile_cont(x, 0.5) AS med FROM daily GROUP BY dow
+    ),
+    resid AS (
+      SELECT d.day, d.dow, d.x, d.x - m.med AS r
+      FROM daily d JOIN dow_med m ON m.dow = d.dow
+    ),
+    mad AS (
+      SELECT quantile_cont(abs(r), 0.5) AS mad FROM resid
+    )
+    SELECT r.day, r.dow,
+           CAST(r.x AS BIGINT) AS n_events,
+           CAST(round(r.r, 6) AS DOUBLE) AS residual,
+           CAST(round(r.r / nullif(1.4826 * m.mad, 0.0), 6) AS DOUBLE)
+             AS robust_z,
+           CAST(abs(round(r.r / nullif(1.4826 * m.mad, 0.0), 6)) > 3.0
+                AS BOOLEAN) AS is_anomaly
+    FROM resid r CROSS JOIN mad m
+    """,
+)
+def dow_detrended_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-detrended robust anomaly flags on daily volume: subtract
+    each weekday's MEDIAN (so the weekly cycle doesn't masquerade as
+    anomalies — the failure mode of the plain trailing z-score), then
+    score residuals by MAD-normalized robust z and flag |z| > 3.  The
+    anomaly flag compares the ROUNDED z, so a last-ulp MAD difference
+    cannot flip it cross-engine.
+
+    Scale shape: one hash aggregate to the calendar-bounded daily
+    relation; weekday medians are a 7-row aggregate joined back; the
+    global MAD is one percentile over the residuals, broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    ).withColumn(
+        "dow",
+        F.when(F.dayofweek("day") == 1, 7)
+        .otherwise(F.dayofweek("day") - 1)
+        .cast("int"),
+    )
+    dow_med = daily.groupBy("dow").agg(
+        F.expr("percentile(x, 0.5D)").alias("med")
+    )
+    resid = daily.join(dow_med, "dow").withColumn("r", F.col("x") - F.col("med"))
+    mad = resid.agg(F.expr("percentile(abs(r), 0.5D)").alias("mad"))
+    z = F.round(
+        F.col("r") / F.nullif(1.4826 * F.col("mad"), F.lit(0.0)), 6
+    )
+    return (
+        resid.join(F.broadcast(mad))
+        .select(
+            "day", "dow",
+            F.col("x").cast("bigint").alias("n_events"),
+            F.round("r", 6).alias("residual"),
+            z.alias("robust_z"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

@@ -3540,3 +3540,53 @@ def keyness_loglikelihood_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("other").alias("leans"),
     )
     return scored.orderBy(F.col("g2").desc(), "token").limit(30)
+
+
+@query(
+    "kfold_assignment_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST({_H.format(x="concat('fold#', CAST(doc_id AS VARCHAR))")} % 5
+                  AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(count(*) / CAST(sum(count(*))
+                  OVER (PARTITION BY lang) AS DOUBLE), 6) AS DOUBLE)
+             AS lang_share
+    FROM d GROUP BY fold, lang
+    """,
+)
+def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a balance
+    report: fold = hash64('fold#'||doc_id) mod 5 (replayable — the
+    same doc always lands in the same fold, across runs AND engines),
+    plus each fold's share of every language so stratification skew is
+    visible before anyone trains.  The evaluation-split counterpart to
+    ``leakage_safe_split``'s train/heldout hashing.
+
+    Scale shape: assignment is a pure map-side hash expression (a
+    filter selecting fold k == one map-side scan at train time, no
+    shuffle of the corpus); the report aggregates to the 5 x #langs
+    relation and the share window runs over those rows only."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        (
+            hash64(F.concat(F.lit("fold#"), F.col("doc_id").cast("string"))) % 5
+        ).cast("int").alias("fold"),
+    )
+    counts = d.groupBy("fold", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    # share window over the 5 x #langs report relation only
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "fold", "lang", "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("lang_share"),
+    )

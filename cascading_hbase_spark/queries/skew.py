@@ -388,3 +388,82 @@ def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
         (F.col("cms_estimate") >= F.col("c")).alias("never_underestimates"),
     )
+
+
+@query(
+    "hll_overlap_estimate",
+    # Sketch algebra: |A∩B| = |A| + |B| - |A∪B| from three HLLs —
+    # no exact pass over either set.  The estimate itself differs per
+    # engine, so (as with the other sketch contracts) the oracle
+    # checks the exact inputs plus the documented accuracy band: the
+    # inclusion-exclusion difference accumulates ~3x the per-sketch
+    # rse, so the band is 15% of the union size.
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click'),
+    purchasers AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM clickers) AS BIGINT) AS exact_clickers,
+           CAST((SELECT count(*) FROM purchasers) AS BIGINT) AS exact_purchasers,
+           CAST((SELECT count(*) FROM clickers c
+                 JOIN purchasers p ON p.user_id = c.user_id) AS BIGINT)
+             AS exact_overlap,
+           CAST(1 AS BOOLEAN) AS within_band
+    """,
+)
+def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation by sketch algebra: clicker and
+    purchaser HLL sketches built in one pass each, their union via
+    ``hll_union``, and the intersection by inclusion-exclusion —
+    |A∩B| = |A| + |B| - |A∪B| — without ever joining the raw sets.
+    The segment-overlap question every audience system answers at
+    scale from stored per-segment sketches.
+
+    Emits the exact counts (hash-matched) plus ``within_band``: the
+    estimate within 15% of the union-sized error budget (3x sketch
+    rse accumulated by the subtraction — the documented trade of
+    sketch-algebra overlap vs an exact join)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    wide = sk.agg(
+        F.hll_sketch_estimate(
+            F.min(F.when(F.col("event_type") == "click", F.col("sk")))
+        ).alias("est_c"),
+        F.hll_sketch_estimate(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("sk")))
+        ).alias("est_p"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u"),
+        F.min(F.when(F.col("event_type") == "click", F.col("exact"))).alias(
+            "exact_clickers"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("exact"))).alias(
+            "exact_purchasers"
+        ),
+    )
+    exact_overlap = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    est_overlap = F.col("est_c") + F.col("est_p") - F.col("est_u")
+    return wide.join(F.broadcast(exact_overlap)).select(
+        F.col("exact_clickers").cast("bigint").alias("exact_clickers"),
+        F.col("exact_purchasers").cast("bigint").alias("exact_purchasers"),
+        F.col("exact_overlap").cast("bigint").alias("exact_overlap"),
+        (
+            F.abs(est_overlap - F.col("exact_overlap"))
+            <= 0.15 * F.col("est_u")
+        ).alias("within_band"),
+    )

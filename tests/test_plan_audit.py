@@ -65,6 +65,8 @@ BNL_BY_DESIGN = {
     "ks_two_sample_chars",        # 1-row totals + 1-row max broadcast
     "entropy_rate_markov",        # 1-row grand total + 1-row state count
     "keyness_loglikelihood_tokens",  # 1-row group-total broadcast
+    "dow_detrended_anomaly",      # 1-row global MAD broadcast
+    "hll_overlap_estimate",       # 1-row sketch algebra x 1-row exact overlap
 }
 
 
