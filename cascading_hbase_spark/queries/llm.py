@@ -2798,11 +2798,12 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile_from_top, n_docs, n_pos,
            CAST(round(n_pos / CAST(n_docs AS DOUBLE), 6) AS DOUBLE) AS pos_rate,
            CAST(round((n_pos / CAST(n_docs AS DOUBLE))
-                      / (sum(n_pos) OVER () / CAST(sum(n_docs) OVER () AS DOUBLE)),
+                      / nullif(sum(n_pos) OVER ()
+                               / CAST(sum(n_docs) OVER () AS DOUBLE), 0.0),
                       6) AS DOUBLE) AS lift,
            CAST(round(sum(n_pos) OVER (ORDER BY decile_from_top)
-                      / CAST(sum(n_pos) OVER () AS DOUBLE), 6) AS DOUBLE)
-             AS cum_capture
+                      / CAST(nullif(sum(n_pos) OVER (), 0) AS DOUBLE), 6)
+                AS DOUBLE) AS cum_capture
     FROM dec
     """,
 )
@@ -2859,7 +2860,12 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     rate = F.col("n_pos") / F.col("n_docs").cast("double")
-    base = F.sum("n_pos").over(w_all) / F.sum("n_docs").over(w_all).cast("double")
+    # nullif-guarded: a corpus with zero positives yields NULL lift and
+    # capture rather than an ANSI divide-by-zero
+    base = F.nullif(
+        F.sum("n_pos").over(w_all) / F.sum("n_docs").over(w_all).cast("double"),
+        F.lit(0.0),
+    )
     return dec.select(
         "decile_from_top",
         "n_docs",
@@ -2867,7 +2873,8 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("pos_rate"),
         F.round(rate / base, 6).alias("lift"),
         F.round(
-            F.sum("n_pos").over(w_cum) / F.sum("n_pos").over(w_all).cast("double"),
+            F.sum("n_pos").over(w_cum)
+            / F.nullif(F.sum("n_pos").over(w_all), F.lit(0)).cast("double"),
             6,
         ).alias("cum_capture"),
     )
@@ -3340,8 +3347,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     diffs AS (
       SELECT c.n_chars,
-             abs(c.rs1 / CAST(t.t1 AS DOUBLE) - c.rs2 / CAST(t.t2 AS DOUBLE))
-               AS dd
+             abs(c.rs1 / CAST(nullif(t.t1, 0) AS DOUBLE)
+                 - c.rs2 / CAST(nullif(t.t2, 0) AS DOUBLE)) AS dd
       FROM cdf c CROSS JOIN tot t
     ),
     mx AS (SELECT max(dd) AS ks FROM diffs)
@@ -3391,9 +3398,11 @@ def ks_two_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diffs = cdf.join(F.broadcast(tot)).select(
         "n_chars", "t1", "t2",
+        # nullif-guarded: a single-language corpus yields NULL, not an
+        # ANSI divide-by-zero
         F.abs(
-            F.col("rs1") / F.col("t1").cast("double")
-            - F.col("rs2") / F.col("t2").cast("double")
+            F.col("rs1") / F.nullif(F.col("t1"), F.lit(0)).cast("double")
+            - F.col("rs2") / F.nullif(F.col("t2"), F.lit(0)).cast("double")
         ).alias("dd"),
     )
     mx = diffs.agg(F.max("dd").alias("ks"))
