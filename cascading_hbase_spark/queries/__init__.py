@@ -127,6 +127,10 @@ _PRIORITY = [
     "dow_detrended_anomaly",             # new: weekday-median robust anomaly
     "hll_overlap_estimate",              # new: sketch-algebra set overlap
     "kfold_assignment_report",           # new: deterministic CV folds
+    "welch_ttest_value",                 # new: unequal-variance metric test
+    "auc_rank_sum",                      # new: Mann-Whitney AUC, bucketed
+    "calibration_bins",                  # new: reliability diagram / ECE
+    "spearman_by_brand",                 # new: midrank Spearman via counts
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1112,3 +1112,83 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("pearson_r"),
         F.col("n").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "spearman_by_brand",
+    oracle="""
+    WITH rows_ AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_extendedprice AS DOUBLE) AS price,
+             CAST(l.l_quantity AS DOUBLE) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    rp AS (
+      SELECT brand, price,
+             sum(c) OVER (PARTITION BY brand ORDER BY price)
+               - c + (c + 1) / 2.0 AS rank_price
+      FROM (SELECT brand, price, count(*) AS c FROM rows_
+            GROUP BY brand, price)
+    ),
+    rq AS (
+      SELECT brand, qty,
+             sum(c) OVER (PARTITION BY brand ORDER BY qty)
+               - c + (c + 1) / 2.0 AS rank_qty
+      FROM (SELECT brand, qty, count(*) AS c FROM rows_
+            GROUP BY brand, qty)
+    )
+    SELECT r.brand,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(corr(rp.rank_price, rq.rank_qty), 6) AS DOUBLE)
+             AS spearman_rho
+    FROM rows_ r
+    JOIN rp ON r.brand = rp.brand AND r.price = rp.price
+    JOIN rq ON r.brand = rq.brand AND r.qty = rq.qty
+    GROUP BY r.brand
+    """,
+)
+def spearman_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between extended price and quantity
+    within each part brand — the robust (monotone, outlier-insensitive)
+    counterpart to ``stats_corr_covar``'s Pearson row.
+
+    Average ranks (the tie-correct midrank form) are NOT computed by
+    ranking raw rows: each column first collapses to its per-(brand,
+    value) count relation, the midrank falls out of a running count —
+    ``cum(c) - c + (c+1)/2`` — over that far smaller relation, and rows
+    join their midranks back by (brand, value).  Spearman's rho is then
+    plain ``corr`` over the midrank pairs, a partial+final aggregate.
+
+    Scale shape: two keyed shuffles per column (distinct-value count,
+    join-back) plus the corr aggregate; the only windows run over the
+    per-(brand, value) relations, partitioned by brand (bounded by
+    value granularity, not row count).  A brand with constant quantity
+    yields NULL rho (zero variance) on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    rows = li.join(part, "l_partkey").select("brand", "price", "qty")
+
+    def midranks(col: str, out: str) -> DataFrame:
+        per = rows.groupBy("brand", col).agg(F.count("*").alias("c"))
+        w = Window.partitionBy("brand").orderBy(col)
+        return per.select(
+            "brand",
+            col,
+            (
+                F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    rp = midranks("price", "rank_price")
+    rq = midranks("qty", "rank_qty")
+    ranked = rows.join(rp, ["brand", "price"]).join(rq, ["brand", "qty"])
+    return ranked.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.corr("rank_price", "rank_qty"), 6).alias("spearman_rho"),
+    )

@@ -2403,3 +2403,210 @@ def dow_detrended_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "welch_ttest_value",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'purchase' THEN m END) AS m1,
+        max(CASE WHEN event_type = 'purchase' THEN v END) AS v1,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n0,
+        max(CASE WHEN event_type = 'click' THEN m END) AS m0,
+        max(CASE WHEN event_type = 'click' THEN v END) AS v0
+      FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n0 AS BIGINT) AS n_click,
+           CAST(round(m1 - m0, 6) AS DOUBLE) AS mean_diff,
+           CAST(round((m1 - m0) / sqrt(nullif(v1/n1 + v0/n0, 0.0)), 6)
+                AS DOUBLE) AS t_stat,
+           CAST(round(
+             (v1/n1 + v0/n0) * (v1/n1 + v0/n0)
+             / nullif((v1/n1)*(v1/n1)/(n1-1) + (v0/n0)*(v0/n0)/(n0-1), 0.0),
+             6) AS DOUBLE) AS welch_df,
+           CAST(abs((m1 - m0) / sqrt(nullif(v1/n1 + v0/n0, 0.0))) >= 1.96
+                AS BOOLEAN) AS significant_95_normal
+    FROM wide
+    """,
+)
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing ``value`` between
+    purchase and click events: per-arm mean/variance, the t statistic,
+    and the Welch-Satterthwaite degrees of freedom — the
+    continuous-metric companion to ``ab_conversion_ztest``'s
+    two-proportion test.  Significance uses the normal approximation
+    (df is in the thousands here), and the column name says so.
+
+    Scale shape: one partial+final aggregate per arm (count/avg/
+    var_samp all map-side combinable), a 2-row pivot to one row, then
+    pure arithmetic on that single row.  Degenerate arms (zero pooled
+    variance) yield NULL via nullif, not an ANSI error."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+
+    def arm(col, et):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    wide = arms.agg(
+        arm("n", "purchase").alias("n1"), arm("m", "purchase").alias("m1"),
+        arm("v", "purchase").alias("v1"), arm("n", "click").alias("n0"),
+        arm("m", "click").alias("m0"), arm("v", "click").alias("v0"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se0 = F.col("v0") / F.col("n0")
+    t = (F.col("m1") - F.col("m0")) / F.sqrt(F.nullif(se1 + se0, F.lit(0.0)))
+    df = ((se1 + se0) * (se1 + se0)) / F.nullif(
+        se1 * se1 / (F.col("n1") - 1) + se0 * se0 / (F.col("n0") - 1),
+        F.lit(0.0),
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n0").cast("bigint").alias("n_click"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+        (F.abs(t) >= 1.96).alias("significant_95_normal"),
+    )
+
+
+@query(
+    "auc_rank_sum",
+    oracle="""
+    WITH lab AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    per AS (
+      SELECT value, sum(pos) AS np, count(*) - sum(pos) AS nn
+      FROM lab GROUP BY value
+    ),
+    run AS (
+      SELECT np, nn, sum(nn) OVER (ORDER BY value) - nn AS below FROM per
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(round(sum(np * (below + nn / 2.0))
+                      / (CAST(sum(np) AS DOUBLE) * sum(nn)), 6) AS DOUBLE)
+             AS auc
+    FROM run
+    """,
+)
+def auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of ``value`` as a score separating purchases (positive)
+    from clicks (negative), via the Mann-Whitney rank-sum identity:
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed as
+    sum over distinct scores of np(v) * (negatives below v + half the
+    tied negatives), normalized by n_pos * n_neg.  The
+    threshold-free counterpart to ``decile_lift_table``.
+
+    Scale shape: the naive formulation ranks ALL rows in one global
+    window (single-partition trap).  Here rows collapse to the
+    per-distinct-score (np, nn) relation first — one keyed shuffle —
+    and the cumulative-negatives term is ``bucketed_running_sum`` over
+    that relation (percentile-cut buckets, per-bucket parallel windows,
+    broadcast prefix bases; counts are exact integers so the
+    decomposition equals the single-window form bit-for-bit).  The
+    final AUC is a 1-row aggregate."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    per = lab.groupBy("value").agg(
+        F.sum("pos").alias("np"),
+        (F.count("*") - F.sum("pos")).alias("nn"),
+    )
+    run = bucketed_running_sum(per, "value", "nn", sum_col="cum_nn")
+    return run.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("np")
+                * (F.col("cum_nn") - F.col("nn") + F.col("nn") / F.lit(2.0))
+            )
+            / (F.sum("np").cast("double") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(avg(p), 6) AS DOUBLE) AS mean_score,
+           CAST(round(avg(y), 6) AS DOUBLE) AS frac_pos,
+           CAST(round(abs(avg(p) - avg(y)), 6) AS DOUBLE) AS abs_gap
+    FROM scored GROUP BY bin
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a probability-like score: a fixed
+    logistic transform of ``value`` plays the model score, purchases
+    are the positive class, and each of 10 equal-width score bins
+    reports predicted-vs-observed positive rate plus the absolute
+    calibration gap (the per-bin term of expected calibration error).
+    The model-monitoring companion to ``auc_rank_sum`` — AUC measures
+    ranking, this measures probability calibration.
+
+    Scale shape: score and bin are pure map-side expressions; the only
+    shuffle is the 10-group partial+final aggregate.  ``least(_, 9)``
+    folds the closed top edge (p == 1.0) into the last bin on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg("p"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("p") - F.avg("y")), 6).alias("abs_gap"),
+        )
+    )
