@@ -131,6 +131,8 @@ _PRIORITY = [
     "auc_rank_sum",                      # new: Mann-Whitney AUC, bucketed
     "calibration_bins",                  # new: reliability diagram / ECE
     "spearman_by_brand",                 # new: midrank Spearman via counts
+    "copurchase_triangles",              # new: oriented-wedge triangles
+    "copurchase_degree_distribution",    # new: graph shape check
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

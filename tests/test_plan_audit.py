@@ -67,6 +67,7 @@ BNL_BY_DESIGN = {
     "keyness_loglikelihood_tokens",  # 1-row group-total broadcast
     "dow_detrended_anomaly",      # 1-row global MAD broadcast
     "hll_overlap_estimate",       # 1-row sketch algebra x 1-row exact overlap
+    "auc_rank_sum",               # 1-row percentile cuts broadcast
 }
 
 
