@@ -133,6 +133,8 @@ _PRIORITY = [
     "spearman_by_brand",                 # new: midrank Spearman via counts
     "copurchase_triangles",              # new: oriented-wedge triangles
     "copurchase_degree_distribution",    # new: graph shape check
+    "lm_trigram_backoff",                # new: held-out stupid backoff LM
+    "trigram_novelty_per_doc",           # new: corpus novelty decay
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

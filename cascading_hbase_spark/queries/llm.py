@@ -3599,3 +3599,200 @@ def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
         ).alias("lang_share"),
     )
+
+
+_SQL_TRI = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS u
+        FROM tok WHERE len(t) >= 3)
+    )
+"""
+
+
+def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) word trigrams, built MAP-SIDE by zipping
+    three shifted token slices (no posexplode + window self-pairing) —
+    the trigram extension of ``lm_bigram_logprob``'s pair build."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
+        F.col("tok").isNotNull() & (F.size("tok") >= 3)
+    )
+    n = F.size("tok")
+    inner = F.zip_with(
+        F.slice(F.col("tok"), F.lit(2), n - 2),
+        F.slice(F.col("tok"), F.lit(3), n - 2),
+        lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+    )
+    triples = F.zip_with(
+        F.slice(F.col("tok"), F.lit(1), n - 2),
+        inner,
+        lambda a, bc: F.struct(
+            a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+        ),
+    )
+    return t.select("doc_id", F.explode(triples).alias("p")).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+
+
+@query(
+    "lm_trigram_backoff",
+    oracle=f"""
+    WITH {_SQL_TRI},
+    train AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
+    score AS (SELECT * FROM tri WHERE doc_id % 2 = 1),
+    t3 AS (
+      SELECT w1, w2, w3, count(*) AS c3,
+             sum(count(*)) OVER (PARTITION BY w1, w2) AS ctx3
+      FROM train GROUP BY w1, w2, w3
+    ),
+    t2 AS (
+      SELECT w2, w3, c2, sum(c2) OVER (PARTITION BY w2) AS ctx2 FROM (
+        SELECT w2, w3, sum(c3) AS c2 FROM t3 GROUP BY w2, w3)
+    ),
+    t1 AS (SELECT w3, sum(c3) AS c1 FROM t3 GROUP BY w3),
+    totals AS (SELECT sum(c1) AS total, count(*) AS vocab FROM t1),
+    scored AS (
+      SELECT s.doc_id,
+             CASE
+               WHEN t3.c3 IS NOT NULL
+                 THEN CAST(t3.c3 AS DOUBLE) / t3.ctx3
+               WHEN t2.c2 IS NOT NULL
+                 THEN 0.4 * CAST(t2.c2 AS DOUBLE) / t2.ctx2
+               ELSE 0.16 * (coalesce(t1.c1, 0) + 1.0)
+                    / (totals.total + totals.vocab)
+             END AS p,
+             CASE WHEN t3.c3 IS NULL THEN 1.0 ELSE 0.0 END AS backed
+      FROM score s
+      LEFT JOIN t3 ON s.w1 = t3.w1 AND s.w2 = t3.w2 AND s.w3 = t3.w3
+      LEFT JOIN t2 ON s.w2 = t2.w2 AND s.w3 = t2.w3
+      LEFT JOIN t1 ON s.w3 = t1.w3
+      CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(round(avg(ln(p)), 6) AS DOUBLE) AS backoff_logscore,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(round(avg(backed), 6) AS DOUBLE) AS backoff_rate
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language model with stupid backoff (Brants et al.,
+    'Large Language Models in Machine Translation'): train on even
+    doc_ids, score the held-out odd docs — so the backoff path is
+    actually EXERCISED (scoring the training corpus would never miss a
+    trigram).  S(w3|w1,w2) = c3/ctx3 if seen, else 0.4 * c2/ctx2 if
+    the bigram is seen, else 0.4^2 * smoothed unigram ((c1+1)/(N+V),
+    which also floors true OOV words).  All backoff counts derive from
+    the one trigram relation, mirrored exactly by the oracle.  Emits
+    per-doc mean log-score plus the backoff rate (share of trigrams
+    unseen at the trigram level) — a held-out fluency/novelty signal
+    one level up from ``lm_bigram_logprob``.
+
+    Plan shape: trigrams build map-side (nested ``zip_with`` of three
+    shifted slices), persist once, and split into train/score by id
+    parity — one corpus pass.  The model tables (t3 -> t2 -> t1) are
+    derived each-from-the-previous (model-sized aggregates + windows,
+    never a second corpus scan); scoring is three left equi joins on
+    ngram keys plus a broadcast 1-row totals join."""
+    tri = _doc_trigrams(spark, sf_dir).persist()
+    train = tri.filter(F.col("doc_id") % 2 == 0)
+    score = tri.filter(F.col("doc_id") % 2 == 1)
+    t3 = (
+        train.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+        .withColumn("ctx3", F.sum("c3").over(Window.partitionBy("w1", "w2")))
+    )
+    t2 = (
+        t3.groupBy("w2", "w3")
+        .agg(F.sum("c3").alias("c2"))
+        .withColumn("ctx2", F.sum("c2").over(Window.partitionBy("w2")))
+    )
+    t1 = t3.groupBy("w3").agg(F.sum("c3").alias("c1"))
+    totals = t1.agg(
+        F.sum("c1").alias("total"), F.count("*").alias("vocab")
+    )
+    p = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("ctx3"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            0.4 * F.col("c2").cast("double") / F.col("ctx2"),
+        )
+        .otherwise(
+            0.16
+            * (F.coalesce(F.col("c1"), F.lit(0)) + 1.0)
+            / (F.col("total") + F.col("vocab"))
+        )
+    )
+    backed = F.when(F.col("c3").isNull(), 1.0).otherwise(0.0)
+    return (
+        score.join(t3, ["w1", "w2", "w3"], "left")
+        .join(t2, ["w2", "w3"], "left")
+        .join(t1, ["w3"], "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(p)), 6).alias("backoff_logscore"),
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(backed), 6).alias("backoff_rate"),
+        )
+    )
+
+
+@query(
+    "trigram_novelty_per_doc",
+    oracle=f"""
+    WITH {_SQL_TRI},
+    sh AS (SELECT DISTINCT doc_id, w1 || ' ' || w2 || ' ' || w3 AS g
+           FROM tri),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+    FROM sh JOIN first_seen f ON sh.g = f.g
+    GROUP BY sh.doc_id
+    """,
+)
+def trigram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in doc_id (ingestion) order: the
+    share of a doc's DISTINCT trigrams never seen in any earlier doc —
+    the 'how much does each new document add' curve.  A corpus whose
+    novelty decays to ~0 is recrawling itself (the longitudinal
+    companion to the pairwise near-dup detectors, and the doc-level
+    view of what ``substring_dup_spans`` measures span-level).
+
+    Scale shape: trigrams build map-side and dedup per doc (one
+    shuffle on the (doc, gram) key); first occurrence is a min
+    aggregate on the gram key; the verdict joins back on the gram key
+    and folds per doc.  No windows, no self-joins — three keyed
+    shuffles end to end."""
+    tri = _doc_trigrams(spark, sf_dir)
+    sh = tri.select(
+        "doc_id",
+        F.concat_ws(" ", "w1", "w2", "w3").alias("g"),
+    ).distinct()
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    is_new = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum(is_new).cast("bigint").alias("n_new"),
+            F.round(
+                F.sum(is_new) / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

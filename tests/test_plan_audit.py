@@ -68,6 +68,7 @@ BNL_BY_DESIGN = {
     "dow_detrended_anomaly",      # 1-row global MAD broadcast
     "hll_overlap_estimate",       # 1-row sketch algebra x 1-row exact overlap
     "auc_rank_sum",               # 1-row percentile cuts broadcast
+    "lm_trigram_backoff",         # 1-row model totals (N, V) broadcast
 }
 
 
