@@ -135,6 +135,9 @@ _PRIORITY = [
     "copurchase_degree_distribution",    # new: graph shape check
     "lm_trigram_backoff",                # new: held-out stupid backoff LM
     "trigram_novelty_per_doc",           # new: corpus novelty decay
+    "join_key_skew_report",              # new: shuffle-key skew diagnostics
+    "horvitz_thompson_revenue",          # new: stratified HT estimator audit
+    "mann_kendall_theil_sen",            # new: nonparametric trend + slope
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1192,3 +1192,132 @@ def spearman_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.round(F.corr("rank_price", "rank_qty"), 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "mann_kendall_theil_sen",
+    oracle="""
+    WITH ms AS (
+      SELECT p.p_brand AS brand,
+             date_trunc('month', l.l_shipdate) AS m,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, m
+    ),
+    pairs AS (
+      SELECT a.brand,
+             sign(CAST(b.rev - a.rev AS DOUBLE)) AS s,
+             CAST(b.rev - a.rev AS DOUBLE)
+               / date_diff('month', a.m, b.m) AS slope
+      FROM ms a JOIN ms b ON a.brand = b.brand AND a.m < b.m
+    ),
+    n AS (SELECT brand, count(*) AS n_months FROM ms GROUP BY brand),
+    stats AS (
+      SELECT p.brand, n.n_months,
+             sum(p.s) AS s_stat,
+             quantile_cont(p.slope, 0.5) AS ts_slope,
+             n.n_months * (n.n_months - 1) * (2 * n.n_months + 5) / 18.0
+               AS var_s
+      FROM pairs p JOIN n ON p.brand = n.brand
+      GROUP BY p.brand, n.n_months
+    )
+    SELECT brand AS p_brand,
+           CAST(n_months AS BIGINT) AS n_months,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                           ELSE 0.0 END, 6) AS DOUBLE) AS mk_z,
+           CAST(round(ts_slope, 6) AS DOUBLE) AS theil_sen_slope,
+           CASE WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                                ELSE 0.0 END, 6) > 1.96 THEN 'increasing'
+                WHEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                                ELSE 0.0 END, 6) < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM stats
+    """,
+)
+def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen robust slope on each
+    brand's monthly revenue series: S = sum of pairwise revenue-change
+    signs, normal-approximation z with continuity correction, and the
+    median pairwise slope as the outlier-resistant trend estimate —
+    the nonparametric 'is this really trending' pass that OLS-style
+    ``price_elasticity_by_brand`` can't answer (one spiky month drags
+    a least-squares slope; the median slope shrugs).  The no-ties
+    variance form is used; exact-DECIMAL revenue makes tied months a
+    measure-zero event (a tie contributes sign 0 to S either way).
+
+    Scale shape: the corpus collapses to the per-(brand, month)
+    relation FIRST (one join + one keyed aggregate); the quadratic
+    pairwise self-join runs on that series relation only — bounded by
+    months-per-brand squared, independent of fact-table row count.
+    Median slope is an exact percentile over the same bounded pair
+    relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    ms = (
+        li.join(part, "l_partkey")
+        .groupBy(
+            "brand", F.date_trunc("month", "l_shipdate").alias("m")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    a = ms.select("brand", F.col("m").alias("m_a"), F.col("rev").alias("rev_a"))
+    b = ms.select("brand", F.col("m").alias("m_b"), F.col("rev").alias("rev_b"))
+    diff = (F.col("rev_b") - F.col("rev_a")).cast("double")
+    pairs = (
+        a.join(b, "brand")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            "brand",
+            F.signum(diff).alias("s"),
+            (diff / F.months_between("m_b", "m_a")).alias("slope"),
+        )
+    )
+    n = ms.groupBy("brand").agg(F.count("*").alias("n_months"))
+    stats = (
+        pairs.join(n, "brand")
+        .groupBy("brand", "n_months")
+        .agg(
+            F.sum("s").alias("s_stat"),
+            F.expr("percentile(slope, 0.5D)").alias("ts_slope"),
+        )
+        .withColumn(
+            "var_s",
+            F.col("n_months")
+            * (F.col("n_months") - 1)
+            * (2 * F.col("n_months") + 5)
+            / 18.0,
+        )
+    )
+    z = F.round(
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt("var_s"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt("var_s"),
+        )
+        .otherwise(0.0),
+        6,
+    )
+    return stats.select(
+        F.col("brand").alias("p_brand"),
+        F.col("n_months").cast("bigint").alias("n_months"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        z.alias("mk_z"),
+        F.round("ts_slope", 6).alias("theil_sen_slope"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )

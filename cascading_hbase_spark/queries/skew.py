@@ -467,3 +467,133 @@ def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("est_u")
         ).alias("within_band"),
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH pk AS (SELECT l_partkey AS k FROM lineitem),
+    sk AS (SELECT l_suppkey AS k FROM lineitem),
+    ck AS (SELECT o_custkey AS k FROM orders),
+    rep AS (
+      SELECT 'lineitem.l_partkey' AS key_col, count(*) AS c
+      FROM pk GROUP BY k
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', count(*) FROM sk GROUP BY k
+      UNION ALL
+      SELECT 'orders.o_custkey', count(*) FROM ck GROUP BY k
+    )
+    SELECT key_col,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS DOUBLE)
+             AS top1_share,
+           CAST(round(quantile_cont(c, 0.99)
+                      / nullif(quantile_cont(c, 0.5), 0.0), 6) AS DOUBLE)
+             AS p99_med_ratio
+    FROM rep GROUP BY key_col
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the three hottest shuffle keys:
+    per-key row counts folded to top-1 share and p99/median ratio —
+    the numbers that decide whether a join needs AQE's skew splitter,
+    salting (``functions/skew.py`` policy), or nothing.  The
+    measurement companion to the policy doc: run this BEFORE choosing
+    a mitigation.
+
+    Scale shape: one keyed count per column (partial+final), then the
+    stats aggregate over the per-key-count relation (key cardinality,
+    not row count).  The percentiles are exact but run only over that
+    collapsed relation — the same bound as every sketch audit here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def branch(df: DataFrame, col: str, label: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(col).alias("k"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(label).alias("key_col"), "c")
+        )
+
+    rep = (
+        branch(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(branch(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(branch(orders, "o_custkey", "orders.o_custkey"))
+    )
+    return rep.groupBy("key_col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top1_share"),
+        F.round(
+            F.expr("percentile(c, 0.99D)")
+            / F.nullif(F.expr("percentile(c, 0.5D)"), F.lit(0.0)),
+            6,
+        ).alias("p99_med_ratio"),
+    )
+
+
+@query(
+    "horvitz_thompson_revenue",
+    oracle=f"""
+    WITH strat AS (
+      SELECT o_orderpriority, o_totalprice,
+             0.04 * CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS rate,
+             {_H.format(x="concat('ht#', CAST(o_orderkey AS VARCHAR))")}
+               % 1000000 AS u
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN u < rate * 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS true_total,
+           CAST(round(sum(CASE WHEN u < rate * 1000000
+                               THEN o_totalprice / rate END), 2) AS DOUBLE)
+             AS ht_estimate,
+           CAST(round(abs(sum(CASE WHEN u < rate * 1000000
+                                   THEN o_totalprice / rate END)
+                          - sum(o_totalprice))
+                      / CAST(sum(o_totalprice) AS DOUBLE), 6) AS DOUBLE)
+             AS rel_err
+    FROM strat GROUP BY o_orderpriority
+    """,
+)
+def horvitz_thompson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation under deterministic
+    per-stratum Bernoulli sampling: each order priority samples at its
+    own rate (0.04 x the priority digit), inclusion decided by the
+    shared ``hash64`` draw (replayable, engine-mirrored), and the
+    estimator up-weights each sampled order by 1/rate.  Reports the
+    estimate against ground truth per stratum — the 'can I answer this
+    from the 5% sample' audit run before pointing a dashboard at
+    samples instead of the 100 TB fact table.
+
+    Scale shape: rate, draw and inclusion are pure map-side
+    expressions; ONE partial+final aggregate computes sample and truth
+    together (conditional sums), so the audit costs exactly one scan.
+    In production the sample is materialized once and truth drops out;
+    the estimator column is unchanged."""
+    from cascading_hbase_spark.functions.hashing import hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    rate = 0.04 * F.substring("o_orderpriority", 1, 1).cast("int")
+    u = hash64(
+        F.concat(F.lit("ht#"), F.col("o_orderkey").cast("string"))
+    ) % 1000000
+    strat = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        rate.alias("rate"),
+        u.alias("u"),
+    )
+    sampled = F.col("u") < F.col("rate") * 1000000
+    ht = F.sum(F.when(sampled, F.col("o_totalprice") / F.col("rate")))
+    truth = F.sum("o_totalprice")
+    return strat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        truth.cast("decimal(18,2)").alias("true_total"),
+        F.round(ht, 2).alias("ht_estimate"),
+        F.round(F.abs(ht - truth) / truth.cast("double"), 6).alias("rel_err"),
+    )
