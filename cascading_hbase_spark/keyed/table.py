@@ -81,7 +81,7 @@ __all__ = [
     "merge_keyed", "apply_changefeed",
     "compact_keyed", "rollback_keyed", "list_generations",
     "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
-    "composite_prefix",
+    "composite_prefix", "StaleWriteError", "table_version",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -107,6 +107,13 @@ class SinkMode(enum.Enum):
 class ConcurrentWriteError(RuntimeError):
     """A second writer attempted to mutate a keyed table while another
     live process held its writer lock."""
+
+
+class StaleWriteError(ConcurrentWriteError):
+    """Optimistic-concurrency check failed: the table committed past
+    the version the caller read before computing its batch.  Subclass
+    of ``ConcurrentWriteError`` so existing catch-alls keep working;
+    the remedy is different, though — re-read, recompute, retry."""
 
 
 # ---------------------------------------------------------------------------
@@ -882,6 +889,17 @@ def delete_keyed(spark: SparkSession, path: str, keys: DataFrame) -> None:
 
 
 
+def table_version(path: str) -> int:
+    """Current commit version of a keyed table — the optimistic-
+    concurrency token.  Read it BEFORE computing a read-modify-write
+    batch, pass it to ``merge_keyed(expected_version=...)``, and a
+    concurrent commit between your read and your merge surfaces as
+    ``StaleWriteError`` instead of silently clobbering state the batch
+    never saw.  (The writer lock serializes the writes themselves; it
+    cannot know your batch was derived from an older snapshot.)"""
+    return _load_meta(path).get("version", 0)
+
+
 def merge_keyed(
     spark: SparkSession,
     path: str,
@@ -889,6 +907,7 @@ def merge_keyed(
     change_col: str = "_change",
     seq_col: str | None = None,
     meta_extra: dict | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """MERGE: apply a mixed batch of inserts/updates/deletes in ONE
     atomic commit — the CDC-apply primitive the separate
@@ -902,11 +921,24 @@ def merge_keyed(
     batch's row survives.  Additive schema evolution applies like
     APPEND.  Only buckets touched by EITHER side are rewritten; the
     manifest flips once.
+
+    ``expected_version`` (from ``table_version``) enables optimistic
+    concurrency for read-modify-write cycles: the merge commits only
+    if the table is still at that version, else ``StaleWriteError``.
     """
     if change_col not in changes.columns:
         raise ValueError(f"change column {change_col!r} not in {changes.columns}")
     with _writer_lock(path):
         meta = _load_meta(path)
+        if (
+            expected_version is not None
+            and meta.get("version", 0) != expected_version
+        ):
+            raise StaleWriteError(
+                f"keyed table {path} is at version {meta.get('version', 0)}, "
+                f"caller expected {expected_version}: a concurrent commit "
+                f"landed after the batch was derived — re-read and retry"
+            )
         _migrate_legacy(path, meta)
         key, boundaries = meta["key"], meta["boundaries"]
         # Pin the batch once: the split, the affected-bucket collects and

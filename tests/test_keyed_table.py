@@ -1049,3 +1049,53 @@ def test_replica_incremental_sync_and_staleness(spark, tmp_path):
     want = sorted(tuple(r) for r in read_keyed(spark, p2).collect())
     got = sorted(tuple(r) for r in read_keyed(spark, r2).collect())
     assert got == want
+
+
+def test_optimistic_merge_version_gate(spark, tmp_path):
+    """Optimistic concurrency: a merge derived from version V commits
+    iff the table is still at V; a commit that lands in between makes
+    the stale merge raise StaleWriteError and leaves state untouched."""
+    from cascading_hbase_spark.keyed.table import (
+        StaleWriteError, merge_keyed, read_keyed, table_version,
+        write_keyed,
+    )
+
+    path = str(tmp_path / "kt")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"
+        ),
+        path, "k",
+    )
+    v = table_version(path)
+
+    # CAS succeeds while the version still matches, and bumps it
+    merge_keyed(
+        spark, path,
+        spark.createDataFrame([(3, 30.0, "insert")],
+                              "k long, v double, _change string"),
+        expected_version=v,
+    )
+    assert table_version(path) == v + 1
+
+    # a batch still derived from the OLD version must not commit
+    import pytest as _pytest
+    with _pytest.raises(StaleWriteError):
+        merge_keyed(
+            spark, path,
+            spark.createDataFrame([(1, 99.0, "update")],
+                                  "k long, v double, _change string"),
+            expected_version=v,
+        )
+    got = sorted((r.k, r.v) for r in read_keyed(spark, path).collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]  # stale write rejected
+    assert table_version(path) == v + 1              # no version burn
+
+    # expected_version=None keeps the unconditional behavior
+    merge_keyed(
+        spark, path,
+        spark.createDataFrame([(1, 99.0, "update")],
+                              "k long, v double, _change string"),
+    )
+    got = sorted((r.k, r.v) for r in read_keyed(spark, path).collect())
+    assert got == [(1, 99.0), (2, 20.0), (3, 30.0)]
