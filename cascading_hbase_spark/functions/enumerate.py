@@ -27,7 +27,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["global_row_index", "bucketed_running_sum", "bucketed_running_max"]
+__all__ = [
+    "global_row_index",
+    "bucketed_running_sum",
+    "bucketed_running_max",
+    "grouped_running_sum",
+]
 
 
 def _percentile_buckets(
@@ -226,5 +231,93 @@ def bucketed_running_max(
         .withColumn(
             max_col, F.greatest(F.max(value_col).over(w), F.col("_base"))
         )
+        .drop("_bucket", "_cs", "_base")
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    sum_col: str = "running_sum",
+    descending: bool = False,
+    n_buckets: int = 32,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``value_col`` in ``key_col`` order —
+    ``SUM(v) OVER (PARTITION BY g ORDER BY key)`` for groups too large
+    for a single task, via the same bucket decomposition as
+    ``bucketed_running_sum`` but with PER-GROUP percentile cuts:
+
+    1. one ``approx_percentile`` aggregate per group (a #groups-row
+       relation) joined back on the group key,
+    2. map-side bucket from count-of-cuts-below (monotone within the
+       group; any cut quality is correct),
+    3. per-(group, bucket) totals prefix-summed over each group's B-row
+       spine,
+    4. the running window partitions by (group, bucket) — never by the
+       group alone.
+
+    When every group comfortably fits one task, a plain
+    ``PARTITION BY group`` window is simpler and cheaper — this is the
+    escape hatch for the 100 TB case where ONE group is a large
+    fraction of the data (the aggregation-skew shape from
+    ``functions/skew.py``, applied to windows).  Same exact-type caveat
+    and tie rules as ``bucketed_running_sum``; ``key_col`` must be
+    non-null."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    qs = ", ".join(
+        f"{(i + 1) / (n_buckets):.10f}D" for i in range(n_buckets - 1)
+    )
+    cuts = df.groupBy(group_col).agg(
+        F.expr(
+            f"approx_percentile(cast({key_col} as double), array({qs}), 1000)"
+        ).alias("_cs")
+        if n_buckets > 1
+        else F.expr("array(cast(null as double))").alias("_cs")
+    )
+    asc = (
+        F.aggregate(
+            "_cs",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(key_col).cast("double") > c, 1).otherwise(0),
+        )
+        if n_buckets > 1
+        else F.lit(0)
+    )
+    bucket = (F.lit(n_buckets - 1) - asc) if descending else asc
+    bucketed = df.join(cuts, group_col).select(
+        df["*"], bucket.alias("_bucket")
+    )
+    bases = (
+        bucketed.groupBy(group_col, "_bucket")
+        .agg(F.sum(value_col).alias("_bt"))
+        .select(
+            group_col,
+            "_bucket",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.partitionBy(group_col)
+                    .orderBy("_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_base"),
+        )
+    )
+    order = [F.col(key_col).desc() if descending else F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(bases, [group_col, "_bucket"])
+        .withColumn(sum_col, F.sum(value_col).over(w) + F.col("_base"))
         .drop("_bucket", "_cs", "_base")
     )

@@ -138,6 +138,8 @@ _PRIORITY = [
     "join_key_skew_report",              # new: shuffle-key skew diagnostics
     "horvitz_thompson_revenue",          # new: stratified HT estimator audit
     "mann_kendall_theil_sen",            # new: nonparametric trend + slope
+    "segment_n50_concentration",         # new: grouped_running_sum N50
+    "ols_two_factor",                    # new: one-pass normal equations
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -1321,3 +1321,151 @@ def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("trend"),
     )
+
+
+@query(
+    "segment_n50_concentration",
+    oracle="""
+    WITH run AS (
+      SELECT c_mktsegment,
+             sum(c_acctbal) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS cum,
+             sum(c_acctbal) OVER (PARTITION BY c_mktsegment) AS total
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN cum * 2 < total THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS n50,
+           CAST(round((sum(CASE WHEN cum * 2 < total THEN 1 ELSE 0 END) + 1)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS n50_share
+    FROM run GROUP BY c_mktsegment
+    """,
+)
+def segment_n50_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance concentration per market segment: N50 — the minimum
+    number of top-balance customers holding half the segment's total
+    account balance (and its share of the segment).  The per-group
+    twin of ``pareto_revenue_share``'s global 80/20 curve.
+
+    Scale shape: the per-segment cumulative balance comes from
+    ``functions.enumerate.grouped_running_sum`` — per-GROUP percentile
+    cuts, windows partitioned by (segment, bucket) — because at 100 TB
+    a PARTITION BY segment window puts 1/#segments of the data on one
+    task (segments number ~5: that is the aggregation-skew shape).
+    Segment totals join back as a #segments-row keyed join, and N50
+    folds out of one conditional count.  Exact DECIMAL arithmetic
+    (cum*2 < total) keeps the boundary engine-stable."""
+    from cascading_hbase_spark.functions.enumerate import grouped_running_sum
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    run = grouped_running_sum(
+        c,
+        "c_mktsegment",
+        "c_acctbal",
+        "c_acctbal",
+        sum_col="cum",
+        descending=True,
+        tiebreak_col="c_custkey",
+    )
+    totals = c.groupBy("c_mktsegment").agg(F.sum("c_acctbal").alias("total"))
+    in_half = F.when(F.col("cum") * 2 < F.col("total"), 1).otherwise(0)
+    return (
+        run.join(totals, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (F.sum(in_half) + 1).cast("bigint").alias("n50"),
+            F.round(
+                (F.sum(in_half) + 1) / F.count("*").cast("double"), 6
+            ).alias("n50_share"),
+        )
+    )
+
+
+@query(
+    "ols_two_factor",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS y,
+             ln(CAST(l_extendedprice AS DOUBLE)
+                / CAST(l_quantity AS DOUBLE)) AS x1,
+             CAST(l_discount AS DOUBLE) AS x2
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+             var_pop(x1) AS v1, var_pop(x2) AS v2, var_pop(y) AS vy,
+             covar_pop(x1, x2) AS c12,
+             covar_pop(x1, y) AS c1y,
+             covar_pop(x2, y) AS c2y
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(round((v2*c1y - c12*c2y) / nullif(v1*v2 - c12*c12, 0.0), 6)
+                AS DOUBLE) AS b_log_price,
+           CAST(round((v1*c2y - c12*c1y) / nullif(v1*v2 - c12*c12, 0.0), 6)
+                AS DOUBLE) AS b_discount,
+           CAST(round(my - (v2*c1y - c12*c2y) / nullif(v1*v2 - c12*c12, 0.0) * m1
+                         - (v1*c2y - c12*c1y) / nullif(v1*v2 - c12*c12, 0.0) * m2,
+                      6) AS DOUBLE) AS intercept,
+           CAST(round(((v2*c1y - c12*c2y) / nullif(v1*v2 - c12*c12, 0.0) * c1y
+                     + (v1*c2y - c12*c1y) / nullif(v1*v2 - c12*c12, 0.0) * c2y)
+                      / nullif(vy, 0.0), 6) AS DOUBLE) AS r2
+    FROM m
+    """,
+)
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS fit in ONE distributed pass: regress order
+    quantity on log unit price and discount via the closed-form
+    normal-equation solution over population moments
+    (b = Σxx⁻¹ Σxy expanded for k=2) — multiple regression without
+    collecting anything, the step past
+    ``price_elasticity_by_brand``'s single-regressor slope.
+
+    Scale shape: all ten moments (count/means/variances/covariances)
+    are mergeable single-pass aggregates over map-side transforms —
+    the whole fit is one partial+final aggregate and 1-row arithmetic;
+    a collinear design (zero determinant) degrades to NULL
+    coefficients via nullif rather than an error."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    d = li.select(
+        F.col("l_quantity").cast("double").alias("y"),
+        F.log(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+    )
+    m = d.agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("my"), F.avg("x1").alias("m1"), F.avg("x2").alias("m2"),
+        F.var_pop("x1").alias("v1"), F.var_pop("x2").alias("v2"),
+        F.var_pop("y").alias("vy"),
+        F.covar_pop("x1", "x2").alias("c12"),
+        F.covar_pop("x1", "y").alias("c1y"),
+        F.covar_pop("x2", "y").alias("c2y"),
+    )
+    det = F.nullif(
+        F.col("v1") * F.col("v2") - F.col("c12") * F.col("c12"), F.lit(0.0)
+    )
+    b1 = (F.col("v2") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("v1") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(b1, 6).alias("b_log_price"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 6
+        ).alias("intercept"),
+        F.round(
+            (b1 * F.col("c1y") + b2 * F.col("c2y"))
+            / F.nullif(F.col("vy"), F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )

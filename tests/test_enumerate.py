@@ -199,3 +199,89 @@ def test_fuzz_running_max_vs_naive(spark):
         assert got == want, (keys, n_buckets, strict)
 
     check()
+
+
+@pytest.mark.parametrize("n_buckets,desc", [(1, False), (4, True), (32, False)])
+def test_grouped_running_sum_matches_naive_window(spark, n_buckets, desc):
+    from pyspark.sql import Window
+    from cascading_hbase_spark.functions.enumerate import grouped_running_sum
+
+    rows = [
+        ("a", 5, 10, 0), ("a", 3, 1, 1), ("a", 5, 2, 2), ("b", 8, 7, 3),
+        ("b", 1, 4, 4), ("a", 3, 3, 5), ("b", 9, 5, 6), ("c", 8, 6, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long, tb long")
+    got = {
+        (r.g, r.tb): r.rs
+        for r in grouped_running_sum(
+            df, "g", "k", "v", sum_col="rs", descending=desc,
+            n_buckets=n_buckets, tiebreak_col="tb",
+        ).collect()
+    }
+    order = [F.col("k").desc() if desc else F.col("k").asc(), F.col("tb")]
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.tb): r.rs
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want, (n_buckets, desc)
+
+
+def test_fuzz_grouped_running_sum_vs_naive(spark):
+    """Randomized group/key/value mixes (ties, negatives, singleton and
+    empty-ish groups) against the PARTITION BY group naive window."""
+    import random
+
+    from pyspark.sql import Window
+    from cascading_hbase_spark.functions.enumerate import grouped_running_sum
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n = rng.randint(1, 60)
+        rows = [
+            (
+                rng.choice(["g1", "g2", "g3", "g4"]),
+                rng.randint(-5, 5),
+                rng.randint(-100, 100),
+                i,
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "g string, k long, v long, tb long")
+        buckets = rng.choice([1, 2, 7, 64])
+        got = {
+            (r.g, r.tb): r.rs
+            for r in grouped_running_sum(
+                df, "g", "k", "v", sum_col="rs",
+                n_buckets=buckets, tiebreak_col="tb",
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k", "tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r.g, r.tb): r.rs
+            for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+        }
+        assert got == want, (trial, buckets)
+
+
+def test_grouped_running_sum_window_partitioned_by_group_and_bucket(spark):
+    from cascading_hbase_spark.functions.enumerate import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [("a", i, 1) for i in range(50)], "g string, k long, v long"
+    )
+    plan = (
+        grouped_running_sum(df, "g", "k", "v", n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(g" in plan and "_bucket" in plan, plan
