@@ -68,6 +68,7 @@ from __future__ import annotations
 import contextlib
 import enum
 import json
+import math
 import os
 import shutil
 
@@ -478,6 +479,44 @@ def _migrate_legacy(path: str, meta: dict) -> None:
     _write_history(path, meta)
 
 
+def _update_zone_maps(df: DataFrame, meta: dict) -> None:
+    """Refresh per-bucket zone maps (min/max of the table's configured
+    ``zone_cols``) for every bucket present in the about-to-be-staged
+    relation — which IS each affected bucket's full new content, so
+    the stats are exact, not merely widened.  Bounds are stored one
+    ulp wider than measured (float conversion of DECIMAL/era types
+    must never tighten a bound; pruning correctness requires
+    supersets).  Buckets absent from this commit keep their previous
+    entries; a bucket the commit empties keeps a stale-but-superset
+    entry that the gens intersection in ``_read_raw`` makes harmless.
+
+    Cost: one extra aggregate over the staged relation per commit —
+    the zone-maps tax, paid only when the table opted in at creation
+    (``write_keyed(zone_cols=[...])``)."""
+    zcols = [c for c in meta.get("zone_cols", []) if c in df.columns]
+    if not zcols:
+        return
+    aggs = []
+    for c in zcols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+    zm = meta.setdefault("zone_maps", {})
+    for r in df.groupBy(BUCKET_COL).agg(*aggs).collect():
+        ent = {}
+        for c in zcols:
+            mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+            if mn is not None and mx is not None:
+                ent[c] = [
+                    math.nextafter(mn, -math.inf),
+                    math.nextafter(mx, math.inf),
+                ]
+        b = str(r[BUCKET_COL])
+        if ent:
+            zm[b] = ent
+        else:  # bucket's new content is empty/all-null for every zone col
+            zm.pop(b, None)
+
+
 def _stage_and_publish(
     df: DataFrame, path: str, key: str, meta: dict, affected: list | None = None,
     by_bucket: bool = False,
@@ -494,6 +533,7 @@ def _stage_and_publish(
     with the stage directory."""
     stage = _stage_dir(path)
     shutil.rmtree(stage, ignore_errors=True)
+    _update_zone_maps(df, meta)
     try:
         _write_partitioned(df, stage, key, by_bucket=by_bucket)
         staged = sorted(
@@ -514,6 +554,7 @@ def _stage_and_publish(
 _RESERVED_META = {
     "key", "boundaries", "next_seq", "families", "schema", "gens",
     "last_gen", "version", "retain", "ttl", "schema_evolved",
+    "zone_cols", "zone_maps",
 }
 
 
@@ -536,8 +577,18 @@ def write_keyed(
     families: dict[str, str] | None = None,
     retain: int | None = None,
     meta_extra: dict | None = None,
+    zone_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a keyed table at ``path``.
+
+    ``zone_cols`` (creation only) opts the table into per-bucket zone
+    maps: every commit records min/max of those numeric columns per
+    affected bucket in the manifest, and
+    ``read_keyed(zone_filter=(col, lo, hi))`` prunes bucket
+    directories whose range cannot intersect — split elimination on
+    NON-key predicates, complementing the key-range pruning the
+    bucket layout already gives (and the write-side analogue of
+    ``operators/zorder.py``'s file skipping).
 
     ``meta_extra`` merges application keys into the manifest in the
     SAME atomic commit as the data (e.g. a materialized view's refresh
@@ -598,12 +649,26 @@ def write_keyed(
             }
             if retain is not None:
                 meta["retain"] = retain
+            if zone_cols:
+                missing = [c for c in zone_cols if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"zone_cols not in batch columns: {missing}"
+                    )
+                meta["zone_cols"] = list(zone_cols)
             _merge_meta_extra(meta, meta_extra)
             _stage_and_publish(batch, path, key, meta)
             return
 
         meta = _load_meta(path)
         _migrate_legacy(path, meta)
+        if zone_cols and list(zone_cols) != meta.get("zone_cols", []):
+            # fixed at creation, like families — silently switching would
+            # leave earlier buckets without entries for the new columns
+            raise ValueError(
+                f"zone_cols are fixed at table creation "
+                f"(table: {meta.get('zone_cols', [])}, got: {list(zone_cols)})"
+            )
         # legacy manifests predate the stored schema; backfill from the batch
         meta.setdefault("schema", df.schema.json())
         # Additive schema evolution (HBase cells are schema-less per
@@ -777,6 +842,7 @@ def read_keyed(
     fields: list[str] | None = None,
     family: str | None = None,
     generation: int | None = None,
+    zone_filter: tuple | None = None,
 ) -> DataFrame:
     """Scan a keyed table, optionally range-pruned to [start, stop) and
     projected to ``fields`` with the key prepended
@@ -789,12 +855,47 @@ def read_keyed(
 
     A key range prunes twice: bucket directories via the partition
     column (split pruning, TableInputFormatWrap.java:55-65) and row
-    groups via the pushed key predicate on sorted files."""
+    groups via the pushed key predicate on sorted files.
+
+    ``zone_filter=(col, lo, hi)`` (either bound may be None) prunes
+    bucket directories by the manifest's per-bucket zone maps for a
+    NON-key column (tables created with ``zone_cols``), then applies
+    the row filter too — the result is exactly ``WHERE col BETWEEN``.
+    Buckets without a zone entry for ``col`` are conservatively
+    read."""
     meta = _meta_at(path, generation)
     key, boundaries = meta["key"], meta["boundaries"]
     min_b = _bucket_of(start, boundaries) if start is not None else None
     max_b = _bucket_of(stop, boundaries) if stop is not None else None
-    df = _read_raw(spark, path, meta, min_b, max_b)
+    zbuckets = None
+    if zone_filter is not None:
+        zcol, lo, hi = zone_filter
+        if zcol == key:
+            raise ValueError(
+                "zone_filter is for non-key columns; use start/stop for "
+                "the key range"
+            )
+        zm = meta.get("zone_maps", {})
+        zbuckets = {
+            int(b)
+            for b, ent in zm.items()
+            if zcol not in ent
+            or (
+                (hi is None or float(ent[zcol][0]) <= float(hi))
+                and (lo is None or float(ent[zcol][1]) >= float(lo))
+            )
+        }
+        # buckets the table has but the zone map never covered: keep
+        zbuckets |= {
+            int(b) for b in meta.get("gens", {}) if b not in zm
+        }
+    df = _read_raw(spark, path, meta, min_b, max_b, zbuckets)
+    if zone_filter is not None:
+        zcol, lo, hi = zone_filter
+        if lo is not None:
+            df = df.filter(F.col(zcol) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(zcol) <= hi)
     if start is not None:
         df = df.filter(
             (F.col(BUCKET_COL) >= _bucket_of(start, boundaries))

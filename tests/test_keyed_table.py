@@ -1099,3 +1099,62 @@ def test_optimistic_merge_version_gate(spark, tmp_path):
     )
     got = sorted((r.k, r.v) for r in read_keyed(spark, path).collect())
     assert got == [(1, 99.0), (2, 20.0), (3, 30.0)]
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """Zone maps: non-key-column min/max per bucket prunes bucket
+    directories on read, refreshes on append, stays a correct superset
+    after deletes, and the read applies the row filter exactly."""
+    from cascading_hbase_spark.keyed.table import (
+        delete_keyed, read_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "zt")
+    # v rides monotonically with k, so bucket zone ranges are disjoint
+    df = spark.createDataFrame(
+        [(k, k * 10.0) for k in range(100)], "k long, v double"
+    )
+    write_keyed(df, path, "k", n_buckets=4, zone_cols=["v"])
+
+    narrow = read_keyed(spark, path, zone_filter=("v", 100.0, 150.0))
+    assert sorted(r.k for r in narrow.collect()) == list(range(10, 16))
+    # pruning is real: fewer bucket dirs listed than the full scan
+    full = read_keyed(spark, path)
+    assert len(set(narrow.inputFiles())) < len(set(full.inputFiles()))
+    assert full.count() == 100
+
+    # append into the low-key bucket with HIGH v: its zone must widen
+    write_keyed(
+        spark.createDataFrame([(0, 9999.0), (1, 9998.0)], "k long, v double"),
+        path, "k",
+    )
+    high = read_keyed(spark, path, zone_filter=("v", 9000.0, None))
+    assert sorted((r.k, r.v) for r in high.collect()) == [
+        (0, 9999.0), (1, 9998.0)
+    ]
+
+    # delete leaves a stale-superset zone: filter still exact
+    delete_keyed(spark, path, spark.createDataFrame([(0,)], "k long"))
+    high2 = read_keyed(spark, path, zone_filter=("v", 9000.0, None))
+    assert [(r.k, r.v) for r in high2.collect()] == [(1, 9998.0)]
+
+    # open-ended low bound
+    low = read_keyed(spark, path, zone_filter=("v", None, 95.0))
+    assert sorted(r.k for r in low.collect()) == list(range(2, 10))
+
+
+def test_zone_map_misuse_paths(spark, tmp_path):
+    from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
+
+    path = str(tmp_path / "zt2")
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="zone_cols not in batch"):
+        write_keyed(df, path, "k", zone_cols=["nope"])
+    write_keyed(df, path, "k", zone_cols=["v"])
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        write_keyed(
+            spark.createDataFrame([(2, 3.0)], "k long, v double"),
+            path, "k", zone_cols=["k"],
+        )
+    with pytest.raises(ValueError, match="non-key columns"):
+        read_keyed(spark, path, zone_filter=("k", 0, 1))
