@@ -140,6 +140,7 @@ _PRIORITY = [
     "mann_kendall_theil_sen",            # new: nonparametric trend + slope
     "segment_n50_concentration",         # new: grouped_running_sum N50
     "ols_two_factor",                    # new: one-pass normal equations
+    "itemcf_recommendations",            # new: item-item cosine top-5
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

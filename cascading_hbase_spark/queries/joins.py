@@ -11,7 +11,7 @@ Do NOT hand-schedule sort-merge like the reference's MR engine did
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.queries import query
@@ -991,3 +991,106 @@ def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_parts")
     ).select(F.col("degree").cast("bigint").alias("degree"), "n_parts")
+
+
+@query(
+    "itemcf_recommendations",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c2
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    item AS (SELECT l_partkey AS p, count(*) AS c1 FROM li GROUP BY p),
+    sym AS (
+      SELECT pa AS p, pb AS q, c2 FROM pairs
+      UNION ALL
+      SELECT pb AS p, pa AS q, c2 FROM pairs
+    ),
+    sim AS (
+      SELECT s.p, s.q, s.c2,
+             s.c2 / sqrt(ia.c1 * ib.c1) AS cos
+      FROM sym s JOIN item ia ON s.p = ia.p JOIN item ib ON s.q = ib.p
+    ),
+    ranked AS (
+      SELECT p, q, c2, cos,
+             row_number() OVER (PARTITION BY p ORDER BY cos DESC, q) AS rn
+      FROM sim
+    )
+    SELECT CAST(p AS BIGINT) AS part_id,
+           CAST(q AS BIGINT) AS rec_part_id,
+           CAST(round(cos, 6) AS DOUBLE) AS similarity,
+           CAST(c2 AS BIGINT) AS support
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def itemcf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers who bought X also
+    bought Y'): cosine similarity over order co-occurrence —
+    sim(a, b) = c(a, b) / sqrt(c(a) c(b)) — with top-5 recommendations
+    per part, support attached so weak evidence is visible.  The
+    recommender counterpart of ``copurchase_triangles``'s community
+    view; support >= 2 keeps the candidate set the sparse co-purchase
+    graph, not the all-pairs cross.
+
+    Scale shape: pair counts expand map-side from per-order part sets
+    (quadratic only in lines-per-order); item supports are one keyed
+    count; similarity is two equi joins against the item-count
+    relation; ranking windows partition per item and each partition is
+    that item's graph degree — bounded by the support threshold, never
+    by catalog size."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= 2)
+    )
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("c1")
+    )
+    sym = pairs.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "c2"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "c2")
+    )
+    ia = item.select(F.col("p"), F.col("c1").alias("c1a"))
+    ib = item.select(F.col("p").alias("q"), F.col("c1").alias("c1b"))
+    sim = (
+        sym.join(ia, "p")
+        .join(ib, "q")
+        .select(
+            "p", "q", "c2",
+            (F.col("c2") / F.sqrt(F.col("c1a") * F.col("c1b"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.col("cos").desc(), F.col("q"))
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("p").cast("bigint").alias("part_id"),
+            F.col("q").cast("bigint").alias("rec_part_id"),
+            F.round("cos", 6).alias("similarity"),
+            F.col("c2").cast("bigint").alias("support"),
+        )
+    )

@@ -589,3 +589,31 @@ def test_stream_maintained_cms(spark, tmp_path):
         for r in read_aggregate_view(spark, view).collect()
     }
     assert got == expected
+
+
+def test_stream_upserts_maintain_zone_maps(spark, tmp_path):
+    """A table created with zone_cols keeps its per-bucket zone maps
+    fresh under the streaming upsert sink: every micro-batch commit
+    goes through the same stage-and-publish choke point as batch
+    writes, so a zone_filter read after the stream drains is exact."""
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = str(tmp_path / "ztk")
+    seed = load_table(spark, SF, "events").select(
+        "user_id", "value"
+    ).limit(1)
+    write_keyed(seed, path, "user_id", zone_cols=["value"])
+    q = S.stream_upsert_keyed(
+        S.events_stream(spark, SF, max_files_per_trigger=1).select(
+            "user_id", "value"
+        ),
+        path, key="user_id", checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = read_keyed(spark, path, zone_filter=("value", 200.0, None))
+    full = read_keyed(spark, path)
+    want = full.filter(F.col("value") >= 200.0)
+    assert got.count() == want.count() > 0
+    g = {(r.user_id, r.value) for r in got.collect()}
+    w = {(r.user_id, r.value) for r in want.collect()}
+    assert g == w
