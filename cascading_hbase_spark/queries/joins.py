@@ -866,6 +866,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "copurchase_triangles",
+    bench=True,
     oracle=f"""
     WITH {_COPURCHASE_EDGES_SQL},
     wedges AS (

@@ -3643,6 +3643,7 @@ def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lm_trigram_backoff",
+    bench=True,
     oracle=f"""
     WITH {_SQL_TRI},
     train AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
