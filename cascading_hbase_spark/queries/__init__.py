@@ -141,6 +141,7 @@ _PRIORITY = [
     "segment_n50_concentration",         # new: grouped_running_sum N50
     "ols_two_factor",                    # new: one-pass normal equations
     "itemcf_recommendations",            # new: item-item cosine top-5
+    "bpe_merges_learn",                  # new: BPE trainer, hash-checked
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

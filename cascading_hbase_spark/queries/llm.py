@@ -3797,3 +3797,133 @@ def trigram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_BPE_PAIRS = """
+  SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y,
+         pc FROM (
+    SELECT s[i] || '|' || s[i+1] AS pair, sum(cnt) AS pc
+    FROM (SELECT cnt, string_split(seg, ' ') AS s FROM {src}),
+         unnest(generate_series(1, len(s)-1)) AS t(i)
+    GROUP BY pair)
+  ORDER BY pc DESC, x || '|' || y LIMIT 1
+"""
+
+_BPE_APPLY = """
+  SELECT word, cnt,
+         list_reduce(string_split(seg, ' '),
+           (acc, cur) -> CASE
+             WHEN (acc = {p}.x OR acc LIKE '% ' || {p}.x) AND cur = {p}.y
+             THEN substr(acc, 1, len(acc) - len({p}.x)) || {p}.x || {p}.y
+             ELSE acc || ' ' || cur END) AS seg
+  FROM {src} CROSS JOIN {p}
+"""
+
+
+@query(
+    "bpe_merges_learn",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY w
+    ),
+    seg0 AS (
+      SELECT word, cnt,
+             list_reduce(
+               list_transform(generate_series(1, len(word)), i -> word[i]),
+               (a, b) -> a || ' ' || b) AS seg
+      FROM words
+    ),
+    p1 AS ({_BPE_PAIRS.format(src="seg0")}),
+    seg1 AS ({_BPE_APPLY.format(src="seg0", p="p1")}),
+    p2 AS ({_BPE_PAIRS.format(src="seg1")}),
+    seg2 AS ({_BPE_APPLY.format(src="seg1", p="p2")}),
+    p3 AS ({_BPE_PAIRS.format(src="seg2")})
+    SELECT * FROM (
+      SELECT 1 AS step, x AS left_sym, y AS right_sym,
+             CAST(pc AS BIGINT) AS pair_count FROM p1
+      UNION ALL
+      SELECT 2, x, y, CAST(pc AS BIGINT) FROM p2
+      UNION ALL
+      SELECT 3, x, y, CAST(pc AS BIGINT) FROM p3
+    ) ORDER BY step
+    """,
+)
+def bpe_merges_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, first 3 merges: start
+    from character segmentation of the corpus word-type table, and per
+    round (a) count adjacent symbol pairs weighted by word frequency,
+    (b) pick the most frequent pair (ties by pair string — fully
+    deterministic), (c) re-segment every word by the classic greedy
+    left-to-right merge.  Exactly Sennrich et al.'s trainer loop; the
+    oracle unrolls the same three rounds in SQL, fold included, so the
+    learned merge TABLE is hash-checked, not just plausible.
+
+    Scale shape: the corpus collapses ONCE to the word-type relation
+    (vocab-sized — the whole BPE state); each round is one pair-count
+    aggregate over that relation plus a map-side HOF re-segmentation.
+    The driver sees one 1-row argmax per round (the pagerank
+    scalar-probe pattern) and K rounds cost K vocab-sized jobs — at
+    100 TB the corpus is read exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seg = words.select(
+        "word",
+        "cnt",
+        F.array_join(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            " ",
+        ).alias("seg"),
+    ).persist()
+    steps = []
+    try:
+        for step in (1, 2, 3):
+            s = F.split("seg", " ")
+            pair = F.explode(
+                F.zip_with(
+                    F.slice(s, 1, F.size(s) - 1),
+                    F.slice(s, 2, F.size(s) - 1),
+                    lambda a, b: F.concat(a, F.lit("|"), b),
+                )
+            )
+            top = (
+                seg.filter(F.size(F.split("seg", " ")) >= 2)
+                .select(pair.alias("pair"), "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.col("pc").desc(), F.col("pair"))
+                .limit(1)
+                .collect()[0]  # ONE 1-row argmax per round (model scalar)
+            )
+            x, y = top["pair"].split("|", 1)
+            steps.append((step, x, y, int(top["pc"])))
+            if step == 3:
+                break
+            merged = F.aggregate(
+                F.slice(s, 2, F.size(s) - 1),
+                F.element_at(s, 1),
+                lambda acc, cur: F.when(
+                    ((acc == F.lit(x)) | acc.endswith(F.lit(" " + x)))
+                    & (cur == F.lit(y)),
+                    F.concat(
+                        acc.substr(
+                            F.lit(1), F.length(acc) - F.lit(len(x))
+                        ),
+                        F.lit(x + y),
+                    ),
+                ).otherwise(F.concat(acc, F.lit(" "), cur)),
+            )
+            nxt = seg.select("word", "cnt", merged.alias("seg")).persist()
+            seg.unpersist()
+            seg = nxt
+    finally:
+        seg.unpersist()
+    return spark.createDataFrame(
+        steps, "step int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("step")
