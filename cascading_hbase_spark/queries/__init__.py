@@ -142,6 +142,7 @@ _PRIORITY = [
     "ols_two_factor",                    # new: one-pass normal equations
     "itemcf_recommendations",            # new: item-item cosine top-5
     "bpe_merges_learn",                  # new: BPE trainer, hash-checked
+    "embedding_dim_profile",             # new: per-dimension health check
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

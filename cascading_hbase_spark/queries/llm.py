@@ -3927,3 +3927,50 @@ def bpe_merges_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         steps, "step int, left_sym string, right_sym string, pair_count bigint"
     ).orderBy("step")
+
+
+@query(
+    "embedding_dim_profile",
+    oracle="""
+    WITH el AS (
+      SELECT t.i AS dim_idx, CAST(e.embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT CAST(dim_idx AS INTEGER) AS dim_idx,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(avg(v), 6) AS DOUBLE) AS mean_val,
+           CAST(round(stddev_pop(v), 6) AS DOUBLE) AS std_val,
+           CAST(round(min(v), 6) AS DOUBLE) AS min_val,
+           CAST(round(max(v), 6) AS DOUBLE) AS max_val,
+           CAST(stddev_pop(v) < 0.01 AS BOOLEAN) AS collapsed
+    FROM el GROUP BY dim_idx
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health profile: mean/std/min/max for
+    each of the 64 coordinates plus a collapsed-dimension flag
+    (std < 0.01 — a dead axis carries no information and silently
+    wastes index space).  The transposed complement of
+    ``embedding_stats``' per-vector view; run it before trusting any
+    cosine-based pipeline (a collapsed or unbounded dimension skews
+    every similarity).
+
+    Scale shape: posexplode fans n x d element rows map-side; ONE
+    keyed aggregate over the d dimension groups does everything
+    (mergeable moments).  Output is d rows regardless of corpus
+    size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("int").alias("dim_idx"), "v")
+    return el.groupBy("dim_idx").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("v"), 6).alias("mean_val"),
+        F.round(F.stddev_pop("v"), 6).alias("std_val"),
+        F.round(F.min("v"), 6).alias("min_val"),
+        F.round(F.max("v"), 6).alias("max_val"),
+        (F.stddev_pop("v") < 0.01).alias("collapsed"),
+    )
