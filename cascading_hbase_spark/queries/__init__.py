@@ -143,6 +143,9 @@ _PRIORITY = [
     "itemcf_recommendations",            # new: item-item cosine top-5
     "bpe_merges_learn",                  # new: BPE trainer, hash-checked
     "embedding_dim_profile",             # new: per-dimension health check
+    "stl_lite_decompose",                # new: trend/seasonal/residual
+    "scd2_intervals",                    # new: SCD2 validity intervals
+    "quality_percentile_by_source",      # new: per-source quantile norm
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

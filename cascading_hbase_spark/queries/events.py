@@ -2610,3 +2610,144 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.avg("p") - F.avg("y")), 6).alias("abs_gap"),
         )
     )
+
+
+@query(
+    "stl_lite_decompose",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(isodow(date_trunc('day', ts)) AS INTEGER) AS dow,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, dow, x,
+             avg(x) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM daily
+    ),
+    seas AS (
+      SELECT dow, avg(x - trend) AS seasonal FROM tr GROUP BY dow
+    )
+    SELECT t.day, t.dow,
+           CAST(t.x AS BIGINT) AS n_events,
+           CAST(round(t.trend, 6) AS DOUBLE) AS trend,
+           CAST(round(s.seasonal, 6) AS DOUBLE) AS seasonal,
+           CAST(round(t.x - t.trend - s.seasonal, 6) AS DOUBLE) AS residual
+    FROM tr t JOIN seas s ON t.dow = s.dow
+    """,
+)
+def stl_lite_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event count
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = the rest.
+    The decomposition view that ``dow_detrended_anomaly`` (robust
+    outliers) and ``seasonal_naive_mase`` (forecast skill) both sit
+    on top of — here the three components are emitted explicitly.
+    Edge days average a partial window (both engines identically).
+
+    Scale shape: the corpus folds to the #days-sized daily relation in
+    one aggregate; every window and join after that runs over #days or
+    7 rows — the 100 TB cost is the first fold, full stop."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    dow = (
+        F.when(F.dayofweek(day) == 1, 7).otherwise(F.dayofweek(day) - 1)
+    ).cast("int")
+    daily = ev.groupBy(day.alias("day"), dow.alias("dow")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    # windows below run over the #days-sized relation only
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", F.avg("x").over(w))
+    seas = tr.groupBy("dow").agg(
+        F.avg(F.col("x") - F.col("trend")).alias("seasonal")
+    )
+    return tr.join(seas, "dow").select(
+        "day", "dow",
+        F.col("x").cast("bigint").alias("n_events"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("x") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id, event_type, ts,
+             sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM chg
+    ),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS attr,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, attr AS event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM runs
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into validity intervals — one row per
+    consecutive run of the tracked attribute (event_type), with
+    ``valid_from`` / ``valid_to`` (NULL = current) and the run length.
+    The warehouse dimension-history primitive: the output is directly
+    joinable AS OF any timestamp (``valid_from <= t < valid_to``),
+    which is what ``asof_join_generic`` consumes on the other side.
+
+    Scale shape: change detection (lag), island numbering (running
+    sum) and the interval window all share ONE user-keyed shuffle;
+    runs collapse via a keyed aggregate and the lead window runs over
+    the runs relation (bounded by change count, not event count)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn(
+        "is_chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    isl = chg.withColumn(
+        "island",
+        F.sum("is_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("island")
+    valid_to = F.lead("valid_from").over(wr)
+    return runs.select(
+        "user_id", "event_type", "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

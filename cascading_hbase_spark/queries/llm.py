@@ -3974,3 +3974,55 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("max_val"),
         (F.stddev_pop("v") < 0.01).alias("collapsed"),
     )
+
+
+@query(
+    "quality_percentile_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    rk AS (
+      SELECT source, n_chars,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+               - c + (c + 1) / 2.0 AS midrank,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM per
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(round(r.midrank / r.n, 6) AS DOUBLE) AS pct_in_source
+    FROM documents d
+    JOIN rk r ON d.source = r.source AND d.n_chars = r.n_chars
+    """,
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality signal
+    (n_chars): each document's midrank percentile WITHIN its source —
+    the calibration step before any cross-source quality threshold
+    (sources have wildly different raw-score distributions; a global
+    cutoff silently over-prunes whole sources; CCNet buckets per
+    language for the same reason, see ``perplexity_bucket_ccnet``).
+
+    Scale shape: the midrank trick from ``spearman_by_brand`` — rows
+    collapse to per-(source, score) counts, percentiles fall out of a
+    running count over that compact relation, and docs join their
+    percentile back by (source, score).  No per-row rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    wsum = Window.partitionBy("source").orderBy("n_chars")
+    wtot = Window.partitionBy("source")
+    rk = per.select(
+        "source", "n_chars",
+        (
+            F.sum("c").over(wsum) - F.col("c") + (F.col("c") + 1) / F.lit(2.0)
+        ).alias("midrank"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    return d.select("doc_id", "source", "n_chars").join(
+        rk, ["source", "n_chars"]
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.col("midrank") / F.col("n"), 6).alias("pct_in_source"),
+    )
