@@ -146,6 +146,7 @@ _PRIORITY = [
     "stl_lite_decompose",                # new: trend/seasonal/residual
     "scd2_intervals",                    # new: SCD2 validity intervals
     "quality_percentile_by_source",      # new: per-source quantile norm
+    "gopher_quality_rules",              # new: rule-vector quality gate
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

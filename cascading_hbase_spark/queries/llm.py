@@ -4026,3 +4026,96 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.round(F.col("midrank") / F.col("n"), 6).alias("pct_in_source"),
     )
+
+
+@query(
+    "gopher_quality_rules",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+               FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tok) AS n,
+             list_avg(list_transform(tok, w -> len(w))) AS mwl,
+             len(list_filter(tok,
+                             x -> x IN ('the','a','of','in','to','and')))
+               / CAST(len(tok) AS DOUBLE) AS stopf,
+             len(list_distinct(tok)) / CAST(len(tok) AS DOUBLE) AS dratio,
+             list_max(list_transform(list_distinct(tok),
+                        w -> len(list_filter(tok, x -> x = w))))
+               / CAST(len(tok) AS DOUBLE) AS topshare
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(n >= 30 AS BOOLEAN) AS r_word_count,
+           CAST(mwl >= 3.0 AND mwl <= 10.0 AS BOOLEAN) AS r_mean_word_len,
+           CAST(stopf >= 0.03 AS BOOLEAN) AS r_stopword_frac,
+           CAST(dratio >= 0.35 AS BOOLEAN) AS r_distinct_ratio,
+           CAST(topshare <= 0.15 AS BOOLEAN) AS r_top_word_share,
+           CAST(n >= 30 AND mwl >= 3.0 AND mwl <= 10.0 AND stopf >= 0.03
+                AND dratio >= 0.35 AND topshare <= 0.15 AS BOOLEAN)
+             AS passes_all
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-vector quality gate (Rae et al. 2021 §A1.1,
+    adapted to this corpus's signals): per document, an explicit
+    boolean per rule — word count floor, mean word length band,
+    stopword fraction floor, distinct-word ratio floor (repetition),
+    most-frequent-word share cap (dominance) — plus the conjunction.
+    Emitting the VECTOR (not just the verdict) is the point: curation
+    debugging needs 'which rule killed this doc', and per-rule pass
+    rates are the drift monitor.  Complements the scalar
+    ``quality_score`` ranking.
+
+    Scale shape: every rule is a map-side higher-order-function
+    expression over the token array — ZERO shuffles, no UDFs.  The
+    dominance rule is O(distinct x len) per doc map-side, the right
+    trade for bounded documents (for book-length docs switch to the
+    explode + (doc, word) count shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    n = F.size(tok)
+    stopset = ("the", "a", "of", "in", "to", "and")
+    mwl = (
+        F.aggregate(
+            F.transform(tok, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / n.cast("double")
+    )
+    is_stop = lambda x: x.isin(*stopset)  # noqa: E731
+    stopf = F.size(F.filter(tok, is_stop)) / n.cast("double")
+    dratio = F.size(F.array_distinct(tok)) / n.cast("double")
+    topshare = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(tok),
+                lambda w: F.size(F.filter(tok, lambda x: x == w)),
+            )
+        )
+        / n.cast("double")
+    )
+    m = d.select(
+        "doc_id",
+        n.alias("n"), mwl.alias("mwl"), stopf.alias("stopf"),
+        dratio.alias("dratio"), topshare.alias("topshare"),
+    )
+    r_wc = F.col("n") >= 30
+    r_mwl = (F.col("mwl") >= 3.0) & (F.col("mwl") <= 10.0)
+    r_stop = F.col("stopf") >= 0.03
+    r_dr = F.col("dratio") >= 0.35
+    r_top = F.col("topshare") <= 0.15
+    return m.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopword_frac"),
+        r_dr.alias("r_distinct_ratio"),
+        r_top.alias("r_top_word_share"),
+        (r_wc & r_mwl & r_stop & r_dr & r_top).alias("passes_all"),
+    )
