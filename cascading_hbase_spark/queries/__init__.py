@@ -147,6 +147,7 @@ _PRIORITY = [
     "scd2_intervals",                    # new: SCD2 validity intervals
     "quality_percentile_by_source",      # new: per-source quantile norm
     "gopher_quality_rules",              # new: rule-vector quality gate
+    "out_of_order_audit",                # new: watermark-sizing histogram
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

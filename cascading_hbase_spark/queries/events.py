@@ -2751,3 +2751,84 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "out_of_order_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    seen AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prior_max
+      FROM ev
+    ),
+    lat AS (
+      SELECT greatest(0, epoch(prior_max) - epoch(ts)) AS late_s
+      FROM seen WHERE prior_max IS NOT NULL
+    ),
+    b AS (
+      SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                  WHEN late_s < 60 THEN 'late_lt_1m'
+                  WHEN late_s < 600 THEN 'late_lt_10m'
+                  WHEN late_s < 3600 THEN 'late_lt_1h'
+                  ELSE 'late_ge_1h' END AS bucket
+      FROM lat
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+                AS DOUBLE) AS share
+    FROM b GROUP BY bucket
+    """,
+)
+def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: how late does each event arrive
+    relative to the maximum event time already ingested (arrival order
+    = event_id)?  The lateness histogram is THE input for choosing a
+    streaming watermark (``withWatermark`` delays in
+    ``streaming/ops.py``) — a watermark below the observed tail
+    silently drops data, one far above it bloats state.
+
+    Scale shape: the prior-max is ``bucketed_running_max`` in
+    event_id order with ``strict=True`` (percentile-cut buckets,
+    per-bucket parallel windows — never a single-partition global
+    ORDER BY over the event stream); lateness and bucketing are
+    map-side; the histogram is a 5-group aggregate and the share
+    window runs over those 5 rows."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_max
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    seen = bucketed_running_max(
+        ev, "event_id", "ts", max_col="prior_max", strict=True
+    )
+    late = (
+        seen.filter(F.col("prior_max").isNotNull())
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.unix_timestamp("prior_max") - F.unix_timestamp("ts"),
+            ).alias("late_s")
+        )
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") < 60, "late_lt_1m")
+        .when(F.col("late_s") < 600, "late_lt_10m")
+        .when(F.col("late_s") < 3600, "late_lt_1h")
+        .otherwise("late_ge_1h")
+    )
+    counts = late.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    # share over the 5-row histogram only
+    return counts.select(
+        "bucket", "n_events",
+        F.round(
+            F.col("n_events")
+            / F.sum("n_events").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )

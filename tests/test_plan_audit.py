@@ -69,6 +69,7 @@ BNL_BY_DESIGN = {
     "hll_overlap_estimate",       # 1-row sketch algebra x 1-row exact overlap
     "auc_rank_sum",               # 1-row percentile cuts broadcast
     "lm_trigram_backoff",         # 1-row model totals (N, V) broadcast
+    "out_of_order_audit",         # 1-row percentile cuts broadcast
 }
 
 
