@@ -148,6 +148,8 @@ _PRIORITY = [
     "quality_percentile_by_source",      # new: per-source quantile norm
     "gopher_quality_rules",              # new: rule-vector quality gate
     "out_of_order_audit",                # new: watermark-sizing histogram
+    "bpe_compression_ratio",             # new: learned-tokenizer audit
+    "dau_mau_stickiness",                # new: trailing-30d engagement
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

@@ -2832,3 +2832,75 @@ def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM ev
+    ),
+    dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY d
+    ),
+    contrib AS (
+      SELECT DISTINCT a.user_id, a.d + to_days(CAST(t.i AS INTEGER)) AS d
+      FROM active a, unnest(generate_series(0, 29)) AS t(i)
+    ),
+    mau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS mau FROM contrib GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           CAST(round(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS DOUBLE)
+             AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over trailing-30-day
+    actives — the canonical engagement ratio.  Only days with actual
+    activity are emitted (the DAU side of the join), and the opening
+    29 days see a partial trailing window on both engines.
+
+    Scale shape: the day-contribution explode from
+    ``rolling_7d_active_users`` generalized to 30 days — a COUNT
+    DISTINCT over a trailing window cannot be expressed as a running
+    aggregate (distinct does not decompose), so each active (user,
+    day) fans into the 30 future days it keeps alive, and both sides
+    collapse via keyed distinct-counts.  Cost is 30x the per-(user,
+    day) active relation — already deduplicated, far below event
+    rows — shuffled on the day key."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    dau = active.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    contrib = (
+        active.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+            "d",
+        )
+        .select(
+            "user_id",
+            (F.col("d") + F.make_interval(days=F.col("i"))).alias("d"),
+        )
+        .distinct()
+    )
+    mau = contrib.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

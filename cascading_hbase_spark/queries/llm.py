@@ -3866,6 +3866,19 @@ def bpe_merges_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver sees one 1-row argmax per round (the pagerank
     scalar-probe pattern) and K rounds cost K vocab-sized jobs — at
     100 TB the corpus is read exactly once."""
+    steps, seg = _bpe_train(spark, sf_dir, n_merges=3)
+    seg.unpersist()
+    return spark.createDataFrame(
+        steps, "step int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("step")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3):
+    """Shared BPE trainer (see ``bpe_merges_learn``): returns the
+    learned merge list [(step, x, y, count)] and the FINAL word-type
+    segmentation (all merges applied), persisted — the caller either
+    unpersists it (model-only use) or keeps consuming it (scoring use;
+    CacheManager LRU lifecycle, the documented policy)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -3882,51 +3895,117 @@ def bpe_merges_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg"),
     ).persist()
     steps = []
-    try:
-        for step in (1, 2, 3):
-            s = F.split("seg", " ")
-            pair = F.explode(
-                F.zip_with(
-                    F.slice(s, 1, F.size(s) - 1),
-                    F.slice(s, 2, F.size(s) - 1),
-                    lambda a, b: F.concat(a, F.lit("|"), b),
-                )
-            )
-            top = (
-                seg.filter(F.size(F.split("seg", " ")) >= 2)
-                .select(pair.alias("pair"), "cnt")
-                .groupBy("pair")
-                .agg(F.sum("cnt").alias("pc"))
-                .orderBy(F.col("pc").desc(), F.col("pair"))
-                .limit(1)
-                .collect()[0]  # ONE 1-row argmax per round (model scalar)
-            )
-            x, y = top["pair"].split("|", 1)
-            steps.append((step, x, y, int(top["pc"])))
-            if step == 3:
-                break
-            merged = F.aggregate(
+    for step in range(1, n_merges + 1):
+        s = F.split("seg", " ")
+        pair = F.explode(
+            F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
                 F.slice(s, 2, F.size(s) - 1),
-                F.element_at(s, 1),
-                lambda acc, cur: F.when(
-                    ((acc == F.lit(x)) | acc.endswith(F.lit(" " + x)))
-                    & (cur == F.lit(y)),
-                    F.concat(
-                        acc.substr(
-                            F.lit(1), F.length(acc) - F.lit(len(x))
-                        ),
-                        F.lit(x + y),
-                    ),
-                ).otherwise(F.concat(acc, F.lit(" "), cur)),
+                lambda a, b: F.concat(a, F.lit("|"), b),
             )
-            nxt = seg.select("word", "cnt", merged.alias("seg")).persist()
-            seg.unpersist()
-            seg = nxt
-    finally:
+        )
+        top = (
+            seg.filter(F.size(F.split("seg", " ")) >= 2)
+            .select(pair.alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("pair"))
+            .limit(1)
+            .collect()[0]  # ONE 1-row argmax per round (model scalar)
+        )
+        x, y = top["pair"].split("|", 1)
+        steps.append((step, x, y, int(top["pc"])))
+        merged = F.aggregate(
+            F.slice(s, 2, F.size(s) - 1),
+            F.element_at(s, 1),
+            lambda acc, cur: F.when(
+                ((acc == F.lit(x)) | acc.endswith(F.lit(" " + x)))
+                & (cur == F.lit(y)),
+                F.concat(
+                    acc.substr(
+                        F.lit(1), F.length(acc) - F.lit(len(x))
+                    ),
+                    F.lit(x + y),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), cur)),
+        )
+        nxt = seg.select("word", "cnt", merged.alias("seg")).persist()
         seg.unpersist()
-    return spark.createDataFrame(
-        steps, "step int, left_sym string, right_sym string, pair_count bigint"
-    ).orderBy("step")
+        seg = nxt
+    return steps, seg
+
+
+@query(
+    "bpe_compression_ratio",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY w
+    ),
+    seg0 AS (
+      SELECT word, cnt,
+             list_reduce(
+               list_transform(generate_series(1, len(word)), i -> word[i]),
+               (a, b) -> a || ' ' || b) AS seg
+      FROM words
+    ),
+    p1 AS ({_BPE_PAIRS.format(src="seg0")}),
+    seg1 AS ({_BPE_APPLY.format(src="seg0", p="p1")}),
+    p2 AS ({_BPE_PAIRS.format(src="seg1")}),
+    seg2 AS ({_BPE_APPLY.format(src="seg1", p="p2")}),
+    p3 AS ({_BPE_PAIRS.format(src="seg2")}),
+    seg3 AS ({_BPE_APPLY.format(src="seg2", p="p3")}),
+    tokc AS (
+      SELECT word, len(string_split(seg, ' ')) AS ntok FROM seg3
+    ),
+    dw AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0
+    )
+    SELECT dw.doc_id,
+           CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(t.ntok) AS BIGINT) AS n_bpe_tokens,
+           CAST(round(sum(len(dw.word)) / CAST(sum(t.ntok) AS DOUBLE), 6)
+                AS DOUBLE) AS chars_per_token
+    FROM dw JOIN tokc t ON dw.word = t.word
+    GROUP BY dw.doc_id
+    """,
+)
+def bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges (``bpe_merges_learn``) back to
+    the corpus and measure per-document compression: characters per
+    BPE token.  The 'did the tokenizer actually learn something' audit
+    — chars/token starts at 1.0 pre-merge and grows as merges absorb
+    frequent pairs; a doc whose ratio stays ~1 is out-of-distribution
+    for the learned vocabulary (a curation signal in its own right).
+
+    Scale shape: training as in ``bpe_merges_learn`` (vocab-sized
+    state, 3 scalar argmaxes); scoring joins the corpus's (doc, word)
+    relation to the word->token-count map on the word key — one
+    explode, one keyed join, one per-doc aggregate."""
+    _, seg = _bpe_train(spark, sf_dir, n_merges=3)
+    tokc = seg.select(
+        "word", F.size(F.split("seg", " ")).alias("ntok")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        dw.join(tokc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("ntok").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("word"))
+                / F.sum("ntok").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 @query(
