@@ -83,6 +83,7 @@ __all__ = [
     "compact_keyed", "rollback_keyed", "list_generations",
     "changefeed_keyed", "set_ttl", "clone_keyed", "composite_key",
     "composite_prefix", "StaleWriteError", "table_version",
+    "describe_keyed", "vacuum_keyed",
 ]
 
 SEQ_COL = "_kt_seq"
@@ -1442,3 +1443,62 @@ def composite_prefix(*values, sep: str = "\x00") -> tuple[str, str]:
         "\x01" if v is None else "\x02" + str(v) for v in values
     ) + sep
     return enc, enc + "\xff"
+
+
+def describe_keyed(spark: SparkSession, path: str) -> DataFrame:
+    """Per-bucket observability: one row per live bucket with its
+    current generation, file count, byte size, key-range bounds (from
+    the manifest's bucket boundaries) and zone-map ranges (JSON, NULL
+    when the table has no ``zone_cols``) — the 'is this table healthy /
+    skewed / fragmented' view that decides whether ``compact_keyed``
+    or a re-bucket is due.
+
+    Driver-side metadata walk only (#buckets rows, no data read), same
+    bound as split planning."""
+    meta = _load_meta(path)
+    boundaries = meta.get("boundaries", [])
+    zm = meta.get("zone_maps", {})
+    rows = []
+    for b_str, gen in sorted(
+        meta.get("gens", {}).items(), key=lambda kv: int(kv[0])
+    ):
+        b = int(b_str)
+        gdir = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{gen}")
+        files = [
+            f for f in os.listdir(gdir) if f.endswith(".parquet")
+        ] if os.path.isdir(gdir) else []
+        nbytes = sum(
+            os.path.getsize(os.path.join(gdir, f)) for f in files
+        )
+        lo = str(boundaries[b - 1]) if 0 < b <= len(boundaries) else None
+        hi = str(boundaries[b]) if b < len(boundaries) else None
+        rows.append(
+            (
+                b, int(gen), len(files), int(nbytes), lo, hi,
+                json.dumps(zm[b_str]) if b_str in zm else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bucket int, generation int, n_files int, n_bytes bigint, "
+        "key_lo string, key_hi string, zone_ranges string",
+    )
+
+
+def vacuum_keyed(path: str, retain: int = 1) -> None:
+    """Eagerly garbage-collect generation directories beyond the last
+    ``retain`` commits — the manual space-reclaim lever (the automatic
+    per-commit GC honors the table's standing ``retain`` policy; this
+    call tightens ONE collection without changing that policy).
+
+    ``retain=1`` keeps only the current snapshot: time travel to older
+    commits stops working and any reader DataFrame planned against a
+    pre-vacuum snapshot will fail on its next action — run it in a
+    maintenance window, exactly like its warehouse namesakes."""
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    with _writer_lock(path):
+        meta = _load_meta(path)
+        once = dict(meta)
+        once["retain"] = retain
+        _gc_orphans(path, once)

@@ -1158,3 +1158,61 @@ def test_zone_map_misuse_paths(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="non-key columns"):
         read_keyed(spark, path, zone_filter=("k", 0, 1))
+
+
+def test_describe_keyed_reports_buckets_and_zones(spark, tmp_path):
+    from cascading_hbase_spark.keyed.table import describe_keyed, write_keyed
+
+    path = str(tmp_path / "dk")
+    write_keyed(
+        spark.createDataFrame(
+            [(k, k * 2.0) for k in range(40)], "k long, v double"
+        ),
+        path, "k", n_buckets=4, zone_cols=["v"],
+    )
+    rows = describe_keyed(spark, path).collect()
+    assert len(rows) >= 2                      # several live buckets
+    assert all(r.n_files >= 1 and r.n_bytes > 0 for r in rows)
+    assert all(r.zone_ranges is not None for r in rows)
+    import json as _json
+    z0 = _json.loads(rows[0].zone_ranges)
+    assert "v" in z0 and z0["v"][0] <= z0["v"][1]
+    # key bounds come from the manifest boundaries (interior buckets
+    # have both; the ends are open)
+    assert rows[0].key_lo is None and rows[-1].key_hi is None
+
+
+def test_vacuum_keyed_reclaims_old_generations(spark, tmp_path):
+    from cascading_hbase_spark.keyed.table import (
+        read_keyed, vacuum_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "vk")
+    write_keyed(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        path, "k", n_buckets=1, retain=10,
+    )
+    for i in range(2, 6):
+        write_keyed(
+            spark.createDataFrame([(1, float(i))], "k long, v double"),
+            path, "k",
+        )
+
+    def n_gen_dirs():
+        base = os.path.join(path, "_kt_bucket=0")
+        return len([d for d in os.listdir(base) if d.startswith("_kt_gen=")])
+
+    before = n_gen_dirs()
+    assert before >= 4                       # retain=10 kept them all
+    vacuum_keyed(path, retain=1)
+    assert n_gen_dirs() == 1                 # only the current snapshot
+    got = read_keyed(spark, path).collect()  # current read still exact
+    assert [(r.k, r.v) for r in got] == [(1, 5.0)]
+    # standing policy untouched: another write still honors retain=10
+    write_keyed(
+        spark.createDataFrame([(1, 6.0)], "k long, v double"), path, "k"
+    )
+    assert n_gen_dirs() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vacuum_keyed(path, retain=0)
