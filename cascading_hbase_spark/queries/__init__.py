@@ -150,6 +150,7 @@ _PRIORITY = [
     "out_of_order_audit",                # new: watermark-sizing histogram
     "bpe_compression_ratio",             # new: learned-tokenizer audit
     "dau_mau_stickiness",                # new: trailing-30d engagement
+    "quantization_recall_audit",         # new: int8-vs-float recall@10
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

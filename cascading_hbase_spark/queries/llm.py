@@ -4198,3 +4198,111 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_top.alias("r_top_word_share"),
         (r_wc & r_mwl & r_stop & r_dr & r_top).alias("passes_all"),
     )
+
+
+@query(
+    "quantization_recall_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    r AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(x / s) * s) AS v
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+            FROM e) WHERE s > 0
+    ),
+    qf AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 8),
+    qr AS (SELECT vec_id AS q_id, v AS q_vec FROM r WHERE vec_id < 8),
+    topf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                         i -> q.q_vec[i] * c.v[i]))
+                 / sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> q.q_vec[i] * q.q_vec[i]))
+                   * list_sum(list_transform(generate_series(1, 64),
+                          i -> c.v[i] * c.v[i]))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM e c CROSS JOIN qf q WHERE c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    topr AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                         i -> q.q_vec[i] * c.v[i]))
+                 / sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> q.q_vec[i] * q.q_vec[i]))
+                   * list_sum(list_transform(generate_series(1, 64),
+                          i -> c.v[i] * c.v[i]))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM r c CROSS JOIN qr q WHERE c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT f.q_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(round(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      / 10.0, 6) AS DOUBLE) AS recall_at_10
+    FROM topf f
+    LEFT JOIN topr r ON f.q_id = r.q_id AND f.vec_id = r.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def quantization_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 quantization (``embedding_quantize_int8``) damage
+    retrieval?  For each query vector: exact cosine top-10 on the raw
+    floats vs top-10 where BOTH sides are int8-reconstructed
+    (round(x/scale)*scale), reported as recall@10 — the accept/reject
+    number for shipping a 4x-smaller index.  The audit twin of
+    ``similarity_ann_*``'s blocking-recall checks, aimed at the
+    compression axis instead.
+
+    Scale shape: both rankings are the ``cosine_topk`` broadcast-query
+    shape (candidates never shuffle; per-query windows over the
+    candidate relation); the overlap join runs on the 8 x 10 top-k
+    rows only."""
+    from cascading_hbase_spark.functions import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    raw = e.select("vec_id", dbl.alias("embedding"))
+    scale = F.array_max(F.transform("embedding", F.abs)) / 127.0
+    recon = raw.select(
+        "vec_id", "embedding", scale.alias("_s")
+    ).filter(F.col("_s") > 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x / F.col("_s")) * F.col("_s")
+        ).alias("embedding"),
+    )
+    topf = SIM.cosine_topk(raw, raw.filter(F.col("vec_id") < 8), k=10)
+    topr = SIM.cosine_topk(recon, recon.filter(F.col("vec_id") < 8), k=10)
+    f = topf.select("q_id", "vec_id")
+    r = topr.select("q_id", F.col("vec_id").alias("r_vec"))
+    return (
+        f.join(
+            r,
+            (f.q_id == r.q_id) & (f.vec_id == r.r_vec),
+            "left",
+        )
+        .drop(r.q_id)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(
+                F.when(F.col("r_vec").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r_vec").isNotNull(), 1).otherwise(0)
+                )
+                / F.lit(10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )

@@ -70,6 +70,7 @@ BNL_BY_DESIGN = {
     "auc_rank_sum",               # 1-row percentile cuts broadcast
     "lm_trigram_backoff",         # 1-row model totals (N, V) broadcast
     "out_of_order_audit",         # 1-row percentile cuts broadcast
+    "quantization_recall_audit",  # fixed query-vector set (cosine_topk x2)
 }
 
 
