@@ -60,6 +60,22 @@ def _load_all() -> None:
 # from round 2 (testdata is regenerated per round, so verdict age is
 # the weakest link in the CORRECTNESS artifact).
 _PRIORITY = [
+    # --- driver-budget head: the most algorithmically intricate of the
+    #     ~95 never-driver-verified round-5 pairs go first (the ~50/round
+    #     budget should land on the riskiest algorithms; the rest rotate
+    #     in r06)
+    "bpe_merges_learn",                  # new: BPE trainer, hash-checked
+    "bpe_compression_ratio",             # new: learned-tokenizer audit
+    "lm_trigram_backoff",                # new: held-out stupid backoff LM
+    "trigram_novelty_per_doc",           # new: corpus novelty decay
+    "copurchase_triangles",              # new: oriented-wedge triangles
+    "itemcf_recommendations",            # new: item-item cosine top-5
+    "auc_rank_sum",                      # new: Mann-Whitney AUC, bucketed
+    "quantization_recall_audit",         # new: int8-vs-float recall@10
+    "segment_n50_concentration",         # new: grouped_running_sum N50
+    "mann_kendall_theil_sen",            # new: nonparametric trend + slope
+    "scd2_intervals",                    # new: SCD2 validity intervals
+    "out_of_order_audit",                # new: watermark-sizing histogram
     # --- changed or new in round 5 (appended as they land)
     "q15_top_supplier",        # persist -> max() OVER () rewrite
     "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite
@@ -128,29 +144,17 @@ _PRIORITY = [
     "hll_overlap_estimate",              # new: sketch-algebra set overlap
     "kfold_assignment_report",           # new: deterministic CV folds
     "welch_ttest_value",                 # new: unequal-variance metric test
-    "auc_rank_sum",                      # new: Mann-Whitney AUC, bucketed
     "calibration_bins",                  # new: reliability diagram / ECE
     "spearman_by_brand",                 # new: midrank Spearman via counts
-    "copurchase_triangles",              # new: oriented-wedge triangles
     "copurchase_degree_distribution",    # new: graph shape check
-    "lm_trigram_backoff",                # new: held-out stupid backoff LM
-    "trigram_novelty_per_doc",           # new: corpus novelty decay
     "join_key_skew_report",              # new: shuffle-key skew diagnostics
     "horvitz_thompson_revenue",          # new: stratified HT estimator audit
-    "mann_kendall_theil_sen",            # new: nonparametric trend + slope
-    "segment_n50_concentration",         # new: grouped_running_sum N50
     "ols_two_factor",                    # new: one-pass normal equations
-    "itemcf_recommendations",            # new: item-item cosine top-5
-    "bpe_merges_learn",                  # new: BPE trainer, hash-checked
     "embedding_dim_profile",             # new: per-dimension health check
     "stl_lite_decompose",                # new: trend/seasonal/residual
-    "scd2_intervals",                    # new: SCD2 validity intervals
     "quality_percentile_by_source",      # new: per-source quantile norm
     "gopher_quality_rules",              # new: rule-vector quality gate
-    "out_of_order_audit",                # new: watermark-sizing histogram
-    "bpe_compression_ratio",             # new: learned-tokenizer audit
     "dau_mau_stickiness",                # new: trailing-30d engagement
-    "quantization_recall_audit",         # new: int8-vs-float recall@10
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",
