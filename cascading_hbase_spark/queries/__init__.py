@@ -76,6 +76,7 @@ _PRIORITY = [
     "mann_kendall_theil_sen",            # new: nonparametric trend + slope
     "scd2_intervals",                    # new: SCD2 validity intervals
     "out_of_order_audit",                # new: watermark-sizing histogram
+    "peak_concurrency_sweepline",        # new: interval-overlap counting
     # --- changed or new in round 5 (appended as they land)
     "q15_top_supplier",        # persist -> max() OVER () rewrite
     "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite

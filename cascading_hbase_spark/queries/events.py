@@ -2904,3 +2904,107 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "peak_concurrency_sweepline",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    gap AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 60 SECOND AS s_end,
+             min(event_id) AS s_id
+      FROM (SELECT user_id, ts, event_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gap)
+      GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT s_start AS ts, 1 AS delta,
+             2000000000000 + s_id AS tb FROM sess
+      UNION ALL
+      SELECT s_end, -1, s_id FROM sess
+    ),
+    run AS (
+      SELECT ts, sum(delta) OVER (ORDER BY ts, tb
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+)
+def peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep-line: sessionize
+    (30-min gap, 60-s tail), emit +1 at each session start and -1 at
+    its end, and the global running sum of deltas in time order IS the
+    live-concurrency curve — per-day peak is its max over that day's
+    points.  Capacity planning's load number, and the interval-overlap
+    counting pattern (room scheduling, connection pools) the interval
+    JOINS here don't cover.  Simultaneous endpoints resolve
+    end-before-start (back-to-back sessions never overlap),
+    deterministically via the tiebreak encoding.
+
+    Scale shape: sessionization shares one user-keyed shuffle; the
+    sweep is ``bucketed_running_sum`` over the 2x#sessions point
+    relation in (ts, tb) order — percentile-cut buckets, parallel
+    windows, exact integer deltas — never a single-partition global
+    ORDER BY; the per-day max is a keyed aggregate."""
+    from cascading_hbase_spark.functions.enumerate import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        gap.withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 60 SECONDS")).alias("s_end"),
+            F.min("event_id").alias("s_id"),
+        )
+    )
+    starts = sess.select(
+        F.col("s_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        (F.lit(2000000000000) + F.col("s_id")).alias("tb"),
+    )
+    ends = sess.select(
+        F.col("s_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        F.col("s_id").alias("tb"),
+    )
+    pts = starts.unionByName(ends)
+    run = bucketed_running_sum(
+        pts, "ts", "delta", sum_col="conc", tiebreak_col="tb"
+    )
+    return run.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )

@@ -71,6 +71,7 @@ BNL_BY_DESIGN = {
     "lm_trigram_backoff",         # 1-row model totals (N, V) broadcast
     "out_of_order_audit",         # 1-row percentile cuts broadcast
     "quantization_recall_audit",  # fixed query-vector set (cosine_topk x2)
+    "peak_concurrency_sweepline", # 1-row percentile cuts broadcast
 }
 
 
