@@ -1,0 +1,84 @@
+"""Output file sizing: write parquet with files near a target size.
+
+The 100 TB small-files problem in one utility: a shuffle-heavy job's
+natural output partitioning says nothing about FILE sizes, and both
+failure modes hurt — thousands of KB-sized files grind the next job's
+split planning and any metastore; multi-GB files kill read parallelism
+and retry granularity.  Engines with managed tables auto-compact;
+for a plain parquet sink the writer has to size its own output.
+
+``write_sized_parquet`` measures the ACTUAL compressed bytes/row of a
+bounded sample (schema-dependent encodings make any static estimate
+wrong by 10x), derives rows-per-file for the target, and writes with
+``repartition(n_files)`` + ``maxRecordsPerFile`` (the repartition sets
+the parallelism floor; the option caps stragglers if the estimate ran
+low).  Cost: one bounded sample write + one count — the sizing tax,
+only worth paying on sinks that downstream jobs re-read many times."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_sized_parquet", "estimate_bytes_per_row"]
+
+
+def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """Compressed parquet bytes per row, measured by writing a bounded
+    sample (``limit`` — cheap, no full scan) to a temp dir.  Sampling
+    the head slightly biases toward whatever the head looks like;
+    callers wanting distribution-robust estimates should pre-shuffle
+    or pass a larger sample."""
+    tmp = tempfile.mkdtemp(prefix="kt_sizing_")
+    try:
+        sample = df.limit(sample_rows)
+        path = os.path.join(tmp, "sample")
+        sample.coalesce(1).write.mode("overwrite").parquet(path)
+        n = sample.count()
+        if n == 0:
+            raise ValueError("cannot size an empty DataFrame")
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return nbytes / n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_mb: float = 128.0,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as parquet with files sized ~``target_mb``.
+
+    Returns the sizing decision ``{"bytes_per_row", "rows_per_file",
+    "n_files", "n_rows"}`` for observability/logging.  Exact file
+    sizes still vary with compression locality (sorted runs compress
+    better than the sample suggests) — this targets the right ORDER of
+    file size, which is what split planning cares about."""
+    bpr = estimate_bytes_per_row(df, sample_rows)
+    target_bytes = target_mb * 1024 * 1024
+    rows_per_file = max(1, int(target_bytes / bpr))
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.option("maxRecordsPerFile", rows_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
+    return {
+        "bytes_per_row": bpr,
+        "rows_per_file": rows_per_file,
+        "n_files": n_files,
+        "n_rows": n_rows,
+    }
