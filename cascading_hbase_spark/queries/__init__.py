@@ -77,6 +77,7 @@ _PRIORITY = [
     "scd2_intervals",                    # new: SCD2 validity intervals
     "out_of_order_audit",                # new: watermark-sizing histogram
     "peak_concurrency_sweepline",        # new: interval-overlap counting
+    "exact_grouped_median_scalable",     # new: exact median, scale path
     # --- changed or new in round 5 (appended as they land)
     "q15_top_supplier",        # persist -> max() OVER () rewrite
     "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite

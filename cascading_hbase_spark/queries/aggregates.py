@@ -1469,3 +1469,74 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "exact_grouped_median_scalable",
+    oracle="""
+    WITH per AS (
+      SELECT p.p_brand AS brand, l.l_extendedprice AS v, count(*) AS c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, v
+    ),
+    rk AS (
+      SELECT brand, v, c,
+             sum(c) OVER (PARTITION BY brand ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY brand) AS n
+      FROM per
+    )
+    SELECT brand AS p_brand,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(round((min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                       + min(CASE WHEN cum >= (n + 2) // 2 THEN v END))
+                      / 2.0, 6) AS DOUBLE) AS exact_median
+    FROM rk GROUP BY brand
+    """,
+)
+def exact_grouped_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without the exact-percentile memory
+    trap: Spark's ``percentile`` builds a full value->count map per
+    group IN ONE TASK (the reason ``percentile_agg`` documents
+    approx_percentile as the scale path).  This gets exactness AND
+    scale from the midrank-count decomposition: collapse to
+    per-(group, value) counts, cumulative counts over that compact
+    relation locate the order statistics at ranks floor/ceil((n+1)/2),
+    and the median is their mean (exact DECIMAL until the final
+    divide).  The same two-conditional-min pattern yields ANY exact
+    quantile.
+
+    Scale shape: one keyed count (the only corpus-scale shuffle),
+    windows over the per-(group, value) relation (bounded by value
+    granularity), one final aggregate.  No per-group value map ever
+    materializes in a single task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    per = (
+        li.join(part, "l_partkey")
+        .groupBy("brand", F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    rk = per.select(
+        "brand", "v", "c",
+        F.sum("c").over(Window.partitionBy("brand").orderBy("v")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("brand")).alias("n"),
+    )
+    return (
+        rk.withColumn("rlo", F.floor((F.col("n") + 1) / 2))
+        .withColumn("rhi", F.floor((F.col("n") + 2) / 2))
+        .groupBy("brand")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(
+                (
+                    F.min(F.when(F.col("cum") >= F.col("rlo"), F.col("v")))
+                    + F.min(F.when(F.col("cum") >= F.col("rhi"), F.col("v")))
+                )
+                / 2.0,
+                6,
+            ).alias("exact_median"),
+        )
+        .withColumnRenamed("brand", "p_brand")
+    )
