@@ -546,3 +546,48 @@ def test_cascade_schedules_maintenance_nodes(spark, small_txt, tmp_path):
     assert got == want and len(got) > 0
     view_groups = {r[0] for r in read_aggregate_view(spark, vpath).collect()}
     assert view_groups == {r[1] for r in want}
+
+
+def test_cascade_vacuum_and_compact_maintenance_nodes(spark, tmp_path):
+    """Space maintenance as cascade nodes: repeated upserts fragment a
+    table into many generations; a cascade chains compact -> vacuum
+    after the writes and the table ends with one generation dir per
+    bucket, contents intact — the nightly maintenance-window shape."""
+    import os
+
+    from cascading_hbase_spark.keyed.table import (
+        compact_keyed, read_keyed, vacuum_keyed, write_keyed,
+    )
+    from cascading_hbase_spark.operators.taps import KeyedTableTap
+    from cascading_hbase_spark.plans.cascade import (
+        CascadeConnector, MaintenanceFlow,
+    )
+
+    path = str(tmp_path / "frag")
+    write_keyed(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        path, "k", n_buckets=1, retain=10,
+    )
+    for i in range(2, 7):
+        write_keyed(
+            spark.createDataFrame([(i, float(i))], "k long, v double"),
+            path, "k",
+        )
+    tap = KeyedTableTap(path, key="k")
+    compact = MaintenanceFlow(
+        tap, tap, lambda s: compact_keyed(s, path), name="compact"
+    )
+    vacuum = MaintenanceFlow(
+        tap, tap, lambda s: vacuum_keyed(path, retain=1), name="vacuum"
+    )
+    # same-sink nodes: the LAST-registered producer of a tap URI wins,
+    # so connect(vacuum, compact) makes vacuum depend on compact —
+    # compact runs first (asserted by the 1-generation end state)
+    ran = CascadeConnector().connect(vacuum, compact).complete(spark)
+    assert set(ran) == {"compact", "vacuum"}
+
+    base = os.path.join(path, "_kt_bucket=0")
+    gens = [d for d in os.listdir(base) if d.startswith("_kt_gen=")]
+    assert len(gens) == 1  # fully reclaimed
+    got = sorted((r.k, r.v) for r in read_keyed(spark, path).collect())
+    assert got == [(i, float(i)) for i in range(1, 7)]
