@@ -76,6 +76,7 @@ _PRIORITY = [
     "mann_kendall_theil_sen",            # new: nonparametric trend + slope
     "scd2_intervals",                    # new: SCD2 validity intervals
     "out_of_order_audit",                # new: watermark-sizing histogram
+    "buffer_apply_in_pandas",            # regrouped coarse-key Buffer demo
     "peak_concurrency_sweepline",        # new: interval-overlap counting
     "exact_grouped_median_scalable",     # new: exact median, scale path
     # --- changed or new in round 5 (appended as they land)
@@ -198,7 +199,6 @@ _PRIORITY = [
     "rollup_agg",
     "cube_agg",
     "grouping_sets",
-    "buffer_apply_in_pandas",
     "secondary_sort_first",
     "topk_per_group",
     "global_sort_limit",

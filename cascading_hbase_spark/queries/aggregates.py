@@ -218,11 +218,11 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "buffer_apply_in_pandas",
     oracle="""
-    SELECT l_orderkey,
+    SELECT l_suppkey,
            CAST(count(*) AS BIGINT) AS n_lines,
            SUM(l_quantity) AS qty_total,
            MAX(l_extendedprice) AS max_price
-    FROM lineitem GROUP BY l_orderkey
+    FROM lineitem GROUP BY l_suppkey
     """,
 )
 def buffer_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,24 +230,32 @@ def buffer_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cascading.operation.Buffer) — as Arrow-batched ``applyInPandas``.
     Kept deliberately simple; real per-group logic that built-ins can't
     express goes through this exact shape.  (Slow path: prefer built-in
-    aggregates; this exists to prove the surface.)"""
+    aggregates; this exists to prove the surface.)
+
+    Grouped by SUPPLIER, not order, on purpose: ``applyInPandas``
+    invokes the Python function once PER GROUP, so key cardinality —
+    not row count — is the cost driver (the order-keyed form ran ~25 s
+    at sf0.01 on 15k one-call groups vs ~1 s supplier-keyed; a
+    registry-wide timing sweep caught it).  Per-group Python belongs
+    on coarse groups; fine-grained scalar-per-group work goes through
+    ``grouped_agg_pandas_udf`` or built-ins."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
+        "l_suppkey", "l_quantity", "l_extendedprice"
     )
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+                "l_suppkey": [pdf["l_suppkey"].iloc[0]],
                 "n_lines": [len(pdf)],
                 "qty_total": [float(pdf["l_quantity"].sum())],
                 "max_price": [float(pdf["l_extendedprice"].max())],
             }
         )
 
-    return li.groupBy("l_orderkey").applyInPandas(
+    return li.groupBy("l_suppkey").applyInPandas(
         summarize,
-        schema="l_orderkey bigint, n_lines bigint, qty_total double, max_price double",
+        schema="l_suppkey bigint, n_lines bigint, qty_total double, max_price double",
     )
 
 
