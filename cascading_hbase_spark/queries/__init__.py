@@ -77,6 +77,8 @@ _PRIORITY = [
     "scd2_intervals",                    # new: SCD2 validity intervals
     "out_of_order_audit",                # new: watermark-sizing histogram
     "buffer_apply_in_pandas",            # regrouped coarse-key Buffer demo
+    "graph_bfs_hops",                    # new: bounded frontier BFS
+    "cuped_adjusted_lift",               # new: CUPED variance reduction
     "peak_concurrency_sweepline",        # new: interval-overlap counting
     "exact_grouped_median_scalable",     # new: exact median, scale path
     # --- changed or new in round 5 (appended as they land)

@@ -3008,3 +3008,110 @@ def peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.max("conc").cast("bigint").alias("peak_concurrency")
     )
+
+
+@query(
+    "cuped_adjusted_lift",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE value IS NOT NULL),
+    bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM ev
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS variant,
+             CAST(sum(CASE WHEN epoch_us(ts) < b.mid_us THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x_pre,
+             sum(CASE WHEN epoch_us(ts) >= b.mid_us THEN value ELSE 0 END)
+               AS y_post
+      FROM ev CROSS JOIN bounds b
+      GROUP BY user_id
+    ),
+    stats AS (
+      SELECT covar_pop(x_pre, y_post) / nullif(var_pop(x_pre), 0.0) AS theta,
+             avg(x_pre) AS mx FROM users
+    ),
+    adj AS (
+      SELECT u.variant, u.y_post,
+             u.y_post - s.theta * (u.x_pre - s.mx) AS y_adj,
+             s.theta
+      FROM users u CROSS JOIN stats s
+    )
+    SELECT CAST(round(max(theta), 6) AS DOUBLE) AS theta,
+           CAST(round(avg(CASE WHEN variant = 1 THEN y_post END)
+                      - avg(CASE WHEN variant = 0 THEN y_post END), 6)
+                AS DOUBLE) AS raw_lift,
+           CAST(round(avg(CASE WHEN variant = 1 THEN y_adj END)
+                      - avg(CASE WHEN variant = 0 THEN y_adj END), 6)
+                AS DOUBLE) AS adjusted_lift,
+           CAST(round(1.0 - var_pop(y_adj) / nullif(var_pop(y_post), 0.0), 6)
+                AS DOUBLE) AS variance_reduction
+    FROM adj
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): regress the
+    experiment metric (post-period value per user) on a pre-period
+    covariate (pre-period event count), subtract the predicted
+    component, and measure lift on the adjusted metric — same expected
+    lift, strictly smaller variance, so experiments conclude sooner.
+    Reports theta, raw vs adjusted lift, and the realized variance
+    reduction; the modern companion to ``ab_conversion_ztest``.
+
+    Scale shape: the period midpoint is a 1-row broadcast; per-user
+    covariate/metric share ONE user-keyed aggregate; theta and the
+    covariate mean are a 1-row moment aggregate broadcast back; the
+    final lifts are one more pass of mergeable moments.  Nothing
+    larger than the user relation ever shuffles."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "ts", "value")
+    # exact integer-microsecond midpoint: identical boundary on both
+    # engines (interval halving vs seconds truncation both drift)
+    bounds = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        ).cast("long").alias("mid_us")
+    )
+    us = F.unix_micros("ts")
+    users = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid_us"), 1).otherwise(0))
+            .cast("double")
+            .alias("x_pre"),
+            F.sum(
+                F.when(us >= F.col("mid_us"), F.col("value")).otherwise(0)
+            ).alias("y_post"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    stats = users.agg(
+        (
+            F.covar_pop("x_pre", "y_post")
+            / F.nullif(F.var_pop("x_pre"), F.lit(0.0))
+        ).alias("theta"),
+        F.avg("x_pre").alias("mx"),
+    )
+    adj = users.join(F.broadcast(stats)).select(
+        "variant",
+        "y_post",
+        (
+            F.col("y_post") - F.col("theta") * (F.col("x_pre") - F.col("mx"))
+        ).alias("y_adj"),
+        "theta",
+    )
+    t = lambda c: F.avg(F.when(F.col("variant") == 1, F.col(c)))  # noqa: E731
+    c = lambda c_: F.avg(F.when(F.col("variant") == 0, F.col(c_)))  # noqa: E731
+    return adj.agg(
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(t("y_post") - c("y_post"), 6).alias("raw_lift"),
+        F.round(t("y_adj") - c("y_adj"), 6).alias("adjusted_lift"),
+        F.round(
+            1.0 - F.var_pop("y_adj") / F.nullif(F.var_pop("y_post"), F.lit(0.0)),
+            6,
+        ).alias("variance_reduction"),
+    )

@@ -1095,3 +1095,80 @@ def itemcf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c2").cast("bigint").alias("support"),
         )
     )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    seed AS (SELECT min(src) AS node FROM sym),
+    h0 AS (SELECT node, 0 AS hops FROM seed),
+    h1 AS (
+      SELECT DISTINCT s.dst AS node, 1 AS hops
+      FROM sym s JOIN h0 ON s.src = h0.node
+      WHERE s.dst NOT IN (SELECT node FROM h0)
+    ),
+    h2 AS (
+      SELECT DISTINCT s.dst AS node, 2 AS hops
+      FROM sym s JOIN h1 ON s.src = h1.node
+      WHERE s.dst NOT IN (SELECT node FROM h0)
+        AND s.dst NOT IN (SELECT node FROM h1)
+    ),
+    h3 AS (
+      SELECT DISTINCT s.dst AS node, 3 AS hops
+      FROM sym s JOIN h2 ON s.src = h2.node
+      WHERE s.dst NOT IN (SELECT node FROM h0)
+        AND s.dst NOT IN (SELECT node FROM h1)
+        AND s.dst NOT IN (SELECT node FROM h2)
+    )
+    SELECT CAST(node AS BIGINT) AS part_id, CAST(hops AS INTEGER) AS hops
+    FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+          UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the co-purchase graph: exact hop
+    distance (<= 3) from a deterministic seed (the smallest part id in
+    the edge set) — the frontier-expansion primitive behind 'related
+    within N steps' recommendations and blast-radius queries, distinct
+    from ``neardup_clusters``' run-to-fixpoint connected components.
+
+    Scale shape: each hop is one keyed join of the current FRONTIER
+    (not the visited set) against the symmetrized edge relation,
+    followed by an anti-join against the visited union — 3 fixed
+    rounds, every join on the node key.  The frontier is the only
+    relation that grows, bounded by reachable-set size; the fixed
+    depth is what keeps the whole thing one declarative plan on both
+    engines (unbounded BFS needs the iterative driver loop that
+    ``functions.graph.pagerank`` demonstrates)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    seed = sym.agg(F.min("src").alias("node")).withColumn("hops", F.lit(0))
+    frontiers = [seed.select("node", "hops")]
+    visited = seed.select("node")
+    frontier = seed.select("node")
+    for k in (1, 2, 3):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        frontiers.append(nxt.withColumn("hops", F.lit(k)))
+        visited = visited.unionByName(nxt).distinct()
+        frontier = nxt
+    out = frontiers[0]
+    for fr in frontiers[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        F.col("node").cast("bigint").alias("part_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
