@@ -72,6 +72,7 @@ BNL_BY_DESIGN = {
     "out_of_order_audit",         # 1-row percentile cuts broadcast
     "quantization_recall_audit",  # fixed query-vector set (cosine_topk x2)
     "peak_concurrency_sweepline", # 1-row percentile cuts broadcast
+    "cuped_adjusted_lift",        # 1-row midpoint + 1-row theta broadcasts
 }
 
 
