@@ -79,6 +79,7 @@ _PRIORITY = [
     "buffer_apply_in_pandas",            # regrouped coarse-key Buffer demo
     "graph_bfs_hops",                    # new: bounded frontier BFS
     "cuped_adjusted_lift",               # new: CUPED variance reduction
+    "copurchase_link_prediction_recall", # new: temporal-holdout eval
     "peak_concurrency_sweepline",        # new: interval-overlap counting
     "exact_grouped_median_scalable",     # new: exact median, scale path
     # --- changed or new in round 5 (appended as they land)

@@ -73,6 +73,7 @@ BNL_BY_DESIGN = {
     "quantization_recall_audit",  # fixed query-vector set (cosine_topk x2)
     "peak_concurrency_sweepline", # 1-row percentile cuts broadcast
     "cuped_adjusted_lift",        # 1-row midpoint + 1-row theta broadcasts
+    "copurchase_link_prediction_recall",  # 2x1-row verdict cross
 }
 
 
