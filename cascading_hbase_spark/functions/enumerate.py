@@ -265,7 +265,15 @@ def grouped_running_sum(
     fraction of the data (the aggregation-skew shape from
     ``functions/skew.py``, applied to windows).  Same exact-type caveat
     and tie rules as ``bucketed_running_sum``; ``key_col`` must be
-    non-null."""
+    non-null.  NULL groups are kept and treated as one group, exactly
+    like ``PARTITION BY`` (the joins below are null-safe).
+
+    Join strategy note: the cuts/bases joins are deliberately NOT
+    broadcast-hinted — #groups scales with the data (a hint would OOM
+    at millions of groups), Catalyst broadcasts small cut relations by
+    size estimate anyway, and a hot group at the join stage is JOIN
+    skew, which the session's AQE skew-join splitter handles per the
+    ``functions/skew.py`` policy."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     qs = ", ".join(
@@ -289,15 +297,19 @@ def grouped_running_sum(
         else F.lit(0)
     )
     bucket = (F.lit(n_buckets - 1) - asc) if descending else asc
-    bucketed = df.join(cuts, group_col).select(
-        df["*"], bucket.alias("_bucket")
-    )
+    # null-safe group join: PARTITION BY treats NULL as its own group,
+    # so the decomposition must too (an inner equi-join would silently
+    # drop NULL-group rows)
+    cuts = cuts.withColumnRenamed(group_col, "_g")
+    bucketed = df.join(
+        cuts, F.col(group_col).eqNullSafe(F.col("_g"))
+    ).select(df["*"], bucket.alias("_bucket"))
     bases = (
         bucketed.groupBy(group_col, "_bucket")
         .agg(F.sum(value_col).alias("_bt"))
         .select(
-            group_col,
-            "_bucket",
+            F.col(group_col).alias("_g"),
+            F.col("_bucket").alias("_b"),
             F.coalesce(
                 F.sum("_bt").over(
                     Window.partitionBy(group_col)
@@ -317,7 +329,11 @@ def grouped_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(bases, [group_col, "_bucket"])
+        bucketed.join(
+            bases,
+            F.col(group_col).eqNullSafe(F.col("_g"))
+            & (F.col("_bucket") == F.col("_b")),
+        )
         .withColumn(sum_col, F.sum(value_col).over(w) + F.col("_base"))
-        .drop("_bucket", "_cs", "_base")
+        .drop("_bucket", "_cs", "_base", "_g", "_b")
     )

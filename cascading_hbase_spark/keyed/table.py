@@ -638,6 +638,13 @@ def write_keyed(
             batch = _lww(
                 df.withColumn(SEQ_COL, F.lit(0)), key, _order_cols(df.columns, key, seq_col)
             ).withColumn(BUCKET_COL, _bucket_expr(key, boundaries))
+            if zone_cols:
+                # pin the batch: the zone-map stats and the staged write
+                # are two actions — a non-deterministic input plan
+                # (rand/sample) re-evaluated between them could publish
+                # rows outside the recorded bounds, turning zone pruning
+                # lossy (same hazard merge_keyed pins against)
+                batch = batch.localCheckpoint(eager=True)
             meta = {
                 "key": key,
                 "boundaries": boundaries,

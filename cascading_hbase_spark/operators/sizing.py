@@ -38,7 +38,11 @@ def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 10_000) -> float:
         sample = df.limit(sample_rows)
         path = os.path.join(tmp, "sample")
         sample.coalesce(1).write.mode("overwrite").parquet(path)
-        n = sample.count()
+        # count what was WRITTEN (footer metadata, ~free) — re-counting
+        # df.limit() would re-run the upstream plan and, for
+        # order-undefined limits, could count a different row set than
+        # the one measured on disk
+        n = df.sparkSession.read.parquet(path).count()
         if n == 0:
             raise ValueError("cannot size an empty DataFrame")
         nbytes = sum(

@@ -816,6 +816,35 @@ _COPURCHASE_EDGES_SQL = """
 """
 
 
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """Shared co-occurrence pair counts: ``li`` is an (l_orderkey,
+    l_partkey) relation (deduplicated by the caller); returns
+    (pa, pb, c) with pa < pb and c = co-occurring order count.
+    Pairs expand MAP-SIDE from each order's sorted part set (indexed
+    ``transform`` over the tail slice — one shuffle to collect the
+    set, one to count pairs); the single copy of the trickiest
+    expression in this file, consumed by the edge builder, the
+    item-CF recommender and the link-prediction evaluation."""
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edge set (pa < pb): part pairs bought
     together in >= 2 distinct orders.  The support threshold is what
@@ -839,26 +868,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~#orders x pairs-per-order rows — which is inherent to exact
     support counting and scales linearly (measured 2.4x wall for 10x
     data at the sf1 probe)."""
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size("ps")),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     return (
-        sets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= 2)
+        _order_part_pairs(li)
+        .filter(F.col("c") >= 2)
         .select("pa", "pb")
         .persist()
     )
@@ -1047,23 +1062,9 @@ def itemcf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    sets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size("ps")),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
     pairs = (
-        sets.select(F.explode(pair_arr).alias("pr"))
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("c2"))
+        _order_part_pairs(li)
+        .withColumnRenamed("c", "c2")
         .filter(F.col("c2") >= 2)
     )
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(
@@ -1258,15 +1259,9 @@ def copurchase_link_prediction_recall(
     test = li.filter(F.col("l_orderkey") == F.col("last_ok")).select(
         "l_partkey", "o_custkey"
     )
-    a = train.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = train.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pairs = _order_part_pairs(
+        train.select("l_orderkey", "l_partkey")
+    ).filter(F.col("c") >= 2)
     sym = pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q")).unionByName(
         pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"))
     )

@@ -3799,21 +3799,28 @@ def trigram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair symbols stay as TWO columns end-to-end (no delimiter encoding:
+# a learned symbol may in principle contain any corpus character), and
+# the argmax tie-break is the (pc DESC, x, y) column tuple on both
+# engines.
 _BPE_PAIRS = """
-  SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y,
-         pc FROM (
-    SELECT s[i] || '|' || s[i+1] AS pair, sum(cnt) AS pc
-    FROM (SELECT cnt, string_split(seg, ' ') AS s FROM {src}),
-         unnest(generate_series(1, len(s)-1)) AS t(i)
-    GROUP BY pair)
-  ORDER BY pc DESC, x || '|' || y LIMIT 1
+  SELECT s[i] AS x, s[i+1] AS y, sum(cnt) AS pc
+  FROM (SELECT cnt, string_split(seg, ' ') AS s FROM {src}),
+       unnest(generate_series(1, len(s)-1)) AS t(i)
+  GROUP BY x, y
+  ORDER BY pc DESC, x, y LIMIT 1
 """
 
+# Suffix test by LITERAL substring compare, not LIKE — a learned
+# symbol containing %/_ must not become a pattern.
 _BPE_APPLY = """
   SELECT word, cnt,
          list_reduce(string_split(seg, ' '),
            (acc, cur) -> CASE
-             WHEN (acc = {p}.x OR acc LIKE '% ' || {p}.x) AND cur = {p}.y
+             WHEN (acc = {p}.x
+                   OR substr(acc, len(acc) - len({p}.x),
+                             len({p}.x) + 1) = ' ' || {p}.x)
+                  AND cur = {p}.y
              THEN substr(acc, 1, len(acc) - len({p}.x)) || {p}.x || {p}.y
              ELSE acc || ' ' || cur END) AS seg
   FROM {src} CROSS JOIN {p}
@@ -3901,19 +3908,20 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3):
             F.zip_with(
                 F.slice(s, 1, F.size(s) - 1),
                 F.slice(s, 2, F.size(s) - 1),
-                lambda a, b: F.concat(a, F.lit("|"), b),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
             )
         )
         top = (
             seg.filter(F.size(F.split("seg", " ")) >= 2)
-            .select(pair.alias("pair"), "cnt")
-            .groupBy("pair")
+            .select(pair.alias("p"), "cnt")
+            .select("p.x", "p.y", "cnt")
+            .groupBy("x", "y")
             .agg(F.sum("cnt").alias("pc"))
-            .orderBy(F.col("pc").desc(), F.col("pair"))
+            .orderBy(F.col("pc").desc(), F.col("x"), F.col("y"))
             .limit(1)
             .collect()[0]  # ONE 1-row argmax per round (model scalar)
         )
-        x, y = top["pair"].split("|", 1)
+        x, y = top["x"], top["y"]
         steps.append((step, x, y, int(top["pc"])))
         merged = F.aggregate(
             F.slice(s, 2, F.size(s) - 1),

@@ -285,3 +285,31 @@ def test_grouped_running_sum_window_partitioned_by_group_and_bucket(spark):
         .toString()
     )
     assert "windowspecdefinition(g" in plan and "_bucket" in plan, plan
+
+
+def test_grouped_running_sum_keeps_null_groups(spark):
+    """PARTITION BY treats NULL as its own group; the decomposition
+    must not silently drop those rows (null-safe joins)."""
+    from pyspark.sql import Window
+    from cascading_hbase_spark.functions.enumerate import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 0), (None, 2, 20, 1), (None, 3, 30, 2), ("a", 0, 5, 3)],
+        "g string, k long, v long, tb long",
+    )
+    got = {
+        (r.g, r.tb): r.rs
+        for r in grouped_running_sum(
+            df, "g", "k", "v", sum_col="rs", tiebreak_col="tb"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.tb): r.rs
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want and len(got) == 4
