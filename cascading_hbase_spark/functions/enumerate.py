@@ -35,6 +35,21 @@ __all__ = [
 ]
 
 
+# Internal working columns the helpers join/select alongside the
+# caller's columns; an input already containing one would silently
+# collide (ambiguous join keys, wrong drops) rather than error.
+_RESERVED_COLS = ("_bucket", "_cs", "_offset", "_base", "_g", "_b")
+
+
+def _check_reserved(df: DataFrame) -> None:
+    clash = [c for c in df.columns if c in _RESERVED_COLS]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the enumerate helpers' "
+            f"reserved internal names {_RESERVED_COLS}; rename them first"
+        )
+
+
 def _percentile_buckets(
     df: DataFrame, key_col: str, n_buckets: int, descending: bool = False
 ) -> DataFrame:
@@ -44,6 +59,7 @@ def _percentile_buckets(
     monotone count-of-cuts-below fold.  Equal keys always get equal
     buckets; ANY cut quality yields a correct (merely unbalanced)
     decomposition, because the consumers only require monotonicity."""
+    _check_reserved(df)
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     qs = ", ".join(
@@ -274,6 +290,7 @@ def grouped_running_sum(
     size estimate anyway, and a hot group at the join stage is JOIN
     skew, which the session's AQE skew-join splitter handles per the
     ``functions/skew.py`` policy."""
+    _check_reserved(df)
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     qs = ", ".join(

@@ -629,6 +629,15 @@ def write_keyed(
             exists = False
 
         if not exists:
+            if zone_cols:
+                # fail fast BEFORE the eager localCheckpoint below: a
+                # misspelled zone column should not pay a full batch
+                # materialization to raise
+                missing = [c for c in zone_cols if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"zone_cols not in batch columns: {missing}"
+                    )
             n_buckets = n_buckets or spark.sparkContext.defaultParallelism
             boundaries = _sample_boundaries(df, key, n_buckets)
             fam = families or {}
@@ -658,11 +667,7 @@ def write_keyed(
             if retain is not None:
                 meta["retain"] = retain
             if zone_cols:
-                missing = [c for c in zone_cols if c not in df.columns]
-                if missing:
-                    raise ValueError(
-                        f"zone_cols not in batch columns: {missing}"
-                    )
+                # membership validated above, pre-checkpoint
                 meta["zone_cols"] = list(zone_cols)
             _merge_meta_extra(meta, meta_extra)
             _stage_and_publish(batch, path, key, meta)

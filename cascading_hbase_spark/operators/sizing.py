@@ -32,7 +32,16 @@ def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 10_000) -> float:
     sample (``limit`` — cheap, no full scan) to a temp dir.  Sampling
     the head slightly biases toward whatever the head looks like;
     callers wanting distribution-robust estimates should pre-shuffle
-    or pass a larger sample."""
+    or pass a larger sample.
+
+    Single-host/shared-FS assumption: the sample is written through
+    Spark but its file sizes are read with ``os.listdir`` on the
+    DRIVER, so the temp dir must be visible to both — true in local
+    mode and on clusters whose scratch space is a shared mount (the
+    same assumption ``keyed/table.py`` documents for its manifest
+    paths).  On a multi-node cluster with node-local disks, point
+    ``tempfile.tempdir`` at a shared location, or port the byte count
+    to a ``spark.read`` of the written footers."""
     tmp = tempfile.mkdtemp(prefix="kt_sizing_")
     try:
         sample = df.limit(sample_rows)
@@ -68,7 +77,15 @@ def write_sized_parquet(
     "n_files", "n_rows"}`` for observability/logging.  Exact file
     sizes still vary with compression locality (sorted runs compress
     better than the sample suggests) — this targets the right ORDER of
-    file size, which is what split planning cares about."""
+    file size, which is what split planning cares about.
+
+    The input is pinned with an eager ``localCheckpoint`` before any
+    evaluation: the sizing decision evaluates ``df`` three times
+    (sample write, count, final write), and a non-deterministic input
+    plan (``rand()``, sampling, a changing source) would otherwise let
+    the returned ``n_rows``/``n_files`` diverge from the data actually
+    written — the same hazard the keyed-table write paths pin for."""
+    df = df.localCheckpoint(eager=True)
     bpr = estimate_bytes_per_row(df, sample_rows)
     target_bytes = target_mb * 1024 * 1024
     rows_per_file = max(1, int(target_bytes / bpr))

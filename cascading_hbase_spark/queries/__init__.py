@@ -53,114 +53,67 @@ def _load_all() -> None:
 
 
 # Queries the driver's per-round budget (~50 checked per round) must hit
-# FIRST this round (VERDICT r04 item 1): every r04-and-earlier action
-# item is closed, so the budget rotates the STALEST driver verdicts —
-# queries changed/added this round first (the standing rule), then the
-# 44 pairs whose only driver verdict dates from round 1, then the 35
-# from round 2 (testdata is regenerated per round, so verdict age is
-# the weakest link in the CORRECTNESS artifact).
+# FIRST this round (VERDICT r05 item 1: consolidation — freeze surface
+# growth, drain the verification backlog).  Head = the handful of pairs
+# changed/added THIS round (standing rule), then the 46 round-5 pairs
+# that have NEVER received a driver verdict (the r05 budget landed on
+# the other 50 round-5 additions), then the 43 pairs whose newest
+# verdict is r01-dated and the 35 r02-dated ones, oldest-first
+# (testdata is regenerated per round, so verdict age is the weakest
+# link in the CORRECTNESS artifact).  46 never + ~4 new/changed fills
+# the ~50 budget exactly; the stale tail heads the r07 rotation.
 _PRIORITY = [
-    # --- driver-budget head: the most algorithmically intricate of the
-    #     ~95 never-driver-verified round-5 pairs go first (the ~50/round
-    #     budget should land on the riskiest algorithms; the rest rotate
-    #     in r06)
-    "bpe_merges_learn",                  # new: BPE trainer, hash-checked
-    "bpe_compression_ratio",             # new: learned-tokenizer audit
-    "lm_trigram_backoff",                # new: held-out stupid backoff LM
-    "trigram_novelty_per_doc",           # new: corpus novelty decay
-    "copurchase_triangles",              # new: oriented-wedge triangles
-    "itemcf_recommendations",            # new: item-item cosine top-5
-    "auc_rank_sum",                      # new: Mann-Whitney AUC, bucketed
-    "quantization_recall_audit",         # new: int8-vs-float recall@10
-    "segment_n50_concentration",         # new: grouped_running_sum N50
-    "mann_kendall_theil_sen",            # new: nonparametric trend + slope
-    "scd2_intervals",                    # new: SCD2 validity intervals
-    "out_of_order_audit",                # new: watermark-sizing histogram
-    "buffer_apply_in_pandas",            # regrouped coarse-key Buffer demo
-    "graph_bfs_hops",                    # new: bounded frontier BFS
-    "cuped_adjusted_lift",               # new: CUPED variance reduction
-    "copurchase_link_prediction_recall", # new: temporal-holdout eval
-    "peak_concurrency_sweepline",        # new: interval-overlap counting
-    "exact_grouped_median_scalable",     # new: exact median, scale path
-    # --- changed or new in round 5 (appended as they land)
-    "q15_top_supplier",        # persist -> max() OVER () rewrite
-    "heavy_hitters_sketch",    # persist -> sum(c) OVER () rewrite
-    "lm_bigram_logprob",       # third corpus pass -> window over model
-    "fuzzy_name_join_deletion_blocked",  # new: full-recall ER blocking
-    "fuzzy_join_blocking_audit",         # new: recall measurement
-    "dedup_minhash_lsh_capped",          # new: mega-bucket guard
-    "q21_suppliers_kept_waiting",        # new: Q21 via order-stats rewrite
-    "perplexity_bucket_ccnet",           # new: per-lang LM quantiles
-    "setsim_prefix_jaccard",             # new: PPJoin prefix filtering
-    "mad_outliers_robust",               # new: median/MAD outlier gate
-    "hard_negative_mining",              # new: contrastive negatives
-    "max_drawdown_per_user",             # new: running-peak drawdown
-    "mode_per_group_deterministic",      # new: tie-broken mode
-    "global_row_index",                  # new: scalable zipWithIndex
-    "twap_per_user",                     # new: time-weighted average
-    "sequence_funnel_3step",             # new: CEP state-machine fold
-    "winsorize_clip",                    # new: p01/p99 group clamp
-    "market_basket_pairs",               # new: co-purchase counts
-    "decayed_popularity",                # new: 2^-weeks decay weights
-    "fk_violation_report",               # new: referential-integrity audit
-    "event_transition_matrix",           # new: Markov journey matrix
-    "label_centroid_similarity",         # new: label-confusion audit
-    "pareto_revenue_share",              # new: bucketed running sum
-    "rolling_7d_active_users",           # new: WAU via window explode
-    "psi_distribution_drift",            # new: PSI drift monitor
-    "daily_count_anomaly",               # new: trailing-window z-score
-    "pmi_collocations",                  # new: collocation mining
-    "conversion_latency_deciles",        # new: time-to-convert curve
-    "source_overlap_jaccard",            # new: source-level mirror detector
-    "dup_cluster_size_histogram",        # new: dup-inflation profile
-    "session_bounce_dwell",              # new: bounce/dwell by entry
-    "longest_streak_per_user",           # new: islands-on-position runs
-    "idf_novelty_score",                 # new: doc-level rarity signal
-    "bm25_topk",                         # new: sparse-retrieval ranker
-    "substring_dup_spans",               # new: Lee-et-al span-level dedup
-    "cms_frequency_contract",            # new: bit-identical count-min sketch
-    "ab_conversion_ztest",               # new: two-proportion experiment test
-    "cohort_ltv_triangle",               # new: cohort-age revenue triangle
-    "session_path_topk",                 # new: first-5-event path mining
-    "decile_lift_table",                 # new: targeting lift/capture table
-    "zipf_fit_slope",                    # new: token-spectrum health check
-    "poisson_bootstrap_ci",              # new: hash-deterministic bootstrap CI
-    "rfm_quintile_features",             # new: RFM segmentation quintiles
-    "random_projection_jl",              # new: JL sign-matrix projection audit
-    "knn_label_purity",                  # new: leave-one-out 5-NN label audit
-    "weighted_quantiles",                # new: weighted median via running sum
-    "skyline_price_quantity",            # new: Pareto frontier via running max
-    "cusum_changepoint",                 # new: CUSUM drift detector
-    "seasonal_naive_mase",               # new: forecast-skill baseline
-    "benford_digit_audit",               # new: first-digit anomaly screen
-    "gini_concentration",                # new: revenue inequality index
-    "heaps_law_fit",                     # new: vocabulary-growth exponent
-    "kaplan_meier_retention",            # new: censored survival curve
-    "price_elasticity_by_brand",         # new: log-log demand slope
-    "contingency_association",           # new: chi2/CramersV/MI triple
-    "acf_daily_counts",                  # new: autocorrelation lags 1-7
-    "correlation_matrix",                # new: one-pass pairwise Pearson
-    "ks_two_sample_chars",               # new: exact 2-sample KS statistic
-    "entropy_rate_markov",               # new: next-action predictability
-    "interevent_burstiness",             # new: Goh-Barabasi burstiness index
-    "lang_diversity_simpson",            # new: per-source diversity triple
-    "keyness_loglikelihood_tokens",      # new: Dunning G2 keyness top-30
-    "ccf_clicks_purchases",              # new: lead-lag cross-correlation
-    "dow_detrended_anomaly",             # new: weekday-median robust anomaly
-    "hll_overlap_estimate",              # new: sketch-algebra set overlap
-    "kfold_assignment_report",           # new: deterministic CV folds
-    "welch_ttest_value",                 # new: unequal-variance metric test
-    "calibration_bins",                  # new: reliability diagram / ECE
-    "spearman_by_brand",                 # new: midrank Spearman via counts
-    "copurchase_degree_distribution",    # new: graph shape check
-    "join_key_skew_report",              # new: shuffle-key skew diagnostics
-    "horvitz_thompson_revenue",          # new: stratified HT estimator audit
-    "ols_two_factor",                    # new: one-pass normal equations
-    "embedding_dim_profile",             # new: per-dimension health check
-    "stl_lite_decompose",                # new: trend/seasonal/residual
-    "quality_percentile_by_source",      # new: per-source quantile norm
-    "gopher_quality_rules",              # new: rule-vector quality gate
-    "dau_mau_stickiness",                # new: trailing-30d engagement
+    # --- changed or new in round 6
+    "copurchase_triangles_capped",       # new: top-1%-degree hub cap
+    "triangle_cap_audit",                # new: capped-vs-exact coverage
+    "copurchase_triangles",              # edge builder got explicit cache
+    "copurchase_degree_distribution",    # never-verified + edge-cache change
+    # --- round-5 pairs with NO driver verdict yet (registration order)
+    "idf_novelty_score",                 # doc-level rarity signal
+    "bm25_topk",                         # sparse-retrieval ranker (bench)
+    "substring_dup_spans",               # Lee-et-al span dedup (bench)
+    "cms_frequency_contract",            # bit-identical count-min (bench)
+    "ab_conversion_ztest",               # two-proportion experiment test
+    "cohort_ltv_triangle",               # cohort-age revenue triangle
+    "session_path_topk",                 # first-5-event path mining
+    "decile_lift_table",                 # targeting lift/capture table
+    "zipf_fit_slope",                    # token-spectrum health check
+    "poisson_bootstrap_ci",              # hash-deterministic bootstrap CI
+    "rfm_quintile_features",             # RFM segmentation quintiles
+    "random_projection_jl",              # JL sign-matrix projection audit
+    "knn_label_purity",                  # leave-one-out 5-NN label audit
+    "weighted_quantiles",                # weighted median via running sum
+    "skyline_price_quantity",            # Pareto frontier via running max
+    "cusum_changepoint",                 # CUSUM drift detector
+    "seasonal_naive_mase",               # forecast-skill baseline
+    "benford_digit_audit",               # first-digit anomaly screen
+    "gini_concentration",                # revenue inequality index
+    "heaps_law_fit",                     # vocabulary-growth exponent
+    "kaplan_meier_retention",            # censored survival curve
+    "price_elasticity_by_brand",         # log-log demand slope
+    "contingency_association",           # chi2/CramersV/MI triple
+    "acf_daily_counts",                  # autocorrelation lags 1-7
+    "correlation_matrix",                # one-pass pairwise Pearson
+    "ks_two_sample_chars",               # exact 2-sample KS statistic
+    "entropy_rate_markov",               # next-action predictability
+    "interevent_burstiness",             # Goh-Barabasi burstiness index
+    "lang_diversity_simpson",            # per-source diversity triple
+    "keyness_loglikelihood_tokens",      # Dunning G2 keyness top-30
+    "ccf_clicks_purchases",              # lead-lag cross-correlation
+    "dow_detrended_anomaly",             # weekday-median robust anomaly
+    "hll_overlap_estimate",              # sketch-algebra set overlap
+    "kfold_assignment_report",           # deterministic CV folds
+    "welch_ttest_value",                 # unequal-variance metric test
+    "calibration_bins",                  # reliability diagram / ECE
+    "spearman_by_brand",                 # midrank Spearman via counts
+    "join_key_skew_report",              # shuffle-key skew diagnostics
+    "horvitz_thompson_revenue",          # stratified HT estimator audit
+    "ols_two_factor",                    # one-pass normal equations
+    "embedding_dim_profile",             # per-dimension health check
+    "stl_lite_decompose",                # trend/seasonal/residual
+    "quality_percentile_by_source",      # per-source quantile norm
+    "gopher_quality_rules",              # rule-vector quality gate
+    "dau_mau_stickiness",                # trailing-30d engagement
     # --- last driver verdict r01 (registration order)
     "each_identity",
     "regex_splitter",

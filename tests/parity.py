@@ -73,11 +73,14 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
             # would silently pass NULL-vs-value mismatches
             eq = bool(((ca == cb) | (ca.isna() & cb.isna())).fillna(False).all())
         else:
-            eq = (ca.astype("object").fillna("<NULL>").astype(str)
-                  == cb.astype("object").fillna("<NULL>").astype(str)).all()
+            # .where, not .fillna: object-dtype fillna triggers the
+            # pandas silent-downcasting FutureWarning (removal slated
+            # for pandas 3.x)
+            eq = (ca.astype("object").where(ca.notna(), "<NULL>").astype(str)
+                  == cb.astype("object").where(cb.notna(), "<NULL>").astype(str)).all()
         if not eq:
-            bad = (ca.astype("object").fillna("<N>").astype(str)
-                   != cb.astype("object").fillna("<N>").astype(str))
+            bad = (ca.astype("object").where(ca.notna(), "<N>").astype(str)
+                   != cb.astype("object").where(cb.notna(), "<N>").astype(str))
             idx = bad[bad].index[:3].tolist()
             problems.append(
                 f"col {c}: {int(bad.sum())} mismatches, e.g. idx={idx} "

@@ -313,3 +313,25 @@ def test_grouped_running_sum_keeps_null_groups(spark):
         for r in df.withColumn("rs", F.sum("v").over(w)).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_reserved_column_guard(spark):
+    """Inputs already containing an internal working column must raise,
+    not silently collide (ADVICE r05)."""
+    import pytest
+
+    from cascading_hbase_spark.functions.enumerate import (
+        bucketed_running_sum,
+        global_row_index,
+        grouped_running_sum,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(1).alias("v"), F.lit(0).alias("_bucket")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        global_row_index(df, "id")
+    with pytest.raises(ValueError, match="reserved"):
+        bucketed_running_sum(df, "id", "v")
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_running_sum(df.withColumn("_g", F.lit(1)), "v", "id", "v")

@@ -101,3 +101,70 @@ def test_api_doc_names_every_export():
             if name not in api:
                 missing.append(f"{mn}.{name}")
     assert not missing, f"API.md does not mention exports: {missing}"
+
+
+def _newest_verdicts() -> tuple[int, dict[str, int]]:
+    """(newest round seen, name -> newest round with a driver verdict)
+    from the committed CORRECTNESS_r*.json artifacts."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(MANIFEST), "..")
+    newest: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return max_round, newest
+
+
+BACKLOG_FILE = os.path.join(os.path.dirname(MANIFEST), "verdict_backlog.txt")
+
+# A verdict is "fresh" if it is from one of the last FRESH_ROUNDS
+# driver rounds (testdata regenerates per round, so old verdicts decay
+# as evidence).
+FRESH_ROUNDS = 5
+
+
+def test_verdict_freshness():
+    """Every registered pair must carry a driver verdict from the last
+    FRESH_ROUNDS rounds — or be listed in tests/verdict_backlog.txt,
+    the documented drain queue (VERDICT r05 items 1/7).  This makes a
+    verification backlog self-reporting: registering a new pair
+    without adding it to the backlog file fails here immediately, and
+    the backlog file itself is pinned to the registry so drained or
+    renamed entries can't linger."""
+    max_round, newest = _newest_verdicts()
+    with open(BACKLOG_FILE) as f:
+        backlog = {ln.strip() for ln in f if ln.strip()}
+
+    stale_names = [
+        q
+        for q in QUERIES
+        if newest.get(q, 0) < max_round - (FRESH_ROUNDS - 1)
+        and q not in backlog
+    ]
+    assert not stale_names, (
+        f"pairs with no driver verdict in the last {FRESH_ROUNDS} rounds "
+        f"and not in tests/verdict_backlog.txt: {stale_names} — either "
+        f"rotate them into _PRIORITY's head or add them to the backlog "
+        f"file with this round's rationale"
+    )
+
+    unknown = sorted(backlog - set(QUERIES))
+    assert not unknown, f"verdict_backlog.txt names not in registry: {unknown}"
+
+    # An entry is real debt if its verdict is already stale or will be
+    # after the NEXT driver round (the file is written during a round,
+    # the verdict lands at its end) — anything fresher should not sit
+    # in the backlog.
+    drained = sorted(
+        q for q in backlog if newest.get(q, 0) >= max_round - (FRESH_ROUNDS - 2)
+    )
+    assert not drained, (
+        f"verdict_backlog.txt entries now have fresh verdicts — remove "
+        f"them so the backlog only lists real debt: {drained}"
+    )
