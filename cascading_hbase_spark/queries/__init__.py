@@ -66,6 +66,8 @@ _PRIORITY = [
     # --- changed or new in round 6
     "copurchase_triangles_capped",       # new: top-1%-degree hub cap
     "triangle_cap_audit",                # new: capped-vs-exact coverage
+    "copurchase_triangles_estimate",     # new: DOULION sampled count
+    "triangle_estimate_audit",           # new: estimate-vs-exact error
     "copurchase_triangles",              # edge builder got explicit cache
     "copurchase_degree_distribution",    # never-verified + edge-cache change
     # --- round-5 pairs with NO driver verdict yet (registration order)

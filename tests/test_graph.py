@@ -4,6 +4,8 @@ components), plus structural sanity on the near-dup graph."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cascading_hbase_spark.functions.graph import pagerank
@@ -65,3 +67,36 @@ def test_pagerank_authority_on_dup_graph(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).collect() == []
+
+
+SF1_DIR = "/root/repo/.scaledata/sf1"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF1_DIR), reason="sf1 probe data not built"
+)
+def test_itemcf_degree_bounded_at_sf1(spark):
+    """Densification guard (VERDICT r05 item 8): itemcf/triangle window
+    partitions are sized by co-purchase graph degree, so a max-degree
+    blowup at the sf1 probe data means some future testdata or
+    support-threshold change re-densified the graph — catch it in CI
+    rather than at the scale probe.  The sf1 top-1% threshold measured
+    182 (r06); 2048 leaves honest headroom while catching the 10^4+
+    degrees that would make per-item windows and wedge joins
+    pathological."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.queries.joins import (
+        _copurchase_edges,
+        _node_degrees,
+    )
+
+    edges = _copurchase_edges(spark, SF1_DIR)
+    max_deg = (
+        _node_degrees(edges).agg(F.max("degree")).collect()[0][0]
+    )
+    assert max_deg <= 2048, (
+        f"co-purchase graph max degree {max_deg} at the sf1 probe — "
+        f"itemcf windows and triangle wedge joins will degenerate; "
+        f"raise min support or re-check the scale generator"
+    )

@@ -43,6 +43,10 @@ BNL_BY_DESIGN = {
     "q22_idle_customers",         # 1-row global-average balance
     "global_row_index",           # 1-row percentile cuts + B-row offsets
     "fk_violation_report",        # 1-row orphan count x 1-row total count
+    "copurchase_triangles_capped",   # 1-row degree-cap threshold broadcast
+    "triangle_cap_audit",            # 1-row threshold + five 1-row counts
+    "copurchase_triangles_estimate", # two 1-row count aggregates crossed
+    "triangle_estimate_audit",       # 1-row exact x 1-row estimate
     "decayed_popularity",         # 1-row max(ts) reference point
     "label_centroid_similarity",  # #labels-row centroid pair join
     "psi_distribution_drift",     # 1-row cuts + 10-row share spine

@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Keyed-table maintenance bench (VERDICT r05 item 5): run the
+maintenance-day lifecycle against an sf0.1-SIZED keyed table and record
+per-step wall seconds — the scale evidence for the keyed layer that
+pytest-scale tables (60 rows) cannot give.
+
+Prints ONE JSON line and (when run via ``make`` semantics below) is
+recorded as ``BENCH_KEYED.json``:
+
+    {"metric": "keyed_maintenance_seconds", "value": <total>,
+     "steps": {step: {"sec": s, ...detail}}, "n_rows": N, ...}
+
+The check the steps encode: every maintenance operation's cost must
+track TOUCHED buckets, not table size.  Two upsert waves make that
+measurable — a narrow wave whose keys route to ~1 bucket and a wide
+wave touching all buckets — plus point gets (bucket-pruned), a minor
+compaction (fragmented buckets only) and a major re-bucketing
+compaction (whole table, the only intentionally O(table) step).
+
+Usage: python tools/bench_keyed.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from cascading_hbase_spark.catalog import load_table  # noqa: E402
+from cascading_hbase_spark.keyed.expectations import (  # noqa: E402
+    Expectation,
+    write_keyed_validated,
+)
+from cascading_hbase_spark.keyed.index import (  # noqa: E402
+    create_index,
+    index_lookup,
+    refresh_index,
+)
+from cascading_hbase_spark.keyed.matview import (  # noqa: E402
+    create_aggregate_view,
+    refresh_aggregate_view,
+)
+from cascading_hbase_spark.keyed.replica import (  # noqa: E402
+    create_replica,
+    sync_replica,
+)
+from cascading_hbase_spark.keyed.table import (  # noqa: E402
+    SinkMode,
+    changefeed_keyed,
+    compact_keyed,
+    delete_keyed,
+    describe_keyed,
+    get_keyed,
+    list_generations,
+    merge_keyed,
+    read_keyed,
+    vacuum_keyed,
+    write_keyed,
+)
+from cascading_hbase_spark.session import get_session  # noqa: E402
+
+N_BUCKETS = 32
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("cascading-hbase-spark-bench-keyed")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    n_rows = orders.count()  # also warms footers so step 1 is honest
+    max_key, price_p05 = orders.agg(
+        F.max("o_orderkey"),
+        F.expr("approx_percentile(o_totalprice, 0.05)"),
+    ).collect()[0]
+
+    base = tempfile.mkdtemp(prefix="bench-keyed-")
+    path = os.path.join(base, "t")
+    vpath = os.path.join(base, "v")
+    rpath = os.path.join(base, "r")
+    qdir = os.path.join(base, "q")
+
+    steps: dict[str, dict] = {}
+
+    def step(name: str, fn, **detail) -> None:
+        t0 = time.perf_counter()
+        out = fn()
+        extra = out if isinstance(out, dict) else {}
+        steps[name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            **detail,
+            **extra,
+        }
+
+    # 1. CREATE: full orders load, zone maps on o_totalprice
+    # retain=20: the lifecycle commits ~10 generations and the
+    # changefeed step diffs from generation 0, so the whole history
+    # must stay readable (production would keep retain small and diff
+    # from a recent cursor; the wide retain is bench instrumentation).
+    step(
+        "create_full_load",
+        lambda: write_keyed(
+            orders, path, "o_orderkey", n_buckets=N_BUCKETS,
+            zone_cols=["o_totalprice"], retain=20,
+        ),
+        rows=n_rows, buckets_touched=N_BUCKETS,
+    )
+
+    # 2. derived structures on the loaded snapshot
+    step("create_index", lambda: create_index(spark, path, "o_orderpriority"))
+    step(
+        "create_matview",
+        lambda: create_aggregate_view(
+            spark, path, vpath, "o_orderstatus",
+            sums={"revenue": "o_totalprice"},
+        ),
+    )
+    step("create_replica", lambda: create_replica(spark, path, rpath))
+
+    # 3. NARROW upsert: a contiguous key slice routing to ~1 bucket.
+    narrow = orders.filter(
+        F.col("o_orderkey") <= F.lit(int(max_key / N_BUCKETS * 0.5))
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    n_narrow = narrow.count()
+    step(
+        "upsert_narrow_1bucket",
+        lambda: write_keyed(narrow, path, "o_orderkey", mode=SinkMode.APPEND),
+        rows=n_narrow,
+    )
+
+    # 4. WIDE upsert: every 10th key — touches all buckets.
+    wide = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 2.0
+    )
+    n_wide = wide.count()
+    step(
+        "upsert_wide_allbuckets",
+        lambda: write_keyed(wide, path, "o_orderkey", mode=SinkMode.APPEND),
+        rows=n_wide, buckets_touched=N_BUCKETS,
+    )
+
+    # 5. incremental maintenance after the waves
+    step("refresh_matview", lambda: refresh_aggregate_view(spark, path, vpath))
+    step("refresh_index", lambda: refresh_index(spark, path, "o_orderpriority"))
+    step("sync_replica", lambda: sync_replica(spark, path, rpath))
+
+    # 6. reads: point gets (bucket-pruned), key-range scan, zone-pruned
+    #    scan, index lookup
+    some_keys = [int(max_key * f) or 1 for f in (0.1, 0.5, 0.9)]
+    step(
+        "point_get_3keys",
+        lambda: {"rows": get_keyed(spark, path, some_keys).count()},
+    )
+    step(
+        "range_scan_1pct",
+        lambda: {
+            "rows": read_keyed(
+                spark, path, start=1, stop=int(max_key * 0.01)
+            ).count()
+        },
+    )
+    step(
+        "zone_pruned_scan",
+        lambda: {
+            "rows": read_keyed(
+                spark, path,
+                zone_filter=("o_totalprice", 0.0, float(price_p05)),
+            ).count()
+        },
+    )
+    step(
+        "index_lookup",
+        lambda: {
+            "rows": index_lookup(
+                spark, path, "o_orderpriority", "1-URGENT"
+            ).count()
+        },
+    )
+
+    # 7. validated ingest: 1% new keys, one expectation, rejects to
+    #    quarantine
+    dirty = (
+        orders.filter(F.col("o_orderkey") % 100 == 3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, -1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    step(
+        "validated_ingest_1pct",
+        lambda: write_keyed_validated(
+            dirty, path, "o_orderkey",
+            [Expectation("price_nonneg", "o_totalprice >= 0.0")],
+            quarantine_path=qdir,
+        ),
+    )
+
+    # 8. MERGE with mixed ops + optimistic version gate
+    merge_batch = (
+        orders.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("_change", F.lit("update"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 3.0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 11).withColumn(
+                "_change", F.lit("delete")
+            )
+        )
+    )
+    n_merge = merge_batch.count()
+    step(
+        "merge_mixed_2pct",
+        lambda: merge_keyed(spark, path, merge_batch),
+        rows=n_merge,
+    )
+
+    # 9. delete 1% of keys
+    dels = orders.filter(F.col("o_orderkey") % 100 == 42).select("o_orderkey")
+    n_dels = dels.count()
+    step("delete_1pct", lambda: delete_keyed(spark, path, dels), rows=n_dels)
+
+    # 10. changefeed across the whole session's history
+    gens = list_generations(path)
+    step(
+        "changefeed_full_history",
+        lambda: {
+            "rows": changefeed_keyed(spark, path, gens[0]).count(),
+            "generations": len(gens),
+        },
+    )
+
+    # 11. compactions: minor (fragmented buckets only) then major
+    #     re-bucket (whole table, intentionally O(table))
+    step("compact_minor", lambda: compact_keyed(spark, path, min_files=1))
+    step(
+        "compact_major_rebucket",
+        lambda: compact_keyed(spark, path, n_buckets=N_BUCKETS),
+        buckets_touched=N_BUCKETS,
+    )
+
+    # 12. observability + GC
+    step("describe", lambda: {"rows": describe_keyed(spark, path).count()})
+    step("vacuum", lambda: vacuum_keyed(path, retain=1))
+
+    # final integrity: count after the full lifecycle
+    final_rows = read_keyed(spark, path).count()
+
+    total = round(sum(s["sec"] for s in steps.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "keyed_maintenance_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "n_rows": n_rows,
+                "n_buckets": N_BUCKETS,
+                "final_rows": final_rows,
+                "steps": steps,
+            }
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
