@@ -57,17 +57,30 @@ def main() -> None:
         # nanosAsLong conf the catalog sets.
         load_table(spark, sf_dir, t).count()
 
-    # Time >=2 repeats per query and keep the min: single-shot timings
-    # showed +-50% run-to-run variance (r02's similarity_cosine_topk).
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # Time >=3 repeats per query; report the MIN (the headline — strips
+    # one-time costs; single-shot timings showed +-50% run-to-run
+    # variance, r02's similarity_cosine_topk) AND the P50 (the
+    # dispersion signal: r05's official bench artifact carried a
+    # uniform ~1.35x ambient-load drift that a min-only report could
+    # not distinguish from regression — VERDICT r05 item 2).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    timings_p50: dict[str, float] = {}
+
+    def _p50(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
+
     for name in BENCH_QUERIES:
-        best = float("inf")
+        walls = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
+        timings_p50[name] = round(_p50(walls), 3)
 
     # Sink-side headline: a Z-order clustered write of lineitem (range
     # repartition + in-file sort + parquet encode — the write path the
@@ -78,7 +91,7 @@ def main() -> None:
     from cascading_hbase_spark.operators.zorder import write_zordered
 
     li = load_table(spark, sf_dir, "lineitem")
-    best = float("inf")
+    walls = []
     zdir = tempfile.mkdtemp(prefix="bench-zorder-")
     try:
         for _ in range(repeats):
@@ -87,10 +100,11 @@ def main() -> None:
                 li, os.path.join(zdir, "out"), ["l_partkey", "l_orderkey"],
                 n_files=32,
             )
-            best = min(best, time.perf_counter() - t0)
+            walls.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
-    timings["write_zordered"] = round(best, 3)
+    timings["write_zordered"] = round(min(walls), 3)
+    timings_p50["write_zordered"] = round(_p50(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +114,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_p50": timings_p50,
+                "total_p50": round(sum(timings_p50.values()), 3),
+                "repeats": repeats,
                 "sf": sf,
             }
         )

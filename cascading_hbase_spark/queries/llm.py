@@ -3702,6 +3702,9 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived each-from-the-previous (model-sized aggregates + windows,
     never a second corpus scan); scoring is three left equi joins on
     ngram keys plus a broadcast 1-row totals join."""
+    # persisted for the train/score split consumers below; stays cached
+    # past return because the result is lazy — CacheManager dedupe +
+    # LRU eviction is the documented policy (functions/dedup.py)
     tri = _doc_trigrams(spark, sf_dir).persist()
     train = tri.filter(F.col("doc_id") % 2 == 0)
     score = tri.filter(F.col("doc_id") % 2 == 1)
