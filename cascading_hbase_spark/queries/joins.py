@@ -853,8 +853,8 @@ def _order_part_pairs(li: DataFrame) -> DataFrame:
 # scale factors never accumulate cache entries (the r05 judge flagged
 # the bare ``persist()``-with-LRU-lifecycle shape here as the one
 # persist in ``queries/`` without an explicit release).
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
-_CAPPED_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+_CAPPED_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _pinned(
@@ -863,8 +863,11 @@ def _pinned(
     """Return the cached persisted relation for (session, sf_dir),
     building it via ``build()`` on first request and unpersisting any
     previously pinned key first (bounded lifecycle: one pin per
-    cache)."""
-    key = (id(spark), sf_dir)
+    cache).  Keyed on the session OBJECT, not ``id()`` — a recycled id
+    after session GC would otherwise hand back DataFrames bound to a
+    stopped session; holding one strong session ref is bounded because
+    the cache never exceeds one entry."""
+    key = (spark, sf_dir)
     if key not in cache:
         for old_key in list(cache):
             old = cache.pop(old_key)
