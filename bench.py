@@ -15,12 +15,14 @@ involved for the scan-rooted queries — repeats recompute the whole
 plan; the min strips one-time process costs (codegen JIT, worker
 spawn, page cache) that otherwise land on whichever query runs first
 and poison round-over-round comparison (r01/r02 numbers include those
-one-time costs; r03+ are steady-state).  Exception by design: the
-co-purchase graph family shares ONE pinned edge relation
-(queries/joins.py ``_pinned``), so the suite prices the edge build
-once — in the first graph query's first repeat — and the other graph
-entries measure their marginal cost over the shared relation, the
-same amortization a production session gets.
+one-time costs; r03+ are steady-state).  The co-purchase graph family
+shares ONE pinned edge relation (queries/joins.py ``_pinned``); it is
+materialized in the warmup section below alongside the parquet-footer
+warms, so — consistently with the steady-state policy — every graph
+entry measures its marginal cost over the warm relation and the
+edge-build cost lands in no per-query number (the same amortization a
+production session gets; the build cost itself is visible in the
+whole-registry sweeps, where sessions start cold).
 """
 
 from __future__ import annotations
@@ -62,6 +64,12 @@ def main() -> None:
         # load_table, not raw spark.read: events.parquet needs the
         # nanosAsLong conf the catalog sets.
         load_table(spark, sf_dir, t).count()
+    # Materialize the shared co-purchase edge relation (see module
+    # docstring): the graph suite entries then time marginal cost over
+    # the warm pin, not whichever entry happens to run first.
+    from cascading_hbase_spark.queries.joins import _copurchase_edges
+
+    _copurchase_edges(spark, sf_dir).count()
 
     # Time >=3 repeats per query; report the MIN (the headline — strips
     # one-time costs; single-shot timings showed +-50% run-to-run

@@ -79,24 +79,39 @@ def write_sized_parquet(
     better than the sample suggests) — this targets the right ORDER of
     file size, which is what split planning cares about.
 
-    The input is pinned with an eager ``localCheckpoint`` before any
-    evaluation: the sizing decision evaluates ``df`` three times
-    (sample write, count, final write), and a non-deterministic input
-    plan (``rand()``, sampling, a changing source) would otherwise let
-    the returned ``n_rows``/``n_files`` diverge from the data actually
-    written — the same hazard the keyed-table write paths pin for."""
-    df = df.localCheckpoint(eager=True)
+    Non-deterministic inputs (``rand()``, sampling, a changing
+    source): the decision evaluates ``df`` three times (sample,
+    planning count, final write), and pinning the full input first
+    would defeat the point of a SIZING utility (an eager checkpoint
+    materializes the whole 100 TB-class sink input into executor
+    storage).  Instead the returned ``n_rows``/``n_files`` are read
+    from what was ACTUALLY WRITTEN (footer metadata, ~free), so the
+    observability record is always truthful; only the bytes/row
+    estimate and the planning count may then come from a different
+    evaluation, which degrades file-size accuracy, never
+    correctness."""
     bpr = estimate_bytes_per_row(df, sample_rows)
     target_bytes = target_mb * 1024 * 1024
     rows_per_file = max(1, int(target_bytes / bpr))
-    n_rows = df.count()
-    n_files = max(1, math.ceil(n_rows / rows_per_file))
+    n_planned = df.count()
+    n_files_planned = max(1, math.ceil(n_planned / rows_per_file))
     (
-        df.repartition(n_files)
+        df.repartition(n_files_planned)
         .write.option("maxRecordsPerFile", rows_per_file)
         .mode(mode)
         .parquet(path)
     )
+    # report the written reality, not the plan: footer count + actual
+    # file listing (maxRecordsPerFile can split beyond the plan, and a
+    # non-deterministic input can change cardinality between the
+    # planning count and the write)
+    written = df.sparkSession.read.parquet(path)
+    n_rows = written.count()
+    # inputFiles(), not os.listdir: engine-side, so no shared-FS
+    # assumption here.  Under mode="append" both counts cover the
+    # whole directory (previous appends included), which is the
+    # number split planning actually sees.
+    n_files = len(written.inputFiles())
     return {
         "bytes_per_row": bpr,
         "rows_per_file": rows_per_file,

@@ -1029,6 +1029,24 @@ def _triangle_top20(edges: DataFrame) -> DataFrame:
     )
 
 
+def _degree_cap_threshold(edges: DataFrame):
+    """(degree relation, n_nodes, 1-row threshold DF aliased ``thr``):
+    the hub cutoff is the ceil(n/100)-th largest degree.  The SINGLE
+    Python-side definition of the cap policy — ``_degree_capped_edges``
+    applies it and ``triangle_cap_audit`` reports it, so the audited
+    threshold can never diverge from the cap actually applied (the SQL
+    twin ``_CAPPED_EDGES_SQL`` is the one unavoidable second copy)."""
+    deg = _node_degrees(edges)
+    n_nodes = deg.count()  # 1-row probe: k for the order statistic
+    k = max(1, -(-n_nodes // 100))
+    thr = (
+        deg.orderBy(F.col("degree").desc())
+        .limit(k)
+        .agg(F.min("degree").alias("thr"))
+    )
+    return deg, n_nodes, thr
+
+
 def _degree_capped_edges(edges: DataFrame) -> DataFrame:
     """Edges restricted to non-hub endpoints, where a hub is a node in
     the top 1% by degree (strictly above the ceil(n/100)-th largest
@@ -1045,14 +1063,7 @@ def _degree_capped_edges(edges: DataFrame) -> DataFrame:
     The threshold is a distributed TakeOrdered (limit k) + 1-row MIN —
     no single-partition window; k itself needs one 1-row collect
     (constant-bounded, the documented probe policy)."""
-    deg = _node_degrees(edges)
-    n_nodes = deg.count()  # 1-row probe: k for the order statistic
-    k = max(1, -(-n_nodes // 100))
-    thr = (
-        deg.orderBy(F.col("degree").desc())
-        .limit(k)
-        .agg(F.min("degree").alias("thr"))
-    )
+    deg, n_nodes, thr = _degree_cap_threshold(edges)
     hubs = (
         deg.join(F.broadcast(thr))
         .filter(F.col("degree") > F.col("thr"))
@@ -1201,14 +1212,8 @@ def triangle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     five summary counts are 1-row broadcasts crossed together (no
     wide result, no collect of anything non-constant)."""
     edges = _copurchase_edges(spark, sf_dir)
-    deg = _node_degrees(edges)
-    n_nodes = deg.count()  # same 1-row probe as _degree_capped_edges
-    k = max(1, -(-n_nodes // 100))
-    thr = (
-        deg.orderBy(F.col("degree").desc())
-        .limit(k)
-        .agg(F.min("degree").alias("cap_degree"))
-    )
+    deg, n_nodes, thr = _degree_cap_threshold(edges)
+    thr = thr.withColumnRenamed("thr", "cap_degree")
     ce = _pinned(
         _CAPPED_EDGE_CACHE,
         spark,

@@ -86,15 +86,24 @@ def test_itemcf_degree_bounded_at_sf1(spark):
     pathological."""
     import pyspark.sql.functions as F
 
+    from cascading_hbase_spark.queries import joins
     from cascading_hbase_spark.queries.joins import (
         _copurchase_edges,
         _node_degrees,
     )
 
-    edges = _copurchase_edges(spark, SF1_DIR)
-    max_deg = (
-        _node_degrees(edges).agg(F.max("degree")).collect()[0][0]
-    )
+    try:
+        edges = _copurchase_edges(spark, SF1_DIR)
+        max_deg = (
+            _node_degrees(edges).agg(F.max("degree")).collect()[0][0]
+        )
+    finally:
+        # release the corpus-scale sf1 pin: _pinned only evicts on the
+        # NEXT different-key request, which would leave every later
+        # test running under the pinned sf1 edge relation's memory
+        for cache in (joins._EDGE_CACHE, joins._CAPPED_EDGE_CACHE):
+            for key in list(cache):
+                cache.pop(key).unpersist()
     assert max_deg <= 2048, (
         f"co-purchase graph max degree {max_deg} at the sf1 probe — "
         f"itemcf windows and triangle wedge joins will degenerate; "
