@@ -109,3 +109,91 @@ def test_itemcf_degree_bounded_at_sf1(spark):
         f"itemcf windows and triangle wedge joins will degenerate; "
         f"raise min support or re-check the scale generator"
     )
+
+
+def _edges_df(spark, pairs):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "pa long, pb long"
+    )
+    return df.select(F.least("pa", "pb").alias("pa"),
+                     F.greatest("pa", "pb").alias("pb")).distinct()
+
+
+def _brute_triangles(pairs):
+    es = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({n for e in es for n in e})
+    tris = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (b, c) in es and (a, c) in es:
+                    tris += 1
+    return tris
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_count_matches_bruteforce(spark, seed):
+    """Oriented-wedge enumeration equals brute-force triangle counting
+    on random graphs — independent of the lineitem-derived oracle."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.queries.joins import _triangles
+
+    rnd = random.Random(seed)
+    pairs = {
+        tuple(sorted(rnd.sample(range(12), 2))) for _ in range(30)
+    }
+    got = _triangles(_edges_df(spark, pairs)).count()
+    assert got == _brute_triangles(pairs)
+
+
+def test_capped_and_sampled_triangles_are_subsets(spark):
+    """Structural contracts of the two scale levers: the capped
+    subgraph's triangles and the sampled subgraph's triangles are each
+    subsets of the exact triangle set (dropping edges can only remove
+    triangles, never create them)."""
+    import random
+
+    from cascading_hbase_spark.queries.joins import (
+        _degree_capped_edges,
+        _sampled_edges,
+        _triangles,
+    )
+
+    rnd = random.Random(7)
+    pairs = {
+        tuple(sorted(rnd.sample(range(15), 2))) for _ in range(60)
+    }
+    edges = _edges_df(spark, pairs)
+    exact = {tuple(r) for r in _triangles(edges).collect()}
+    capped = {
+        tuple(r) for r in _triangles(_degree_capped_edges(edges)).collect()
+    }
+    sampled = {
+        tuple(r) for r in _triangles(_sampled_edges(edges)).collect()
+    }
+    assert capped <= exact
+    assert sampled <= exact
+
+
+def test_pinned_cache_lifecycle(spark):
+    """_pinned returns the same relation for the same key and evicts
+    (unpersists) the previous pin when the key changes — at most one
+    pinned relation per cache at any time."""
+    from cascading_hbase_spark.queries.joins import _pinned
+
+    cache = {}
+    a = _pinned(cache, spark, "dirA", lambda: spark.range(5).toDF("n"))
+    a2 = _pinned(cache, spark, "dirA", lambda: spark.range(99).toDF("n"))
+    assert a is a2 and a.count() == 5  # cached, builder not re-invoked
+    assert a.storageLevel.useMemory  # pinned
+    b = _pinned(cache, spark, "dirB", lambda: spark.range(7).toDF("n"))
+    assert b.count() == 7
+    assert len(cache) == 1  # previous pin evicted
+    assert not a.storageLevel.useMemory  # and unpersisted
