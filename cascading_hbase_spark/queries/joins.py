@@ -639,7 +639,15 @@ def fuzzy_join_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this audit is a small-sf diagnostic by design; you cannot measure
     recall without ground truth).  Against it: pairs found by the
     16-char-prefix blocking and by deletion-neighborhood blocking.
-    One summary row — counts plus recall fractions."""
+    One summary row — counts plus recall fractions.
+
+    Cost reality check (r06 sweep): TPC-H customer names are ALL the
+    same length, so length blocking degenerates to a single all-pairs
+    block — ~8 s at sf0.01, ~15 min at sf0.1, hopeless beyond.  That
+    is inherent to exhaustive ground truth, not a plan defect; run the
+    audit at sf<=0.01 and carry the measured recall forward (the
+    production blocking schemes it certifies — prefix and deletion —
+    stay linear at every sf)."""
     c = load_table(spark, sf_dir, "customer")
     a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("name_a"))
     b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("name_b"))
@@ -1301,9 +1309,11 @@ def _sampled_edges(edges: DataFrame) -> DataFrame:
 def copurchase_triangles_estimate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """DOULION-style sampled GLOBAL triangle count: keep each edge with
-    hash-deterministic probability p = 1/4, count triangles exactly on
-    the sampled subgraph, unbias by 1/p^3.  This is the scale lever for
+    """DOULION-style sampled GLOBAL triangle count (Tsourakakis et
+    al., KDD 2009: count triangles on a p-sparsified graph, scale by
+    1/p^3): keep each edge with hash-deterministic probability
+    p = 1/4, count triangles exactly on the sampled subgraph, unbias
+    by 1/p^3.  This is the scale lever for
     the failure mode the degree cap does NOT fix: a uniformly DENSIFIED
     graph (every node's degree grows — the sf1 probe's shape, avg
     degree ~120 with no hub tail, where the top-1% cap keeps 97% of
