@@ -64,12 +64,12 @@ def main() -> None:
         # load_table, not raw spark.read: events.parquet needs the
         # nanosAsLong conf the catalog sets.
         load_table(spark, sf_dir, t).count()
-    # Materialize the shared co-purchase edge relation (see module
-    # docstring): the graph suite entries then time marginal cost over
-    # the warm pin, not whichever entry happens to run first.
-    from cascading_hbase_spark.queries.joins import _copurchase_edges
-
-    _copurchase_edges(spark, sf_dir).count()
+    # Materialize BOTH shared co-purchase pins (raw edges AND the
+    # degree-capped subgraph — one un-timed capped-triangles run builds
+    # the two in order; see module docstring): the graph suite entries
+    # then time marginal cost over warm pins regardless of
+    # SPARK_GRAFT_BENCH_REPEATS, not whichever entry runs first.
+    QUERIES["copurchase_triangles_capped"](spark, sf_dir).count()
 
     # Time >=3 repeats per query; report the MIN (the headline — strips
     # one-time costs; single-shot timings showed +-50% run-to-run

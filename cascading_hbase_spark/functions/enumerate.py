@@ -38,6 +38,10 @@ __all__ = [
 # Internal working columns the helpers join/select alongside the
 # caller's columns; an input already containing one would silently
 # collide (ambiguous join keys, wrong drops) rather than error.
+# Deliberately ONE uniform set for all four helpers (not a per-helper
+# subset): a name only some helper uses today may be adopted by
+# another tomorrow, and "rename _offset" is a cheaper contract than
+# "which helper am I calling".
 _RESERVED_COLS = ("_bucket", "_cs", "_offset", "_base", "_g", "_b")
 
 

@@ -877,13 +877,17 @@ def _pinned(
     the cache never exceeds one entry."""
     key = (spark, sf_dir)
     if key not in cache:
+        # build BEFORE evicting: plan construction is where a bad
+        # sf_dir raises (parquet path listing), and a failed request
+        # must not cost the healthy previous pin
+        fresh = build()
         for old_key in list(cache):
             old = cache.pop(old_key)
             try:
                 old.unpersist()
             except Exception:
                 pass  # previous SparkSession already stopped
-        cache[key] = build().persist()
+        cache[key] = fresh.persist()
     return cache[key]
 
 
@@ -1055,7 +1059,7 @@ def _degree_cap_threshold(edges: DataFrame):
     return deg, n_nodes, thr
 
 
-def _degree_capped_edges(edges: DataFrame) -> DataFrame:
+def _degree_capped_edges(edges: DataFrame, cap=None) -> DataFrame:
     """Edges restricted to non-hub endpoints, where a hub is a node in
     the top 1% by degree (strictly above the ceil(n/100)-th largest
     degree; ties at the threshold are kept).  The quantile form makes
@@ -1070,8 +1074,11 @@ def _degree_capped_edges(edges: DataFrame) -> DataFrame:
 
     The threshold is a distributed TakeOrdered (limit k) + 1-row MIN —
     no single-partition window; k itself needs one 1-row collect
-    (constant-bounded, the documented probe policy)."""
-    deg, n_nodes, thr = _degree_cap_threshold(edges)
+    (constant-bounded, the documented probe policy).  ``cap`` accepts
+    a precomputed ``_degree_cap_threshold`` result so a caller that
+    already derived it (the audit) doesn't pay the degree agg + count
+    twice."""
+    deg, n_nodes, thr = cap if cap is not None else _degree_cap_threshold(edges)
     hubs = (
         deg.join(F.broadcast(thr))
         .filter(F.col("degree") > F.col("thr"))
@@ -1220,13 +1227,14 @@ def triangle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     five summary counts are 1-row broadcasts crossed together (no
     wide result, no collect of anything non-constant)."""
     edges = _copurchase_edges(spark, sf_dir)
-    deg, n_nodes, thr = _degree_cap_threshold(edges)
+    cap = _degree_cap_threshold(edges)
+    deg, n_nodes, thr = cap
     thr = thr.withColumnRenamed("thr", "cap_degree")
     ce = _pinned(
         _CAPPED_EDGE_CACHE,
         spark,
         sf_dir,
-        lambda: _degree_capped_edges(edges),
+        lambda: _degree_capped_edges(edges, cap=cap),
     )
     hubs_n = (
         deg.join(F.broadcast(thr))

@@ -98,12 +98,15 @@ def test_itemcf_degree_bounded_at_sf1(spark):
             _node_degrees(edges).agg(F.max("degree")).collect()[0][0]
         )
     finally:
-        # release the corpus-scale sf1 pin: _pinned only evicts on the
-        # NEXT different-key request, which would leave every later
-        # test running under the pinned sf1 edge relation's memory
+        # release only the corpus-scale sf1 pins this test created:
+        # _pinned evicts on the NEXT different-key request, which would
+        # leave every later test under the sf1 relation's memory — but
+        # small-sf pins belonging to other tests in the session are
+        # not ours to evict
         for cache in (joins._EDGE_CACHE, joins._CAPPED_EDGE_CACHE):
             for key in list(cache):
-                cache.pop(key).unpersist()
+                if key[1] == SF1_DIR:
+                    cache.pop(key).unpersist()
     assert max_deg <= 2048, (
         f"co-purchase graph max degree {max_deg} at the sf1 probe — "
         f"itemcf windows and triangle wedge joins will degenerate; "
