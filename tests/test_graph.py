@@ -200,3 +200,24 @@ def test_pinned_cache_lifecycle(spark):
     assert b.count() == 7
     assert len(cache) == 1  # previous pin evicted
     assert not a.storageLevel.useMemory  # and unpersisted
+
+
+def test_pinned_cache_survives_failed_build(spark):
+    """A request whose build raises (bad sf_dir -> parquet listing
+    error) must not evict the healthy previous pin (r06 review
+    finding: eviction used to run before the build)."""
+    from cascading_hbase_spark.queries.joins import _pinned
+
+    cache = {}
+    good = _pinned(cache, spark, "dirA", lambda: spark.range(5).toDF("n"))
+    assert good.storageLevel.useMemory
+
+    def boom():
+        raise IOError("PATH_NOT_FOUND: /nonexistent")
+
+    with pytest.raises(IOError):
+        _pinned(cache, spark, "/nonexistent", boom)
+    assert len(cache) == 1  # healthy pin untouched
+    assert good.storageLevel.useMemory
+    again = _pinned(cache, spark, "dirA", lambda: spark.range(99).toDF("n"))
+    assert again is good  # still served from cache, builder not re-run

@@ -43,3 +43,21 @@ def test_estimate_rejects_empty(spark):
     df = spark.range(0).select("id")
     with pytest.raises(ValueError):
         estimate_bytes_per_row(df)
+
+
+def test_sizing_decision_reports_written_reality(spark, tmp_path):
+    """The returned n_rows/n_files come from what was WRITTEN (footer
+    count + engine file listing), so for a non-deterministic input the
+    observability record still matches the data on disk (r06: replaced
+    an eager full-input checkpoint, which is a non-starter for a
+    100 TB-class sink)."""
+    # rand() makes the plan non-deterministic across evaluations; the
+    # written parquet is the only truth
+    df = spark.range(50_000).select(
+        "id", F.rand(seed=None).alias("r")
+    ).filter(F.col("r") > 0.5)
+    out = str(tmp_path / "nondet")
+    info = write_sized_parquet(df, out, target_mb=64.0)
+    got = spark.read.parquet(out)
+    assert info["n_rows"] == got.count()
+    assert info["n_files"] == len(_file_sizes(out))
