@@ -288,3 +288,92 @@ def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
         for r in read_aggregate_view(spark, view).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=4), data=st.data())
+def test_zone_filtered_reads_match_model(spark, tmp_path_factory, ops, data):
+    """Zone-map pruning must stay EXACT (superset-safe pruning + row
+    filter) under any interleaving of append / wide append / delete /
+    merge / compact: for random value bands, a zone-filtered read
+    equals the dict model filtered to the band.  The directed unit
+    tests (test_keyed_table.py::test_zone_map_pruning) pin specific
+    widen/stale-superset cases; this closes the op-sequence space
+    around them (r06 hardening)."""
+    from cascading_hbase_spark.keyed.table import (
+        compact_keyed,
+        delete_keyed,
+        merge_keyed,
+    )
+
+    path = str(tmp_path_factory.mktemp("kt") / f"z{uuid.uuid4().hex[:8]}")
+    model: dict[int, tuple] = {}
+    created = False
+    for op, arg in ops:
+        if op in ("append", "append_wide"):
+            if op == "append_wide" and created:
+                rows = [(k, v, v * 7, i) for i, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(
+                    rows, "key long, val long, extra long, seq long"
+                )
+            else:
+                rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(
+                df, path, "key", seq_col="seq",
+                zone_cols=["val"] if not created else None,
+            )
+            for k, v in arg:
+                model[k] = v
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "merge" and created:
+            rows = [
+                (k, v, i, "delete" if is_del else "insert")
+                for i, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = v
+        elif op == "compact" and created:
+            compact_keyed(spark, path, n_buckets=arg)
+    if not created:
+        return
+    vals = sorted(set(model.values())) or [0]
+    # three probe bands: a random window, everything-below, everything-above
+    lo = data.draw(st.sampled_from(vals))
+    hi = data.draw(st.sampled_from(vals))
+    lo, hi = min(lo, hi), max(lo, hi)
+    for band in ((float(lo), float(hi)), (None, float(lo)), (float(hi), None)):
+        got = {
+            r["key"]
+            for r in read_keyed(
+                spark, path, zone_filter=("val", band[0], band[1])
+            ).collect()
+        }
+        want = {
+            k for k, v in model.items()
+            if (band[0] is None or v >= band[0])
+            and (band[1] is None or v <= band[1])
+        }
+        assert got == want, f"band {band}: got {got} want {want}"
