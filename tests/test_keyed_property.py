@@ -377,3 +377,85 @@ def test_zone_filtered_reads_match_model(spark, tmp_path_factory, ops, data):
             and (band[1] is None or v <= band[1])
         }
         assert got == want, f"band {band}: got {got} want {want}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=4))
+def test_time_travel_matches_model_history(spark, tmp_path_factory, ops):
+    """Every retained generation reads as the dict-model snapshot taken
+    right after the commit that produced it — time travel under any
+    append / wide append / delete / merge / compact interleaving, not
+    just the directed rollback cases.  Compaction commits are
+    physical-only: their snapshot equals the previous one."""
+    from cascading_hbase_spark.keyed.table import (
+        compact_keyed,
+        delete_keyed,
+        list_generations,
+        merge_keyed,
+    )
+
+    path = str(tmp_path_factory.mktemp("kt") / f"h{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []  # model after each commit
+    created = False
+    for op, arg in ops:
+        if op in ("append", "append_wide"):
+            if op == "append_wide" and created:
+                rows = [(k, v, v * 7, i) for i, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(
+                    rows, "key long, val long, extra long, seq long"
+                )
+            else:
+                rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(
+                df, path, "key", seq_col="seq",
+                retain=10 if not created else None,
+            )
+            for k, v in arg:
+                model[k] = v
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "merge" and created:
+            rows = [
+                (k, v, i, "delete" if is_del else "insert")
+                for i, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = v
+        elif op == "compact" and created:
+            compact_keyed(spark, path, n_buckets=arg)
+        else:
+            continue  # op skipped (not created yet): no commit happened
+        history.append(dict(model))
+    if not created:
+        return
+    gens = list_generations(path)
+    assert len(gens) == len(history), (gens, len(history))
+    for g, snap in zip(gens, history):
+        stored = {
+            r["key"]: r["val"]
+            for r in read_keyed(spark, path, generation=g).collect()
+        }
+        assert stored == snap, f"generation {g}: {stored} != {snap}"
