@@ -459,3 +459,85 @@ def test_time_travel_matches_model_history(spark, tmp_path_factory, ops):
             for r in read_keyed(spark, path, generation=g).collect()
         }
         assert stored == snap, f"generation {g}: {stored} != {snap}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(_op, min_size=2, max_size=4),
+    sync_after=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+def test_replica_sync_matches_model(spark, tmp_path_factory, ops, sync_after):
+    """The incremental replica's exactly-once cursor must land the
+    replica on the primary's content no matter WHERE the syncs fall in
+    the op sequence (including back-to-back syncs with no delta, and a
+    final catch-up spanning several commits)."""
+    from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
+    from cascading_hbase_spark.keyed.table import (
+        compact_keyed,
+        delete_keyed,
+        merge_keyed,
+    )
+
+    base = tmp_path_factory.mktemp("kt")
+    path = str(base / f"p{uuid.uuid4().hex[:8]}")
+    rpath = str(base / f"r{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    created = replicated = False
+    for i, (op, arg) in enumerate(ops):
+        if op in ("append", "append_wide"):
+            if op == "append_wide" and created:
+                rows = [(k, v, v * 7, j) for j, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(
+                    rows, "key long, val long, extra long, seq long"
+                )
+            else:
+                rows = [(k, v, j) for j, (k, v) in enumerate(arg)]
+                df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(
+                df, path, "key", seq_col="seq",
+                retain=10 if not created else None,
+            )
+            for k, v in arg:
+                model[k] = v
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "merge" and created:
+            rows = [
+                (k, v, j, "delete" if is_del else "insert")
+                for j, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = v
+        elif op == "compact" and created:
+            compact_keyed(spark, path, n_buckets=arg)
+        if created and not replicated:
+            create_replica(spark, path, rpath)
+            replicated = True
+        elif replicated and sync_after[i % len(sync_after)]:
+            sync_replica(spark, path, rpath)
+    if not replicated:
+        return
+    sync_replica(spark, path, rpath)  # final catch-up
+    got = {r["key"]: r["val"] for r in read_keyed(spark, rpath).collect()}
+    assert got == model, f"replica {got} != model {model}"
