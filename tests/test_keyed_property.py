@@ -541,3 +541,87 @@ def test_replica_sync_matches_model(spark, tmp_path_factory, ops, sync_after):
     sync_replica(spark, path, rpath)  # final catch-up
     got = {r["key"]: r["val"] for r in read_keyed(spark, rpath).collect()}
     assert got == model, f"replica {got} != model {model}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=3), data=st.data())
+def test_index_lookup_matches_model(spark, tmp_path_factory, ops, data):
+    """After a refresh, an equality-index lookup returns exactly the
+    model rows with that value — for any op interleaving, including
+    values that vanished (all their rows deleted/overwritten: the
+    rebuilt index must not resurrect them)."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        create_index,
+        index_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import delete_keyed, merge_keyed
+
+    path = str(tmp_path_factory.mktemp("kt") / f"i{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    created = indexed = False
+    for op, arg in ops:
+        if op in ("append", "append_wide"):
+            rows = [(k, v, j) for j, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(df, path, "key", seq_col="seq")
+            for k, v in arg:
+                model[k] = v
+            if not created:
+                create_index(spark, path, "val")
+                indexed = True
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "merge" and created:
+            rows = [
+                (k, v, j, "delete" if is_del else "insert")
+                for j, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = v
+    if not indexed:
+        return
+    from cascading_hbase_spark.keyed.index import refresh_index
+
+    # staleness contract: if the table moved past the index build, the
+    # lookup must refuse rather than silently answer from the past
+    imeta_stale = True
+    try:
+        index_lookup(spark, path, "val", 0).count()
+        imeta_stale = False
+    except StaleIndexError:
+        refresh_index(spark, path, "val")
+    if imeta_stale:
+        pass  # refreshed above
+    # probe: one value present in the model, and one value guaranteed absent
+    present = data.draw(st.sampled_from(sorted(set(model.values())) or [0]))
+    absent = max(model.values(), default=0) + 12345
+    for value, want_keys in (
+        (present, {k for k, v in model.items() if v == present}),
+        (absent, set()),
+    ):
+        got = {
+            r["key"] for r in index_lookup(spark, path, "val", value).collect()
+        }
+        assert got == want_keys, f"val={value}: {got} != {want_keys}"
