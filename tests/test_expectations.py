@@ -169,3 +169,67 @@ def test_reprocess_rejects_column_dropping_fixer(spark, batch, tmp_path):
         reprocess_quarantine(
             spark, qdir, tbl, "k", [E_TEXT], fixer=lambda df: df.drop("text")
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),       # key
+            st.integers(min_value=-100, max_value=100),   # val
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    threshold=st.integers(min_value=-50, max_value=50),
+)
+def test_quarantine_partition_is_exact(spark, tmp_path_factory, rows, threshold):
+    """Property: for a random batch and a random rule threshold, the
+    table receives exactly the LWW collapse of the passing rows, the
+    quarantine receives exactly the failing rows (each tagged with the
+    broken rule), and no row is lost or duplicated across the split."""
+    import uuid as _uuid
+
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    base = tmp_path_factory.mktemp("exp")
+    path = str(base / f"t{_uuid.uuid4().hex[:8]}")
+    qdir = str(base / f"q{_uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "key long, val long, seq long",
+    )
+    write_keyed_validated(
+        df, path, "key",
+        [Expectation("val_ge_thr", f"val >= {threshold}")],
+        quarantine_path=qdir,
+        seq_col="seq",  # batch-order LWW, matching the model below
+    )
+    passing = [(k, v) for k, v in rows if v >= threshold]
+    model = {}
+    for k, v in passing:
+        model[k] = v
+    stored = {
+        r["key"]: r["val"] for r in read_keyed(spark, path).collect()
+    } if passing else {}
+    assert stored == model
+    failing = [(k, v) for k, v in rows if v < threshold]
+    import os
+
+    if failing:
+        q = spark.read.parquet(qdir)
+        got_q = sorted((r["key"], r["val"]) for r in q.collect())
+        assert got_q == sorted(failing)
+        assert all(r["_violated"] == ["val_ge_thr"] for r in q.collect())
+    elif os.path.isdir(qdir):
+        # an all-clean batch still writes an (empty) quarantine dir —
+        # harmless and parquet-readable; it must contain zero rows
+        assert spark.read.parquet(qdir).count() == 0
