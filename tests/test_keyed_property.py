@@ -625,3 +625,76 @@ def test_index_lookup_matches_model(spark, tmp_path_factory, ops, data):
             r["key"] for r in index_lookup(spark, path, "val", value).collect()
         }
         assert got == want_keys, f"val={value}: {got} != {want_keys}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=4))
+def test_vacuum_preserves_current_snapshot(spark, tmp_path_factory, ops):
+    """vacuum_keyed(retain=1) after any op interleaving: the current
+    read is bit-identical to the pre-vacuum read (and to the model),
+    and every OLDER generation's read fails loudly (its data is GC'd;
+    ``list_generations`` still lists the manifest history — the
+    loud-failure contract of test_time_travel_beyond_retain_raises,
+    here closed over the op-sequence space)."""
+    from cascading_hbase_spark.keyed.table import (
+        compact_keyed,
+        delete_keyed,
+        list_generations,
+        merge_keyed,
+        vacuum_keyed,
+    )
+
+    path = str(tmp_path_factory.mktemp("kt") / f"v{uuid.uuid4().hex[:8]}")
+    model: dict[int, int] = {}
+    created = False
+    for op, arg in ops:
+        if op in ("append", "append_wide"):
+            rows = [(k, v, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(rows, "key long, val long, seq long")
+            write_keyed(df, path, "key", seq_col="seq")
+            for k, v in arg:
+                model[k] = v
+            created = True
+        elif op == "delete" and created:
+            delete_keyed(
+                spark, path,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "merge" and created:
+            rows = [
+                (k, v, i, "delete" if is_del else "insert")
+                for i, (k, v, is_del) in enumerate(arg)
+            ]
+            merge_keyed(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "key long, val long, seq long, _change string"
+                ),
+                seq_col="seq",
+            )
+            for k, v, is_del in arg:
+                if is_del:
+                    model.pop(k, None)
+            for k, v, is_del in arg:
+                if not is_del:
+                    model[k] = v
+        elif op == "compact" and created:
+            compact_keyed(spark, path, n_buckets=arg)
+    if not created:
+        return
+    before = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    gens = list_generations(path)
+    vacuum_keyed(path, retain=1)
+    after = {r["key"]: r["val"] for r in read_keyed(spark, path).collect()}
+    assert after == before == model
+    import pytest as _pytest
+
+    for g in gens[:-1]:
+        with _pytest.raises(Exception, match="garbage-collected|Path does not exist|FileNotFound"):
+            read_keyed(spark, path, generation=g).collect()
