@@ -555,7 +555,7 @@ def _stage_and_publish(
 _RESERVED_META = {
     "key", "boundaries", "next_seq", "families", "schema", "gens",
     "last_gen", "version", "retain", "ttl", "schema_evolved",
-    "zone_cols", "zone_maps",
+    "zone_cols", "zone_maps", "vacuum_horizon",
 }
 
 
@@ -823,9 +823,30 @@ def _read_raw(
 
 def _meta_at(path: str, generation: int | None) -> dict:
     """Current manifest, or the committed snapshot ``generation`` with
-    its data files verified still on disk."""
+    its data files verified still on disk.
+
+    Time-travel readability is DETERMINISTIC, not file-presence-based:
+    a generation older than the retention horizon — the newer of
+    (current version − retain + 1) and the horizon recorded by the
+    last ``vacuum_keyed`` — raises ``garbage-collected`` even when its
+    bucket pointers happen to be shared with (and thus kept alive by)
+    a retained snapshot.  A commit that changes no pointers (e.g. a
+    delete routed entirely to empty buckets) must not silently extend
+    its predecessor's time-travel lifetime past the documented
+    contract."""
     if generation is None:
         return _load_meta(path)
+    cur = _load_meta(path)
+    horizon = max(
+        cur.get("version", 1) - cur.get("retain", DEFAULT_RETAIN) + 1,
+        cur.get("vacuum_horizon", 1),
+    )
+    if generation < horizon:
+        raise FileNotFoundError(
+            f"generation {generation} of keyed table {path} has been "
+            f"garbage-collected (retention horizon is v{horizon}); raise "
+            f"retain= at table creation for deeper time travel"
+        )
     meta = _load_history(path, generation)
     if meta is None:
         avail = list_generations(path)
@@ -1214,6 +1235,11 @@ def rollback_keyed(path: str, generation: int) -> None:
         cur = _load_meta(path)
         hist = _meta_at(path, generation)  # verifies files still on disk
         meta = dict(hist)
+        # the historic manifest predates any later vacuum; the horizon
+        # must survive the rollback or GC'd generations would look
+        # readable again
+        if cur.get("vacuum_horizon", 1) > hist.get("vacuum_horizon", 1):
+            meta["vacuum_horizon"] = cur["vacuum_horizon"]
         meta["next_seq"] = max(cur.get("next_seq", 1), hist.get("next_seq", 1))
         last = dict(cur.get("last_gen", {}))
         for b, g in hist.get("last_gen", {}).items():
@@ -1506,7 +1532,13 @@ def vacuum_keyed(path: str, retain: int = 1) -> None:
     ``retain=1`` keeps only the current snapshot: time travel to older
     commits stops working and any reader DataFrame planned against a
     pre-vacuum snapshot will fail on its next action — run it in a
-    maintenance window, exactly like its warehouse namesakes."""
+    maintenance window, exactly like its warehouse namesakes.
+
+    The vacuum records its retention horizon in the manifest, so
+    time-travel reads below it fail loudly and deterministically —
+    including generations whose files survive the GC because a
+    retained snapshot shares every bucket pointer with them (a no-op
+    commit makes that common)."""
     if retain < 1:
         raise ValueError(f"retain must be >= 1, got {retain}")
     with _writer_lock(path):
@@ -1514,3 +1546,7 @@ def vacuum_keyed(path: str, retain: int = 1) -> None:
         once = dict(meta)
         once["retain"] = retain
         _gc_orphans(path, once)
+        horizon = meta.get("version", 1) - retain + 1
+        if horizon > meta.get("vacuum_horizon", 1):
+            meta["vacuum_horizon"] = horizon
+            _save_meta(path, meta)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import uuid
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
@@ -633,10 +633,17 @@ def test_index_lookup_matches_model(spark, tmp_path_factory, ops, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=2, max_size=4))
+# r06 falsifier, pinned: the delete routes entirely to EMPTY buckets,
+# so its commit shares every bucket pointer with its predecessor and
+# vacuum's file GC alone cannot make the older generation unreadable —
+# the deterministic vacuum_horizon in the manifest must.
+@example(ops=[("compact", 1), ("append", [(9, 999999)]), ("delete", [1, 6, 5, 0])])
 def test_vacuum_preserves_current_snapshot(spark, tmp_path_factory, ops):
     """vacuum_keyed(retain=1) after any op interleaving: the current
     read is bit-identical to the pre-vacuum read (and to the model),
-    and every OLDER generation's read fails loudly (its data is GC'd;
+    and every OLDER generation's read fails loudly (GC'd data, or a
+    generation below the recorded vacuum horizon whose files survive
+    only because the retained snapshot shares its pointers;
     ``list_generations`` still lists the manifest history — the
     loud-failure contract of test_time_travel_beyond_retain_raises,
     here closed over the op-sequence space)."""

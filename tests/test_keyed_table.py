@@ -1216,3 +1216,48 @@ def test_vacuum_keyed_reclaims_old_generations(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         vacuum_keyed(path, retain=0)
+
+
+def test_vacuum_horizon_is_deterministic_for_shared_pointer_commits(
+    spark, tmp_path
+):
+    """A commit that changes NO bucket pointers (here: a delete routed
+    entirely to empty buckets) shares every generation directory with
+    its predecessor, so vacuum's file GC alone leaves the older
+    snapshot physically readable.  The recorded vacuum horizon must
+    make the time-travel read fail loudly anyway — the r06 falsifier
+    of test_vacuum_preserves_current_snapshot, as a directed case."""
+    from cascading_hbase_spark.keyed.table import (
+        delete_keyed, list_generations, read_keyed, rollback_keyed,
+        vacuum_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "vh")
+    write_keyed(
+        spark.createDataFrame([(9, 1.0)], "k long, v double"),
+        path, "k", retain=10,
+    )
+    # every delete key routes to a bucket with no data: the commit
+    # reuses its predecessor's pointers verbatim
+    delete_keyed(
+        spark, path, spark.createDataFrame([(0,), (1,)], "k long")
+    )
+    gens = list_generations(path)
+    assert len(gens) == 2
+    vacuum_keyed(path, retain=1)
+    # current read intact...
+    assert [(r.k, r.v) for r in read_keyed(spark, path).collect()] == [(9, 1.0)]
+    # ...older generation refuses deterministically even though its
+    # files are still on disk (shared with the retained snapshot)
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        read_keyed(spark, path, generation=gens[0])
+    # rollback below the horizon refuses for the same reason
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        rollback_keyed(path, gens[0])
+    # the horizon survives a legal rollback-to-current-window commit
+    write_keyed(
+        spark.createDataFrame([(9, 2.0)], "k long, v double"), path, "k"
+    )
+    rollback_keyed(path, gens[-1])
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        read_keyed(spark, path, generation=gens[0])
