@@ -837,6 +837,14 @@ def _meta_at(path: str, generation: int | None) -> dict:
     if generation is None:
         return _load_meta(path)
     cur = _load_meta(path)
+    if not 1 <= generation <= cur.get("version", 1):
+        # before the horizon check: a generation that never existed
+        # (0, negative, or beyond the current version) is "no such
+        # snapshot", not "garbage-collected"
+        raise FileNotFoundError(
+            f"keyed table {path} has no snapshot v{generation} "
+            f"(versions run 1..{cur.get('version', 1)})"
+        )
     horizon = max(
         cur.get("version", 1) - cur.get("retain", DEFAULT_RETAIN) + 1,
         cur.get("vacuum_horizon", 1),
@@ -1543,10 +1551,15 @@ def vacuum_keyed(path: str, retain: int = 1) -> None:
         raise ValueError(f"retain must be >= 1, got {retain}")
     with _writer_lock(path):
         meta = _load_meta(path)
-        once = dict(meta)
-        once["retain"] = retain
-        _gc_orphans(path, once)
+        # Persist the horizon BEFORE deleting anything: a crash between
+        # the two must leave sub-horizon generations loudly unreadable
+        # (the contract), never silently readable-again.  GC is
+        # idempotent under the writer lock, so a crash after the save
+        # just leaves garbage for the next vacuum/commit to collect.
         horizon = meta.get("version", 1) - retain + 1
         if horizon > meta.get("vacuum_horizon", 1):
             meta["vacuum_horizon"] = horizon
             _save_meta(path, meta)
+        once = dict(meta)
+        once["retain"] = retain
+        _gc_orphans(path, once)

@@ -85,36 +85,46 @@ def write_sized_parquet(
     would defeat the point of a SIZING utility (an eager checkpoint
     materializes the whole 100 TB-class sink input into executor
     storage).  Instead the returned ``n_rows``/``n_files`` are read
-    from what was ACTUALLY WRITTEN (footer metadata, ~free), so the
-    observability record is always truthful; only the bytes/row
-    estimate and the planning count may then come from a different
-    evaluation, which degrades file-size accuracy, never
-    correctness."""
+    from what was ACTUALLY WRITTEN, so the observability record is
+    always truthful; only the bytes/row estimate and the planning
+    count may then come from a different evaluation, which degrades
+    file-size accuracy, never correctness.
+
+    Under ``mode="append"`` the record covers THIS BATCH only —
+    ``n_files``/``n_rows`` are computed over the files the write added
+    (pre/post ``inputFiles()`` diff), not the cumulative directory;
+    ``dir_n_files`` carries the directory-wide total split planning
+    sees.  The post-write count reads only the new files' row-group
+    metadata (a footer pass, cheap but not free — it lists and opens
+    every new file once)."""
+    spark = df.sparkSession
     bpr = estimate_bytes_per_row(df, sample_rows)
     target_bytes = target_mb * 1024 * 1024
     rows_per_file = max(1, int(target_bytes / bpr))
     n_planned = df.count()
     n_files_planned = max(1, math.ceil(n_planned / rows_per_file))
+    try:
+        before = set(spark.read.parquet(path).inputFiles())
+    except Exception:
+        before = set()  # first write into a fresh path
     (
         df.repartition(n_files_planned)
         .write.option("maxRecordsPerFile", rows_per_file)
         .mode(mode)
         .parquet(path)
     )
-    # report the written reality, not the plan: footer count + actual
-    # file listing (maxRecordsPerFile can split beyond the plan, and a
-    # non-deterministic input can change cardinality between the
-    # planning count and the write)
-    written = df.sparkSession.read.parquet(path)
-    n_rows = written.count()
-    # inputFiles(), not os.listdir: engine-side, so no shared-FS
-    # assumption here.  Under mode="append" both counts cover the
-    # whole directory (previous appends included), which is the
-    # number split planning actually sees.
-    n_files = len(written.inputFiles())
+    # report the written reality, not the plan: actual file listing +
+    # footer row counts (maxRecordsPerFile can split beyond the plan,
+    # and a non-deterministic input can change cardinality between the
+    # planning count and the write).  inputFiles(), not os.listdir:
+    # engine-side, so no shared-FS assumption here.
+    all_files = spark.read.parquet(path).inputFiles()
+    new_files = [f for f in all_files if f not in before] if mode == "append" else list(all_files)
+    n_rows = spark.read.parquet(*new_files).count() if new_files else 0
     return {
         "bytes_per_row": bpr,
         "rows_per_file": rows_per_file,
-        "n_files": n_files,
+        "n_files": len(new_files),
         "n_rows": n_rows,
+        "dir_n_files": len(all_files),
     }

@@ -10,6 +10,9 @@ Do NOT hand-schedule sort-merge like the reference's MR engine did
 
 from __future__ import annotations
 
+import os
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -863,6 +866,27 @@ def _order_part_pairs(li: DataFrame) -> DataFrame:
 # persist in ``queries/`` without an explicit release).
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 _CAPPED_EDGE_CACHE: dict[tuple, DataFrame] = {}
+# One REENTRANT lock for both caches: pin switches are rare
+# (per-sf_dir, not per-row) and the guarded section is plan
+# construction, not a job.  Reentrant because builds nest — the capped
+# subgraph's build() pins the base edge relation through the same lock
+# (a plain Lock self-deadlocks there).
+_PIN_LOCK = threading.RLock()
+
+
+def clear_edge_caches() -> None:
+    """Release every pinned co-purchase relation.  Call after
+    regenerating the parquet under a previously-pinned ``sf_dir`` —
+    the pin key is the (session, realpath) pair, so same-path new
+    data would otherwise be served from the stale pinned relation."""
+    with _PIN_LOCK:
+        for cache in (_EDGE_CACHE, _CAPPED_EDGE_CACHE):
+            for key in list(cache):
+                old = cache.pop(key)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # owning SparkSession already stopped
 
 
 def _pinned(
@@ -874,21 +898,27 @@ def _pinned(
     cache).  Keyed on the session OBJECT, not ``id()`` — a recycled id
     after session GC would otherwise hand back DataFrames bound to a
     stopped session; holding one strong session ref is bounded because
-    the cache never exceeds one entry."""
-    key = (spark, sf_dir)
-    if key not in cache:
-        # build BEFORE evicting: plan construction is where a bad
-        # sf_dir raises (parquet path listing), and a failed request
-        # must not cost the healthy previous pin
-        fresh = build()
-        for old_key in list(cache):
-            old = cache.pop(old_key)
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # previous SparkSession already stopped
-        cache[key] = fresh.persist()
-    return cache[key]
+    the cache never exceeds one entry.  The path is realpath-normalized
+    so ``sf1`` vs ``sf1/`` (or a symlinked alias) don't thrash the
+    single-pin eviction.  Mutation is serialized under ``_PIN_LOCK`` —
+    without it two driver threads could double-build (leaking one
+    persisted relation) or one could unpersist a relation the other
+    just started consuming."""
+    key = (spark, os.path.realpath(sf_dir))
+    with _PIN_LOCK:
+        if key not in cache:
+            # build BEFORE evicting: plan construction is where a bad
+            # sf_dir raises (parquet path listing), and a failed
+            # request must not cost the healthy previous pin
+            fresh = build()
+            for old_key in list(cache):
+                old = cache.pop(old_key)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # previous SparkSession already stopped
+            cache[key] = fresh.persist()
+        return cache[key]
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

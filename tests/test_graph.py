@@ -221,3 +221,95 @@ def test_pinned_cache_survives_failed_build(spark):
     assert good.storageLevel.useMemory
     again = _pinned(cache, spark, "dirA", lambda: spark.range(99).toDF("n"))
     assert again is good  # still served from cache, builder not re-run
+
+
+def test_pinned_cache_key_is_realpath_normalized(spark, tmp_path):
+    """`sf1` vs `sf1/` (or a symlinked alias) must hit the SAME pin —
+    the raw-string key thrashed the single-pin eviction (ADVICE r06)."""
+    from cascading_hbase_spark.queries.joins import _pinned
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    alias = tmp_path / "sfX_link"
+    alias.symlink_to(d)
+
+    cache = {}
+    a = _pinned(cache, spark, str(d), lambda: spark.range(5).toDF("n"))
+    b = _pinned(cache, spark, str(d) + "/", lambda: spark.range(99).toDF("n"))
+    c = _pinned(cache, spark, str(alias), lambda: spark.range(7).toDF("n"))
+    assert a is b is c  # one pin, no eviction churn
+    assert len(cache) == 1 and a.storageLevel.useMemory
+
+
+def test_pinned_cache_concurrent_requests_build_once(spark):
+    """Two threads racing the same cold key must not double-build (one
+    persisted relation would leak unpersistable) — mutation is
+    serialized under _PIN_LOCK (ADVICE r06)."""
+    import threading
+    import time
+
+    from cascading_hbase_spark.queries.joins import _pinned
+
+    cache = {}
+    builds = []
+
+    def build():
+        builds.append(1)
+        time.sleep(0.2)  # widen the race window
+        return spark.range(5).toDF("n")
+
+    got = [None] * 8
+    def worker(i):
+        got[i] = _pinned(cache, spark, "dirZ", build)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1, f"built {len(builds)} times under race"
+    assert all(g is got[0] for g in got)
+    assert len(cache) == 1
+
+
+def test_clear_edge_caches_releases_pins(spark):
+    """After regenerating data under a pinned path, clear_edge_caches()
+    releases the stale pins so the next request rebuilds from disk."""
+    from cascading_hbase_spark.queries.joins import (
+        _CAPPED_EDGE_CACHE,
+        _EDGE_CACHE,
+        _pinned,
+        clear_edge_caches,
+    )
+
+    a = _pinned(_EDGE_CACHE, spark, "dirC", lambda: spark.range(5).toDF("n"))
+    b = _pinned(_CAPPED_EDGE_CACHE, spark, "dirC", lambda: spark.range(3).toDF("n"))
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    clear_edge_caches()
+    assert not _EDGE_CACHE and not _CAPPED_EDGE_CACHE
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    rebuilt = _pinned(_EDGE_CACHE, spark, "dirC", lambda: spark.range(9).toDF("n"))
+    assert rebuilt.count() == 9  # builder re-ran, not served stale
+    clear_edge_caches()  # leave module caches clean for other tests
+
+
+def test_pinned_cache_nested_build_does_not_deadlock(spark):
+    """The capped-edge build pins the base edge relation from INSIDE
+    its own _pinned call — the lock must be reentrant (a plain Lock
+    self-deadlocked here; caught by the round-8 verify run)."""
+    from cascading_hbase_spark.queries.joins import _pinned, clear_edge_caches
+
+    outer_cache, inner_cache = {}, {}
+
+    def build_outer():
+        base = _pinned(
+            inner_cache, spark, "dirN", lambda: spark.range(10).toDF("n")
+        )
+        return base.filter("n < 5")
+
+    out = _pinned(outer_cache, spark, "dirN", build_outer)
+    assert out.count() == 5
+    assert len(outer_cache) == 1 and len(inner_cache) == 1
+    for c in (outer_cache, inner_cache):
+        for df in c.values():
+            df.unpersist()

@@ -1261,3 +1261,60 @@ def test_vacuum_horizon_is_deterministic_for_shared_pointer_commits(
     rollback_keyed(path, gens[-1])
     with pytest.raises(FileNotFoundError, match="garbage-collected"):
         read_keyed(spark, path, generation=gens[0])
+
+
+def test_vacuum_persists_horizon_before_gc(spark, tmp_path, monkeypatch):
+    """A crash between vacuum's two steps must leave sub-horizon
+    generations loudly unreadable — so the horizon is saved FIRST and
+    only then files are deleted (ADVICE r07: the old order re-opened
+    the exact silent-readability window the horizon exists to close).
+    GC is idempotent under the writer lock, so the next vacuum/commit
+    collects what the crashed one left behind."""
+    from cascading_hbase_spark.keyed import table as kt
+
+    path = str(tmp_path / "crash")
+    kt.write_keyed(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        path, "k", retain=10,
+    )
+    kt.write_keyed(
+        spark.createDataFrame([(1, 2.0)], "k long, v double"), path, "k"
+    )
+    gens = kt.list_generations(path)
+    assert len(gens) == 2
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-vacuum")
+
+    monkeypatch.setattr(kt, "_gc_orphans", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        kt.vacuum_keyed(path, retain=1)
+    monkeypatch.undo()
+
+    # the horizon landed before the crash: the old generation refuses
+    # deterministically even though its files were never deleted
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        kt.read_keyed(spark, path, generation=gens[0])
+    # current snapshot unharmed; a re-run vacuum completes the GC
+    assert [r.v for r in kt.read_keyed(spark, path).collect()] == [2.0]
+    kt.vacuum_keyed(path, retain=1)
+    assert [r.v for r in kt.read_keyed(spark, path).collect()] == [2.0]
+
+
+def test_time_travel_nonexistent_generation_says_no_such_snapshot(
+    spark, tmp_path
+):
+    """generation=0, negative, or beyond the current version is 'no
+    such snapshot', not 'garbage-collected' (ADVICE r07: the horizon
+    check used to claim GC for generations that never existed)."""
+    from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
+
+    path = str(tmp_path / "nosnap")
+    write_keyed(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"), path, "k"
+    )
+    for g in (0, -3, 99):
+        with pytest.raises(FileNotFoundError) as ei:
+            read_keyed(spark, path, generation=g)
+        assert "no snapshot" in str(ei.value)
+        assert "garbage-collected" not in str(ei.value)

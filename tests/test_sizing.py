@@ -61,3 +61,21 @@ def test_sizing_decision_reports_written_reality(spark, tmp_path):
     got = spark.read.parquet(out)
     assert info["n_rows"] == got.count()
     assert info["n_files"] == len(_file_sizes(out))
+
+
+def test_sizing_append_mode_reports_batch_not_directory(spark, tmp_path):
+    """Under mode='append' the record covers THIS batch (pre/post
+    inputFiles() diff), with the directory-wide total in dir_n_files —
+    cumulative n_rows misstated every append after the first
+    (ADVICE r06)."""
+    out = str(tmp_path / "appended")
+    df1 = spark.range(1000).select("id")
+    info1 = write_sized_parquet(df1, out, target_mb=64.0, mode="append")
+    assert info1["n_rows"] == 1000
+
+    df2 = spark.range(250).select("id")
+    info2 = write_sized_parquet(df2, out, target_mb=64.0, mode="append")
+    assert info2["n_rows"] == 250  # the batch, not 1250
+    assert info2["n_files"] >= 1
+    assert info2["dir_n_files"] == info1["n_files"] + info2["n_files"]
+    assert spark.read.parquet(out).count() == 1250  # directory truth intact
