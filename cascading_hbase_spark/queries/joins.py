@@ -1012,7 +1012,20 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closing check is an equi semi-ish join on (a, c).  Hub nodes
     skew the wedge join — that is join skew, delegated to AQE's
     splitter per the ``functions/skew.py`` policy.  Top-20 is a
-    distributed TakeOrderedAndProject."""
+    distributed TakeOrderedAndProject.
+
+    **Which triangle form to run** — this exact form is
+    Theta(sum deg^2) in wedge volume: inherently superlinear, so treat
+    it as the small-sf oracle the audits compare against.  At
+    production scale run one of the levers instead:
+    ``copurchase_triangles_capped`` (drop top-1%-degree hubs; right
+    when a hub tail drives the wedge volume — justify with
+    ``triangle_cap_audit``: at sf0.01 dropping 11/1880 hubs keeps 92%
+    of triangles) or ``copurchase_triangles_estimate`` (DOULION edge
+    sampling; degree-shape-insensitive, right for uniformly dense
+    graphs — justify with ``triangle_estimate_audit``: at sf1, 19.6x
+    faster than exact with 0.88% error, per
+    BENCH_SF1.json::triangle_scale_levers_r06)."""
     return _triangle_top20(_copurchase_edges(spark, sf_dir))
 
 
