@@ -103,10 +103,15 @@ def write_sized_parquet(
     rows_per_file = max(1, int(target_bytes / bpr))
     n_planned = df.count()
     n_files_planned = max(1, math.ceil(n_planned / rows_per_file))
-    try:
-        before = set(spark.read.parquet(path).inputFiles())
-    except Exception:
-        before = set()  # first write into a fresh path
+    before: set[str] = set()
+    if mode == "append":
+        # only append needs the pre-write listing (to diff the batch
+        # out afterwards) — overwrite must not pay a full listing +
+        # footer pass of data it is about to delete
+        try:
+            before = set(spark.read.parquet(path).inputFiles())
+        except Exception:
+            before = set()  # first write into a fresh path
     (
         df.repartition(n_files_planned)
         .write.option("maxRecordsPerFile", rows_per_file)

@@ -98,9 +98,12 @@ def _verdict_rounds() -> dict[str, int]:
         try:
             rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
             with open(path) as f:
-                names = list(json.load(f))
-        except (ValueError, OSError, json.JSONDecodeError):
-            continue  # malformed artifact: ignore, never break import
+                names = [n for n in json.load(f) if isinstance(n, str)]
+        except Exception:
+            # malformed artifact (unreadable, bad JSON, or a shape whose
+            # iteration/keys aren't strings): ignore — this runs at
+            # import, and a bad driver file must never break the package
+            continue
         for name in names:
             newest[name] = max(newest.get(name, 0), rnd)
     return newest

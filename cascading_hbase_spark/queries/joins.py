@@ -866,12 +866,25 @@ def _order_part_pairs(li: DataFrame) -> DataFrame:
 # persist in ``queries/`` without an explicit release).
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 _CAPPED_EDGE_CACHE: dict[tuple, DataFrame] = {}
-# One REENTRANT lock for both caches: pin switches are rare
-# (per-sf_dir, not per-row) and the guarded section is plan
-# construction, not a job.  Reentrant because builds nest — the capped
-# subgraph's build() pins the base edge relation through the same lock
-# (a plain Lock self-deadlocks there).
-_PIN_LOCK = threading.RLock()
+# One lock for both caches, held only around dict reads/mutations —
+# NEVER around build() (the capped build runs real Spark jobs: a
+# degree aggregation + count; holding the lock there would block even
+# pure cache hits behind a cluster job, and self-deadlock on the
+# nested base-edge pin).  Build-once under race comes from the
+# in-flight latch map below, not from holding the lock.
+_PIN_LOCK = threading.Lock()
+# (id(cache), key) -> Event set when that build finishes (or fails).
+_PIN_BUILDING: dict[tuple, threading.Event] = {}
+
+
+def _pin_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Cache key: the session OBJECT plus a normalized path.  realpath
+    collapses ``sf1`` vs ``sf1/`` and symlinked aliases — but only for
+    local paths: a scheme URI (``s3a://...``) would be mangled by
+    realpath (and made cwd-dependent), so URIs are normalized lexically."""
+    if "://" in sf_dir:
+        return (spark, sf_dir.rstrip("/"))
+    return (spark, os.path.realpath(sf_dir))
 
 
 def clear_edge_caches() -> None:
@@ -898,27 +911,56 @@ def _pinned(
     cache).  Keyed on the session OBJECT, not ``id()`` — a recycled id
     after session GC would otherwise hand back DataFrames bound to a
     stopped session; holding one strong session ref is bounded because
-    the cache never exceeds one entry.  The path is realpath-normalized
-    so ``sf1`` vs ``sf1/`` (or a symlinked alias) don't thrash the
-    single-pin eviction.  Mutation is serialized under ``_PIN_LOCK`` —
-    without it two driver threads could double-build (leaking one
-    persisted relation) or one could unpersist a relation the other
-    just started consuming."""
-    key = (spark, os.path.realpath(sf_dir))
-    with _PIN_LOCK:
-        if key not in cache:
-            # build BEFORE evicting: plan construction is where a bad
-            # sf_dir raises (parquet path listing), and a failed
-            # request must not cost the healthy previous pin
+    the cache never exceeds one entry.  The path is normalized by
+    ``_pin_key`` so ``sf1`` vs ``sf1/`` (or a symlinked alias) don't
+    thrash the single-pin eviction.
+
+    Concurrency: cache mutation is serialized under ``_PIN_LOCK``
+    (held only around dict access — build() runs jobs and must not
+    block cache hits), and a per-(cache, key) latch makes racing cold
+    requests build ONCE — the losers wait on the winner's Event, so no
+    persisted relation is ever double-built or leaked, and nobody
+    unpersists a relation another thread just started consuming."""
+    key = _pin_key(spark, sf_dir)
+    latch = (id(cache), key)
+    while True:
+        with _PIN_LOCK:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+            ev = _PIN_BUILDING.get(latch)
+            if ev is None:
+                ev = threading.Event()
+                _PIN_BUILDING[latch] = ev
+                building = True
+            else:
+                building = False
+        if not building:
+            # another thread is building this key: wait, then re-check
+            # (its build may also have FAILED — then the key is absent,
+            # the latch is gone, and this thread takes over the build,
+            # so a persistent error still raises here)
+            ev.wait()
+            continue
+        try:
+            # build BEFORE evicting, OUTSIDE the lock: plan
+            # construction is where a bad sf_dir raises (parquet path
+            # listing), a failed request must not cost the healthy
+            # previous pin, and the capped build runs real Spark jobs
             fresh = build()
-            for old_key in list(cache):
-                old = cache.pop(old_key)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass  # previous SparkSession already stopped
-            cache[key] = fresh.persist()
-        return cache[key]
+            with _PIN_LOCK:
+                for old_key in list(cache):
+                    old = cache.pop(old_key)
+                    try:
+                        old.unpersist()
+                    except Exception:
+                        pass  # previous SparkSession already stopped
+                cache[key] = fresh.persist()
+                return cache[key]
+        finally:
+            with _PIN_LOCK:
+                _PIN_BUILDING.pop(latch, None)
+            ev.set()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,6 +239,7 @@ def test_pinned_cache_key_is_realpath_normalized(spark, tmp_path):
     c = _pinned(cache, spark, str(alias), lambda: spark.range(7).toDF("n"))
     assert a is b is c  # one pin, no eviction churn
     assert len(cache) == 1 and a.storageLevel.useMemory
+    a.unpersist()  # don't leak the pin into the shared session
 
 
 def test_pinned_cache_concurrent_requests_build_once(spark):
@@ -270,6 +271,7 @@ def test_pinned_cache_concurrent_requests_build_once(spark):
     assert len(builds) == 1, f"built {len(builds)} times under race"
     assert all(g is got[0] for g in got)
     assert len(cache) == 1
+    got[0].unpersist()  # don't leak the pin into the shared session
 
 
 def test_clear_edge_caches_releases_pins(spark):
@@ -311,5 +313,57 @@ def test_pinned_cache_nested_build_does_not_deadlock(spark):
     assert out.count() == 5
     assert len(outer_cache) == 1 and len(inner_cache) == 1
     for c in (outer_cache, inner_cache):
+        for df in c.values():
+            df.unpersist()
+
+
+def test_pinned_cache_uri_key_not_realpathed(spark, monkeypatch):
+    """A scheme URI (s3a://...) must not go through os.path.realpath —
+    that would prefix the cwd and make the SAME remote path key
+    differently from two driver cwds (round-8 review finding)."""
+    from cascading_hbase_spark.queries.joins import _pin_key
+
+    k1 = _pin_key(spark, "s3a://bucket/sf1")
+    k2 = _pin_key(spark, "s3a://bucket/sf1/")
+    assert k1 == k2
+    assert k1[1] == "s3a://bucket/sf1"  # untouched, cwd-independent
+    monkeypatch.chdir("/tmp")
+    assert _pin_key(spark, "s3a://bucket/sf1") == k1
+
+
+def test_pinned_cache_hit_not_blocked_by_other_build(spark):
+    """A cache HIT must return while another key's build is mid-job —
+    the lock is held only around dict access, never across build()
+    (round-8 review finding: jobs under the global lock would
+    serialize all pin traffic behind the slowest build)."""
+    import threading
+    import time
+
+    from cascading_hbase_spark.queries.joins import _pinned
+
+    warm_cache, cold_cache = {}, {}
+    warm = _pinned(warm_cache, spark, "dirW", lambda: spark.range(5).toDF("n"))
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_build():
+        started.set()
+        release.wait(timeout=30)
+        return spark.range(7).toDF("n")
+
+    t = threading.Thread(
+        target=lambda: _pinned(cold_cache, spark, "dirS", slow_build)
+    )
+    t.start()
+    assert started.wait(timeout=10)
+    t0 = time.time()
+    hit = _pinned(warm_cache, spark, "dirW", lambda: spark.range(9).toDF("n"))
+    elapsed = time.time() - t0
+    release.set()
+    t.join(timeout=30)
+    assert hit is warm
+    assert elapsed < 5, f"cache hit blocked {elapsed:.1f}s behind a build"
+    for c in (warm_cache, cold_cache):
         for df in c.values():
             df.unpersist()

@@ -143,21 +143,14 @@ def test_api_doc_names_every_export():
 
 
 def _newest_verdicts() -> tuple[int, dict[str, int]]:
-    """(newest round seen, name -> newest round with a driver verdict)
-    from the committed CORRECTNESS_r*.json artifacts."""
-    import glob
-    import json
+    """(newest round seen, name -> newest round with a driver verdict).
+    Delegates to the package's artifact parser so there is exactly ONE
+    reader of the CORRECTNESS_r*.json format — the guard and the
+    ordering can never disagree about which artifacts count."""
+    from cascading_hbase_spark.queries import _verdict_rounds
 
-    root = os.path.join(os.path.dirname(MANIFEST), "..")
-    newest: dict[str, int] = {}
-    max_round = 0
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        max_round = max(max_round, rnd)
-        with open(path) as f:
-            for name in json.load(f):
-                newest[name] = max(newest.get(name, 0), rnd)
-    return max_round, newest
+    newest = _verdict_rounds()
+    return max(newest.values(), default=0), newest
 
 
 BACKLOG_FILE = os.path.join(os.path.dirname(MANIFEST), "verdict_backlog.txt")
@@ -223,3 +216,27 @@ def test_verdict_freshness():
         f"tools/prune_backlog.py so the backlog only lists real debt: "
         f"{drained}"
     )
+
+
+def test_verdict_rounds_survives_malformed_artifacts(monkeypatch, tmp_path):
+    """_verdict_rounds runs at package import — a driver artifact that
+    is valid JSON but the wrong shape (list of objects, bare scalar)
+    must be skipped, never crash the import (round-8 review finding:
+    TypeError escaped the original guard)."""
+    import glob as glob_mod
+
+    from cascading_hbase_spark.queries import _verdict_rounds
+
+    good = tmp_path / "CORRECTNESS_r03.json"
+    good.write_text('{"q_ok": {"match": true}}')
+    bad_shape = tmp_path / "CORRECTNESS_r04.json"
+    bad_shape.write_text('[{"name": "q_listed", "pass": true}]')
+    bad_scalar = tmp_path / "CORRECTNESS_r05.json"
+    bad_scalar.write_text("123")
+    bad_json = tmp_path / "CORRECTNESS_r06.json"
+    bad_json.write_text("{not json")
+
+    files = sorted(str(p) for p in tmp_path.iterdir())
+    monkeypatch.setattr(glob_mod, "glob", lambda pattern: files)
+    newest = _verdict_rounds()
+    assert newest == {"q_ok": 3}  # good file counted, bad ones skipped

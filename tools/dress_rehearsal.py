@@ -13,27 +13,22 @@ of surprising the judge.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    import duckdb
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
     from cascading_hbase_spark.queries import DRIVER_BUDGET
-    from tests.parity import compare
+    from tests.parity import compare, duck_connection
 
     n = int(sys.argv[2]) if len(sys.argv) > 2 else DRIVER_BUDGET
 
@@ -44,9 +39,7 @@ def main() -> None:
         .getOrCreate()
     )
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    con = duck_connection(sf)
 
     t0 = time.time()
     failures = []
