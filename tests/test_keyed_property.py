@@ -5,10 +5,19 @@ MultiFamilyHBaseTest's upsert semantics."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+
+
+def _examples(n: int) -> int:
+    """Per-test example budget, scalable for deep fuzz sessions:
+    KT_PROP_SCALE=10 HYPOTHESIS_PROFILE=explore pytest ...  multiplies
+    every test's budget (each example is a Spark-heavy model run, so
+    the committed default stays small and deterministic)."""
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
 
 from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
 
@@ -21,7 +30,7 @@ _batch = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -68,7 +77,7 @@ _op = st.one_of(
 
 
 @settings(
-    max_examples=8,
+    max_examples=_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -141,7 +150,7 @@ def test_keyed_op_mix_matches_dict_model(spark, tmp_path_factory, ops):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -225,7 +234,7 @@ _mv_op = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -291,7 +300,7 @@ def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -380,7 +389,7 @@ def test_zone_filtered_reads_match_model(spark, tmp_path_factory, ops, data):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -462,7 +471,7 @@ def test_time_travel_matches_model_history(spark, tmp_path_factory, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -544,7 +553,7 @@ def test_replica_sync_matches_model(spark, tmp_path_factory, ops, sync_after):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -628,7 +637,7 @@ def test_index_lookup_matches_model(spark, tmp_path_factory, ops, data):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
