@@ -664,6 +664,11 @@ def write_keyed(
                 "last_gen": {},
                 "version": 0,
             }
+            if seq_col:
+                # record the user's version-token column: changefeed
+                # excludes it from change DETECTION (it is the
+                # HBase-timestamp analogue — metadata, not payload)
+                meta["seq_col"] = seq_col
             if retain is not None:
                 meta["retain"] = retain
             if zone_cols:
@@ -708,6 +713,8 @@ def write_keyed(
             meta["families"] = fam
         boundaries = meta["boundaries"]
         seq = meta["next_seq"]
+        if seq_col:
+            meta["seq_col"] = seq_col  # last write wins; see changefeed
         # Persist the seq bump BEFORE the data write: if the merge crashes
         # and the batch replays, it gets a fresh seq — LWW order stays write
         # order instead of degrading to arbitrary column-tuple ties.
@@ -1108,6 +1115,8 @@ def merge_keyed(
             meta["families"] = fam
 
         seq = meta["next_seq"]
+        if seq_col:
+            meta["seq_col"] = seq_col  # last write wins; see changefeed
         # seq bump persists BEFORE the data write (crash-replay keeps
         # LWW order = write order; see write_keyed)
         meta["next_seq"] = seq + 1
@@ -1319,37 +1328,60 @@ def changefeed_keyed(
 
     ``include_old=True`` appends a ``_before`` struct column carrying
     the PRE-change row (null for inserts) — what incremental aggregate
-    maintenance needs to retract an update's old contribution."""
+    maintenance needs to retract an update's old contribution.
+
+    The table's registered version-token column (the ``seq_col`` the
+    writes ordered by — recorded in the manifest) is EXCLUDED from
+    change detection, exactly like the HBase cell timestamp it stands
+    in for: a write that re-ingests identical payload under a fresh
+    seq is SILENT (empty feed), not a table-wide update storm — the
+    difference between an idempotent re-run of an ingest job costing
+    nothing downstream and it re-triggering every consumer.  The
+    column still rides along in the emitted rows; a replica applying
+    a feed therefore converges on payload, while its version-token
+    column may lag the primary for payload-identical rewrites."""
     old = read_keyed(spark, path, generation=from_generation)
     new = read_keyed(spark, path, generation=to_generation)
-    key = _load_meta(path)["key"]
+    meta = _load_meta(path)
+    key = meta["key"]
+    seq_token = meta.get("seq_col")
     # Conform both snapshots to the union of their columns (a snapshot
     # taken before an additive schema evolution lacks the newer columns
     # — they diff as typed nulls, so an evolution alone is no change).
     types = {f.name: f.dataType for df in (old, new) for f in df.schema.fields}
     cols = [c for c in types if c != key]
+    payload = [c for c in cols if c != seq_token]
 
-    def _conform(df: DataFrame) -> DataFrame:
-        return df.select(
-            key,
-            F.struct(
-                *[
-                    F.col(c) if c in df.columns
-                    else F.lit(None).cast(types[c]).alias(c)
-                    for c in cols
-                ]
-            ).alias("_row"),
+    def _struct(df: DataFrame, names: list[str]):
+        return F.struct(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in names
+            ]
         )
 
-    o = _conform(old).withColumnRenamed("_row", "_old")
-    n = _conform(new).withColumnRenamed("_row", "_new")
+    def _conform(df: DataFrame, side: str) -> DataFrame:
+        # _row carries the full row; _cmp only the payload columns the
+        # diff classifies on
+        return df.select(
+            key,
+            _struct(df, cols).alias(f"_{side}"),
+            _struct(df, payload).alias(f"_{side}_cmp"),
+        )
+
+    o = _conform(old, "old")
+    n = _conform(new, "new")
     feed = (
         o.join(n, key, "full_outer")
         .withColumn(
             "_change",
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update")),
+            .when(
+                ~F.col("_old_cmp").eqNullSafe(F.col("_new_cmp")),
+                F.lit("update"),
+            ),
         )
         .filter(F.col("_change").isNotNull())
     )

@@ -1318,3 +1318,38 @@ def test_time_travel_nonexistent_generation_says_no_such_snapshot(
             read_keyed(spark, path, generation=g)
         assert "no snapshot" in str(ei.value)
         assert "garbage-collected" not in str(ei.value)
+
+
+def test_changefeed_silent_on_identical_payload_reingest(spark, tmp_path):
+    """Re-ingesting identical payload under a fresh seq must yield an
+    EMPTY feed: the registered seq_col is the HBase-timestamp analogue
+    (metadata, not payload), so an idempotent ingest re-run costs
+    downstream consumers nothing instead of re-triggering all of them
+    (round-8 explore-profile falsifier, directed form)."""
+    from cascading_hbase_spark.keyed.table import changefeed_keyed, write_keyed
+
+    path = str(tmp_path / "cfseq")
+    rows = [(1, 10, 0), (2, 20, 1)]
+    write_keyed(
+        spark.createDataFrame(rows, "key long, val long, seq long"),
+        path, "key", seq_col="seq", retain=10,
+    )
+    # identical payload, new seq values — a blind re-run of the ingest
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0), (2, 20, 1)],
+                              "key long, val long, seq long"),
+        path, "key", seq_col="seq",
+    )
+    assert changefeed_keyed(spark, path, 1, 2).count() == 0
+
+    # a real payload change on ONE key is still reported — and the
+    # emitted row carries the seq column (excluded from detection only)
+    write_keyed(
+        spark.createDataFrame([(1, 10, 7), (2, 99, 8)],
+                              "key long, val long, seq long"),
+        path, "key", seq_col="seq",
+    )
+    feed = changefeed_keyed(spark, path, 2, 3).collect()
+    assert [(r.key, r._change, r.val, r.seq) for r in feed] == [
+        (2, "update", 99, 8)
+    ]
