@@ -10,6 +10,13 @@ from cascading_hbase_spark.functions.temporal import asof_join
 SF = "/root/testdata/sf0.001"
 
 
+
+def _examples(n: int) -> int:
+    """Scalable example budget for deep fuzz sessions (see
+    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
+    import os
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+
 def test_asof_two_table(spark):
     """Purchases get the latest at-or-before signup timestamp per user;
     brute force via a conditional-max aggregation is the oracle."""
@@ -139,7 +146,7 @@ def test_asof_matches_pandas_merge_asof_property(spark):
     ts_vals = st.integers(min_value=0, max_value=50)
 
     @settings(
-        max_examples=12, deadline=None,
+        max_examples=_examples(12), deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
@@ -229,7 +236,7 @@ def test_range_join_matches_naive_containment_property(spark):
     tick = st.integers(min_value=0, max_value=120).map(lambda s: s * 1_000_000)
 
     @settings(
-        max_examples=10, deadline=None,
+        max_examples=_examples(10), deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(

@@ -36,6 +36,13 @@ EDGE_DOCS = [
 ]
 
 
+
+def _examples(n: int) -> int:
+    """Scalable example budget for deep fuzz sessions (see
+    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
+    import os
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+
 def _edge_df(spark):
     return spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
 
@@ -111,7 +118,7 @@ def test_minhash_and_simhash_forms_agree_on_random_docs(spark):
     doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
 
     @settings(
-        max_examples=10, deadline=None,
+        max_examples=_examples(10), deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(docs=st.lists(doc, min_size=1, max_size=8))

@@ -10,6 +10,13 @@ import pytest
 from cascading_hbase_spark.functions.enumerate import global_row_index
 
 
+
+def _examples(n: int) -> int:
+    """Scalable example budget for deep fuzz sessions (see
+    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
+    import os
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+
 @pytest.mark.parametrize("n_buckets", [1, 4, 32, 1000])
 def test_contiguous_and_ordered(spark, n_buckets):
     # Unique keys, deliberately clumped (skewed) so percentile cuts
@@ -90,7 +97,7 @@ def test_fuzz_enumerate_and_running_sum_vs_naive(spark):
     )
 
     @settings(
-        max_examples=8, deadline=None,
+        max_examples=_examples(8), deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
@@ -168,7 +175,7 @@ def test_fuzz_running_max_vs_naive(spark):
     from cascading_hbase_spark.functions.enumerate import bucketed_running_max
 
     @settings(
-        max_examples=8, deadline=None,
+        max_examples=_examples(8), deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(

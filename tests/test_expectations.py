@@ -15,6 +15,13 @@ from cascading_hbase_spark.keyed.expectations import (
 from cascading_hbase_spark.keyed.table import read_keyed
 
 
+
+def _examples(n: int) -> int:
+    """Scalable example budget for deep fuzz sessions (see
+    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
+    import os
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+
 @pytest.fixture()
 def batch(spark):
     return spark.createDataFrame(
@@ -176,7 +183,7 @@ from hypothesis import strategies as st
 
 
 @settings(
-    max_examples=8,
+    max_examples=_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
