@@ -52,11 +52,19 @@ def create_replica(
     # Pin the copy to the version just captured (a primary commit
     # landing in between must not slip in ahead of the cursor).
     snap = read_keyed(spark, primary_path, generation=version)
+    # Carry the primary's version-token registration: a changefeed
+    # taken over the REPLICA must classify on payload too, or cascaded
+    # replication re-grows the update-storm problem one hop down.
+    pseq = meta.get("seq_col")
     write_keyed(
         snap,
         replica_path,
         key,
         mode=SinkMode.REPLACE,
+        seq_col=pseq if pseq in snap.columns else None,
+        # match the primary's time-travel depth: the replica serves the
+        # same snapshot window its primary does
+        retain=meta.get("retain"),
         meta_extra={"replica": {"of": primary_path, "cursor": version}},
     )
 
@@ -83,10 +91,22 @@ def sync_replica(
     feed = changefeed_keyed(
         spark, primary_path, cursor, to_generation=version
     )
+    # Mirror the primary's version-token registration exactly: forward
+    # it when set, clear the replica's ("") when the primary
+    # deregistered, leave untouched (None) when both agree already —
+    # see write_keyed's sticky-registration contract.
+    pseq = pmeta.get("seq_col")
+    if pseq and pseq in feed.columns:
+        fwd_seq = pseq
+    elif not pseq and rmeta.get("seq_col"):
+        fwd_seq = ""
+    else:
+        fwd_seq = None
     apply_changefeed(
         spark,
         replica_path,
         feed,
         meta_extra={"replica": {**rep, "cursor": version}},
+        seq_col=fwd_seq,
     )
     return True

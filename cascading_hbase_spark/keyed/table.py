@@ -555,7 +555,7 @@ def _stage_and_publish(
 _RESERVED_META = {
     "key", "boundaries", "next_seq", "families", "schema", "gens",
     "last_gen", "version", "retain", "ttl", "schema_evolved",
-    "zone_cols", "zone_maps", "vacuum_horizon",
+    "zone_cols", "zone_maps", "vacuum_horizon", "seq_col",
 }
 
 
@@ -598,7 +598,12 @@ def write_keyed(
 
     ``seq_col`` is the explicit intra-batch write order (the stand-in
     for the HBase cell timestamp); without it, ties collapse
-    deterministically by the row's full column tuple.  APPEND into an
+    deterministically by the row's full column tuple.  Naming it also
+    registers the column as the table's version token — a sticky
+    TABLE property consulted by ``changefeed_keyed``: writes that omit
+    ``seq_col`` leave the registration in effect, a different name
+    replaces it, and ``seq_col=""`` clears it (the column becomes
+    ordinary payload again).  APPEND into an
     existing table reads and rewrites only the buckets the batch
     touches, staged to a sibling directory and swapped per-bucket.
 
@@ -714,7 +719,12 @@ def write_keyed(
         boundaries = meta["boundaries"]
         seq = meta["next_seq"]
         if seq_col:
-            meta["seq_col"] = seq_col  # last write wins; see changefeed
+            # version-token registration is a TABLE property: sticky
+            # across writes that omit seq_col, replaced when a write
+            # names a different column, cleared by seq_col=""
+            meta["seq_col"] = seq_col
+        elif seq_col == "":
+            meta.pop("seq_col", None)
         # Persist the seq bump BEFORE the data write: if the merge crashes
         # and the batch replays, it gets a fresh seq — LWW order stays write
         # order instead of degrading to arbitrary column-tuple ties.
@@ -1116,7 +1126,10 @@ def merge_keyed(
 
         seq = meta["next_seq"]
         if seq_col:
-            meta["seq_col"] = seq_col  # last write wins; see changefeed
+            # sticky table-level registration; "" clears (see write_keyed)
+            meta["seq_col"] = seq_col
+        elif seq_col == "":
+            meta.pop("seq_col", None)
         # seq bump persists BEFORE the data write (crash-replay keeps
         # LWW order = write order; see write_keyed)
         meta["next_seq"] = seq + 1
@@ -1151,15 +1164,24 @@ def apply_changefeed(
     path: str,
     feed: DataFrame,
     meta_extra: dict | None = None,
+    seq_col: str | None = None,
 ) -> None:
     """Apply a ``changefeed_keyed`` diff to another keyed table — the
     replication loop: ``changefeed_keyed(primary, since)`` produces,
     ``apply_changefeed(replica, feed)`` consumes, and the replica
     converges to the primary's snapshot in one atomic commit.  The
     feed's optional ``_before`` pre-image column is ignored (only
-    incremental aggregate maintenance needs it)."""
+    incremental aggregate maintenance needs it).
+
+    ``seq_col`` forwards the PRIMARY's version-token registration so a
+    changefeed taken over the target classifies on payload too —
+    without it, cascaded replication re-grows the update-storm problem
+    one hop downstream."""
     cols = [c for c in feed.columns if c != "_before"]
-    merge_keyed(spark, path, feed.select(*cols), meta_extra=meta_extra)
+    merge_keyed(
+        spark, path, feed.select(*cols), seq_col=seq_col,
+        meta_extra=meta_extra,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1339,10 +1361,15 @@ def changefeed_keyed(
     nothing downstream and it re-triggering every consumer.  The
     column still rides along in the emitted rows; a replica applying
     a feed therefore converges on payload, while its version-token
-    column may lag the primary for payload-identical rewrites."""
+    column may lag the primary for payload-identical rewrites.
+
+    The registration consulted is the one in effect AT
+    ``to_generation`` (per-generation manifest history, not the
+    current manifest): a later re-registration must not retroactively
+    change which column a historical diff classifies on."""
     old = read_keyed(spark, path, generation=from_generation)
     new = read_keyed(spark, path, generation=to_generation)
-    meta = _load_meta(path)
+    meta = _meta_at(path, to_generation)
     key = meta["key"]
     seq_token = meta.get("seq_col")
     # Conform both snapshots to the union of their columns (a snapshot
@@ -1350,7 +1377,6 @@ def changefeed_keyed(
     # — they diff as typed nulls, so an evolution alone is no change).
     types = {f.name: f.dataType for df in (old, new) for f in df.schema.fields}
     cols = [c for c in types if c != key]
-    payload = [c for c in cols if c != seq_token]
 
     def _struct(df: DataFrame, names: list[str]):
         return F.struct(
@@ -1362,16 +1388,19 @@ def changefeed_keyed(
         )
 
     def _conform(df: DataFrame, side: str) -> DataFrame:
-        # _row carries the full row; _cmp only the payload columns the
-        # diff classifies on
-        return df.select(
-            key,
-            _struct(df, cols).alias(f"_{side}"),
-            _struct(df, payload).alias(f"_{side}_cmp"),
-        )
+        return df.select(key, _struct(df, cols).alias(f"_{side}"))
 
     o = _conform(old, "old")
     n = _conform(new, "new")
+    # The payload comparison (version token excluded) is derived from
+    # the full-row structs AFTER the join — shipping a second,
+    # near-duplicate _cmp struct through the full-outer shuffle would
+    # roughly double the shuffled bytes per row for wide tables.
+    if seq_token and seq_token in cols:
+        cmp_old = F.col("_old").dropFields(seq_token)
+        cmp_new = F.col("_new").dropFields(seq_token)
+    else:
+        cmp_old, cmp_new = F.col("_old"), F.col("_new")
     feed = (
         o.join(n, key, "full_outer")
         .withColumn(
@@ -1379,7 +1408,7 @@ def changefeed_keyed(
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
             .when(
-                ~F.col("_old_cmp").eqNullSafe(F.col("_new_cmp")),
+                ~cmp_old.eqNullSafe(cmp_new),
                 F.lit("update"),
             ),
         )

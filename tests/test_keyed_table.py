@@ -1353,3 +1353,137 @@ def test_changefeed_silent_on_identical_payload_reingest(spark, tmp_path):
     assert [(r.key, r._change, r.val, r.seq) for r in feed] == [
         (2, "update", 99, 8)
     ]
+
+
+def test_meta_extra_cannot_shadow_seq_col(spark, tmp_path):
+    """seq_col is an engine manifest key: meta_extra silently
+    overriding it would redirect changefeed's change detection onto a
+    payload column — rows whose real payload changed would vanish from
+    the feed with no error anywhere downstream."""
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    df = spark.createDataFrame([(1, 10, 0)], "key long, val long, seq long")
+    with pytest.raises(ValueError, match="seq_col"):
+        write_keyed(df, str(tmp_path / "shadow"), "key",
+                    seq_col="seq", meta_extra={"seq_col": "val"})
+
+
+def test_changefeed_uses_registration_at_to_generation(spark, tmp_path):
+    """A later seq_col re-registration must not retroactively change
+    which column a HISTORICAL diff classifies on: the feed for
+    (1, 2) consults the manifest snapshot at generation 2, so an
+    identical-payload reingest stays silent even after generation 3
+    re-registered a different version-token column."""
+    from cascading_hbase_spark.keyed.table import changefeed_keyed, write_keyed
+
+    path = str(tmp_path / "cfhist")
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0), (2, 20, 1)],
+                              "key long, val long, seq long"),
+        path, "key", seq_col="seq", retain=10,
+    )
+    # gen 2: identical payload, fresh seq (idempotent re-run)
+    write_keyed(
+        spark.createDataFrame([(1, 10, 5), (2, 20, 6)],
+                              "key long, val long, seq long"),
+        path, "key", seq_col="seq",
+    )
+    # gen 3 re-registers the version token onto a DIFFERENT column
+    write_keyed(
+        spark.createDataFrame([(1, 10, 5), (2, 20, 6)],
+                              "key long, val long, seq long"),
+        path, "key", seq_col="val",
+    )
+    # historical range: registration in effect at gen 2 was "seq"
+    assert changefeed_keyed(spark, path, 1, 2).count() == 0
+    # later range: the new registration applies — seq is payload now,
+    # so a seq-only rewrite IS a reported change
+    write_keyed(
+        spark.createDataFrame([(1, 10, 7), (2, 20, 8)],
+                              "key long, val long, seq long"),
+        path, "key",
+    )
+    feed = {(r.key, r._change) for r in
+            changefeed_keyed(spark, path, 3, 4).collect()}
+    assert feed == {(1, "update"), (2, "update")}
+
+
+def test_seq_col_registration_sticky_and_clearable(spark, tmp_path):
+    """The version-token registration is a table property: writes that
+    omit seq_col leave it in effect, and seq_col="" deregisters it
+    (the column becomes ordinary payload again)."""
+    from cascading_hbase_spark.keyed.table import (
+        _load_meta, changefeed_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "cfsticky")
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0)], "key long, val long, seq long"),
+        path, "key", seq_col="seq", retain=10,
+    )
+    # gen 2 omits seq_col — registration stays, reingest stays silent
+    write_keyed(
+        spark.createDataFrame([(1, 10, 5)], "key long, val long, seq long"),
+        path, "key",
+    )
+    assert _load_meta(path)["seq_col"] == "seq"
+    assert changefeed_keyed(spark, path, 1, 2).count() == 0
+    # gen 3 clears the registration
+    write_keyed(
+        spark.createDataFrame([(1, 10, 6)], "key long, val long, seq long"),
+        path, "key", seq_col="",
+    )
+    assert "seq_col" not in _load_meta(path)
+    # gen 4: seq is ordinary payload now — a seq-only change reports
+    write_keyed(
+        spark.createDataFrame([(1, 10, 9)], "key long, val long, seq long"),
+        path, "key",
+    )
+    assert [(r.key, r._change) for r in
+            changefeed_keyed(spark, path, 3, 4).collect()] == [(1, "update")]
+
+
+def test_replica_mirrors_primary_seq_col(spark, tmp_path):
+    """Replication carries the primary's version-token registration
+    (and retain depth): a changefeed taken over the REPLICA classifies
+    on payload too, otherwise cascaded replication re-grows the
+    update-storm failure one hop downstream."""
+    from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
+    from cascading_hbase_spark.keyed.table import (
+        _load_meta, changefeed_keyed, write_keyed,
+    )
+
+    primary = str(tmp_path / "primary")
+    replica = str(tmp_path / "replica")
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0), (2, 20, 1)],
+                              "key long, val long, seq long"),
+        primary, "key", seq_col="seq", retain=10,
+    )
+    create_replica(spark, primary, replica)
+    rmeta = _load_meta(replica)
+    assert rmeta["seq_col"] == "seq"
+    assert rmeta["retain"] == 10
+
+    # primary: val 10 -> 20 (seq 5), then back 20 -> 10 (seq 9);
+    # sync after each so the replica commits both hops
+    write_keyed(
+        spark.createDataFrame([(1, 20, 5)], "key long, val long, seq long"),
+        primary, "key",
+    )
+    assert sync_replica(spark, primary, replica)
+    write_keyed(
+        spark.createDataFrame([(1, 10, 9)], "key long, val long, seq long"),
+        primary, "key",
+    )
+    assert sync_replica(spark, primary, replica)
+
+    # replica gen 1 has (1, 10, seq=0); gen 3 has (1, 10, seq=9):
+    # payload identical end-to-end, only the version token differs —
+    # a cascaded feed over the replica must be EMPTY for key 1
+    assert changefeed_keyed(spark, replica, 1, 3).count() == 0
+    # the intermediate hop is still a genuine payload change
+    assert [(r.key, r._change, r.val) for r in
+            changefeed_keyed(spark, replica, 1, 2).collect()] == [
+        (1, "update", 20)
+    ]
