@@ -718,3 +718,85 @@ def test_vacuum_preserves_current_snapshot(spark, tmp_path_factory, ops):
     for g in gens[:-1]:
         with _pytest.raises(Exception, match="garbage-collected|Path does not exist|FileNotFound"):
             read_keyed(spark, path, generation=g).collect()
+
+
+_reg_op = st.one_of(
+    st.tuples(st.just("append"), _batch),        # registers/keeps "seq"
+    st.tuples(st.just("append_noseq"), _batch),  # omits seq_col (sticky)
+    st.tuples(st.just("append_clear"), _batch),  # seq_col="" deregisters
+)
+
+
+@settings(
+    max_examples=_examples(6),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_reg_op, min_size=2, max_size=4))
+# registration flips between commits: gen1 registers, gen2 re-ingests
+# (sticky: silent), gen3 clears, gen4 seq-only rewrite (reported)
+@example(ops=[
+    ("append", [(0, 0)]),
+    ("append_noseq", [(0, 0)]),
+    ("append_clear", [(0, 0)]),
+    ("append_noseq", [(0, 0)]),
+])
+def test_changefeed_registration_tracks_model(spark, tmp_path_factory, ops):
+    """The version-token registration is sticky across writes that omit
+    seq_col, cleared by seq_col="", and consulted AT to_generation: for
+    the newest-adjacent and full-span commit pairs, the feed equals the
+    dict-model diff with the seq column excluded iff a registration was
+    in effect at the NEWER commit."""
+    from cascading_hbase_spark.keyed.table import (
+        changefeed_keyed,
+        list_generations,
+    )
+
+    path = str(tmp_path_factory.mktemp("kt") / f"t{uuid.uuid4().hex[:8]}")
+    model: dict[int, tuple[int, int]] = {}  # key -> (val, seq)
+    snaps: list[dict[int, tuple[int, int]]] = []
+    regs: list[bool] = []  # registration in effect AFTER each commit
+    registered = False
+    seq_counter = 0
+    for op, arg in ops:
+        batch = dict(arg)  # keep-last per key: in-order upsert semantics
+        rows = []
+        for k, v in batch.items():
+            rows.append((k, v, seq_counter))
+            model[k] = (v, seq_counter)
+            seq_counter += 1
+        df = spark.createDataFrame(rows, "key long, val long, seq long")
+        if op == "append":
+            write_keyed(df, path, "key", seq_col="seq", retain=20)
+            registered = True
+        elif op == "append_noseq":
+            write_keyed(df, path, "key", retain=20)
+        else:  # append_clear
+            write_keyed(df, path, "key", seq_col="", retain=20)
+            registered = False
+        snaps.append(dict(model))
+        regs.append(registered)
+    gens = list_generations(path)
+    assert len(gens) == len(snaps)
+    if len(snaps) < 2:
+        return
+    for i, j in [(len(gens) - 2, len(gens) - 1), (0, len(gens) - 1)]:
+        old, new = snaps[i], snaps[j]
+        if regs[j]:
+            changed = lambda a, b: a[0] != b[0]   # seq excluded
+        else:
+            changed = lambda a, b: a != b          # seq is payload
+        expected = (
+            {(k, "insert", new[k][0]) for k in new.keys() - old.keys()}
+            | {(k, "delete", old[k][0]) for k in old.keys() - new.keys()}
+            | {
+                (k, "update", new[k][0])
+                for k in old.keys() & new.keys()
+                if changed(old[k], new[k])
+            }
+        )
+        feed = {
+            (r["key"], r["_change"], r["val"])
+            for r in changefeed_keyed(spark, path, gens[i], gens[j]).collect()
+        }
+        assert feed == expected, (i, j, regs, gens)
