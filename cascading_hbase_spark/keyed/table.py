@@ -1505,16 +1505,28 @@ def clone_keyed(
     cheap server-side snapshots from HBase; here the clone is a fresh
     keyed table seeded from the source's current or time-travel
     snapshot).  The clone re-samples its own boundaries and starts its
-    own history; subsequent writes to either table never interact."""
+    own history; subsequent writes to either table never interact.
+
+    Table-level POLICIES carry over: column families, the version-token
+    registration (``seq_col`` — a changefeed over the clone classifies
+    on payload like the source's), zone-map columns, and row TTL.  Only
+    the physical layout (boundaries) and the commit history restart."""
     meta = _meta_at(src, generation) if generation is not None else _load_meta(src)
     df = read_keyed(spark, src, generation=generation)
+    sseq = meta.get("seq_col")
     write_keyed(
         df, dst, meta["key"], mode=SinkMode.REPLACE,
+        seq_col=sseq if sseq in df.columns else None,
         families={
             c: f for c, f in meta.get("families", {}).items() if f != "cf"
         } or None,
         retain=retain,
+        zone_cols=meta.get("zone_cols"),
     )
+    if meta.get("ttl"):
+        # the snapshot read above already filtered expired rows; this
+        # keeps FUTURE rows expiring on the clone like the source
+        set_ttl(dst, meta["ttl"]["col"], meta["ttl"]["seconds"])
 
 
 def composite_key(*cols: str, sep: str = "\x00") -> "Column":

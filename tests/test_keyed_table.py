@@ -1487,3 +1487,41 @@ def test_replica_mirrors_primary_seq_col(spark, tmp_path):
             changefeed_keyed(spark, replica, 1, 2).collect()] == [
         (1, "update", 20)
     ]
+
+
+def test_clone_carries_table_policies(spark, tmp_path):
+    """A clone is a fresh table, but table-level POLICIES carry over:
+    version-token registration (changefeeds over the clone classify on
+    payload), zone-map columns, and row TTL.  Only layout and history
+    restart."""
+    import time as _time
+
+    from cascading_hbase_spark.keyed.table import (
+        _load_meta, changefeed_keyed, clone_keyed, set_ttl, write_keyed,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    now = _time.time()
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0, now), (2, 20, 1, now)],
+                              "key long, val long, seq long, ts double"),
+        src, "key", seq_col="seq", zone_cols=["val"], retain=10,
+    )
+    set_ttl(src, "ts", 3600.0)
+    clone_keyed(spark, src, dst, retain=10)
+
+    cmeta = _load_meta(dst)
+    assert cmeta["seq_col"] == "seq"
+    assert cmeta["zone_cols"] == ["val"]
+    assert cmeta["ttl"] == {"col": "ts", "seconds": 3600.0}
+
+    # the carried registration is live: an identical-payload reingest
+    # under fresh seqs is SILENT on the clone
+    base = cmeta["version"]
+    write_keyed(
+        spark.createDataFrame([(1, 10, 9, now), (2, 20, 8, now)],
+                              "key long, val long, seq long, ts double"),
+        dst, "key",
+    )
+    assert changefeed_keyed(spark, dst, base, base + 1).count() == 0
