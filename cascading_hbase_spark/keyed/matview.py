@@ -63,6 +63,33 @@ class StaleViewError(RuntimeError):
     ``create_aggregate_view``."""
 
 
+def _reject_token_aggregation(
+    token: str | None,
+    group_col: str,
+    sums: dict[str, str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    view_path: str,
+) -> None:
+    """An aggregate over the base's registered version-token column can
+    never be maintained incrementally: token-only rewrites produce an
+    EMPTY changefeed by contract (the token is excluded from change
+    detection), so the view would silently diverge from a recompute.
+    Refuse — at creation and again at every refresh, because the
+    registration can change after the view exists."""
+    if not token:
+        return
+    srcs = {group_col, *sums.values(), *mins.values(), *maxs.values()}
+    if token in srcs:
+        raise ValueError(
+            f"aggregate view {view_path} groups by or aggregates the "
+            f"base's registered version-token column {token!r}; "
+            f"token-only rewrites are invisible to the changefeed, so "
+            f"the view cannot be maintained incrementally — drop the "
+            f"token from the view, or deregister it (seq_col='')"
+        )
+
+
 def create_aggregate_view(
     spark: SparkSession,
     base_path: str,
@@ -95,7 +122,11 @@ def create_aggregate_view(
             f"'_' (reserved for refresh internals), and must not collide "
             f"with n_rows/{group_col}: {outs}"
         )
-    base_version = _load_meta(base_path)["version"]
+    base_meta = _load_meta(base_path)
+    base_version = base_meta["version"]
+    _reject_token_aggregation(
+        base_meta.get("seq_col"), group_col, sums, mins, maxs, view_path,
+    )
     # Pin the read to the version just captured: a base commit landing
     # between the two lines must not slip into the view while the
     # cursor records the older version (the first refresh would then
@@ -159,6 +190,12 @@ def refresh_aggregate_view(
         )
     group, sums = mv["group"], mv["sums"]
     mins, maxs = mv.get("mins", {}), mv.get("maxs", {})
+    # the registration may have LANDED after the view was created; the
+    # feed below is pinned to base_version, whose registration is the
+    # one this manifest (just loaded at that version) records
+    _reject_token_aggregation(
+        base_meta.get("seq_col"), group, sums, mins, maxs, view_path,
+    )
     exts = {**mins, **maxs}
     base_key = base_meta["key"]
     # Pin BOTH ends of the diff: to_generation=base_version (not "the

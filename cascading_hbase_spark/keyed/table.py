@@ -338,6 +338,20 @@ def _lww(df: DataFrame, key: str, order_cols: list) -> DataFrame:
     ).drop("_kt_rn")
 
 
+def _check_ident(name: str, what: str) -> None:
+    """The keyed layer parses this name as a SQL identifier in many
+    expressions (bucketing, LWW ordering, zone maps, composite keys);
+    a dot or backtick in a top-level column name would be parsed as
+    nesting/quoting somewhere mid-job with a baffling AnalysisException
+    — fail fast at the boundary with a clear error instead."""
+    if "." in name or "`" in name:
+        raise ValueError(
+            f"{what} {name!r}: keyed tables require identifier-safe "
+            f"top-level column names (no '.' or '`') for the key, "
+            f"seq_col and zone_cols — rename the column before writing"
+        )
+
+
 def _order_cols(df_cols: list[str], key: str, seq_col: str | None) -> list:
     intra = [F.col(seq_col)] if seq_col else [
         F.col(c) for c in df_cols if c != key and c != SEQ_COL
@@ -579,8 +593,14 @@ def write_keyed(
     retain: int | None = None,
     meta_extra: dict | None = None,
     zone_cols: list[str] | None = None,
+    ttl: dict | None = None,
 ) -> None:
     """Write ``df`` as a keyed table at ``path``.
+
+    ``ttl`` (creation only, ``{"col": ts_col, "seconds": s}``) records
+    the row-TTL policy in the SAME atomic commit as the created table —
+    what ``clone_keyed`` needs to carry a source's TTL without a
+    second, crash-separable commit.  Existing tables use ``set_ttl``.
 
     ``zone_cols`` (creation only) opts the table into per-bucket zone
     maps: every commit records min/max of those numeric columns per
@@ -622,6 +642,26 @@ def write_keyed(
     """
     if key not in df.columns:
         raise ValueError(f"key column {key!r} not in {df.columns}")
+    _check_ident(key, "key column")
+    if seq_col:
+        _check_ident(seq_col, "seq_col")
+    for zc in zone_cols or []:
+        _check_ident(zc, "zone column")
+    if seq_col and (seq_col == key or seq_col not in df.columns):
+        # fail fast BEFORE any manifest mutation: a typo'd registration
+        # must not flip the table's version token and then crash later
+        # in the merge (leaving manifest and data disagreeing)
+        raise ValueError(
+            f"seq_col {seq_col!r} must name a non-key column of the "
+            f"batch (columns: {df.columns})"
+        )
+    if ttl is not None and (
+        not isinstance(ttl, dict) or set(ttl) != {"col", "seconds"}
+        or ttl["col"] not in df.columns
+    ):
+        raise ValueError(
+            f"ttl must be {{'col': <batch column>, 'seconds': s}}, got {ttl!r}"
+        )
     spark = df.sparkSession
     with _writer_lock(path):
         exists = _exists(path)
@@ -676,6 +716,12 @@ def write_keyed(
                 meta["seq_col"] = seq_col
             if retain is not None:
                 meta["retain"] = retain
+            if ttl is not None:
+                # TTL rides the creation commit atomically (validated
+                # at entry); existing tables change it via set_ttl
+                meta["ttl"] = {
+                    "col": ttl["col"], "seconds": float(ttl["seconds"]),
+                }
             if zone_cols:
                 # membership validated above, pre-checkpoint
                 meta["zone_cols"] = list(zone_cols)
@@ -718,18 +764,21 @@ def write_keyed(
             meta["families"] = fam
         boundaries = meta["boundaries"]
         seq = meta["next_seq"]
-        if seq_col:
-            # version-token registration is a TABLE property: sticky
-            # across writes that omit seq_col, replaced when a write
-            # names a different column, cleared by seq_col=""
-            meta["seq_col"] = seq_col
-        elif seq_col == "":
-            meta.pop("seq_col", None)
         # Persist the seq bump BEFORE the data write: if the merge crashes
         # and the batch replays, it gets a fresh seq — LWW order stays write
         # order instead of degrading to arbitrary column-tuple ties.
         meta["next_seq"] = seq + 1
         _save_meta(path, meta)
+        # The version-token registration is a TABLE property (sticky
+        # across writes that omit seq_col, replaced by a different name,
+        # cleared by seq_col="") — mutated only AFTER the early seq-bump
+        # save, so the flip rides the publish-time manifest write (the
+        # commit point), like meta_extra: a write that fails mid-merge
+        # must not re-register a table whose data it never changed.
+        if seq_col:
+            meta["seq_col"] = seq_col
+        elif seq_col == "":
+            meta.pop("seq_col", None)
         batch = df.withColumn(SEQ_COL, F.lit(seq)).withColumn(
             BUCKET_COL, _bucket_expr(key, boundaries)
         )
@@ -1101,6 +1150,14 @@ def merge_keyed(
             )
         _migrate_legacy(path, meta)
         key, boundaries = meta["key"], meta["boundaries"]
+        if seq_col:
+            _check_ident(seq_col, "seq_col")
+        if seq_col and (seq_col == key or seq_col not in changes.columns):
+            # fail fast before any manifest mutation (see write_keyed)
+            raise ValueError(
+                f"seq_col {seq_col!r} must name a non-key column of the "
+                f"changes batch (columns: {changes.columns})"
+            )
         # Pin the batch once: the split, the affected-bucket collects and
         # the staged write must all see the same rows.
         changes = changes.localCheckpoint(eager=True)
@@ -1125,15 +1182,17 @@ def merge_keyed(
             meta["families"] = fam
 
         seq = meta["next_seq"]
-        if seq_col:
-            # sticky table-level registration; "" clears (see write_keyed)
-            meta["seq_col"] = seq_col
-        elif seq_col == "":
-            meta.pop("seq_col", None)
         # seq bump persists BEFORE the data write (crash-replay keeps
         # LWW order = write order; see write_keyed)
         meta["next_seq"] = seq + 1
         _save_meta(path, meta)
+        # sticky table-level registration; "" clears — applied AFTER the
+        # early save so the flip rides the publish-time commit, like
+        # meta_extra (see write_keyed)
+        if seq_col:
+            meta["seq_col"] = seq_col
+        elif seq_col == "":
+            meta.pop("seq_col", None)
         batch = upserts.withColumn(SEQ_COL, F.lit(seq)).withColumn(
             BUCKET_COL, _bucket_expr(key, boundaries)
         )
@@ -1367,9 +1426,17 @@ def changefeed_keyed(
     ``to_generation`` (per-generation manifest history, not the
     current manifest): a later re-registration must not retroactively
     change which column a historical diff classifies on."""
+    # Resolve the manifest ONCE and pin the open end: with
+    # ``to_generation=None``, reading "current" twice (once for the
+    # snapshot, once for this lookup) races a concurrent commit — the
+    # diff could classify a pinned snapshot under a registration that
+    # landed after it.  History snapshots are immutable, so pinning the
+    # version number closes the race.
+    meta = _meta_at(path, to_generation)
+    if to_generation is None:
+        to_generation = meta.get("version", 1)
     old = read_keyed(spark, path, generation=from_generation)
     new = read_keyed(spark, path, generation=to_generation)
-    meta = _meta_at(path, to_generation)
     key = meta["key"]
     seq_token = meta.get("seq_col")
     # Conform both snapshots to the union of their columns (a snapshot
@@ -1397,20 +1464,29 @@ def changefeed_keyed(
     # near-duplicate _cmp struct through the full-outer shuffle would
     # roughly double the shuffled bytes per row for wide tables.
     if seq_token and seq_token in cols:
-        cmp_old = F.col("_old").dropFields(seq_token)
-        cmp_new = F.col("_new").dropFields(seq_token)
+        payload = [c for c in cols if c != seq_token]
+        # dropFields takes a field PATH: the name must be backtick-
+        # quoted or a legal dotted column name parses as nesting
+        esc = "`" + seq_token.replace("`", "``") + "`"
+        differs = (
+            ~F.col("_old").dropFields(esc).eqNullSafe(
+                F.col("_new").dropFields(esc)
+            )
+            if payload
+            # token-only table (no payload columns): an update — same
+            # key, different payload — is impossible by definition, and
+            # dropFields refuses to empty a struct
+            else F.lit(False)
+        )
     else:
-        cmp_old, cmp_new = F.col("_old"), F.col("_new")
+        differs = ~F.col("_old").eqNullSafe(F.col("_new"))
     feed = (
         o.join(n, key, "full_outer")
         .withColumn(
             "_change",
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .when(F.col("_new").isNull(), F.lit("delete"))
-            .when(
-                ~cmp_old.eqNullSafe(cmp_new),
-                F.lit("update"),
-            ),
+            .when(differs, F.lit("update")),
         )
         .filter(F.col("_change").isNotNull())
     )
@@ -1511,9 +1587,17 @@ def clone_keyed(
     registration (``seq_col`` — a changefeed over the clone classifies
     on payload like the source's), zone-map columns, and row TTL.  Only
     the physical layout (boundaries) and the commit history restart."""
-    meta = _meta_at(src, generation) if generation is not None else _load_meta(src)
+    # Resolve the manifest once and pin the generation before reading:
+    # with generation=None, a source commit landing between the meta
+    # load and the snapshot read would clone one version's data under
+    # another version's policies.  History snapshots are immutable, so
+    # pinning the version number closes the race.
+    meta = _meta_at(src, generation)
+    if generation is None:
+        generation = meta.get("version", 1)
     df = read_keyed(spark, src, generation=generation)
     sseq = meta.get("seq_col")
+    srcttl = meta.get("ttl")
     write_keyed(
         df, dst, meta["key"], mode=SinkMode.REPLACE,
         seq_col=sseq if sseq in df.columns else None,
@@ -1522,11 +1606,17 @@ def clone_keyed(
         } or None,
         retain=retain,
         zone_cols=meta.get("zone_cols"),
+        # TTL rides the creation commit — a second set_ttl commit would
+        # leave a crash window where the clone silently serves (and
+        # never purges) expired rows.  The snapshot read above already
+        # filtered currently-expired rows; this keeps FUTURE rows
+        # expiring on the clone like the source.
+        ttl=(
+            srcttl
+            if srcttl and srcttl.get("col") in df.columns
+            else None
+        ),
     )
-    if meta.get("ttl"):
-        # the snapshot read above already filtered expired rows; this
-        # keeps FUTURE rows expiring on the clone like the source
-        set_ttl(dst, meta["ttl"]["col"], meta["ttl"]["seconds"])
 
 
 def composite_key(*cols: str, sep: str = "\x00") -> "Column":

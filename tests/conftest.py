@@ -23,6 +23,16 @@ _hypothesis_settings.register_profile("deterministic", derandomize=True)
 _hypothesis_settings.register_profile("explore", derandomize=False, max_examples=300)
 _hypothesis_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "deterministic"))
 
+def _examples(n: int) -> int:
+    """Per-test example budget for every hypothesis suite, scalable
+    for deep fuzz sessions: ``KT_PROP_SCALE=10 HYPOTHESIS_PROFILE=explore
+    pytest ...`` multiplies each suite's ``max_examples`` (every example
+    is a Spark-heavy model run, so the committed default stays small and
+    deterministic).  Lives here ONCE — the suites import it — so the
+    scaling semantics cannot drift between modules."""
+    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 

@@ -11,11 +11,7 @@ SF = "/root/testdata/sf0.001"
 
 
 
-def _examples(n: int) -> int:
-    """Scalable example budget for deep fuzz sessions (see
-    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
-    import os
-    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+from tests.conftest import _examples  # noqa: E402  (shared budget helper)
 
 def test_asof_two_table(spark):
     """Purchases get the latest at-or-before signup timestamp per user;

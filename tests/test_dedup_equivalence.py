@@ -37,11 +37,7 @@ EDGE_DOCS = [
 
 
 
-def _examples(n: int) -> int:
-    """Scalable example budget for deep fuzz sessions (see
-    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
-    import os
-    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+from tests.conftest import _examples  # noqa: E402  (shared budget helper)
 
 def _edge_df(spark):
     return spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")

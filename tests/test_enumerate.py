@@ -11,11 +11,7 @@ from cascading_hbase_spark.functions.enumerate import global_row_index
 
 
 
-def _examples(n: int) -> int:
-    """Scalable example budget for deep fuzz sessions (see
-    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
-    import os
-    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+from tests.conftest import _examples  # noqa: E402  (shared budget helper)
 
 @pytest.mark.parametrize("n_buckets", [1, 4, 32, 1000])
 def test_contiguous_and_ordered(spark, n_buckets):

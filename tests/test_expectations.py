@@ -16,11 +16,7 @@ from cascading_hbase_spark.keyed.table import read_keyed
 
 
 
-def _examples(n: int) -> int:
-    """Scalable example budget for deep fuzz sessions (see
-    test_keyed_property.py): KT_PROP_SCALE=N multiplies it."""
-    import os
-    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+from tests.conftest import _examples  # noqa: E402  (shared budget helper)
 
 @pytest.fixture()
 def batch(spark):

@@ -12,12 +12,7 @@ from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
-def _examples(n: int) -> int:
-    """Per-test example budget, scalable for deep fuzz sessions:
-    KT_PROP_SCALE=10 HYPOTHESIS_PROFILE=explore pytest ...  multiplies
-    every test's budget (each example is a Spark-heavy model run, so
-    the committed default stays small and deterministic)."""
-    return n * int(os.environ.get("KT_PROP_SCALE", "1"))
+from tests.conftest import _examples  # noqa: E402  (shared budget helper)
 
 from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
 

@@ -1525,3 +1525,101 @@ def test_clone_carries_table_policies(spark, tmp_path):
         dst, "key",
     )
     assert changefeed_keyed(spark, dst, base, base + 1).count() == 0
+
+
+def test_changefeed_token_only_table(spark, tmp_path):
+    """A table whose ONLY non-key column is the registered version
+    token has no payload: updates are impossible by definition, and
+    the diff must not crash trying to drop every field of the compare
+    struct (review finding: CANNOT_DROP_ALL_FIELDS)."""
+    from cascading_hbase_spark.keyed.table import changefeed_keyed, write_keyed
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, 0), (2, 1)], "key long, seq long"),
+        path, "key", seq_col="seq",
+    )
+    # token-only rewrite of key 1 + genuine insert of key 3
+    write_keyed(
+        spark.createDataFrame([(1, 5), (3, 6)], "key long, seq long"),
+        path, "key",
+    )
+    feed = {(r.key, r._change) for r in
+            changefeed_keyed(spark, path, 1, 2).collect()}
+    assert feed == {(3, "insert")}
+
+
+def test_dotted_identifier_names_rejected_at_boundary(spark, tmp_path):
+    """Dotted (or backticked) top-level names for key/seq_col/zone_cols
+    are parsed as nesting/quoting by the identifier-based expressions
+    the keyed layer builds (LWW ordering, bucketing, zone maps,
+    changefeed dropFields) — they have never worked, so the boundary
+    rejects them with a clear error instead of a mid-job
+    AnalysisException deep in the merge (review finding)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = str(tmp_path / "t")
+    dotted = spark.createDataFrame(
+        [(1, 10, 0)], ["key", "val", "x"]
+    ).withColumnRenamed("x", "ingest.seq")
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        write_keyed(dotted, path, "key", seq_col="ingest.seq")
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        write_keyed(
+            dotted.withColumnRenamed("ingest.seq", "a`b"), path, "key",
+            zone_cols=["a`b"],
+        )
+    keyed_dotted = dotted.withColumnRenamed("key", "k.id")
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        write_keyed(keyed_dotted, path, "k.id")
+
+
+def test_bad_seq_col_fails_fast_without_flipping_registration(spark, tmp_path):
+    """A write naming a seq_col that is not a column of the batch (or
+    is the key) must raise BEFORE any manifest mutation — the table's
+    existing registration survives untouched (review finding: the
+    registration flip was persisted by the early pre-publish save)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.table import (
+        _load_meta, merge_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, 10, 0)], "key long, val long, seq long"),
+        path, "key", seq_col="seq",
+    )
+    v0 = _load_meta(path)["version"]
+    batch = spark.createDataFrame([(2, 20, 1)], "key long, val long, seq long")
+    with _pytest.raises(ValueError, match="seq_col"):
+        write_keyed(batch, path, "key", seq_col="typo")
+    with _pytest.raises(ValueError, match="seq_col"):
+        write_keyed(batch, path, "key", seq_col="key")
+    with _pytest.raises(ValueError, match="seq_col"):
+        merge_keyed(
+            spark, path,
+            batch.withColumn("_change", batch.key * 0).selectExpr(
+                "key", "val", "seq", "'insert' as _change"
+            ),
+            seq_col="typo",
+        )
+    meta = _load_meta(path)
+    assert meta["seq_col"] == "seq"
+    assert meta["version"] == v0  # nothing committed
+    assert meta["next_seq"] == 1  # not even the early seq bump landed
+
+
+def test_write_keyed_ttl_param_validation(spark, tmp_path):
+    """The creation-only ttl parameter validates shape and column
+    membership before touching anything."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    df = spark.createDataFrame([(1, 1.0)], "key long, ts double")
+    for bad in [{"col": "nope", "seconds": 1.0}, {"col": "ts"}, "ts"]:
+        with _pytest.raises(ValueError, match="ttl"):
+            write_keyed(df, str(tmp_path / "t"), "key", ttl=bad)

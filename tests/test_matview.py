@@ -265,3 +265,48 @@ def test_reserved_agg_names_rejected(spark, tmp_path):
     write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id")
     with pytest.raises(ValueError, match="reserved"):
         create_aggregate_view(spark, base, view, "grp", {"_dn": "val"})
+
+
+def test_view_over_version_token_rejected_at_create(spark, tmp_path):
+    """An aggregate over the base's registered version-token column can
+    never be maintained incrementally (token-only rewrites are
+    invisible to the changefeed by contract) — creation refuses
+    (review finding: the view silently diverged from a recompute)."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "a", 1.0, 0)], "id bigint, grp string, val double, seq long"
+        ),
+        base, "id", seq_col="seq",
+    )
+    for kwargs in [
+        {"maxs": {"last_seq": "seq"}},
+        {"sums": {"s": "seq"}},
+        {"mins": {"m": "seq"}},
+    ]:
+        with pytest.raises(ValueError, match="version-token"):
+            create_aggregate_view(spark, base, view, "grp", **kwargs)
+    with pytest.raises(ValueError, match="version-token"):
+        create_aggregate_view(spark, base, view, "seq", sums={"s": "val"})
+
+
+def test_view_over_late_registered_token_rejected_at_refresh(spark, tmp_path):
+    """The registration can land AFTER the view exists; the next
+    refresh must refuse rather than silently diverge."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "a", 1.0, 0)], "id bigint, grp string, val double, seq long"
+        ),
+        base, "id",
+    )
+    create_aggregate_view(spark, base, view, "grp", maxs={"last_seq": "seq"})
+    # registration lands after creation, plus a data change to refresh
+    write_keyed(
+        spark.createDataFrame(
+            [(2, "a", 2.0, 1)], "id bigint, grp string, val double, seq long"
+        ),
+        base, "id", seq_col="seq",
+    )
+    with pytest.raises(ValueError, match="version-token"):
+        refresh_aggregate_view(spark, base, view)
