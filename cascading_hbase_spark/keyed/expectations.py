@@ -117,6 +117,14 @@ def write_keyed_validated(
     crash between the two writes can duplicate quarantine rows but can
     never lose them (at-least-once on the triage side, exactly-once on
     the table side via the manifest flip)."""
+    # Pin the batch ONCE: the hard-gate probe, the quarantine write and
+    # the keyed write are three separate actions — a non-deterministic
+    # input plan (rand/sample/a source changing mid-call) re-evaluated
+    # between them could pass the fail-gate yet commit violating rows,
+    # or land a row in both quarantine and the table (the same hazard
+    # write_keyed pins against internally; the checkpoint is of the
+    # BATCH, bounded by batch size at any scale).
+    df = df.localCheckpoint(eager=True)
     hard = [e for e in expectations if e.action == "fail"]
     soft = [e for e in expectations if e.action != "fail"]
     if hard:

@@ -10,17 +10,25 @@ The index IS a keyed table: its key is the composite string
 - an equality lookup is a *range scan* on the value prefix — bucket-dir
   pruned and row-group pruned like any keyed range scan, touching
   O(matching rows) of the index, never the main table's width;
-- the fetched row keys come back as a tiny broadcast semi-join against
-  the key-sorted main table (the key filter pushes into its parquet
-  scan).  At 100 TB: index-range scan + point fetches, no full scan.
+- the fetched row keys come back as a semi-join against the key-sorted
+  main table (the key filter pushes into its parquet scan; AQE
+  broadcasts the index side at runtime when it is small — a hot value
+  matching millions of rows degrades to a shuffled semi-join instead
+  of OOMing a forced broadcast).  At 100 TB: index-range scan + point
+  fetches, no full scan.
 
-Consistency is explicit, not magical: the index snapshot records the
-main table's manifest version at build time; a lookup on a stale index
-raises ``StaleIndexError`` (opt out with ``check_fresh=False``), and
-``refresh_index`` rebuilds.  Synchronous index maintenance on every
-write is deliberately NOT done — at scale an index rebuild is a compact
-batch job, and a silently-async index that pretends to be fresh is how
-phantom reads happen.
+Consistency is explicit, not magical: the index records the main
+table's manifest version AND incarnation id at build time; a lookup on
+a stale index raises ``StaleIndexError`` (opt out with
+``check_fresh=False``, which resolves against the SNAPSHOT the index
+was built from — a genuine point-in-time lookup), and ``refresh_index``
+rebuilds.  A main table that was REPLACEd under the index is detected
+by the incarnation id and always raises, even with
+``check_fresh=False`` — its version counter restarted, so the stamped
+version now names a different table's history.  Synchronous index
+maintenance on every write is deliberately NOT done — at scale an
+index rebuild is a compact batch job, and a silently-async index that
+pretends to be fresh is how phantom reads happen.
 
 Nulls in the indexed column are not indexed (SQL-index convention);
 indexed values whose string form contains ``\\x00`` are rejected at
@@ -35,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.keyed.table import (
     SinkMode,
     _load_meta,
-    _save_meta,
     read_keyed,
     write_keyed,
 )
@@ -50,7 +57,8 @@ _SUFFIX = "__kt_idx_"
 
 
 class StaleIndexError(RuntimeError):
-    """The main table has committed past the index's build snapshot."""
+    """The main table has committed past (or was replaced under) the
+    index's build snapshot."""
 
 
 def _index_path(path: str, col: str) -> str:
@@ -61,7 +69,13 @@ def create_index(spark: SparkSession, path: str, col: str) -> None:
     """Build (or rebuild) the equality index for ``col``."""
     meta = _load_meta(path)
     key = meta["key"]
-    df = read_keyed(spark, path).filter(F.col(col).isNotNull())
+    # Pin the read to the version just captured: a concurrent main
+    # commit between the meta load and the scan must not leave the
+    # recorded stamp naming a version other than the data indexed.
+    version = meta["version"]
+    df = read_keyed(spark, path, generation=version).filter(
+        F.col(col).isNotNull()
+    )
     val_s = F.col(col).cast("string")
     bad = df.filter(val_s.contains(_SEP)).limit(1).count()
     if bad:
@@ -75,10 +89,18 @@ def create_index(spark: SparkSession, path: str, col: str) -> None:
         F.col(key).cast("string").alias("ref_key"),
     )
     ipath = _index_path(path, col)
-    write_keyed(idx, ipath, "idx_key", mode=SinkMode.REPLACE)
-    imeta = _load_meta(ipath)
-    imeta["index_of"] = {"path": path, "col": col, "version": meta["version"]}
-    _save_meta(ipath, imeta)
+    # The provenance stamp rides the index write's own atomic commit —
+    # a separate post-write meta save would leave a stamp-less index
+    # behind a crash between the two.
+    write_keyed(
+        idx, ipath, "idx_key", mode=SinkMode.REPLACE,
+        meta_extra={
+            "index_of": {
+                "path": path, "col": col, "version": version,
+                "table_id": meta.get("table_id"),
+            }
+        },
+    )
 
 
 refresh_index = create_index
@@ -99,7 +121,13 @@ def index_lookup(
 ) -> DataFrame:
     """Main-table rows where ``col == value``, resolved through the
     index: a bucket-pruned range scan of the value prefix, then a
-    broadcast semi-join of the matching row keys into the main table."""
+    semi-join of the matching row keys into the main table.
+
+    ``check_fresh=False`` is a point-in-time lookup: it resolves
+    against the main-table SNAPSHOT the index was built from, so the
+    result honors the documented contract even when later commits
+    rewrote an indexed row to a different value.  It raises loudly if
+    that snapshot has fallen out of the main table's retention."""
     ipath = _index_path(path, col)
     try:
         imeta = _load_meta(ipath)
@@ -109,22 +137,46 @@ def index_lookup(
         ) from None
     info = imeta.get("index_of", {})
     main_meta = _load_meta(path)
-    if check_fresh and info.get("version") != main_meta["version"]:
+    same_incarnation = info.get("table_id") == main_meta.get("table_id")
+    fresh = same_incarnation and info.get("version") == main_meta["version"]
+    if not same_incarnation:
+        # REPLACE restarted the version counter: the stamp's version
+        # names a DIFFERENT table's history, so neither a fresh nor a
+        # point-in-time read is possible — always loud
+        raise StaleIndexError(
+            f"index on {col!r} was built against a previous incarnation "
+            f"of {path} (the table was replaced); refresh_index()"
+        )
+    if check_fresh and not fresh:
         raise StaleIndexError(
             f"index on {col!r} was built at table version "
             f"{info.get('version')} but the table is at "
             f"{main_meta['version']}; refresh_index() or pass "
             f"check_fresh=False for a point-in-time lookup"
         )
-    prefix = str(value) + _SEP
+    # The prefix must be the SAME string form the index keys were built
+    # with — Spark's CAST(... AS STRING), not Python str() (str(True)
+    # is 'True' but CAST yields 'true'; large floats differ too).  One
+    # driver-local 1-row evaluation.
+    val_str = spark.range(1).select(F.lit(value).cast("string")).first()[0]
+    prefix = val_str + _SEP
+    # Every key for this value is exactly <val>\x00<rowkey>, so the
+    # tight exclusive upper bound is <val>\x01 — correct for any
+    # rowkey content (a ￿ sentinel would drop rowkeys starting
+    # with a code point above U+FFFF).
     keys = (
-        read_keyed(spark, ipath, start=prefix, stop=prefix + "\uffff")
+        read_keyed(spark, ipath, start=prefix, stop=val_str + "\x01")
         .select("ref_key")
     )
     key = main_meta["key"]
-    main = read_keyed(spark, path)
+    main = read_keyed(
+        spark, path, generation=None if fresh else info.get("version")
+    )
+    # No forced broadcast hint: AQE broadcasts the key set at runtime
+    # when it is small (the common selective lookup) and falls back to
+    # a shuffled semi-join for hot values matching millions of rows.
     return main.join(
-        F.broadcast(keys),
+        keys,
         main[key].cast("string") == keys["ref_key"],
         "left_semi",
     )

@@ -52,20 +52,38 @@ def create_replica(
     # Pin the copy to the version just captured (a primary commit
     # landing in between must not slip in ahead of the cursor).
     snap = read_keyed(spark, primary_path, generation=version)
-    # Carry the primary's version-token registration: a changefeed
-    # taken over the REPLICA must classify on payload too, or cascaded
-    # replication re-grows the update-storm problem one hop down.
+    # Carry the primary's table-level policies (same set clone_keyed
+    # carries, for the same reasons): the version-token registration —
+    # a changefeed taken over the REPLICA must classify on payload too,
+    # or cascaded replication re-grows the update-storm problem one hop
+    # down — plus families, zone maps, and row TTL.  TTL in particular:
+    # a row expiring BETWEEN two syncs is absent from both sides of the
+    # diff (no delete is ever emitted), so a replica without its own
+    # TTL would serve the expired row forever.
     pseq = meta.get("seq_col")
+    pttl = meta.get("ttl")
     write_keyed(
         snap,
         replica_path,
         key,
         mode=SinkMode.REPLACE,
         seq_col=pseq if pseq in snap.columns else None,
+        families={
+            c: f for c, f in meta.get("families", {}).items() if f != "cf"
+        } or None,
+        zone_cols=meta.get("zone_cols"),
+        ttl=pttl if pttl and pttl.get("col") in snap.columns else None,
         # match the primary's time-travel depth: the replica serves the
         # same snapshot window its primary does
         retain=meta.get("retain"),
-        meta_extra={"replica": {"of": primary_path, "cursor": version}},
+        # of_id pins the primary INCARNATION: REPLACE restarts the
+        # version counter, so a later sync must not mistake the new
+        # table's version N for the one the cursor names
+        meta_extra={"replica": {
+            "of": primary_path,
+            "of_id": meta.get("table_id"),
+            "cursor": version,
+        }},
     )
 
 
@@ -81,12 +99,30 @@ def sync_replica(
     cursor = rep["cursor"]
     pmeta = _load_meta(primary_path)
     version = pmeta["version"]
+    if rep.get("of_id") != pmeta.get("table_id"):
+        # REPLACE restarted the primary's version counter: the cursor
+        # names a dead incarnation's history — never a quiet diff
+        raise StaleReplicaError(
+            f"primary {primary_path} was replaced since the replica was "
+            f"seeded; rebuild with create_replica"
+        )
     if version == cursor:
         return False
-    if cursor <= version - pmeta.get("retain", DEFAULT_RETAIN):
+    # The readable horizon is the newer of the retain window and the
+    # last vacuum's recorded horizon — the exact rule _meta_at
+    # enforces; checking only retain would let a vacuumed-away cursor
+    # reach the diff and die with FileNotFoundError instead of the
+    # documented rebuild signal.  cursor > version is the same story
+    # for a rolled-back-and-replaced history.
+    horizon = max(
+        version - pmeta.get("retain", DEFAULT_RETAIN) + 1,
+        pmeta.get("vacuum_horizon", 1),
+    )
+    if cursor < horizon or cursor > version:
         raise StaleReplicaError(
             f"primary generation {cursor} no longer retained at "
-            f"{primary_path}; rebuild with create_replica"
+            f"{primary_path} (readable horizon {horizon}, version "
+            f"{version}); rebuild with create_replica"
         )
     feed = changefeed_keyed(
         spark, primary_path, cursor, to_generation=version

@@ -71,6 +71,7 @@ import json
 import math
 import os
 import shutil
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -569,7 +570,7 @@ def _stage_and_publish(
 _RESERVED_META = {
     "key", "boundaries", "next_seq", "families", "schema", "gens",
     "last_gen", "version", "retain", "ttl", "schema_evolved",
-    "zone_cols", "zone_maps", "vacuum_horizon", "seq_col",
+    "zone_cols", "zone_maps", "vacuum_horizon", "seq_col", "table_id",
 }
 
 
@@ -708,6 +709,12 @@ def write_keyed(
                 "gens": {},
                 "last_gen": {},
                 "version": 0,
+                # incarnation identity: REPLACE restarts the version
+                # counter, so version numbers alone cannot tell two
+                # tables at the same path apart — derived artifacts
+                # (secondary indexes, replicas) stamp this to detect
+                # that their base was rebuilt under them
+                "table_id": uuid.uuid4().hex,
             }
             if seq_col:
                 # record the user's version-token column: changefeed

@@ -1623,3 +1623,204 @@ def test_write_keyed_ttl_param_validation(spark, tmp_path):
     for bad in [{"col": "nope", "seconds": 1.0}, {"col": "ts"}, "ts"]:
         with _pytest.raises(ValueError, match="ttl"):
             write_keyed(df, str(tmp_path / "t"), "key", ttl=bad)
+
+
+def test_index_lookup_value_string_form_matches_cast(spark, tmp_path):
+    """The lookup prefix must use Spark's CAST(... AS STRING) form, not
+    Python str(): str(True) is 'True' but the index keys were built
+    with 'true' (review finding: silent empty result)."""
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, True)], "key long, flag boolean"
+        ),
+        path, "key",
+    )
+    create_index(spark, path, "flag")
+    assert {r.key for r in index_lookup(spark, path, "flag", True).collect()} \
+        == {1, 3}
+
+
+def test_index_point_in_time_lookup_reads_build_snapshot(spark, tmp_path):
+    """check_fresh=False resolves against the snapshot the index was
+    built from: a later commit that rewrites an indexed row to a
+    DIFFERENT value must not surface the new row under the old value
+    (review finding: the stale ref keys were joined into the CURRENT
+    table)."""
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "red"), (2, "blue")], "key long, color string"
+        ),
+        path, "key", retain=5,
+    )
+    create_index(spark, path, "color")
+    # rewrite key 1 to a different indexed value
+    write_keyed(
+        spark.createDataFrame([(1, "green")], "key long, color string"),
+        path, "key",
+    )
+    rows = index_lookup(spark, path, "color", "red", check_fresh=False).collect()
+    # point-in-time: key 1 as of the BUILD snapshot, still 'red'
+    assert [(r.key, r.color) for r in rows] == [(1, "red")]
+
+
+def test_index_detects_replaced_table(spark, tmp_path):
+    """A REPLACE restarts the version counter; an index surviving it
+    must raise even when the rebuilt table reaches the stamped version
+    number, and even with check_fresh=False (review finding: silently
+    wrong rows)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError, create_index, index_lookup,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, "a")], "key long, cat string"),
+        path, "key",
+    )
+    create_index(spark, path, "cat")
+    # REPLACE with different data; version counter restarts at 1
+    write_keyed(
+        spark.createDataFrame([(9, "a")], "key long, cat string"),
+        path, "key", mode=SinkMode.REPLACE,
+    )
+    with _pytest.raises(StaleIndexError, match="incarnation|replaced"):
+        index_lookup(spark, path, "cat", "a")
+    with _pytest.raises(StaleIndexError, match="incarnation|replaced"):
+        index_lookup(spark, path, "cat", "a", check_fresh=False)
+
+
+def test_index_lookup_includes_astral_rowkeys(spark, tmp_path):
+    """The range-scan stop bound is value+'\\x01' (the tightest bound
+    over value+'\\x00'+rowkey), so rowkeys starting with a code point
+    above U+FFFF are included (review finding: a '\\uffff' sentinel
+    dropped them)."""
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame(
+            [("\U0001F600smile", "x"), ("plain", "x")], "key string, cat string"
+        ),
+        path, "key",
+    )
+    create_index(spark, path, "cat")
+    assert index_lookup(spark, path, "cat", "x").count() == 2
+
+
+def test_replica_carries_policies_and_detects_replace(spark, tmp_path):
+    """create_replica carries the primary's table-level policies
+    (families, zone maps, TTL — without its own TTL a replica serves
+    rows that expired between syncs forever, since the diff never sees
+    them) and sync detects a REPLACEd primary as StaleReplicaError,
+    not a FileNotFoundError crash (review findings)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError, create_replica, sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import _load_meta, set_ttl
+
+    primary = str(tmp_path / "p")
+    replica = str(tmp_path / "r")
+    now = _time.time()
+    write_keyed(
+        spark.createDataFrame(
+            [(1, 10, now)], "key long, val long, ts double"
+        ),
+        primary, "key", zone_cols=["val"],
+        families={"val": "metrics"},
+    )
+    set_ttl(primary, "ts", 3600.0)
+    create_replica(spark, primary, replica)
+    rmeta = _load_meta(replica)
+    assert rmeta["zone_cols"] == ["val"]
+    assert rmeta["ttl"] == {"col": "ts", "seconds": 3600.0}
+    assert rmeta["families"]["val"] == "metrics"
+    # REPLACE the primary: the cursor now names a dead incarnation
+    write_keyed(
+        spark.createDataFrame(
+            [(2, 20, now)], "key long, val long, ts double"
+        ),
+        primary, "key", mode=SinkMode.REPLACE,
+    )
+    write_keyed(  # bring the new incarnation to the cursor's version
+        spark.createDataFrame(
+            [(3, 30, now)], "key long, val long, ts double"
+        ),
+        primary, "key",
+    )
+    with _pytest.raises(StaleReplicaError, match="replaced"):
+        sync_replica(spark, primary, replica)
+
+
+def test_replica_vacuumed_cursor_raises_stale_not_filenotfound(spark, tmp_path):
+    """A vacuum that collects the replica's cursor generation must
+    surface as the documented StaleReplicaError rebuild signal, not a
+    FileNotFoundError from deep inside the diff (review finding: the
+    gate checked only retain depth, not vacuum_horizon)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError, create_replica, sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import vacuum_keyed
+
+    primary = str(tmp_path / "p")
+    replica = str(tmp_path / "r")
+    write_keyed(
+        spark.createDataFrame([(1, 10)], "key long, val long"),
+        primary, "key", retain=10,
+    )
+    create_replica(spark, primary, replica)
+    write_keyed(
+        spark.createDataFrame([(2, 20)], "key long, val long"),
+        primary, "key",
+    )
+    vacuum_keyed(primary, retain=1)  # horizon passes the cursor
+    with _pytest.raises(StaleReplicaError, match="horizon"):
+        sync_replica(spark, primary, replica)
+
+
+def test_validated_write_pins_nondeterministic_batch(spark, tmp_path):
+    """write_keyed_validated evaluates the batch for the fail probe,
+    the quarantine write and the keyed write; a non-deterministic input
+    plan must be pinned once so a row cannot pass the gate yet commit
+    violating, or land in both quarantine and the table (review
+    finding).  The assertion is an invariant that must hold on EVERY
+    run: no committed row violates the drop expectation."""
+    import pyspark.sql.functions as F
+
+    from cascading_hbase_spark.keyed.expectations import (
+        Expectation, write_keyed_validated,
+    )
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    qdir = str(tmp_path / "q")
+    df = (
+        spark.range(500).withColumnRenamed("id", "key")
+        .withColumn("score", F.rand(seed=None))
+    )
+    write_keyed_validated(
+        df, path, "key",
+        [Expectation("score_ok", "score < 0.5", "quarantine")],
+        quarantine_path=qdir,
+    )
+    table = read_keyed(spark, path)
+    assert table.filter("score >= 0.5").count() == 0
+    quarantined = spark.read.parquet(qdir)
+    # exact partition: every input key is in exactly one place
+    assert table.count() + quarantined.count() == 500
+    assert table.join(
+        quarantined, "key", "inner"
+    ).count() == 0
