@@ -156,9 +156,22 @@ def index_lookup(
         )
     # The prefix must be the SAME string form the index keys were built
     # with — Spark's CAST(... AS STRING), not Python str() (str(True)
-    # is 'True' but CAST yields 'true'; large floats differ too).  One
-    # driver-local 1-row evaluation.
-    val_str = spark.range(1).select(F.lit(value).cast("string")).first()[0]
+    # is 'True' but CAST yields 'true'; large floats differ too).
+    # str/bool/int have exact local CAST forms; anything else (float,
+    # Decimal, date/time — engine-formatted) pays one 1-row evaluation.
+    if value is None:
+        raise ValueError(
+            f"index on {col!r} does not cover NULL (nulls are not "
+            f"indexed, SQL-index convention); filter the main table"
+        )
+    if isinstance(value, str):
+        val_str = value
+    elif isinstance(value, bool):
+        val_str = "true" if value else "false"
+    elif isinstance(value, int):
+        val_str = str(value)
+    else:
+        val_str = spark.range(1).select(F.lit(value).cast("string")).first()[0]
     prefix = val_str + _SEP
     # Every key for this value is exactly <val>\x00<rowkey>, so the
     # tight exclusive upper bound is <val>\x01 — correct for any

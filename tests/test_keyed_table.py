@@ -1824,3 +1824,20 @@ def test_validated_write_pins_nondeterministic_batch(spark, tmp_path):
     assert table.join(
         quarantined, "key", "inner"
     ).count() == 0
+
+
+def test_index_lookup_null_value_raises(spark, tmp_path):
+    """NULLs are not indexed, so a NULL lookup raises a clear error
+    instead of TypeError-ing on prefix concatenation."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, "a")], "key long, cat string"),
+        path, "key",
+    )
+    create_index(spark, path, "cat")
+    with _pytest.raises(ValueError, match="NULL"):
+        index_lookup(spark, path, "cat", None)
