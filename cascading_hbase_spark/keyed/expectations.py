@@ -117,16 +117,26 @@ def write_keyed_validated(
     crash between the two writes can duplicate quarantine rows but can
     never lose them (at-least-once on the triage side, exactly-once on
     the table side via the manifest flip)."""
-    # Pin the batch ONCE: the hard-gate probe, the quarantine write and
-    # the keyed write are three separate actions — a non-deterministic
-    # input plan (rand/sample/a source changing mid-call) re-evaluated
-    # between them could pass the fail-gate yet commit violating rows,
-    # or land a row in both quarantine and the table (the same hazard
-    # write_keyed pins against internally; the checkpoint is of the
-    # BATCH, bounded by batch size at any scale).
-    df = df.localCheckpoint(eager=True)
     hard = [e for e in expectations if e.action == "fail"]
     soft = [e for e in expectations if e.action != "fail"]
+    quarantining = [e.name for e in soft if e.action == "quarantine"]
+    if quarantine_path is None and quarantining:
+        raise ValueError(
+            f"quarantine-action expectations {quarantining} need a "
+            f"quarantine_path"
+        )
+    if hard or quarantining:
+        # Pin the batch ONCE: the hard-gate probe, the quarantine
+        # write and the keyed write are separate actions — a
+        # non-deterministic input plan (rand/sample/a source changing
+        # mid-call) re-evaluated between them could pass the fail-gate
+        # yet commit violating rows, or land a row in both quarantine
+        # and the table.  Drop-only (or no-op) validation is a single
+        # plan whose one action write_keyed already pins internally,
+        # so it skips this extra full-batch materialization (the
+        # checkpoint is of the BATCH, bounded by batch size at any
+        # scale).
+        df = df.localCheckpoint(eager=True)
     if hard:
         hard_violations = apply_expectations(df, hard)[1]
         sample = hard_violations.select(_TAG).limit(1).collect()
@@ -136,17 +146,8 @@ def write_keyed_validated(
                 f"{sorted(set(sample[0][0]))} — batch rejected"
             )
     passed, violations = apply_expectations(df, soft)
-    if quarantine_path is None:
-        quarantined = [e.name for e in soft if e.action == "quarantine"]
-        if quarantined:
-            raise ValueError(
-                f"quarantine-action expectations {quarantined} need a "
-                f"quarantine_path"
-            )
-    elif any(e.action == "quarantine" for e in soft):
-        qnames = F.array(
-            *[F.lit(e.name) for e in soft if e.action == "quarantine"]
-        )
+    if quarantining:
+        qnames = F.array(*[F.lit(n) for n in quarantining])
         q = violations.filter(
             F.size(F.array_intersect(_TAG, qnames)) > 0
         )

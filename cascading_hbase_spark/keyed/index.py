@@ -37,8 +37,19 @@ build time rather than silently mis-ranged.
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
 
 from cascading_hbase_spark.keyed.table import (
     SinkMode,
@@ -155,23 +166,47 @@ def index_lookup(
             f"check_fresh=False for a point-in-time lookup"
         )
     # The prefix must be the SAME string form the index keys were built
-    # with — Spark's CAST(... AS STRING), not Python str() (str(True)
-    # is 'True' but CAST yields 'true'; large floats differ too).
-    # str/bool/int have exact local CAST forms; anything else (float,
-    # Decimal, date/time — engine-formatted) pays one 1-row evaluation.
+    # with: CAST(<column type> AS STRING).  Casting the probe value
+    # through the COLUMN's type first is what makes that exact — a
+    # Python literal's inferred type is not enough (Decimal('1.5')
+    # infers decimal(2,1) -> '1.5' while a decimal(10,2) column stored
+    # '1.50'; 1 infers bigint -> '1' while a double column stored
+    # '1.0').  Where value and column types already align (str/bool/
+    # integral — CAST is the identity/'true'/str() respectively) the
+    # form is computed locally; other combinations pay one 1-row
+    # driver-local evaluation through the column type.
     if value is None:
         raise ValueError(
             f"index on {col!r} does not cover NULL (nulls are not "
             f"indexed, SQL-index convention); filter the main table"
         )
-    if isinstance(value, str):
+    col_type = None
+    schema_json = main_meta.get("schema")
+    if schema_json:
+        try:
+            col_type = StructType.fromJson(json.loads(schema_json))[col].dataType
+        except (KeyError, ValueError):
+            col_type = None
+    if isinstance(value, str) and isinstance(col_type, StringType):
         val_str = value
-    elif isinstance(value, bool):
+    elif isinstance(value, bool) and isinstance(col_type, BooleanType):
         val_str = "true" if value else "false"
-    elif isinstance(value, int):
+    elif (
+        isinstance(value, int)
+        and not isinstance(value, bool)
+        and isinstance(col_type, (ByteType, ShortType, IntegerType, LongType))
+    ):
         val_str = str(value)
     else:
-        val_str = spark.range(1).select(F.lit(value).cast("string")).first()[0]
+        probe = F.lit(value)
+        if col_type is not None:
+            probe = probe.cast(col_type)
+        val_str = spark.range(1).select(probe.cast("string")).first()[0]
+        if val_str is None:
+            raise ValueError(
+                f"lookup value {value!r} does not cast to indexed "
+                f"column {col!r}'s type {col_type}"
+            )
     prefix = val_str + _SEP
     # Every key for this value is exactly <val>\x00<rowkey>, so the
     # tight exclusive upper bound is <val>\x01 — correct for any
@@ -182,14 +217,23 @@ def index_lookup(
         .select("ref_key")
     )
     key = main_meta["key"]
-    main = read_keyed(
-        spark, path, generation=None if fresh else info.get("version")
-    )
-    # No forced broadcast hint: AQE broadcasts the key set at runtime
-    # when it is small (the common selective lookup) and falls back to
-    # a shuffled semi-join for hot values matching millions of rows.
+    # ALWAYS pin to the stamped version — when fresh it equals the
+    # version the freshness check just approved, and pinning closes
+    # the race where a commit lands between that check and the read
+    # (the v5 index's keys semi-joined into a v6 table would return
+    # rows whose indexed value no longer matches the lookup).
+    main = read_keyed(spark, path, generation=info.get("version"))
+    # Under AQE (the default), no forced broadcast hint: the key set
+    # broadcasts at runtime when small (the common selective lookup)
+    # and a hot value matching millions of rows degrades to a shuffled
+    # semi-join instead of OOMing.  With AQE disabled there is no
+    # runtime re-plan, and an unhinted semi-join would shuffle the
+    # ENTIRE main table for one lookup — keep the broadcast hint then.
+    aqe = str(
+        spark.conf.get("spark.sql.adaptive.enabled", "true")
+    ).lower() == "true"
     return main.join(
-        keys,
+        keys if aqe else F.broadcast(keys),
         main[key].cast("string") == keys["ref_key"],
         "left_semi",
     )

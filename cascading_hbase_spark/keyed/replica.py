@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession
 from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
+    _carried_policies,
     _load_meta,
     apply_changefeed,
     changefeed_keyed,
@@ -52,27 +53,21 @@ def create_replica(
     # Pin the copy to the version just captured (a primary commit
     # landing in between must not slip in ahead of the cursor).
     snap = read_keyed(spark, primary_path, generation=version)
-    # Carry the primary's table-level policies (same set clone_keyed
-    # carries, for the same reasons): the version-token registration —
-    # a changefeed taken over the REPLICA must classify on payload too,
-    # or cascaded replication re-grows the update-storm problem one hop
-    # down — plus families, zone maps, and row TTL.  TTL in particular:
-    # a row expiring BETWEEN two syncs is absent from both sides of the
-    # diff (no delete is ever emitted), so a replica without its own
-    # TTL would serve the expired row forever.
-    pseq = meta.get("seq_col")
-    pttl = meta.get("ttl")
+    # Carry the primary's table-level policies (the shared
+    # _carried_policies set clone_keyed uses, for the same reasons):
+    # the version-token registration — a changefeed taken over the
+    # REPLICA must classify on payload too, or cascaded replication
+    # re-grows the update-storm problem one hop down — plus families,
+    # zone maps, and row TTL.  TTL in particular: a row expiring
+    # BETWEEN two syncs is absent from both sides of the diff (no
+    # delete is ever emitted), so a replica without its own TTL would
+    # serve the expired row forever.
     write_keyed(
         snap,
         replica_path,
         key,
         mode=SinkMode.REPLACE,
-        seq_col=pseq if pseq in snap.columns else None,
-        families={
-            c: f for c, f in meta.get("families", {}).items() if f != "cf"
-        } or None,
-        zone_cols=meta.get("zone_cols"),
-        ttl=pttl if pttl and pttl.get("col") in snap.columns else None,
+        **_carried_policies(meta, snap),
         # match the primary's time-travel depth: the replica serves the
         # same snapshot window its primary does
         retain=meta.get("retain"),
@@ -124,9 +119,20 @@ def sync_replica(
             f"{primary_path} (readable horizon {horizon}, version "
             f"{version}); rebuild with create_replica"
         )
-    feed = changefeed_keyed(
-        spark, primary_path, cursor, to_generation=version
-    )
+    try:
+        feed = changefeed_keyed(
+            spark, primary_path, cursor, to_generation=version
+        )
+    except FileNotFoundError as e:
+        # Belt over the horizon gate's suspenders: ANY unreadable-
+        # cursor case the gate's re-derivation misses (e.g. the
+        # HISTORY_KEEP manifest-log prune on a deep-retain table)
+        # still surfaces as the documented rebuild signal, and can
+        # never drift from _meta_at's readability rule.
+        raise StaleReplicaError(
+            f"primary generation {cursor} is no longer readable at "
+            f"{primary_path} ({e}); rebuild with create_replica"
+        ) from None
     # Mirror the primary's version-token registration exactly: forward
     # it when set, clear the replica's ("") when the primary
     # deregistered, leave untouched (None) when both agree already —

@@ -1576,6 +1576,30 @@ class KeyedTable:
         return f"keyed://{os.path.abspath(self.path)}"
 
 
+def _carried_policies(meta: dict, df: DataFrame) -> dict:
+    """Table-level policies a derived copy (clone, replica seed) must
+    carry from its source manifest: version-token registration,
+    non-default column families, zone-map columns, and row TTL —
+    ``write_keyed`` kwargs, ready to splat.  ONE definition, shared by
+    ``clone_keyed`` and ``replica.create_replica``, so the next policy
+    added to ``write_keyed`` cannot silently diverge between them
+    (``retain`` stays per-site by design: a clone takes a parameter, a
+    replica mirrors its primary's window)."""
+    seq = meta.get("seq_col")
+    ttl = meta.get("ttl")
+    return {
+        "seq_col": seq if seq in df.columns else None,
+        "families": {
+            c: f for c, f in meta.get("families", {}).items() if f != "cf"
+        } or None,
+        "zone_cols": meta.get("zone_cols"),
+        # TTL must ride the creation commit — a second set_ttl commit
+        # would leave a crash window where the copy silently serves
+        # (and never purges) expired rows.
+        "ttl": ttl if ttl and ttl.get("col") in df.columns else None,
+    }
+
+
 def clone_keyed(
     spark: SparkSession,
     src: str,
@@ -1603,26 +1627,13 @@ def clone_keyed(
     if generation is None:
         generation = meta.get("version", 1)
     df = read_keyed(spark, src, generation=generation)
-    sseq = meta.get("seq_col")
-    srcttl = meta.get("ttl")
+    # The snapshot read above already filtered currently-expired rows;
+    # the carried TTL keeps FUTURE rows expiring on the clone like the
+    # source.
     write_keyed(
         df, dst, meta["key"], mode=SinkMode.REPLACE,
-        seq_col=sseq if sseq in df.columns else None,
-        families={
-            c: f for c, f in meta.get("families", {}).items() if f != "cf"
-        } or None,
         retain=retain,
-        zone_cols=meta.get("zone_cols"),
-        # TTL rides the creation commit — a second set_ttl commit would
-        # leave a crash window where the clone silently serves (and
-        # never purges) expired rows.  The snapshot read above already
-        # filtered currently-expired rows; this keeps FUTURE rows
-        # expiring on the clone like the source.
-        ttl=(
-            srcttl
-            if srcttl and srcttl.get("col") in df.columns
-            else None
-        ),
+        **_carried_policies(meta, df),
     )
 
 

@@ -1841,3 +1841,91 @@ def test_index_lookup_null_value_raises(spark, tmp_path):
     create_index(spark, path, "cat")
     with _pytest.raises(ValueError, match="NULL"):
         index_lookup(spark, path, "cat", None)
+
+
+def test_index_lookup_casts_value_through_column_type(spark, tmp_path):
+    """The lookup prefix is the value cast through the indexed COLUMN's
+    type then to string — a Python literal's inferred type is not
+    enough (review finding: Decimal('1.5') infers decimal(2,1) -> '1.5'
+    while a decimal(10,2) column stored '1.50'; int 1 -> '1' while a
+    double column stored '1.0'; both silently returned zero rows)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("price", DecimalType(10, 2)),
+        StructField("ratio", DoubleType()),
+    ])
+    write_keyed(
+        spark.createDataFrame(
+            [(1, Decimal("1.50"), 1.0), (2, Decimal("2.25"), 2.5)], schema
+        ),
+        path, "key",
+    )
+    create_index(spark, path, "price")
+    create_index(spark, path, "ratio")
+    assert [r.key for r in
+            index_lookup(spark, path, "price", Decimal("1.5")).collect()] == [1]
+    # int probe on a double column: stored form is '1.0', not '1'
+    assert [r.key for r in
+            index_lookup(spark, path, "ratio", 1).collect()] == [1]
+
+
+def test_index_lookup_keeps_broadcast_hint_without_aqe(spark, tmp_path):
+    """With AQE disabled there is no runtime re-plan, so the key-set
+    side keeps an explicit broadcast hint — an unhinted semi-join
+    would shuffle the entire main table for one selective lookup
+    (review finding)."""
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, "a"), (2, "b")], "key long, cat string"),
+        path, "key",
+    )
+    create_index(spark, path, "cat")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = index_lookup(spark, path, "cat", "a")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert [r.key for r in df.collect()] == [1]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_replica_history_pruned_cursor_raises_stale(spark, tmp_path, monkeypatch):
+    """A cursor whose manifest snapshot fell off the HISTORY_KEEP log
+    (deep-retain table, many commits) must surface as StaleReplicaError,
+    not FileNotFoundError — the horizon gate alone cannot see manifest
+    pruning (review finding)."""
+    import pytest as _pytest
+
+    import cascading_hbase_spark.keyed.table as kt
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError, create_replica, sync_replica,
+    )
+
+    monkeypatch.setattr(kt, "HISTORY_KEEP", 3)
+    primary = str(tmp_path / "p")
+    replica = str(tmp_path / "r")
+    write_keyed(
+        spark.createDataFrame([(1, 10)], "key long, val long"),
+        primary, "key", retain=100,
+    )
+    create_replica(spark, primary, replica)
+    for i in range(5):  # prune the v1 manifest out of the history log
+        write_keyed(
+            spark.createDataFrame([(i + 2, 10)], "key long, val long"),
+            primary, "key",
+        )
+    with _pytest.raises(StaleReplicaError, match="no longer readable"):
+        sync_replica(spark, primary, replica)
