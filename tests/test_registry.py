@@ -173,7 +173,10 @@ def test_verdict_freshness():
 
     max_round, newest = _newest_verdicts()
     with open(BACKLOG_FILE) as f:
-        backlog = {ln.strip() for ln in f if ln.strip()}
+        backlog = {
+            ln.strip() for ln in f
+            if ln.strip() and not ln.lstrip().startswith("#")
+        }
 
     # Pairs in the driver's upcoming head are being verified THIS round
     # — their fresh verdict lands in CORRECTNESS_r{max+1}.json with the

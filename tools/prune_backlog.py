@@ -39,7 +39,12 @@ def main() -> None:
                 newest[name] = max(newest.get(name, 0), rnd)
 
     with open(BACKLOG) as f:
-        backlog = sorted({ln.strip() for ln in f if ln.strip()})
+        lines = f.readlines()
+    header = [ln for ln in lines if ln.lstrip().startswith("#")]
+    backlog = sorted({
+        ln.strip() for ln in lines
+        if ln.strip() and not ln.lstrip().startswith("#")
+    })
 
     keep = [
         q for q in backlog
@@ -53,7 +58,7 @@ def main() -> None:
     if "--dry" in sys.argv:
         return
     with open(BACKLOG, "w") as f:
-        f.write("\n".join(keep) + "\n")
+        f.write("".join(header) + "\n".join(keep) + "\n")
     print(f"rewrote {BACKLOG}")
 
 

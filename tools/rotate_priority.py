@@ -60,8 +60,16 @@ def main() -> None:
     print(f"backlog after r{next_round:02d} lands: {len(backlog)} pairs")
     if "--dry" in sys.argv:
         return
+    header = (
+        "# Verification-debt drain queue (VERDICT r05 items 1/7, r07 item 2).\n"
+        "# Pairs whose newest driver verdict goes stale once the upcoming\n"
+        "# round's CORRECTNESS file lands and which did not fit the upcoming\n"
+        "# 50-slot driver head; the derived driver order schedules these\n"
+        "# stalest-first in later rounds.  Regenerate: tools/rotate_priority.py;\n"
+        "# prune after verdicts land: tools/prune_backlog.py.\n"
+    )
     with open(BACKLOG, "w") as f:
-        f.write("\n".join(backlog) + "\n")
+        f.write(header + "\n".join(backlog) + "\n")
     print(f"rewrote {BACKLOG}")
 
 
