@@ -80,7 +80,8 @@ def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            max_by(l_quantity, sk) AS last_qty
     FROM (
       SELECT *,
-             l_linenumber * 1000000000000 + l_partkey * 1000000 + l_suppkey AS sk
+             (l_linenumber * 1000000000000 + l_partkey * 1000000 + l_suppkey)
+               * 100 + CAST(floor(l_quantity) AS BIGINT) AS sk
       FROM lineitem
     ) GROUP BY l_orderkey
     """,
@@ -89,13 +90,22 @@ def groupby_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupBy + First/Last with explicit sort key (Cascading's GroupBy
     secondary sort feeding First/Last aggregators) = min_by/max_by —
     a single hash aggregate, no window shuffle-sort needed.  The sort
-    key is a composite (linenumber, partkey, suppkey) packed into one
-    bigint because (l_orderkey, l_linenumber) alone is not unique."""
+    key is a composite (linenumber, partkey, suppkey, quantity) packed
+    into one bigint: (orderkey, linenumber) alone is not unique in the
+    synthetic data, and the key must be TOTAL over every output column
+    or a tie leaves first/last_qty engine-dependent (observed at
+    sf0.001, where (linenumber, partkey, suppkey) collides with
+    differing quantity).  floor() before the cast because Spark
+    truncates double->bigint while DuckDB rounds; quantities are
+    integral so the picked value is unaffected."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "sk",
-        F.col("l_linenumber").cast("bigint") * F.lit(1000000000000)
-        + F.col("l_partkey") * F.lit(1000000)
-        + F.col("l_suppkey"),
+        (
+            F.col("l_linenumber").cast("bigint") * F.lit(1000000000000)
+            + F.col("l_partkey") * F.lit(1000000)
+            + F.col("l_suppkey")
+        ) * F.lit(100)
+        + F.floor("l_quantity"),
     )
     return li.groupBy("l_orderkey").agg(
         F.min_by("l_partkey", "sk").alias("first_part"),

@@ -26,7 +26,8 @@ from cascading_hbase_spark.queries import query
     FROM (
       SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,
              row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+                                ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+                                         l_quantity DESC, l_extendedprice DESC) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
@@ -39,12 +40,18 @@ def keyed_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-order tiebreak standing in for the HBase cell timestamp
     (HBaseScheme.java:127)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber) alone is not unique in the synthetic data;
-    # extend the write-order tiebreak until it is deterministic.
-    # max_by over a struct ordering key instead of a row_number window:
-    # a hash aggregate combines map-side (shuffles one row per key, no
-    # sort), where the window form shuffles and sorts every row.
-    order = F.struct("l_linenumber", "l_partkey", "l_suppkey")
+    # (l_orderkey, l_linenumber) alone is not unique in the synthetic
+    # data; the write-order tiebreak must extend over EVERY output
+    # column to be total — (linenumber, partkey, suppkey) was observed
+    # colliding at sf0.001 with differing quantity/price, which leaves
+    # the winner engine-dependent.  max_by over a struct ordering key
+    # instead of a row_number window: a hash aggregate combines
+    # map-side (shuffles one row per key, no sort), where the window
+    # form shuffles and sorts every row.
+    order = F.struct(
+        "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    )
     winner = F.max_by(
         F.struct("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"), order
     )
