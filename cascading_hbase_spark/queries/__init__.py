@@ -79,7 +79,9 @@ def _load_all() -> None:
 # not new surface: their tie-break keys were made TOTAL after an
 # sf0.001 rehearsal caught engine-dependent winners on composite-key
 # collisions, and a changed pair must re-verify the round it changes).
-_CHANGED_THIS_ROUND: list[str] = ["keyed_upsert_lww", "groupby_first_last"]
+_CHANGED_THIS_ROUND: list[str] = [
+    "keyed_upsert_lww", "groupby_first_last", "horvitz_thompson_revenue",
+]
 
 # Number of head entries the driver's per-round budget is known to
 # reach (CORRECTNESS_r06/r07 both contained exactly the first 50).
