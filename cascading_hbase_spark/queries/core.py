@@ -45,9 +45,10 @@ def keyed_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column to be total — (linenumber, partkey, suppkey) was observed
     # colliding at sf0.001 with differing quantity/price, which leaves
     # the winner engine-dependent.  max_by over a struct ordering key
-    # instead of a row_number window: a hash aggregate combines
-    # map-side (shuffles one row per key, no sort), where the window
-    # form shuffles and sorts every row.
+    # instead of a row_number window: struct-typed max_by plans as a
+    # partial SortAggregate (map-side combine, so ONE ROW PER KEY
+    # shuffles, plus a partition-local sort on the group key), where
+    # the window form shuffles and sorts EVERY input row.
     order = F.struct(
         "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice",
