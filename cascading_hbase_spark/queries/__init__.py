@@ -74,13 +74,18 @@ def _load_all() -> None:
 # to the head.  ``tools/rotate_priority.py`` prints the derived head
 # and regenerates ``tests/verdict_backlog.txt`` to match.
 
-# Pairs changed or added THIS round (round 8: surface frozen — the
-# round is a verification-backlog drain.  The two entries below are
-# not new surface: their tie-break keys were made TOTAL after an
-# sf0.001 rehearsal caught engine-dependent winners on composite-key
-# collisions, and a changed pair must re-verify the round it changes).
+# Pairs changed or added THIS round (round 9: reset to empty at round
+# start per the standing rule — the r08 verdicts landed, so the r08
+# hand-list would only burn driver slots re-verifying r08-green pairs.
+# Add a name here ONLY when its query/oracle code changes this round;
+# ``tools/round_end_check.py`` cross-checks this list against
+# ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    "keyed_upsert_lww", "groupby_first_last", "horvitz_thompson_revenue",
+    # r09: former rows-only pairs re-specified to deterministic,
+    # fully-oracled forms (both were already in the derived r09 head —
+    # r02-dated — so listing them costs no extra driver slot).
+    "streaming_dedup_within_watermark",
+    "streaming_user_running_totals",
 ]
 
 # Number of head entries the driver's per-round budget is known to

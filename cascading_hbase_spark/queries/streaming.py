@@ -5,10 +5,11 @@ result, so the driver's oracle check exercises the streaming engine
 itself — not a batch stand-in.
 
 The windowed entries share their oracle SQL with the batch forms in
-``queries/events.py`` (same semantics, streaming execution).  The
-dedup/stateful entries are rows-only: which duplicate survives is
-arrival-order-dependent, and the stateful sums are float-accumulated in
-Python state."""
+``queries/events.py`` (same semantics, streaming execution).  Every
+entry is fully oracled: the dedup entry keys on the unique event id
+(deterministic survivor content), and the stateful entries accumulate
+integer cents and reduce to final-per-key state (deterministic,
+bit-equal to the batch DECIMAL sums)."""
 
 from __future__ import annotations
 
@@ -115,17 +116,57 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_dedup_within_watermark")  # rows-only: survivor is arrival-order-dependent
+_EXACTLY_ONCE_ORACLE = """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+"""
+
+
+@query("streaming_dedup_within_watermark", oracle=_EXACTLY_ONCE_ORACLE)
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once replay dedup on the streaming path: the events
+    stream unioned with a full redelivered copy of itself (at-least-
+    once delivery), deduped on the unique ``event_id`` within the
+    watermark.  Every event must emit exactly once with its full
+    payload — redeliveries are byte-identical, so the surviving row
+    content is deterministic and the batch table is a FULL oracle (the
+    r02 rows-only form keyed on (user_id, event_type), whose survivor
+    is arrival-order-dependent, lives on as
+    ``streaming_dedup_contract``'s key-set check)."""
     return S.run_available_now(
-        S.dedup_within_watermark(S.events_stream(spark, sf_dir)), "append"
+        S.exactly_once_ingest(
+            S.events_stream(spark, sf_dir), S.events_stream(spark, sf_dir)
+        ),
+        "append",
     )
 
 
-@query("streaming_user_running_totals")  # rows-only: float state accumulation
+_RUNNING_TOTALS_ORACLE = """
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("streaming_user_running_totals", oracle=_RUNNING_TOTALS_ORACLE)
 def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.run_available_now(
-        S.running_user_totals(S.events_stream(spark, sf_dir)), "update"
+    """Composite-key (user_id, event_type) running totals via
+    ``applyInPandasWithState``, reduced to the final state per key.
+    The update-mode sink keeps every intermediate emission and
+    ``n_events`` is strictly monotone per key, so ``max_by(n_events)``
+    IS the final state; state accumulates integer cents, so the final
+    totals equal the batch DECIMAL sums bit-for-bit — full oracle
+    (this replaces the r02 rows-only form, whose raw update stream's
+    emission COUNT is batch-schedule-dependent; the single-key final
+    form is ``streaming_stateful_totals_final``)."""
+    raw = S.run_available_now(
+        S.running_totals_by(S.events_stream(spark, sf_dir), ("user_id", "event_type")),
+        "update",
+    )
+    return raw.groupBy("user_id", "event_type").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
     )
 
 

@@ -7,9 +7,11 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     documents_stream,
     enriched_segment_revenue,
     events_stream,
+    exactly_once_ingest,
     stream_ingest_dedup,
     interval_join_clicks_to_purchases,
     run_available_now,
+    running_totals_by,
     running_user_totals,
     session_close_on_timeout,
     session_counts,

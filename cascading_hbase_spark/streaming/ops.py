@@ -43,6 +43,8 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join_clicks_to_purchases",
     "running_user_totals",
+    "running_totals_by",
+    "exactly_once_ingest",
     "session_close_on_timeout",
     "run_available_now",
     "stream_upsert_keyed",
@@ -240,16 +242,30 @@ def enriched_segment_revenue(
 # Custom stateful operator (the Buffer escape hatch, streaming form).
 # ---------------------------------------------------------------------------
 
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user running totals via ``applyInPandasWithState``: managed
-    per-key state, Arrow-batched UDF, update-mode emission per batch.
+def running_totals_by(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id",)
+) -> DataFrame:
+    """Running totals per composite key via ``applyInPandasWithState``:
+    managed per-key state, Arrow-batched UDF, update-mode emission per
+    batch.  ``keys`` is any tuple of grouping columns — the output
+    schema carries the key columns (types taken from the input schema)
+    plus ``n_events``/``value_sum``.
 
     The state accumulates integer CENTS (the DECIMAL(18,2) cast happens
     JVM-side before the UDF), so the running total is exact and
     independent of arrival/accumulation order — the final emission per
-    user equals the batch ``SUM(CAST(value AS DECIMAL(18,2)))`` to the
+    key equals the batch ``SUM(CAST(value AS DECIMAL(18,2)))`` to the
     bit, making the stateful path oracle-checkable rather than
     'approximately right up to float re-association'."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(k, events.schema[k].dataType) for k in keys]
+        + [
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -263,7 +279,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         state.update((n, cents))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                **{k: [key[i]] for i, k in enumerate(keys)},
                 "n_events": [n],
                 "value_sum": [cents / 100.0],
             }
@@ -273,12 +289,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "cents",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
     )
-    return with_cents.groupBy("user_id").applyInPandasWithState(
+    return with_cents.groupBy(*keys).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, value_sum double",
+        outputStructType=out_schema,
         stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals — ``running_totals_by`` keyed on
+    ``user_id`` alone (kept as the named single-key form the tests and
+    ``streaming_stateful_totals_final`` exercise)."""
+    return running_totals_by(events, ("user_id",))
+
+
+def exactly_once_ingest(
+    primary: DataFrame,
+    replay: DataFrame,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once delivery made exactly-once: union the primary
+    stream with a redelivered copy (retries, replayed landing files)
+    and keep the first arrival per unique ``id_col`` within the
+    watermark horizon.  Redeliveries are byte-identical rows, so unlike
+    content-keyed dedup the emitted ROW CONTENT is deterministic: every
+    unique id emits exactly once with its full payload.  State is one
+    entry per id inside the watermark — dropped once the watermark
+    passes, so state is O(ids per horizon), not O(stream)."""
+    return (
+        primary.unionByName(replay)
+        .withWatermark("ts", watermark)
+        .dropDuplicates([id_col])
     )
 
 

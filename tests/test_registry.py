@@ -42,12 +42,11 @@ def test_bench_queries_registered():
 
 def test_unoracled_queries_are_the_documented_exceptions():
     """Only genuinely non-SQL-expressible ops may skip the oracle (the
-    driver then records a weaker rows-only check)."""
-    expected_rows_only = {
-        "streaming_dedup_within_watermark",   # survivor is arrival-order-dependent
-        "streaming_user_running_totals",      # stateful streaming op
-    }
-    assert set(QUERIES) - set(ORACLES) == expected_rows_only
+    driver then records a weaker rows-only check).  As of round 9 the
+    set is EMPTY: the two former rows-only streaming pairs were
+    re-specified to deterministic forms (id-keyed exactly-once dedup;
+    final-per-key stateful totals) and carry full oracles."""
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_coverage_doc_names_every_query():

@@ -58,6 +58,46 @@ def test_stateful_running_totals_equals_batch(spark):
         assert g[uid][1] == pytest.approx(w[uid][1], rel=1e-9)
 
 
+def test_exactly_once_ingest_emits_each_id_once(spark):
+    """Union a stream with a redelivered copy of itself, dedup on the
+    unique event id: every event must emit exactly once with its full
+    original payload (deterministic content — both copies identical)."""
+    got = S.run_available_now(
+        S.exactly_once_ingest(
+            S.events_stream(spark, SF), S.events_stream(spark, SF)
+        ),
+        "append",
+    )
+    batch = load_table(spark, SF, "events")
+    cols = batch.columns
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_running_totals_composite_key_equals_batch(spark):
+    """Composite-key stateful totals: final state per (user_id,
+    event_type) equals the batch DECIMAL sums exactly (integer-cents
+    state — no float tolerance needed)."""
+    raw = S.run_available_now(
+        S.running_totals_by(S.events_stream(spark, SF), ("user_id", "event_type")),
+        "update",
+    )
+    got = raw.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
+    )
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+    assert _rows(got, "user_id", "event_type", "n_events", "value_sum") == _rows(
+        want, "user_id", "event_type", "n_events", "value_sum"
+    )
+
+
 def test_stream_upsert_keyed_sink(spark, tmp_path):
     events = S.events_stream(spark, SF, max_files_per_trigger=1)
     q = S.stream_upsert_keyed(
