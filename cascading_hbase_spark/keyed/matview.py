@@ -156,6 +156,11 @@ def create_aggregate_view(
         meta_extra={
             "matview": {
                 "base": base_path,
+                # base_id pins the base INCARNATION: REPLACE restarts
+                # the version counter, so a later refresh must not diff
+                # the new table's history against a cursor that names
+                # the dead one (mirrors the replica's of_id)
+                "base_id": base_meta.get("table_id"),
                 "group": group_col,
                 "sums": sums,
                 "mins": mins,
@@ -179,14 +184,32 @@ def refresh_aggregate_view(
     cursor = mv["base_version"]
     base_meta = _load_meta(base_path)
     base_version = base_meta["version"]
+    if mv.get("base_id") != base_meta.get("table_id"):
+        # REPLACE restarted the base's version counter: the cursor
+        # names a dead incarnation's history — the new table reaching
+        # (or passing) the cursor's number must never read as "current"
+        # (or diff two unrelated histories).  Mirrors sync_replica.
+        raise StaleViewError(
+            f"base table {base_path} was replaced since the view was "
+            f"built; rebuild with create_aggregate_view"
+        )
     if base_version == cursor:
         return False
-    # Readable snapshots are the last `retain` manifests; an older
-    # cursor's data files may already be GC'd.
-    if cursor <= base_version - base_meta.get("retain", DEFAULT_RETAIN):
+    # The readable horizon is the newer of the retain window and the
+    # last vacuum's recorded horizon — the exact rule _meta_at
+    # enforces; checking only retain would let a vacuumed-away cursor
+    # reach the diff and die with FileNotFoundError instead of the
+    # documented rebuild signal.  cursor > base_version is the same
+    # story for a rolled-back-and-replaced history.
+    horizon = max(
+        base_version - base_meta.get("retain", DEFAULT_RETAIN) + 1,
+        base_meta.get("vacuum_horizon", 1),
+    )
+    if cursor < horizon or cursor > base_version:
         raise StaleViewError(
             f"base generation {cursor} is no longer retained at "
-            f"{base_path}; rebuild the view with create_aggregate_view"
+            f"{base_path} (readable horizon {horizon}, version "
+            f"{base_version}); rebuild the view with create_aggregate_view"
         )
     group, sums = mv["group"], mv["sums"]
     mins, maxs = mv.get("mins", {}), mv.get("maxs", {})
@@ -202,9 +225,19 @@ def refresh_aggregate_view(
     # manifest whenever the read resolves") — otherwise a concurrent
     # base commit gets applied to the view but the cursor records the
     # older version and the next refresh double-applies it.
-    feed = changefeed_keyed(
-        spark, base_path, cursor, to_generation=base_version, include_old=True
-    )
+    try:
+        feed = changefeed_keyed(
+            spark, base_path, cursor, to_generation=base_version, include_old=True
+        )
+    except FileNotFoundError as e:
+        # Belt over the horizon gate: ANY unreadable-cursor case the
+        # gate's re-derivation misses (e.g. a manifest-log prune on a
+        # deep-retain table) still surfaces as the documented rebuild
+        # signal instead of a raw I/O error from inside the diff.
+        raise StaleViewError(
+            f"base generation {cursor} is unreadable at {base_path} "
+            f"({e}); rebuild the view with create_aggregate_view"
+        ) from e
 
     def _side(df: DataFrame, sign: int, col_of) -> DataFrame:
         return df.select(

@@ -70,12 +70,17 @@ import enum
 import json
 import math
 import os
-import shutil
 import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
+
+from cascading_hbase_spark.keyed.controlplane import (
+    ConcurrentWriteError,
+    get_control_plane as _cp,
+    local_lock_path as _lock_path,
+)
 
 __all__ = [
     "SinkMode", "KeyedTable", "ConcurrentWriteError",
@@ -107,11 +112,6 @@ class SinkMode(enum.Enum):
     REPLACE = "replace"
 
 
-class ConcurrentWriteError(RuntimeError):
-    """A second writer attempted to mutate a keyed table while another
-    live process held its writer lock."""
-
-
 class StaleWriteError(ConcurrentWriteError):
     """Optimistic-concurrency check failed: the table committed past
     the version the caller read before computing its batch.  Subclass
@@ -128,20 +128,16 @@ def _meta_path(path: str) -> str:
 
 
 def _exists(path: str) -> bool:
-    return os.path.isfile(_meta_path(path))
+    return _cp().object_exists(_meta_path(path))
 
 
 def _load_meta(path: str) -> dict:
-    with open(_meta_path(path)) as f:
-        return json.load(f)
+    return _cp().read_json(_meta_path(path))
 
 
 def _save_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = _meta_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(path))
+    # the control plane's atomic-publish primitive IS the commit point
+    _cp().write_json_atomic(_meta_path(path), meta)
 
 
 def _history_path(path: str, version: int) -> str:
@@ -150,8 +146,7 @@ def _history_path(path: str, version: int) -> str:
 
 def _load_history(path: str, version: int) -> dict | None:
     try:
-        with open(_history_path(path, version)) as f:
-            return json.load(f)
+        return _cp().read_json(_history_path(path, version))
     except (FileNotFoundError, NotADirectoryError):
         return None
 
@@ -161,21 +156,16 @@ def _write_history(path: str, meta: dict) -> None:
     prune entries beyond HISTORY_KEEP (the JSONs are tiny, but the log
     must not grow unboundedly over thousands of appends)."""
     hdir = os.path.join(path, HISTORY_DIR)
-    os.makedirs(hdir, exist_ok=True)
     version = meta["version"]
-    tmp = _history_path(path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _history_path(path, version))
-    for name in os.listdir(hdir):
+    _cp().write_json_atomic(_history_path(path, version), meta)
+    for name in _cp().list_names(hdir):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 v = int(name[1:-5])
             except ValueError:
                 continue
             if v <= version - HISTORY_KEEP:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(hdir, name))
+                _cp().delete_quiet(os.path.join(hdir, name))
 
 
 def list_generations(path: str) -> list[int]:
@@ -183,10 +173,8 @@ def list_generations(path: str) -> list[int]:
     (Only the last ``retain`` of them are guaranteed readable — older
     snapshots' data files may have been garbage-collected.)"""
     hdir = os.path.join(path, HISTORY_DIR)
-    if not os.path.isdir(hdir):
-        return []
     out = []
-    for name in os.listdir(hdir):
+    for name in _cp().list_names(hdir):
         if name.startswith("v") and name.endswith(".json"):
             with contextlib.suppress(ValueError):
                 out.append(int(name[1:-5]))
@@ -197,83 +185,13 @@ def list_generations(path: str) -> list[int]:
 # Writer lock
 # ---------------------------------------------------------------------------
 
-def _lock_path(path: str) -> str:
-    # Sibling of the table dir so REPLACE's rmtree can't remove a held
-    # lock out from under its holder.
-    return path.rstrip("/") + "__kt_lock"
-
-
-def _pid_alive(pid: int) -> bool:
-    if pid <= 0:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
-
-
-@contextlib.contextmanager
 def _writer_lock(path: str):
-    """Exclusive per-table writer lock, pid-stamped.
-
-    Acquisition is ``os.link`` of a pre-written pid file onto the lock
-    name — atomic creation WITH content, so no observer can ever read a
-    half-created (empty) lock and mistake a live writer for dead.
-    Stale-lock reclaim (dead pid) races are settled by ``os.rename`` of
-    the stale lock to a per-contender name: exactly one contender wins
-    the rename; losers fail their (re)link and raise
-    ``ConcurrentWriteError`` instead of deleting the winner's fresh
-    lock.
-
-    Best-effort on a shared filesystem: it serializes writers on one
-    host and detects/reclaims locks from dead local pids.  True
-    multi-host mutual exclusion needs an external coordinator — the
-    documented deployment contract is single writer per table."""
-    lock = _lock_path(path)
-    tmp = f"{lock}.{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        f.write(str(os.getpid()))
-
-    def _claim() -> bool:
-        try:
-            os.link(tmp, lock)
-            return True
-        except FileExistsError:
-            return False
-
-    try:
-        if not _claim():
-            pid = 0
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock) as f:
-                    pid = int(f.read().strip() or "0")
-            if _pid_alive(pid):
-                raise ConcurrentWriteError(
-                    f"keyed table {path} is being written by live pid {pid} "
-                    f"(lock {lock}); keyed tables are single-writer"
-                ) from None
-            # stale lock from a dead writer: atomic reclaim — only one
-            # contender's rename succeeds
-            stale = f"{lock}.stale.{os.getpid()}"
-            with contextlib.suppress(FileNotFoundError):
-                os.rename(lock, stale)
-                os.remove(stale)
-            if not _claim():
-                raise ConcurrentWriteError(
-                    f"keyed table {path}: lost the stale-lock reclaim race "
-                    f"to another writer (lock {lock})"
-                ) from None
-        try:
-            yield
-        finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(lock)
-    finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(tmp)
+    """Exclusive per-table writer lease — the control plane's mutual-
+    exclusion primitive (pid-stamped ``os.link`` lock file with dead-
+    pid reclaim on the local FS; a TTL lease object on an object
+    store).  The documented deployment contract is single writer per
+    table."""
+    return _cp().writer_lease(path)
 
 
 # ---------------------------------------------------------------------------
@@ -411,26 +329,28 @@ def _gc_orphans(path: str, meta: dict) -> None:
         h = _load_history(path, v)
         if h:
             _add(h.get("gens", {}))
-    for d in os.listdir(path):
+    for d in _cp().list_names(path):
         if not d.startswith(BUCKET_COL + "="):
             continue
         b = d.split("=", 1)[1]
         keep = retained.get(b, set())
         full = os.path.join(path, d)
         if not keep:
-            shutil.rmtree(full, ignore_errors=True)
+            _cp().delete_tree_quiet(full)
             continue
-        for g in os.listdir(full):
+        for g in _cp().list_names(full):
             if not g.startswith(GEN_PREFIX):
                 continue
             if int(g[len(GEN_PREFIX):]) not in keep:
-                shutil.rmtree(os.path.join(full, g), ignore_errors=True)
+                _cp().delete_tree_quiet(os.path.join(full, g))
 
 
 def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     """Transactional commit: move each staged bucket into a NEW
     generation directory (``_kt_bucket=<b>/_kt_gen=<n>``), then flip
-    the manifest (``_kt_meta.json``) in one atomic ``os.replace``.
+    the manifest (``_kt_meta.json``) via the control plane's atomic
+    publish (``os.replace`` locally; conditional PUT on an object
+    store).
 
     Readers resolve data through the manifest's generation pointers, so
     the flip makes ALL affected buckets visible at once — a crash at
@@ -449,13 +369,12 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     for b in affected:
         sb = str(b)
         src = os.path.join(stage, f"{BUCKET_COL}={b}")
-        if os.path.isdir(src):
+        if _cp().dir_exists(src):
             newgen = max(gens.get(sb, -1), last.get(sb, -1)) + 1
             dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen}")
-            if os.path.isdir(dst):  # orphan of a crashed attempt
-                shutil.rmtree(dst)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+            if _cp().dir_exists(dst):  # orphan of a crashed attempt
+                _cp().delete_tree_quiet(dst)
+            _cp().promote_dir(src, dst)
             gens[sb] = newgen
             last[sb] = newgen
         else:
@@ -477,16 +396,16 @@ def _migrate_legacy(path: str, meta: dict) -> None:
     if "gens" in meta:
         return
     gens: dict[str, int] = {}
-    for d in os.listdir(path):
+    for d in _cp().list_names(path):
         if not d.startswith(BUCKET_COL + "="):
             continue
         b = d.split("=", 1)[1]
         full = os.path.join(path, d)
         g0 = os.path.join(full, GEN_PREFIX + "0")
-        os.makedirs(g0, exist_ok=True)
-        for f in os.listdir(full):
+        _cp().ensure_dir(g0)
+        for f in _cp().list_names(full):
             if not f.startswith(GEN_PREFIX):
-                os.replace(os.path.join(full, f), os.path.join(g0, f))
+                _cp().move_object(os.path.join(full, f), os.path.join(g0, f))
         gens[b] = 0
     meta["gens"] = gens
     meta["last_gen"] = dict(gens)
@@ -548,13 +467,13 @@ def _stage_and_publish(
     precompute, those rows are published rather than silently dropped
     with the stage directory."""
     stage = _stage_dir(path)
-    shutil.rmtree(stage, ignore_errors=True)
+    _cp().delete_tree_quiet(stage)
     _update_zone_maps(df, meta)
     try:
         _write_partitioned(df, stage, key, by_bucket=by_bucket)
         staged = sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(stage)
+            for d in _cp().list_names(stage)
             if d.startswith(BUCKET_COL + "=")
         )
         if affected is None:
@@ -563,7 +482,7 @@ def _stage_and_publish(
             affected = sorted(set(affected) | set(staged))
         _publish(stage, path, meta, affected)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        _cp().delete_tree_quiet(stage)
 
 
 # Manifest keys the engine owns; meta_extra may not shadow them.
@@ -671,7 +590,7 @@ def write_keyed(
             raise FileExistsError(f"keyed table already exists (SinkMode.KEEP): {path}")
         if mode is SinkMode.REPLACE and exists:
             # REPLACE drops and recreates (HBaseTap.java:124-128).
-            shutil.rmtree(path)
+            _cp().delete_tree_quiet(path)
             exists = False
 
         if not exists:
@@ -738,6 +657,14 @@ def write_keyed(
 
         meta = _load_meta(path)
         _migrate_legacy(path, meta)
+        if ttl is not None:
+            # TTL is set at creation (rides the creation commit) or via
+            # set_ttl on an existing table; silently dropping it here
+            # would leave the caller believing the rows expire
+            raise ValueError(
+                f"ttl is fixed at table creation; the table at {path} "
+                f"already exists — use set_ttl to change its policy"
+            )
         if zone_cols and list(zone_cols) != meta.get("zone_cols", []):
             # fixed at creation, like families — silently switching would
             # leave earlier buckets without entries for the new columns
@@ -938,7 +865,7 @@ def _meta_at(path: str, generation: int | None) -> dict:
     missing = [
         (b, g)
         for b, g in meta.get("gens", {}).items()
-        if not os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}"))
+        if not _cp().dir_exists(os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}"))
     ]
     if missing:
         raise FileNotFoundError(
@@ -1292,7 +1219,7 @@ def compact_keyed(
             fragmented = []
             for b, g in meta.get("gens", {}).items():
                 d = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
-                n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+                n = sum(1 for f in _cp().list_names(d) if f.endswith(".parquet"))
                 if n > min_files:
                     fragmented.append(int(b))
             if not fragmented:
@@ -1522,8 +1449,8 @@ class KeyedTable:
         return _exists(self.path)
 
     def drop(self) -> None:
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+        if _cp().dir_exists(self.path):
+            _cp().delete_tree_quiet(self.path)
 
     def modified_time(self) -> float:
         """Always 'now': a keyed sink is never up-to-date, forcing
@@ -1692,10 +1619,10 @@ def describe_keyed(spark: SparkSession, path: str) -> DataFrame:
         b = int(b_str)
         gdir = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{gen}")
         files = [
-            f for f in os.listdir(gdir) if f.endswith(".parquet")
-        ] if os.path.isdir(gdir) else []
+            f for f in _cp().list_names(gdir) if f.endswith(".parquet")
+        ]
         nbytes = sum(
-            os.path.getsize(os.path.join(gdir, f)) for f in files
+            _cp().object_size(os.path.join(gdir, f)) for f in files
         )
         lo = str(boundaries[b - 1]) if 0 < b <= len(boundaries) else None
         hi = str(boundaries[b]) if b < len(boundaries) else None

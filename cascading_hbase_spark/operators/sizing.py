@@ -22,9 +22,21 @@ import os
 import shutil
 import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 
 __all__ = ["write_sized_parquet", "estimate_bytes_per_row"]
+
+
+def _is_missing_path(e: AnalysisException) -> bool:
+    """Path-does-not-exist / nothing-to-infer analysis errors — the
+    only ones the append pre-listing may treat as "fresh path"."""
+    cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    name = cond() if cond else ""
+    if name in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        return True
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
 
 
 def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 10_000) -> float:
@@ -110,8 +122,15 @@ def write_sized_parquet(
         # footer pass of data it is about to delete
         try:
             before = set(spark.read.parquet(path).inputFiles())
-        except Exception:
-            before = set()  # first write into a fresh path
+        except AnalysisException as e:
+            # only the genuinely-empty cases mean "first write into a
+            # fresh path"; a transient read failure on an existing
+            # populated directory (corrupt footer, permissions) must
+            # propagate, or every pre-existing file would be counted
+            # as this batch's output
+            if not _is_missing_path(e):
+                raise
+            before = set()
     (
         df.repartition(n_files_planned)
         .write.option("maxRecordsPerFile", rows_per_file)

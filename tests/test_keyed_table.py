@@ -1625,6 +1625,36 @@ def test_write_keyed_ttl_param_validation(spark, tmp_path):
             write_keyed(df, str(tmp_path / "t"), "key", ttl=bad)
 
 
+def test_write_keyed_ttl_rejected_on_existing_table(spark, tmp_path):
+    """ttl is fixed at creation (like zone_cols): an APPEND to an
+    existing table passing ttl= must raise and point at set_ttl, not
+    silently drop the policy (the caller would believe rows expire)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, write_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "key long, ts double")
+    write_keyed(df, path, "key")
+    v0 = _load_meta(path)["version"]
+    with _pytest.raises(ValueError, match="set_ttl"):
+        write_keyed(
+            df, path, "key",
+            mode=SinkMode.APPEND, ttl={"col": "ts", "seconds": 60.0},
+        )
+    meta = _load_meta(path)
+    assert "ttl" not in meta
+    assert meta["version"] == v0  # nothing committed
+    # REPLACE recreates the table, so ttl is legal there
+    write_keyed(
+        df, path, "key", mode=SinkMode.REPLACE,
+        ttl={"col": "ts", "seconds": 60.0},
+    )
+    assert _load_meta(path)["ttl"] == {"col": "ts", "seconds": 60.0}
+
+
 def test_index_lookup_value_string_form_matches_cast(spark, tmp_path):
     """The lookup prefix must use Spark's CAST(... AS STRING) form, not
     Python str(): str(True) is 'True' but the index keys were built

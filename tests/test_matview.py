@@ -132,6 +132,55 @@ def test_stale_cursor_raises(spark, tmp_path):
     assert _actual(spark, view) == _expected(spark, base)
 
 
+def test_replaced_base_raises_stale(spark, tmp_path):
+    """REPLACE restarts the base's version counter; a refresh against
+    the new incarnation must raise StaleViewError — both when the new
+    table's version reaches the cursor (which would otherwise read as
+    'already current') and when it passes it (which would otherwise
+    diff two unrelated histories)."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    # new incarnation at the SAME version as the cursor (1)
+    write_keyed(
+        _base_df(spark, [(9, "z", 9.0)]), base, "id", mode=SinkMode.REPLACE
+    )
+    with pytest.raises(StaleViewError):
+        refresh_aggregate_view(spark, base, view)
+    # and PAST the cursor
+    write_keyed(
+        _base_df(spark, [(10, "z", 1.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    with pytest.raises(StaleViewError):
+        refresh_aggregate_view(spark, base, view)
+    # rebuild recovers against the new incarnation
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert _actual(spark, view) == _expected(spark, base)
+
+
+def test_vacuumed_cursor_raises_stale(spark, tmp_path):
+    """A cursor below the base's vacuum horizon must surface as the
+    documented StaleViewError rebuild signal, not a FileNotFoundError
+    from inside the changefeed diff (mirror of sync_replica's gate)."""
+    from cascading_hbase_spark.keyed.table import vacuum_keyed
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    for i in range(2, 5):
+        write_keyed(
+            _base_df(spark, [(i, "a", float(i))]),
+            base,
+            "id",
+            mode=SinkMode.APPEND,
+        )
+    vacuum_keyed(base, retain=1)  # horizon now > cursor, policy untouched
+    with pytest.raises(StaleViewError):
+        refresh_aggregate_view(spark, base, view)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert _actual(spark, view) == _expected(spark, base)
+
+
 def test_count_only_view(spark, tmp_path):
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     write_keyed(

@@ -79,3 +79,19 @@ def test_sizing_append_mode_reports_batch_not_directory(spark, tmp_path):
     assert info2["n_files"] >= 1
     assert info2["dir_n_files"] == info1["n_files"] + info2["n_files"]
     assert spark.read.parquet(out).count() == 1250  # directory truth intact
+
+
+def test_sizing_append_pre_listing_error_propagates(spark, tmp_path):
+    """Only genuinely-missing-path analysis errors mean 'fresh path';
+    an unreadable EXISTING populated directory (corrupt footer) must
+    propagate instead of silently classifying every pre-existing file
+    as this batch's output (ADVICE r08)."""
+    out = tmp_path / "corrupt"
+    out.mkdir()
+    (out / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    df = spark.range(100).select("id")
+    with pytest.raises(Exception) as exc_info:
+        write_sized_parquet(df, str(out), target_mb=64.0, mode="append")
+    # and the failure happened at the pre-listing (nothing was written)
+    assert _file_sizes(str(out)) == [os.path.getsize(out / "part-00000.parquet")]
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
