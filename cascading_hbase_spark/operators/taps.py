@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.keyed.table import KeyedTable, SinkMode
 
 __all__ = ["Tap", "ParquetTap", "TextLineTap", "CsvTap", "JsonTap", "KeyedTableTap",
-           "PartitionedParquetTap", "MultiSourceTap", "SequenceFileTap", "SinkMode"]
+           "PartitionedParquetTap", "MultiSourceTap", "SequenceFileTap", "SinkMode",
+           "AdapterTap"]
 
 
 class Tap:
@@ -292,3 +293,62 @@ class MultiSourceTap(Tap):
 
     def write(self, df, mode: SinkMode = SinkMode.REPLACE):
         raise NotImplementedError("MultiSourceTap is a source-only tap")
+
+
+class AdapterTap(Tap):
+    """Bind ANY ``KeyedStoreAdapter`` implementation into the flow/
+    cascade surface — the generalized HBaseTap: the reference's tap
+    was hard-wired to one store (HBase); this one takes the connector
+    as a parameter, so a cascade can source from / sink into an
+    external keyed store (HBase via Spark's HBase integration,
+    Cassandra, a JDBC MERGE target) with the exact Tap semantics the
+    engine's own keyed tables get:
+
+    - sink modes: KEEP fails on an existing store, REPLACE drops and
+      recreates, APPEND upserts last-write-wins (HBaseTap.java:32-40,
+      123-128);
+    - always-stale sink: dependents of a keyed sink re-run every
+      cascade pass (HBaseTap.java:65-67,103-105);
+    - reads are pruned range scans with projection, per the adapter
+      contract.
+    """
+
+    always_stale_sink = True
+
+    def __init__(self, adapter, name: str | None = None,
+                 start=None, stop=None, fields: list[str] | None = None):
+        # the adapter may have no filesystem path; the tap's identity
+        # is a logical name (cf. hbase://tableName, HBaseTap.java:142-148)
+        super().__init__(getattr(adapter, "path", name or "adapter"))
+        self.adapter = adapter
+        self._name = name or getattr(adapter, "path", "adapter")
+        self.start, self.stop, self.fields = start, stop, fields
+
+    def uri(self) -> str:
+        return f"adapter://{self._name}"
+
+    def exists(self) -> bool:
+        return self.adapter.exists()
+
+    def modified_time(self) -> float:
+        # Always stale (HBaseTap.java:65-67): dependents re-run.
+        return time.time()
+
+    def delete(self) -> None:
+        self.adapter.drop()
+
+    def read(self, spark):
+        return self.adapter.scan(spark, self.start, self.stop, self.fields)
+
+    def write(self, df, mode: SinkMode = SinkMode.APPEND):
+        if mode is SinkMode.KEEP:
+            if self.adapter.exists():
+                raise FileExistsError(
+                    f"adapter store already exists (SinkMode.KEEP): {self.uri()}"
+                )
+            self.adapter.create(df)
+        elif mode is SinkMode.REPLACE:
+            self.adapter.drop()
+            self.adapter.create(df)
+        else:
+            self.adapter.upsert(df)

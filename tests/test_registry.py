@@ -123,7 +123,7 @@ def test_api_doc_names_every_export():
     mods = [
         "session", "catalog",
         "keyed.table", "keyed.index", "keyed.matview", "keyed.replica",
-        "keyed.expectations", "keyed.controlplane",
+        "keyed.expectations", "keyed.controlplane", "keyed.adapters",
         "operators.pipe", "operators.functions", "operators.taps",
         "operators.zorder", "operators.bucketed",
         "functions.dedup", "functions.similarity", "functions.graph",
