@@ -5,6 +5,8 @@ must not change engine behavior."""
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -186,6 +188,92 @@ def test_legacy_migration_routes_move_object(spark, tmp_path):
     # migration is the engine's only move_object/engine-level ensure_dir site
     assert rec.calls.get("move_object", 0) > 0
     assert rec.calls.get("ensure_dir", 0) > 0
+
+
+class MemoryManifestControlPlane(LocalFSControlPlane):
+    """Object-store-shaped hybrid: manifest/history JSON documents live
+    in a driver-side dict (the versioned-object + latest-pointer model
+    — no filesystem object ever exists for them), while the data plane
+    (parquet generation dirs) stays on the local FS exactly as a cloud
+    port would keep it in the store's data keys.  Running a full table
+    lifecycle against this proves the engine reads manifests ONLY
+    through the seam — a hidden ``open()`` of ``_kt_meta.json``
+    anywhere in the engine would see no file and fail."""
+
+    def __init__(self):
+        super().__init__()
+        self.objects: dict[str, dict] = {}
+
+    def read_json(self, key):
+        if key not in self.objects:
+            raise FileNotFoundError(key)
+        return json.loads(json.dumps(self.objects[key]))
+
+    def write_json_atomic(self, key, obj):
+        self.objects[key] = json.loads(json.dumps(obj))
+
+    def object_exists(self, key):
+        return key in self.objects
+
+    def delete_quiet(self, key):
+        self.objects.pop(key, None)
+
+    def delete_tree_quiet(self, prefix):
+        # a tree delete must also drop the manifest objects under it
+        # (REPLACE / drop) — prefix semantics like a batch-delete
+        norm = prefix.rstrip("/") + "/"
+        for k in [k for k in self.objects if k.startswith(norm)]:
+            del self.objects[k]
+        super().delete_tree_quiet(prefix)
+
+    def list_names(self, prefix):
+        # merge virtual (manifest/history) children with FS children —
+        # a cloud port lists data keys from the store the same way
+        norm = prefix.rstrip("/") + "/"
+        virtual = {
+            k[len(norm):].split("/", 1)[0]
+            for k in self.objects
+            if k.startswith(norm)
+        }
+        return sorted(virtual | set(super().list_names(prefix)))
+
+    def dir_exists(self, prefix):
+        norm = prefix.rstrip("/") + "/"
+        return super().dir_exists(prefix) or any(
+            k.startswith(norm) for k in self.objects
+        )
+
+
+
+def test_memory_manifest_plane_runs_the_engine(spark, tmp_path):
+    """Full lifecycle with manifests held ONLY in memory: LWW append,
+    time travel, changefeed, vacuum-horizon enforcement — no
+    ``_kt_meta.json`` ever on disk."""
+    import os
+
+    from cascading_hbase_spark.keyed.table import changefeed_keyed
+
+    path = str(tmp_path / "t")
+    mem = MemoryManifestControlPlane()
+    with use_control_plane(mem):
+        write_keyed(_df(spark, [(1, "a"), (2, "b")]), path, "key", retain=5)
+        write_keyed(
+            _df(spark, [(2, "B"), (3, "c")]), path, "key",
+            mode=SinkMode.APPEND,
+        )
+        assert not os.path.exists(os.path.join(path, "_kt_meta.json"))
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        old = {(r.key, r.val) for r in read_keyed(spark, path, generation=1).collect()}
+        assert old == {(1, "a"), (2, "b")}
+        feed = {
+            (r.key, r._change)
+            for r in changefeed_keyed(spark, path, 1).collect()
+        }
+        assert feed == {(2, "update"), (3, "insert")}
+        vacuum_keyed(path, retain=1)
+        with pytest.raises(FileNotFoundError):
+            read_keyed(spark, path, generation=1).collect()
 
 
 def test_lease_exclusion_and_scoped_install(tmp_path):
