@@ -279,6 +279,48 @@ def test_stream_upsert_replay_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_stream_upsert_into_zone_mapped_table(spark, tmp_path):
+    """Streaming twin for zone maps (VERDICT r08 item 5b): a table
+    created with zone_cols keeps its per-bucket zone maps maintained
+    under STREAMING upserts (zone maintenance is a property of every
+    commit, not of the batch entry point), and a zone-pruned read over
+    the streamed result stays exact."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, read_keyed, write_keyed,
+    )
+
+    events = load_table(spark, SF, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.col("value").cast("long").alias("n_chars"),
+    )
+    kt = str(tmp_path / "kt")
+    # zone_cols are creation-fixed: seed the table with a small slice,
+    # then stream the rest in
+    seed = events.limit(10)
+    write_keyed(seed, kt, "doc_id", zone_cols=["n_chars"])
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    events.coalesce(2).write.mode("overwrite").parquet(str(landing / "drop"))
+    docs = spark.readStream.schema(events.schema).parquet(str(landing / "drop"))
+    q = S.stream_upsert_keyed(
+        docs, kt, key="doc_id", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert _load_meta(kt).get("zone_maps"), "zone maps not maintained"
+    lo, hi = 10, 40
+    pruned = read_keyed(spark, kt, zone_filter=("n_chars", lo, hi))
+    want = {
+        r.doc_id
+        for r in read_keyed(spark, kt)
+        .filter(F.col("n_chars").between(lo, hi))
+        .collect()
+    }
+    assert {r.doc_id for r in pruned.collect()} == want
+
+
 def test_stream_upsert_processing_time_trigger(spark, tmp_path):
     """Continuous-trigger deployment smoke (VERDICT r03 item 5): a real
     ``processingTime`` query stays alive across micro-batches, discovers
