@@ -153,6 +153,10 @@ class LocalKeyedStoreAdapter(KeyedStoreAdapter):
         return read_keyed(spark, self.path, start, stop, fields)
 
     def get(self, spark, keys: list) -> DataFrame:
+        # an empty key set is a legal operator input (a computed set
+        # can be empty); contract: empty result, not an error
+        if not keys:
+            return self.scan(spark).limit(0)
         return get_keyed(spark, self.path, keys)
 
     def upsert(self, df: DataFrame) -> None:
@@ -162,6 +166,8 @@ class LocalKeyedStoreAdapter(KeyedStoreAdapter):
         )
 
     def delete(self, spark, keys: list) -> None:
+        if not keys:  # contract: no-op, like an absent key
+            return
         delete_keyed(
             spark, self.path,
             spark.createDataFrame([(k,) for k in keys]).toDF(self.key),

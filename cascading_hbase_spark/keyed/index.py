@@ -118,9 +118,13 @@ refresh_index = create_index
 
 
 def drop_index(path: str, col: str) -> None:
-    import shutil
+    # through the control-plane seam: under a non-local plane a direct
+    # rmtree would delete only the data dirs and leave the index's
+    # manifest object alive — the index would still report exists()
+    # while its generation dirs are gone (r09 review finding)
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
 
-    shutil.rmtree(_index_path(path, col), ignore_errors=True)
+    get_control_plane().delete_tree_quiet(_index_path(path, col))
 
 
 def index_lookup(

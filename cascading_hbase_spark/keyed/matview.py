@@ -184,11 +184,17 @@ def refresh_aggregate_view(
     cursor = mv["base_version"]
     base_meta = _load_meta(base_path)
     base_version = base_meta["version"]
-    if mv.get("base_id") != base_meta.get("table_id"):
+    if (
+        mv.get("base_id") is not None
+        and mv["base_id"] != base_meta.get("table_id")
+    ):
         # REPLACE restarted the base's version counter: the cursor
         # names a dead incarnation's history — the new table reaching
         # (or passing) the cursor's number must never read as "current"
         # (or diff two unrelated histories).  Mirrors sync_replica.
+        # A view created before base_id existed (None) falls through to
+        # the version/horizon checks and is stamped by its next
+        # successful refresh below — no spurious rebuild on upgrade.
         raise StaleViewError(
             f"base table {base_path} was replaced since the view was "
             f"built; rebuild with create_aggregate_view"
@@ -355,7 +361,13 @@ def refresh_aggregate_view(
         view_path,
         group,
         mode=SinkMode.APPEND,
-        meta_extra={"matview": {**mv, "base_version": base_version}},
+        meta_extra={"matview": {
+            **mv,
+            "base_version": base_version,
+            # backfill for pre-base_id views: a successful refresh
+            # proves the cursor matches THIS incarnation's history
+            "base_id": base_meta.get("table_id"),
+        }},
     )
     if cached is not None:
         # the write above materialized everything; repeated refreshes

@@ -94,9 +94,16 @@ def sync_replica(
     cursor = rep["cursor"]
     pmeta = _load_meta(primary_path)
     version = pmeta["version"]
-    if rep.get("of_id") != pmeta.get("table_id"):
+    if (
+        rep.get("of_id") is not None
+        and rep["of_id"] != pmeta.get("table_id")
+    ):
         # REPLACE restarted the primary's version counter: the cursor
-        # names a dead incarnation's history — never a quiet diff
+        # names a dead incarnation's history — never a quiet diff.
+        # A replica seeded before of_id existed (None) falls through
+        # to the horizon checks and is stamped by its next successful
+        # sync — no spurious rebuild on upgrade (r09 review parity
+        # with the matview guard).
         raise StaleReplicaError(
             f"primary {primary_path} was replaced since the replica was "
             f"seeded; rebuild with create_replica"
@@ -148,7 +155,13 @@ def sync_replica(
         spark,
         replica_path,
         feed,
-        meta_extra={"replica": {**rep, "cursor": version}},
+        meta_extra={"replica": {
+            **rep,
+            "cursor": version,
+            # backfill for pre-of_id replicas: a successful sync proves
+            # the cursor matches THIS incarnation's history
+            "of_id": pmeta.get("table_id"),
+        }},
         seq_col=fwd_seq,
     )
     return True

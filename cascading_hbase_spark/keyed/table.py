@@ -185,6 +185,21 @@ def list_generations(path: str) -> list[int]:
 # Writer lock
 # ---------------------------------------------------------------------------
 
+def _delete_tree_checked(path: str) -> None:
+    """Tree delete that VERIFIES the target is gone: the control
+    plane's delete is quiet (GC call sites want idempotence), but
+    REPLACE and drop must not proceed over a half-deleted table — a
+    surviving generation dir would be recreated-over and surface later
+    as a confusing mid-publish ENOTEMPTY instead of a clear error
+    here (r09 review finding)."""
+    _cp().delete_tree_quiet(path)
+    if _cp().dir_exists(path) or _exists(path):
+        raise OSError(
+            f"failed to delete keyed table tree {path} (permissions? "
+            f"concurrent writer?); refusing to recreate over leftovers"
+        )
+
+
 def _writer_lock(path: str):
     """Exclusive per-table writer lease — the control plane's mutual-
     exclusion primitive (pid-stamped ``os.link`` lock file with dead-
@@ -590,7 +605,7 @@ def write_keyed(
             raise FileExistsError(f"keyed table already exists (SinkMode.KEEP): {path}")
         if mode is SinkMode.REPLACE and exists:
             # REPLACE drops and recreates (HBaseTap.java:124-128).
-            _cp().delete_tree_quiet(path)
+            _delete_tree_checked(path)
             exists = False
 
         if not exists:
@@ -1449,8 +1464,8 @@ class KeyedTable:
         return _exists(self.path)
 
     def drop(self) -> None:
-        if _cp().dir_exists(self.path):
-            _cp().delete_tree_quiet(self.path)
+        if _cp().dir_exists(self.path) or _exists(self.path):
+            _delete_tree_checked(self.path)
 
     def modified_time(self) -> float:
         """Always 'now': a keyed sink is never up-to-date, forcing

@@ -318,10 +318,15 @@ class AdapterTap(Tap):
     def __init__(self, adapter, name: str | None = None,
                  start=None, stop=None, fields: list[str] | None = None):
         # the adapter may have no filesystem path; the tap's identity
-        # is a logical name (cf. hbase://tableName, HBaseTap.java:142-148)
-        super().__init__(getattr(adapter, "path", name or "adapter"))
+        # is a logical name (cf. hbase://tableName, HBaseTap.java:142-148).
+        # The fallback must be unique per ADAPTER, not a constant: the
+        # cascade scheduler keys producers/consumers by uri(), and two
+        # pathless adapters sharing 'adapter://adapter' would silently
+        # cross-link unrelated flows (r09 review finding).
+        fallback = getattr(adapter, "path", None) or f"adapter-{id(adapter):x}"
+        super().__init__(name or fallback)
         self.adapter = adapter
-        self._name = name or getattr(adapter, "path", "adapter")
+        self._name = name or fallback
         self.start, self.stop, self.fields = start, stop, fields
 
     def uri(self) -> str:

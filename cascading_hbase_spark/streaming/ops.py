@@ -161,8 +161,19 @@ def dedup_within_watermark(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming dedup: first event per key within the watermark
-    horizon (state for a key is dropped once the watermark passes)."""
-    return events.withWatermark("ts", watermark).dropDuplicates([*keys])
+    horizon, with per-key state actually DROPPED once the watermark
+    passes — ``dropDuplicatesWithinWatermark``, not plain
+    ``dropDuplicates``: with a key-only subset the latter never evicts
+    its state (Spark ties eviction to an event-time column in the
+    subset), so a long-running ingest would grow state per key ever
+    seen until OOM (r09 review finding).  The honest contract of the
+    bounded-state form: a duplicate arriving AFTER the watermark passed
+    its key's state re-emits (at-least-once beyond the horizon), which
+    is the right trade for an ingest pipeline — bounded state, no
+    silent late-row loss."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [*keys]
+    )
 
 
 def interval_join_clicks_to_purchases(
@@ -311,18 +322,18 @@ def exactly_once_ingest(
     id_col: str = "event_id",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """At-least-once delivery made exactly-once: union the primary
-    stream with a redelivered copy (retries, replayed landing files)
-    and keep the first arrival per unique ``id_col`` within the
-    watermark horizon.  Redeliveries are byte-identical rows, so unlike
-    content-keyed dedup the emitted ROW CONTENT is deterministic: every
-    unique id emits exactly once with its full payload.  State is one
-    entry per id inside the watermark — dropped once the watermark
-    passes, so state is O(ids per horizon), not O(stream)."""
-    return (
-        primary.unionByName(replay)
-        .withWatermark("ts", watermark)
-        .dropDuplicates([id_col])
+    """At-least-once delivery made exactly-once (within the horizon):
+    union the primary stream with a redelivered copy (retries,
+    replayed landing files) and keep the first arrival per unique
+    ``id_col`` within the watermark.  Redeliveries are byte-identical
+    rows, so unlike content-keyed dedup the emitted ROW CONTENT is
+    deterministic: every unique id emits exactly once with its full
+    payload, and state is one entry per id inside the horizon (see
+    ``dedup_within_watermark`` for the eviction contract this reuses —
+    a redelivery arriving after the horizon re-emits rather than
+    growing state forever)."""
+    return dedup_within_watermark(
+        primary.unionByName(replay), keys=(id_col,), watermark=watermark
     )
 
 

@@ -68,6 +68,12 @@ def test_point_get_and_delete(spark, adapter):
     assert got == {1: FINAL[1], 5: FINAL[5]}  # absent key: no row
     adapter.delete(spark, [1, 99])  # absent key: no error
     assert set(_stored(adapter, spark)) == {2, 3, 4, 5}
+    # an EMPTY key set is a legal input on both paths (a computed key
+    # set can be empty): get -> empty result, delete -> no-op — pinned
+    # because the two implementations diverged here (r09 review)
+    assert adapter.get(spark, []).count() == 0
+    adapter.delete(spark, [])
+    assert set(_stored(adapter, spark)) == {2, 3, 4, 5}
 
 
 def test_lifecycle(spark, adapter):

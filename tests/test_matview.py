@@ -158,6 +158,42 @@ def test_replaced_base_raises_stale(spark, tmp_path):
     assert _actual(spark, view) == _expected(spark, base)
 
 
+def test_pre_base_id_view_refreshes_and_backfills(spark, tmp_path):
+    """A view created before the base_id stamp existed (no 'base_id'
+    in its matview meta) must refresh normally — not spuriously raise
+    'base was replaced' — and the successful refresh backfills the
+    stamp so the guard is armed from then on (r09 review finding)."""
+    import json
+    import os
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    # devolve: strip the stamp, as a pre-upgrade view on disk would be
+    mp = os.path.join(view, "_kt_meta.json")
+    meta = json.load(open(mp))
+    meta["matview"].pop("base_id", None)
+    json.dump(meta, open(mp, "w"))
+    write_keyed(
+        _base_df(spark, [(2, "a", 2.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    assert _actual(spark, view) == _expected(spark, base)
+    stamped = json.load(open(mp))["matview"].get("base_id")
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    assert stamped == _load_meta(base).get("table_id")
+    # and the armed guard now catches a real replacement
+    write_keyed(
+        _base_df(spark, [(9, "z", 9.0)]), base, "id", mode=SinkMode.REPLACE
+    )
+    write_keyed(
+        _base_df(spark, [(10, "z", 1.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    with pytest.raises(StaleViewError):
+        refresh_aggregate_view(spark, base, view)
+
+
 def test_vacuumed_cursor_raises_stale(spark, tmp_path):
     """A cursor below the base's vacuum horizon must surface as the
     documented StaleViewError rebuild signal, not a FileNotFoundError

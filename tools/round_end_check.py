@@ -93,7 +93,11 @@ def changed_list_matches_git() -> bool:
             for p in glob.glob(
                 os.path.join(REPO, "cascading_hbase_spark", "queries", "*.py")
             )
-            if f'"{name}"' in open(p).read()
+            # __init__.py quotes every _CHANGED_THIS_ROUND name by
+            # construction (it holds the list) — counting it would make
+            # this check pass vacuously whenever the list is edited
+            if os.path.basename(p) != "__init__.py"
+            and f'"{name}"' in open(p).read()
         ]
         if not any(r in changed_files for r in registering):
             print(
