@@ -381,6 +381,7 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
     time-travel-retained older one."""
     gens = meta.setdefault("gens", {})
     last = meta.setdefault("last_gen", {})
+    written: dict[str, int] = {}
     for b in affected:
         sb = str(b)
         src = os.path.join(stage, f"{BUCKET_COL}={b}")
@@ -390,12 +391,27 @@ def _publish(stage: str, path: str, meta: dict, affected: list) -> None:
             if _cp().dir_exists(dst):  # orphan of a crashed attempt
                 _cp().delete_tree_quiet(dst)
             _cp().promote_dir(src, dst)
-            gens[sb] = newgen
-            last[sb] = newgen
+            written[sb] = newgen
+    _commit_manifest(path, meta, affected, written)
+
+
+def _commit_manifest(
+    path: str, meta: dict, affected: list, written: dict[str, int]
+) -> None:
+    """Advance the generation map to the buckets this batch actually
+    produced (``written``), drop the pointers of affected buckets the
+    batch emptied (the previous manifest still references their last
+    generation, so in-flight readers keep working for one commit), and
+    flip the manifest — the single commit point for stage-and-promote
+    and direct-to-final writes alike."""
+    gens = meta.setdefault("gens", {})
+    last = meta.setdefault("last_gen", {})
+    for b in affected:
+        sb = str(b)
+        if sb in written:
+            gens[sb] = written[sb]
+            last[sb] = written[sb]
         else:
-            # the batch emptied this bucket: drop its pointer (the
-            # previous manifest still references its last generation,
-            # so in-flight readers keep working for one commit)
             gens.pop(sb, None)
     meta["version"] = meta.get("version", 0) + 1
     _save_meta(path, meta)  # <- the commit point
@@ -480,7 +496,16 @@ def _stage_and_publish(
     output: if the input plan is non-deterministic (rand/sample/changed
     source) and re-evaluation lands rows in a bucket the caller didn't
     precompute, those rows are published rather than silently dropped
-    with the stage directory."""
+    with the stage directory.
+
+    When the installed control plane declares ``direct_commit``
+    (object-store planes, where "rename" means copying every data
+    file), the staging step disappears entirely: files are written
+    DIRECTLY at their final generation keys and only the manifest flip
+    makes them visible."""
+    if getattr(_cp(), "direct_commit", False):
+        _direct_publish(df, path, key, meta, affected, by_bucket)
+        return
     stage = _stage_dir(path)
     _cp().delete_tree_quiet(stage)
     _update_zone_maps(df, meta)
@@ -498,6 +523,66 @@ def _stage_and_publish(
         _publish(stage, path, meta, affected)
     finally:
         _cp().delete_tree_quiet(stage)
+
+
+def _direct_publish(
+    df: DataFrame, path: str, key: str, meta: dict, affected: list | None,
+    by_bucket: bool = False,
+) -> None:
+    """Rename-free commit (object-store pattern): write each bucket's
+    files DIRECTLY into its next generation directory — readers resolve
+    data only through the manifest's generation pointers, so the new
+    files are invisible until ``_commit_manifest`` flips the manifest,
+    which stays the sole commit point.  A crash mid-write leaves only
+    unreferenced orphan directories (the previous snapshot reads
+    fine); the next attempt recomputes the same generation numbers and
+    clears them before writing.
+
+    The next generation per bucket must be known BEFORE Spark runs, so
+    it is precomputed for every possible bucket id (the bucket count is
+    fixed at creation — bounded, driver-side arithmetic only) and
+    attached as a literal-array lookup ``gen = gens_by_bucket[bucket]``
+    — no extra shuffle, no second pass over the data."""
+    _update_zone_maps(df, meta)
+    gens = meta.setdefault("gens", {})
+    last = meta.setdefault("last_gen", {})
+    n_buckets = len(meta.get("boundaries", [])) + 1
+    newgen = {
+        b: max(gens.get(str(b), -1), last.get(str(b), -1)) + 1
+        for b in range(n_buckets)
+    }
+    for b, g in newgen.items():
+        dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+        if _cp().dir_exists(dst):  # orphan of a crashed attempt
+            _cp().delete_tree_quiet(dst)
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    out = df.withColumn(
+        GEN_COL,
+        F.array(*[F.lit(newgen[b]) for b in range(n_buckets)])[
+            F.col(BUCKET_COL)
+        ],
+    )
+    if by_bucket:
+        out = out.repartition(n, F.col(BUCKET_COL)).sortWithinPartitions(
+            BUCKET_COL, key
+        )
+    else:
+        out = out.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
+    out.write.mode("append").partitionBy(BUCKET_COL, GEN_COL).parquet(path)
+    written = {
+        str(b): g
+        for b, g in newgen.items()
+        if _cp().dir_exists(
+            os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+        )
+    }
+    produced = sorted(int(sb) for sb in written)
+    if affected is None:
+        affected = produced
+    else:
+        affected = sorted(set(affected) | set(produced))
+    _commit_manifest(path, meta, affected, written)
 
 
 # Manifest keys the engine owns; meta_extra may not shadow them.

@@ -1,0 +1,372 @@
+"""The object-store control plane: conditional-PUT commit protocol,
+TTL writer lease, and the rename-free (direct-to-final) data commit —
+the cloud port of the seam, race-tested against the emulated store."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from cascading_hbase_spark.keyed import table as kt
+from cascading_hbase_spark.keyed.controlplane import (
+    ConcurrentWriteError,
+    use_control_plane,
+)
+from cascading_hbase_spark.keyed.objectstore import (
+    EmulatedObjectStore,
+    ObjectStoreControlPlane,
+    PreconditionFailed,
+)
+from cascading_hbase_spark.keyed.table import (
+    SinkMode,
+    changefeed_keyed,
+    compact_keyed,
+    describe_keyed,
+    read_keyed,
+    vacuum_keyed,
+    write_keyed,
+)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key long, val string")
+
+
+# ---------------------------------------------------------------------------
+# store primitives
+# ---------------------------------------------------------------------------
+
+
+def test_store_conditional_put_semantics():
+    s = EmulatedObjectStore()
+    e1 = s.put("k", b"a", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        s.put("k", b"b", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        s.put("k", b"b", if_match="etag-nope")
+    e2 = s.put("k", b"b", if_match=e1)
+    assert e2 != e1
+    assert s.get("k") == (b"b", e2)
+    # conditional delete: wrong version refuses, right version deletes
+    with pytest.raises(PreconditionFailed):
+        s.delete("k", if_match=e1)
+    s.delete("k", if_match=e2)
+    assert s.head("k") is None
+    s.delete("k", if_match=e2)  # absent + if_match: no-op, version is gone
+    # if_match on an absent key fails (nothing to swap against)
+    with pytest.raises(PreconditionFailed):
+        s.put("gone", b"x", if_match=e2)
+
+
+def test_store_listing_and_no_rename():
+    s = EmulatedObjectStore()
+    s.put("t/a/x.parquet", b"1")
+    s.put("t/a/y.parquet", b"2")
+    s.put("t/b.json", b"3")
+    assert s.child_names("t") == ["a", "b.json"]
+    assert s.list_keys("t/a/") == ["t/a/x.parquet", "t/a/y.parquet"]
+    # the store deliberately has no rename/move primitive — the plane
+    # must work with copy+delete and direct-to-final writes only
+    assert not hasattr(s, "rename")
+    assert not hasattr(s, "move")
+
+
+# ---------------------------------------------------------------------------
+# commit protocol: versioned object + pointer flip
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_roundtrip_and_missing_key():
+    cp = ObjectStoreControlPlane()
+    with pytest.raises(FileNotFoundError):
+        cp.read_json("/t/_kt_meta.json")
+    cp.write_json_atomic("/t/_kt_meta.json", {"version": 1})
+    assert cp.read_json("/t/_kt_meta.json") == {"version": 1}
+    assert cp.object_exists("/t/_kt_meta.json")
+    cp.write_json_atomic("/t/_kt_meta.json", {"version": 2})
+    assert cp.read_json("/t/_kt_meta.json") == {"version": 2}
+    cp.delete_quiet("/t/_kt_meta.json")
+    assert not cp.object_exists("/t/_kt_meta.json")
+    assert cp.store.list_keys("/t/") == []  # versioned objects gone too
+
+
+def test_pointer_flip_loser_raises():
+    """The commit race, deterministically: committer b reads the
+    pointer, a commits in the gap, b's conditional flip against its
+    stale ETag MUST fail with ConcurrentWriteError — and the winner's
+    document survives untouched."""
+    store = EmulatedObjectStore()
+    a = ObjectStoreControlPlane(store, holder="a")
+    b = ObjectStoreControlPlane(store, holder="b")
+    key = "/t/_kt_meta.json"
+    a.write_json_atomic(key, {"by": "init"})
+    stale = store.get(key)  # <- b's read of the pointer happens HERE
+    a.write_json_atomic(key, {"by": "a"})  # a commits in b's gap
+    orig_get = store.get
+
+    def stale_once(k):
+        if k == key:
+            store.get = orig_get
+            return stale
+        return orig_get(k)
+
+    store.get = stale_once
+    with pytest.raises(ConcurrentWriteError):
+        b.write_json_atomic(key, {"by": "b"})
+    assert a.read_json(key) == {"by": "a"}
+    # b's orphaned versioned object must not shadow future commits
+    a.write_json_atomic(key, {"by": "a2"})
+    assert a.read_json(key) == {"by": "a2"}
+
+
+def test_pointer_flip_threaded_never_torn():
+    """Two committers racing with real threads: every successful commit
+    bumps the pointer version by exactly one, the losing side (if any)
+    sees ConcurrentWriteError, and the final document is the last
+    winner's — never a torn or lost state."""
+    for _ in range(20):
+        store = EmulatedObjectStore()
+        key = "/t/_kt_meta.json"
+        ObjectStoreControlPlane(store, holder="init").write_json_atomic(
+            key, {"by": "init"}
+        )
+        barrier = threading.Barrier(2)
+        ok: list[str] = []
+        lost: list[str] = []
+
+        def commit(name):
+            cp = ObjectStoreControlPlane(store, holder=name)
+            barrier.wait()
+            try:
+                cp.write_json_atomic(key, {"by": name})
+                ok.append(name)
+            except ConcurrentWriteError:
+                lost.append(name)
+
+        ts = [threading.Thread(target=commit, args=(n,)) for n in ("a", "b")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(ok) >= 1 and len(ok) + len(lost) == 2
+        pointer = json.loads(store.get(key)[0])
+        # versions: 1 (init) + one per successful commit, no gaps/dups
+        assert pointer["v"] == 1 + len(ok)
+        final = json.loads(store.get(pointer["object"])[0])
+        assert final["by"] in ok
+
+
+def test_reader_survives_one_concurrent_commit():
+    """A reader that loaded the pointer just before a flip can still
+    GET its versioned object (current + previous are retained)."""
+    cp = ObjectStoreControlPlane()
+    key = "/t/_kt_meta.json"
+    cp.write_json_atomic(key, {"version": 1})
+    # simulate the reader's first half: load the pointer
+    pdata, _ = cp.store.get(key)
+    vkey = json.loads(pdata)["object"]
+    cp.write_json_atomic(key, {"version": 2})
+    data, _ = cp.store.get(vkey)  # still there
+    assert json.loads(data) == {"version": 1}
+    # two commits later it is pruned
+    cp.write_json_atomic(key, {"version": 3})
+    with pytest.raises(KeyError):
+        cp.store.get(vkey)
+
+
+# ---------------------------------------------------------------------------
+# writer lease
+# ---------------------------------------------------------------------------
+
+
+def test_lease_excludes_live_holder_and_expires():
+    clock = FakeClock()
+    store = EmulatedObjectStore(time_fn=clock)
+    a = ObjectStoreControlPlane(store, holder="a", lease_ttl=60)
+    b = ObjectStoreControlPlane(store, holder="b", lease_ttl=60)
+    lease_a = a.writer_lease("/t")
+    lease_a.__enter__()
+    with pytest.raises(ConcurrentWriteError):
+        with b.writer_lease("/t"):
+            pass
+    # the holder crashes (never exits); after TTL the lease is dead
+    clock.t += 61
+    with b.writer_lease("/t"):
+        # a's stale release is a conditional DELETE on a's old ETag —
+        # it must quietly NOT delete b's live lease
+        lease_a.__exit__(None, None, None)
+        assert json.loads(store.get("/t__kt_lease.json")[0])["holder"] == "b"
+    # released cleanly -> reacquirable
+    with a.writer_lease("/t"):
+        pass
+
+
+def test_expired_lease_reclaim_exactly_one_winner():
+    for _ in range(20):
+        clock = FakeClock()
+        store = EmulatedObjectStore(time_fn=clock)
+        dead = ObjectStoreControlPlane(store, holder="dead", lease_ttl=10)
+        dead_cm = dead.writer_lease("/t")  # keep a ref: a dropped
+        dead_cm.__enter__()  # generator would run finally and release
+        clock.t += 11
+        barrier = threading.Barrier(2)
+        got: list[str] = []
+        errs: list[str] = []
+        held: list = []
+
+        def contend(name):
+            # the winner HOLDS the lease (no release), so the loser is
+            # guaranteed to observe a live lease whatever the thread
+            # interleaving — exactly-one is the only passing outcome
+            cp = ObjectStoreControlPlane(store, holder=name, lease_ttl=10)
+            barrier.wait()
+            try:
+                cm = cp.writer_lease("/t")
+                cm.__enter__()
+                held.append(cm)  # keep the generator alive = keep holding
+                got.append(name)
+            except ConcurrentWriteError:
+                errs.append(name)
+
+        ts = [threading.Thread(target=contend, args=(n,)) for n in ("x", "y")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # exactly one contender reclaimed; with the winner's lease live
+        # the loser's CAS (or late exclusive PUT) must have failed —
+        # never two writers inside the lease
+        assert len(got) == 1 and len(errs) == 1, (got, errs)
+
+
+def test_lease_release_unblocks_exclusion():
+    cp = ObjectStoreControlPlane()
+    with cp.writer_lease("/t"):
+        with pytest.raises(ConcurrentWriteError):
+            with cp.writer_lease("/t"):
+                pass
+    with cp.writer_lease("/t"):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# the engine on the plane: rename-free lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _assert_no_control_files_on_fs(root):
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            assert not f.endswith(".json"), os.path.join(dirpath, f)
+        assert "__kt_stage" not in dirpath
+
+
+def test_keyed_lifecycle_on_object_store_plane(spark, tmp_path):
+    """Full lifecycle under the object-store plane: every data file is
+    written direct-to-final (promote_dir raises under this plane, so a
+    single staged rename anywhere would fail the test), every control
+    document lives in the store (no .json ever on the local FS), and
+    LWW / time travel / changefeed / compaction / vacuum / REPLACE all
+    behave exactly as on the default plane."""
+    path = str(tmp_path / "t")
+    cp = ObjectStoreControlPlane()
+    with use_control_plane(cp):
+        write_keyed(_df(spark, [(1, "a"), (2, "b")]), path, "key", retain=5)
+        write_keyed(
+            _df(spark, [(2, "B"), (3, "c")]), path, "key",
+            mode=SinkMode.APPEND,
+        )
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        old = {(r.key, r.val) for r in read_keyed(spark, path, generation=1).collect()}
+        assert old == {(1, "a"), (2, "b")}
+        feed = {
+            (r.key, r._change) for r in changefeed_keyed(spark, path, 1).collect()
+        }
+        assert feed == {(2, "update"), (3, "insert")}
+        assert describe_keyed(spark, path).count() >= 1
+        compact_keyed(spark, path)
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        vacuum_keyed(path, retain=1)
+        with pytest.raises(FileNotFoundError):
+            read_keyed(spark, path, generation=1).collect()
+        write_keyed(_df(spark, [(9, "z")]), path, "key", mode=SinkMode.REPLACE)
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(9, "z")}
+        _assert_no_control_files_on_fs(str(tmp_path))
+        # and the store holds the control documents
+        assert cp.object_exists(os.path.join(path, "_kt_meta.json"))
+
+
+def test_direct_commit_point_lookup_and_range(spark, tmp_path):
+    """Bucket-pruned reads (range scan, multi-Get) work identically on
+    direct-committed layouts — same dirs, same manifest pointers."""
+    from cascading_hbase_spark.keyed.table import get_keyed
+
+    path = str(tmp_path / "t")
+    with use_control_plane(ObjectStoreControlPlane()):
+        write_keyed(
+            _df(spark, [(i, f"v{i}") for i in range(100)]),
+            path, "key", n_buckets=8,
+        )
+        rows = read_keyed(spark, path, start=10, stop=20).collect()
+        assert sorted(r.key for r in rows) == list(range(10, 20))
+        got = get_keyed(spark, path, [5, 42, 999])
+        assert {(r.key, r.val) for r in got.collect()} == {(5, "v5"), (42, "v42")}
+
+
+def test_direct_commit_crash_leaves_previous_snapshot(spark, tmp_path, monkeypatch):
+    """A crash AFTER the data files land but BEFORE the manifest flip:
+    the table still reads the previous snapshot (new files are
+    unreferenced orphans), and a retried append succeeds after
+    clearing them."""
+    path = str(tmp_path / "t")
+    with use_control_plane(ObjectStoreControlPlane()):
+        write_keyed(_df(spark, [(1, "a"), (2, "b")]), path, "key")
+
+        real = kt._commit_manifest
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before manifest flip")
+
+        monkeypatch.setattr(kt, "_commit_manifest", boom)
+        with pytest.raises(RuntimeError, match="crash before"):
+            write_keyed(
+                _df(spark, [(3, "c")]), path, "key", mode=SinkMode.APPEND
+            )
+        monkeypatch.setattr(kt, "_commit_manifest", real)
+        # previous snapshot intact, orphan invisible
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(1, "a"), (2, "b")}
+        # retry succeeds (recomputes the same generation numbers and
+        # clears the orphan dirs before writing)
+        write_keyed(_df(spark, [(3, "c")]), path, "key", mode=SinkMode.APPEND)
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_secondary_index_on_object_store_plane(spark, tmp_path):
+    """Ancillary keyed structures (the equality index is itself a keyed
+    table) build and serve lookups through the same plane."""
+    from cascading_hbase_spark.keyed.index import create_index, index_lookup
+
+    path = str(tmp_path / "t")
+    with use_control_plane(ObjectStoreControlPlane()):
+        write_keyed(
+            _df(spark, [(1, "x"), (2, "y"), (3, "x")]), path, "key"
+        )
+        create_index(spark, path, "val")
+        got = {r.key for r in index_lookup(spark, path, "val", "x").collect()}
+        assert got == {1, 3}

@@ -124,6 +124,7 @@ def test_api_doc_names_every_export():
         "session", "catalog",
         "keyed.table", "keyed.index", "keyed.matview", "keyed.replica",
         "keyed.expectations", "keyed.controlplane", "keyed.adapters",
+        "keyed.objectstore",
         "operators.pipe", "operators.functions", "operators.taps",
         "operators.zorder", "operators.bucketed",
         "functions.dedup", "functions.similarity", "functions.graph",
