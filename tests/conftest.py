@@ -37,6 +37,30 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _kt_plane():
+    """``KT_PLANE=objectstore`` runs the whole selected test session
+    under the object-store control plane (rename-free direct commits,
+    conditional-PUT manifests) — the way to drive the model-based
+    property suites over the cloud port:
+
+        KT_PLANE=objectstore pytest tests/test_keyed_property.py
+
+    Off by default; suites that inspect local control files on disk
+    are not expected to pass under it."""
+    if os.environ.get("KT_PLANE") == "objectstore":
+        from cascading_hbase_spark.keyed.controlplane import set_control_plane
+        from cascading_hbase_spark.keyed.objectstore import (
+            ObjectStoreControlPlane,
+        )
+
+        prev = set_control_plane(ObjectStoreControlPlane())
+        yield
+        set_control_plane(prev)
+    else:
+        yield
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cascading_hbase_spark.session import get_session

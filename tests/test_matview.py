@@ -163,23 +163,27 @@ def test_pre_base_id_view_refreshes_and_backfills(spark, tmp_path):
     in its matview meta) must refresh normally — not spuriously raise
     'base was replaced' — and the successful refresh backfills the
     stamp so the guard is armed from then on (r09 review finding)."""
-    import json
     import os
+
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
 
     base, view = str(tmp_path / "base"), str(tmp_path / "view")
     write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
     create_aggregate_view(spark, base, view, "grp", {"total": "val"})
-    # devolve: strip the stamp, as a pre-upgrade view on disk would be
+    # devolve: strip the stamp, as a pre-upgrade view on disk would be.
+    # Manipulate the meta through the control plane (not raw open()) so
+    # the scenario is valid under KT_PLANE=objectstore too.
+    cp = get_control_plane()
     mp = os.path.join(view, "_kt_meta.json")
-    meta = json.load(open(mp))
+    meta = cp.read_json(mp)
     meta["matview"].pop("base_id", None)
-    json.dump(meta, open(mp, "w"))
+    cp.write_json_atomic(mp, meta)
     write_keyed(
         _base_df(spark, [(2, "a", 2.0)]), base, "id", mode=SinkMode.APPEND
     )
     assert refresh_aggregate_view(spark, base, view) is True
     assert _actual(spark, view) == _expected(spark, base)
-    stamped = json.load(open(mp))["matview"].get("base_id")
+    stamped = cp.read_json(mp)["matview"].get("base_id")
     from cascading_hbase_spark.keyed.table import _load_meta
 
     assert stamped == _load_meta(base).get("table_id")

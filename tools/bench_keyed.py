@@ -71,6 +71,18 @@ N_BUCKETS = 32
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    plane = os.environ.get("KT_PLANE", "localfs")
+    if plane == "objectstore":
+        # run the SAME lifecycle under the cloud-port plane: manifests
+        # via conditional-PUT commit protocol, data files committed
+        # rename-free at final generation keys (direct_commit) —
+        # measures what the object-store pattern costs vs the default
+        from cascading_hbase_spark.keyed.controlplane import set_control_plane
+        from cascading_hbase_spark.keyed.objectstore import (
+            ObjectStoreControlPlane,
+        )
+
+        set_control_plane(ObjectStoreControlPlane())
     spark = get_session("cascading-hbase-spark-bench-keyed")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -264,6 +276,7 @@ def main() -> None:
                 "metric": "keyed_maintenance_seconds",
                 "value": total,
                 "unit": "sec",
+                "plane": plane,
                 "sf_dir": sf_dir,
                 "n_rows": n_rows,
                 "n_buckets": N_BUCKETS,
