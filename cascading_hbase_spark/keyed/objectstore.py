@@ -262,9 +262,17 @@ class ObjectStoreControlPlane(ControlPlane):
                 f"commit won); retry from the new snapshot"
             ) from e
         # prune: losers' orphans, crashed leftovers and anything two
-        # commits old — their CAS (if still in flight) already lost
+        # commits old — but ONLY versions <= the one we just committed.
+        # A commit that began AFTER our flip read the fresh pointer and
+        # has already PUT its v+2 object; its CAS will SUCCEED, so
+        # deleting "everything not mine" would destroy a winning
+        # commit's document and leave the pointer naming a deleted
+        # object (table unreadable until manual repair).
         for k in self.store.list_keys(key + ".v"):
-            if k not in (vkey, prev_obj):
+            if k in (vkey, prev_obj):
+                continue
+            m = re.match(r"\.v(\d+)-", k[len(key):])
+            if m and int(m.group(1)) <= v + 1:
                 self.store.delete(k)
 
     def object_exists(self, key: str) -> bool:
@@ -327,8 +335,12 @@ class ObjectStoreControlPlane(ControlPlane):
     def move_object(self, src: str, dst: str) -> None:
         # server-side copy + delete — the only "move" stores have
         if _is_control_key(src):
-            self.store.copy(src, dst)
-            self.store.delete(src)
+            # move the DOCUMENT, not the pointer: a verbatim pointer
+            # copy would leave dst referencing a src-named versioned
+            # object that src's next write_json_atomic prune (or a
+            # delete under the src prefix) destroys out from under it
+            self.write_json_atomic(dst, self.read_json(src))
+            self.delete_quiet(src)
         else:
             shutil.copyfile(src, dst)
             os.remove(src)

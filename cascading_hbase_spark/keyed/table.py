@@ -73,7 +73,7 @@ import os
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql.types import StructType
 
 from cascading_hbase_spark.keyed.controlplane import (
@@ -302,15 +302,21 @@ def _write_partitioned(df: DataFrame, path: str, key: str,
     each bucket lands in ~one task -> ~one file; the default range
     partitioning on the key suits incremental merges (bucket contents
     align with contiguous key ranges)."""
-    spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    out = _bucket_sorted(df, key, by_bucket)
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+
+
+def _bucket_sorted(df: DataFrame, key: str, by_bucket: bool) -> DataFrame:
+    """The one place the bucket-partitioned write layout is encoded
+    (shared by the staged and the direct-commit writers, so the
+    "each bucket lands in ~one task -> ~one file" invariant cannot
+    silently diverge between them)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
     if by_bucket:
-        out = df.repartition(n, F.col(BUCKET_COL)).sortWithinPartitions(
+        return df.repartition(n, F.col(BUCKET_COL)).sortWithinPartitions(
             BUCKET_COL, key
         )
-    else:
-        out = df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    return df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
 
 
 def _stage_dir(path: str) -> str:
@@ -542,7 +548,17 @@ def _direct_publish(
     it is precomputed for every possible bucket id (the bucket count is
     fixed at creation — bounded, driver-side arithmetic only) and
     attached as a literal-array lookup ``gen = gens_by_bucket[bucket]``
-    — no extra shuffle, no second pass over the data."""
+    — no extra shuffle, no second pass over the data.
+
+    Control-plane traffic tracks the TOUCHED buckets, not the bucket
+    count: orphan probes cover only the buckets this commit can write
+    (``affected`` when the caller scoped the merge — its writers
+    guarantee the frame's buckets are a subset; every bucket only on
+    the O(table) paths where that is the work anyway), and the
+    buckets actually written are collected by an ``Observation`` on
+    the write itself (a bounded ``collect_set`` riding the single
+    pass) instead of per-bucket existence probes — on a real object
+    store each probe is a billable round trip."""
     _update_zone_maps(df, meta)
     gens = meta.setdefault("gens", {})
     last = meta.setdefault("last_gen", {})
@@ -551,33 +567,32 @@ def _direct_publish(
         b: max(gens.get(str(b), -1), last.get(str(b), -1)) + 1
         for b in range(n_buckets)
     }
-    for b, g in newgen.items():
-        dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
+    if affected is None:
+        candidates = range(n_buckets)
+    else:
+        # ids beyond the CURRENT bucket domain (old pointers kept in
+        # ``affected`` so a shrinking re-bucket drops them) cannot be
+        # written, so they need no orphan probe
+        candidates = [b for b in affected if 0 <= b < n_buckets]
+    for b in candidates:
+        dst = os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen[b]}")
         if _cp().dir_exists(dst):  # orphan of a crashed attempt
             _cp().delete_tree_quiet(dst)
-    spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
     out = df.withColumn(
         GEN_COL,
         F.array(*[F.lit(newgen[b]) for b in range(n_buckets)])[
             F.col(BUCKET_COL)
         ],
     )
-    if by_bucket:
-        out = out.repartition(n, F.col(BUCKET_COL)).sortWithinPartitions(
-            BUCKET_COL, key
-        )
-    else:
-        out = out.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
+    obs = Observation()
+    out = _bucket_sorted(
+        out.observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("buckets")),
+        key,
+        by_bucket,
+    )
     out.write.mode("append").partitionBy(BUCKET_COL, GEN_COL).parquet(path)
-    written = {
-        str(b): g
-        for b, g in newgen.items()
-        if _cp().dir_exists(
-            os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}")
-        )
-    }
-    produced = sorted(int(sb) for sb in written)
+    produced = sorted(int(b) for b in obs.get["buckets"])
+    written = {str(b): newgen[b] for b in produced}
     if affected is None:
         affected = produced
     else:
@@ -1349,10 +1364,16 @@ def compact_keyed(
         batch = current.withColumn(
             BUCKET_COL, _bucket_expr(key, meta["boundaries"])
         )
-        # Every currently-pointed bucket participates: buckets the new
-        # boundaries empty lose their pointer, new buckets come from the
-        # staged listing union.
-        affected = sorted(int(b) for b in meta.get("gens", {}))
+        # Every currently-pointed bucket participates (buckets the new
+        # boundaries empty lose their pointer) AND every id the new
+        # boundaries can route to: re-bucketed rows may land in buckets
+        # that never held a pointer, and the direct-commit writer's
+        # orphan probes cover exactly the ``affected`` set — an id
+        # outside it would append into a crashed attempt's leftovers.
+        affected = sorted(
+            {int(b) for b in meta.get("gens", {})}
+            | set(range(len(meta["boundaries"]) + 1))
+        )
         _stage_and_publish(batch, path, key, meta, affected, by_bucket=True)
 
 

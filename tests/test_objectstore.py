@@ -101,6 +101,69 @@ def test_manifest_roundtrip_and_missing_key():
     assert cp.store.list_keys("/t/") == []  # versioned objects gone too
 
 
+def test_prune_spares_newer_inflight_commit():
+    """A commit that begins AFTER the winner's pointer flip (reads the
+    fresh pointer, PUTs its v+2 object) must survive the winner's
+    prune: its CAS against the flipped pointer WILL succeed, so
+    deleting it would leave the pointer naming a deleted object and
+    the table unreadable (r09 review finding — the prune may only
+    touch versions <= the winner's own)."""
+    store = EmulatedObjectStore()
+    a = ObjectStoreControlPlane(store, holder="a")
+    key = "/t/_kt_meta.json"
+    a.write_json_atomic(key, {"by": "init"})
+    orig_list = store.list_keys
+    b_state: dict = {}
+
+    def list_with_late_committer(prefix):
+        # interleave: B's first half runs between A's flip and A's
+        # prune (list_keys is only called by the prune step)
+        if "vkey" not in b_state:
+            pdata, petag = store.get(key)
+            p = json.loads(pdata)
+            vkey = f"{key}.v{p['v'] + 1}-bbbbbbbbbbbb"
+            store.put(
+                vkey, json.dumps({"by": "b"}).encode(), if_none_match=True
+            )
+            b_state.update(vkey=vkey, petag=petag, v=p["v"])
+        return orig_list(prefix)
+
+    store.list_keys = list_with_late_committer
+    a.write_json_atomic(key, {"by": "a"})  # prune runs with B in flight
+    store.list_keys = orig_list
+    # B's in-flight object survived A's prune ...
+    assert store.head(b_state["vkey"]) is not None
+    # ... so B's CAS against the pointer A installed succeeds and the
+    # document chain stays readable end-to-end
+    pointer = json.dumps(
+        {"v": b_state["v"] + 1, "object": b_state["vkey"]}
+    ).encode()
+    store.put(key, pointer, if_match=b_state["petag"])
+    assert a.read_json(key) == {"by": "b"}
+    # and the next commit's prune clears B's predecessors normally
+    a.write_json_atomic(key, {"by": "a2"})
+    assert a.read_json(key) == {"by": "a2"}
+
+
+def test_move_control_document_survives_source_reuse():
+    """move_object on a control key must move the DOCUMENT, not the
+    latest-pointer bytes: a verbatim pointer copy leaves dst naming a
+    src-named versioned object that src's next write or delete prunes
+    away (r09 review finding)."""
+    cp = ObjectStoreControlPlane()
+    src, dst = "/t/a.json", "/t/b.json"
+    cp.write_json_atomic(src, {"doc": "payload"})
+    cp.move_object(src, dst)
+    assert cp.read_json(dst) == {"doc": "payload"}
+    assert not cp.object_exists(src)
+    # reuse of the source key (fresh writes, prune, delete) must not
+    # destroy the moved document
+    cp.write_json_atomic(src, {"doc": "new"})
+    cp.write_json_atomic(src, {"doc": "newer"})
+    cp.delete_quiet(src)
+    assert cp.read_json(dst) == {"doc": "payload"}
+
+
 def test_pointer_flip_loser_raises():
     """The commit race, deterministically: committer b reads the
     pointer, a commits in the gap, b's conditional flip against its
@@ -308,6 +371,28 @@ def test_keyed_lifecycle_on_object_store_plane(spark, tmp_path):
         _assert_no_control_files_on_fs(str(tmp_path))
         # and the store holds the control documents
         assert cp.object_exists(os.path.join(path, "_kt_meta.json"))
+
+
+def test_direct_commit_rebucket_grow_and_shrink(spark, tmp_path):
+    """Re-bucketing compaction under the rename-free plane, both ways:
+    growing routes rows into bucket ids that never held a pointer
+    (they must get orphan-probed and committed), shrinking leaves old
+    pointer ids beyond the new bucket domain (they must be dropped,
+    not orphan-probed — probing them was a KeyError in the first
+    draft, r09 review follow-up)."""
+    path = str(tmp_path / "t")
+    rows = [(i, f"v{i}") for i in range(60)]
+    with use_control_plane(ObjectStoreControlPlane()):
+        write_keyed(_df(spark, rows), path, "key", n_buckets=2)
+        compact_keyed(spark, path, n_buckets=8)  # grow
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == set(rows)
+        compact_keyed(spark, path, n_buckets=1)  # shrink
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == set(rows)
+        # and the shrunk table keeps committing normally
+        write_keyed(_df(spark, [(1, "A")]), path, "key", mode=SinkMode.APPEND)
+        assert dict(read_keyed(spark, path).collect())[1] == "A"
 
 
 def test_direct_commit_point_lookup_and_range(spark, tmp_path):
