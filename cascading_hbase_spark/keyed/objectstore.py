@@ -237,10 +237,13 @@ class ObjectStoreControlPlane(ControlPlane):
         version this writer last read.  A competing commit in the gap
         makes the precondition fail -> ``ConcurrentWriteError``; the
         loser deletes its own orphan and nothing it wrote is ever
-        visible.  The winner prunes every versioned object except the
-        one it just committed and its predecessor (a reader holding the
-        just-replaced pointer can still GET its object — one-commit
-        grace, matching the local plane's GC contract)."""
+        visible.  The winner prunes versioned objects AT OR BELOW its
+        own version except the one it just committed and its
+        predecessor (a reader holding the just-replaced pointer can
+        still GET its object — one-commit grace, matching the local
+        plane's GC contract); objects above its version belong to
+        commits that began after the flip and will win their own CAS,
+        so they are never touched."""
         try:
             pdata, petag = self.store.get(key)
             p = json.loads(pdata)
