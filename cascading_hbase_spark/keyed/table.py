@@ -592,6 +592,16 @@ def _direct_publish(
     )
     out.write.mode("append").partitionBy(BUCKET_COL, GEN_COL).parquet(path)
     produced = sorted(int(b) for b in obs.get["buckets"])
+    if affected is not None and not set(produced) <= set(affected):
+        # data landed in a bucket the orphan probes did not cover — a
+        # caller broke the frame-buckets ⊆ affected contract.  Refuse
+        # to flip the manifest: the files stay invisible orphans, the
+        # previous snapshot stays intact.
+        raise AssertionError(
+            f"direct commit wrote buckets {sorted(set(produced) - set(affected))} "
+            f"outside the declared affected set {sorted(affected)}; refusing to "
+            f"commit (possible crashed-attempt leftovers in unprobed dirs)"
+        )
     written = {str(b): newgen[b] for b in produced}
     if affected is None:
         affected = produced
