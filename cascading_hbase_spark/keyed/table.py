@@ -591,7 +591,27 @@ def _direct_publish(
         by_bucket,
     )
     out.write.mode("append").partitionBy(BUCKET_COL, GEN_COL).parquet(path)
-    produced = sorted(int(b) for b in obs.get["buckets"])
+    try:
+        observed = obs.get["buckets"]
+    except Exception:
+        # A frame the optimizer can PROVE empty (e.g. a delete that
+        # empties every affected bucket) is collapsed to an empty
+        # relation, which eliminates the CollectMetrics node — no
+        # metrics row is ever produced and obs.get raises from the
+        # JVM.  Fall back to probing the candidate dirs: they were
+        # cleared of orphans before the write, so one exists iff THIS
+        # write created it (found by explore-profile fuzz under
+        # KT_PLANE=objectstore; pinned in test_keyed_property).
+        observed = [
+            b
+            for b in candidates
+            if _cp().dir_exists(
+                os.path.join(
+                    path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen[b]}"
+                )
+            )
+        ]
+    produced = sorted(int(b) for b in observed)
     if affected is not None and not set(produced) <= set(affected):
         # data landed in a bucket the orphan probes did not cover — a
         # caller broke the frame-buckets ⊆ affected contract.  Refuse

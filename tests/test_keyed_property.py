@@ -238,6 +238,16 @@ _mv_op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_mv_op, min_size=1, max_size=5))
+# explore-fuzz falsifier under KT_PLANE=objectstore: a delete that
+# empties every affected bucket writes a PROVABLY-empty frame, whose
+# CollectMetrics node the optimizer eliminates — obs.get raised from
+# the JVM in the direct-commit writer's written-bucket detection
+@example(
+    ops=[
+        ("append", [(0, 0), (0, 0), (0, 0), (2, 0), (0, 0), (0, 0), (0, 0), (0, 0)]),
+        ("delete", [2, 0]),
+    ]
+)
 def test_matview_tracks_dict_model(spark, tmp_path_factory, ops):
     """Incremental view maintenance against the dict model: after ANY
     interleaving of appends (updates move rows between groups), deletes,

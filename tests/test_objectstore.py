@@ -373,6 +373,26 @@ def test_keyed_lifecycle_on_object_store_plane(spark, tmp_path):
         assert cp.object_exists(os.path.join(path, "_kt_meta.json"))
 
 
+def test_direct_commit_delete_empties_table(spark, tmp_path):
+    """A delete that empties every affected bucket commits a PROVABLY
+    empty frame: the optimizer eliminates the CollectMetrics node, so
+    written-bucket detection must fall back to probing the pre-cleared
+    candidate dirs instead of raising from obs.get (explore-fuzz
+    falsifier under the plane, r09)."""
+    from cascading_hbase_spark.keyed.table import delete_keyed
+
+    path = str(tmp_path / "t")
+    with use_control_plane(ObjectStoreControlPlane()):
+        write_keyed(_df(spark, [(1, "a"), (2, "b")]), path, "key")
+        keys = spark.createDataFrame([(1,), (2,)], "key long")
+        delete_keyed(spark, path, keys)
+        assert read_keyed(spark, path).count() == 0
+        # and the emptied table keeps committing normally
+        write_keyed(_df(spark, [(3, "c")]), path, "key", mode=SinkMode.APPEND)
+        got = {(r.key, r.val) for r in read_keyed(spark, path).collect()}
+        assert got == {(3, "c")}
+
+
 def test_direct_commit_rebucket_grow_and_shrink(spark, tmp_path):
     """Re-bucketing compaction under the rename-free plane, both ways:
     growing routes rows into bucket ids that never held a pointer
