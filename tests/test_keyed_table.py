@@ -416,11 +416,13 @@ def test_stale_writer_lock_is_reclaimed(spark, tmp_path):
 
 
 def _live_parquet_files(path):
-    """Parquet files referenced by the CURRENT manifest only."""
-    import json
+    """Parquet files referenced by the CURRENT manifest only.  Reads
+    the manifest through the control plane so the check is valid
+    under KT_PLANE=objectstore too (data files are always on the
+    local FS in tests — only control documents move)."""
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
 
-    with open(os.path.join(path, "_kt_meta.json")) as f:
-        meta = json.load(f)
+    meta = get_control_plane().read_json(os.path.join(path, "_kt_meta.json"))
     files = []
     for b, g in meta["gens"].items():
         gen_dir = os.path.join(path, f"_kt_bucket={b}", f"_kt_gen={g}")
@@ -471,8 +473,9 @@ def test_compact_rebuckets_on_drifted_keys(spark, tmp_path):
     from cascading_hbase_spark.keyed.table import compact_keyed
 
     compact_keyed(spark, path, n_buckets=4)
-    with open(os.path.join(path, "_kt_meta.json")) as f:
-        meta = json.load(f)
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
+
+    meta = get_control_plane().read_json(os.path.join(path, "_kt_meta.json"))
     assert len(meta["boundaries"]) == 3  # 4 buckets
     assert sorted(int(b) for b in meta["gens"]) == [0, 1, 2, 3]
     out = read_keyed(spark, path, start="k0010", stop="k0020")
