@@ -373,6 +373,36 @@ def test_keyed_lifecycle_on_object_store_plane(spark, tmp_path):
         assert cp.object_exists(os.path.join(path, "_kt_meta.json"))
 
 
+def test_direct_commit_refuses_surprise_buckets(spark, tmp_path):
+    """The staged writer PUBLISHES buckets its affected list missed
+    (plan re-evaluation on non-deterministic input); the direct writer
+    must REFUSE instead — a surprise bucket's final dir was never
+    orphan-probed, so publishing could merge a crashed attempt's
+    leftovers. The refusal happens before the manifest flip: the
+    stray files stay invisible orphans and the previous snapshot
+    reads intact (deliberate plane difference, documented on both
+    sides)."""
+    from cascading_hbase_spark.keyed import table as kt
+
+    path = str(tmp_path / "surprise")
+    with use_control_plane(ObjectStoreControlPlane()):
+        df = spark.createDataFrame(
+            [("a", 1), ("z", 2)], "key string, val int"
+        )
+        write_keyed(df, path, "key", n_buckets=2)
+        meta = kt._load_meta(path)
+        batch = spark.createDataFrame(
+            [("b", 5, 1, 0), ("y", 6, 1, 1)],
+            "key string, val int, _kt_seq int, _kt_bucket int",
+        )
+        with pytest.raises(AssertionError, match="outside the declared"):
+            kt._stage_and_publish(batch, path, "key", meta, affected=[0])
+        # manifest never flipped: previous snapshot intact, stray files
+        # invisible
+        keys = {r["key"] for r in read_keyed(spark, path).collect()}
+        assert keys == {"a", "z"}
+
+
 def test_direct_commit_delete_empties_table(spark, tmp_path):
     """A delete that empties every affected bucket commits a PROVABLY
     empty frame: the optimizer eliminates the CollectMetrics node, so
