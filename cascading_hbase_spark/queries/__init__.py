@@ -81,11 +81,9 @@ def _load_all() -> None:
 # ``tools/round_end_check.py`` cross-checks this list against
 # ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    # r09: former rows-only pairs re-specified to deterministic,
-    # fully-oracled forms (both were already in the derived r09 head —
-    # r02-dated — so listing them costs no extra driver slot).
-    "streaming_dedup_within_watermark",
-    "streaming_user_running_totals",
+    # r10: reset to [] at round start (the r09 verdicts landed).  Names
+    # are added below ONLY as their query/oracle code changes this
+    # round.
 ]
 
 # Number of head entries the driver's per-round budget is known to
