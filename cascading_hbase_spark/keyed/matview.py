@@ -43,6 +43,7 @@ from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
     _load_meta,
+    _save_meta,
     changefeed_keyed,
     read_keyed,
     write_keyed,
@@ -192,12 +193,29 @@ def refresh_aggregate_view(
         # names a dead incarnation's history — the new table reaching
         # (or passing) the cursor's number must never read as "current"
         # (or diff two unrelated histories).  Mirrors sync_replica.
-        # A view created before base_id existed (None) falls through to
-        # the version/horizon checks and is stamped by its next
-        # successful refresh below — no spurious rebuild on upgrade.
         raise StaleViewError(
             f"base table {base_path} was replaced since the view was "
             f"built; rebuild with create_aggregate_view"
+        )
+    if mv.get("base_id") is None:
+        # Pre-incarnation-stamp view: the cursor NUMBER alone cannot
+        # prove which incarnation it names, so it must never reach the
+        # diff — a REPLACEd base whose new version lands inside
+        # [horizon, base_version] would otherwise be quietly diffed
+        # against the dead history and the backfill would stamp the
+        # wrong incarnation (r09 ADVICE; mirrors sync_replica).  The
+        # one diff-free safe case is cursor == base_version: stamp with
+        # a meta-only flip and report current; else the rebuild signal.
+        if cursor == base_version:
+            mv["base_id"] = base_meta.get("table_id")
+            meta["matview"] = mv
+            _save_meta(view_path, meta)
+            return False
+        raise StaleViewError(
+            f"view {view_path} predates incarnation stamping and is "
+            f"behind (cursor {cursor}, base version {base_version}); "
+            f"the cursor alone cannot prove the base was not replaced "
+            f"— rebuild with create_aggregate_view"
         )
     if base_version == cursor:
         return False
@@ -364,8 +382,8 @@ def refresh_aggregate_view(
         meta_extra={"matview": {
             **mv,
             "base_version": base_version,
-            # backfill for pre-base_id views: a successful refresh
-            # proves the cursor matches THIS incarnation's history
+            # invariant re-stamp: the None-base_id gate above means any
+            # view reaching the diff already carries this id
             "base_id": base_meta.get("table_id"),
         }},
     )

@@ -212,6 +212,11 @@ class ObjectStoreControlPlane(ControlPlane):
         self.store = store if store is not None else EmulatedObjectStore()
         self.holder = holder or f"pid-{os.getpid()}"
         self.lease_ttl = float(lease_ttl)
+        # table_path -> (lease key, etag) while inside writer_lease;
+        # write_json_atomic re-verifies ownership just before the
+        # pointer flip (see there)
+        self._held_leases: dict[str, tuple[str, str]] = {}
+        self._held_lock = threading.Lock()
 
     # -- control documents: versioned object + latest-pointer flip -----
 
@@ -253,6 +258,28 @@ class ObjectStoreControlPlane(ControlPlane):
         vkey = f"{key}.v{v + 1}-{uuid.uuid4().hex[:12]}"
         self.store.put(vkey, json.dumps(obj).encode(), if_none_match=True)
         pointer = json.dumps({"v": v + 1, "object": vkey}).encode()
+        # Pre-flip lease re-verification (r09 ADVICE): the lease has a
+        # TTL but no heartbeat, so a commit outrunning lease_ttl lets a
+        # contender reclaim mid-commit; the pointer CAS protects the
+        # MANIFEST but the two writers share generation data keys, so
+        # our flip could expose a mix of both writers' files.  One HEAD
+        # against the lease we hold for this key's table closes that
+        # window to the check->CAS gap: a changed/vanished etag means
+        # we were reclaimed — refuse to flip, delete our own orphan.
+        with self._held_lock:
+            held = [
+                (lk, etag)
+                for tp, (lk, etag) in self._held_leases.items()
+                if key.startswith(tp.rstrip("/") + "/")
+            ]
+        for lk, etag in held:
+            if self.store.head(lk) != etag:
+                self.store.delete(vkey)
+                raise ConcurrentWriteError(
+                    f"writer lease {lk} was reclaimed mid-commit (commit "
+                    f"outran lease_ttl={self.lease_ttl:.0f}s); refusing "
+                    f"to flip {key} — retry under a fresh lease"
+                )
         try:
             if petag is None:
                 self.store.put(key, pointer, if_none_match=True)
@@ -396,8 +423,13 @@ class ObjectStoreControlPlane(ControlPlane):
                         f"keyed table {table_path}: lost the expired-lease "
                         f"reclaim race ({key})"
                     ) from e
+        tp = table_path.rstrip("/")
+        with self._held_lock:
+            self._held_leases[tp] = (key, etag)
         try:
             yield
         finally:
+            with self._held_lock:
+                self._held_leases.pop(tp, None)
             with contextlib.suppress(PreconditionFailed):
                 store.delete(key, if_match=etag)

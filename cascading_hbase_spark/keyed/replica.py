@@ -28,6 +28,7 @@ from cascading_hbase_spark.keyed.table import (
     SinkMode,
     _carried_policies,
     _load_meta,
+    _save_meta,
     apply_changefeed,
     changefeed_keyed,
     read_keyed,
@@ -100,13 +101,30 @@ def sync_replica(
     ):
         # REPLACE restarted the primary's version counter: the cursor
         # names a dead incarnation's history — never a quiet diff.
-        # A replica seeded before of_id existed (None) falls through
-        # to the horizon checks and is stamped by its next successful
-        # sync — no spurious rebuild on upgrade (r09 review parity
-        # with the matview guard).
         raise StaleReplicaError(
             f"primary {primary_path} was replaced since the replica was "
             f"seeded; rebuild with create_replica"
+        )
+    if rep.get("of_id") is None:
+        # Pre-incarnation-stamp replica: the cursor NUMBER alone cannot
+        # prove which incarnation it names, so it must never reach the
+        # diff — if the primary was REPLACEd and the new history's
+        # version lands inside [horizon, version], the feed would
+        # quietly compare two unrelated histories and the backfill
+        # would then stamp the wrong incarnation with a bogus cursor
+        # (r09 ADVICE).  The one diff-free safe case is cursor ==
+        # version: stamp the incarnation with a meta-only flip and
+        # report current; anything else is the rebuild signal.
+        if cursor == version:
+            rep["of_id"] = pmeta.get("table_id")
+            rmeta["replica"] = rep
+            _save_meta(replica_path, rmeta)
+            return False
+        raise StaleReplicaError(
+            f"replica {replica_path} predates incarnation stamping and "
+            f"is behind (cursor {cursor}, primary version {version}); "
+            f"the cursor alone cannot prove the primary was not "
+            f"replaced — rebuild with create_replica"
         )
     if version == cursor:
         return False
@@ -158,8 +176,8 @@ def sync_replica(
         meta_extra={"replica": {
             **rep,
             "cursor": version,
-            # backfill for pre-of_id replicas: a successful sync proves
-            # the cursor matches THIS incarnation's history
+            # invariant re-stamp: the None-of_id gate above means any
+            # replica reaching the diff already carries this id
             "of_id": pmeta.get("table_id"),
         }},
         seq_col=fwd_seq,

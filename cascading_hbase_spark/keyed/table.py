@@ -598,13 +598,21 @@ def _direct_publish(
         # empties every affected bucket) is collapsed to an empty
         # relation, which eliminates the CollectMetrics node — no
         # metrics row is ever produced and obs.get raises from the
-        # JVM.  Fall back to probing the candidate dirs: they were
-        # cleared of orphans before the write, so one exists iff THIS
-        # write created it (found by explore-profile fuzz under
-        # KT_PLANE=objectstore; pinned in test_keyed_property).
+        # JVM.  Fall back to probing gen dirs — ALL buckets, not just
+        # the pre-cleared candidates: if obs.get failed for any other
+        # reason while the frame escaped its declared bucket set, a
+        # candidates-only probe would bypass the produced⊆affected
+        # guard vacuously and silently drop the escaped rows from the
+        # flip.  Candidate dirs were cleared of orphans pre-write, so
+        # existence there means THIS write; a hit OUTSIDE candidates
+        # (this write escaping, or a crashed attempt's leftover) trips
+        # the refuse-to-flip below — a retryable refusal, never a
+        # silent drop.  (Eliminated-CollectMetrics case found by
+        # explore-profile fuzz under KT_PLANE=objectstore; pinned in
+        # test_keyed_property.)
         observed = [
             b
-            for b in candidates
+            for b in range(n_buckets)
             if _cp().dir_exists(
                 os.path.join(
                     path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen[b]}"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -295,6 +296,12 @@ class MultiSourceTap(Tap):
         raise NotImplementedError("MultiSourceTap is a source-only tap")
 
 
+# process-monotonic fallback name for pathless adapters (never reused,
+# unlike id()) — see AdapterTap.__init__
+_ADAPTER_SEQ = [0]
+_ADAPTER_SEQ_LOCK = threading.Lock()
+
+
 class AdapterTap(Tap):
     """Bind ANY ``KeyedStoreAdapter`` implementation into the flow/
     cascade surface — the generalized HBaseTap: the reference's tap
@@ -322,8 +329,16 @@ class AdapterTap(Tap):
         # The fallback must be unique per ADAPTER, not a constant: the
         # cascade scheduler keys producers/consumers by uri(), and two
         # pathless adapters sharing 'adapter://adapter' would silently
-        # cross-link unrelated flows (r09 review finding).
-        fallback = getattr(adapter, "path", None) or f"adapter-{id(adapter):x}"
+        # cross-link unrelated flows (r09 review finding).  A process-
+        # unique token, NOT id(): CPython reuses id() after GC, so two
+        # pathless adapters with non-overlapping lifetimes could
+        # collide in a uri()-keyed registry outliving the first tap
+        # (r09 ADVICE).
+        fallback = getattr(adapter, "path", None)
+        if not fallback:
+            with _ADAPTER_SEQ_LOCK:
+                _ADAPTER_SEQ[0] += 1
+                fallback = f"adapter-{_ADAPTER_SEQ[0]}"
         super().__init__(name or fallback)
         self.adapter = adapter
         self._name = name or fallback

@@ -84,6 +84,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r10: reset to [] at round start (the r09 verdicts landed).  Names
     # are added below ONLY as their query/oracle code changes this
     # round.
+    #
+    # r10: NEW pair — the connector seam (AdapterTap/KeyedStoreAdapter)
+    # end-to-end as the reference's copy-flow shape, so the product
+    # surface carries a driver verdict, not just pytest (VERDICT r09
+    # item 2).
+    "adapter_copy_flow",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -109,6 +109,87 @@ def keyed_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "adapter_copy_flow",
+    oracle="""
+    SELECT o_custkey, last_orderkey, last_price, price_band
+    FROM (
+      SELECT o_custkey,
+             o_orderkey AS last_orderkey,
+             o_totalprice AS last_price,
+             CASE WHEN o_totalprice >= 330000 THEN 'high'
+                  WHEN o_totalprice >= 150000 THEN 'mid'
+                  ELSE 'low' END AS price_band,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY (o_orderkey % 2) DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+      WHERE o_orderkey >= 256 AND o_orderkey < 20000
+    ) WHERE rn = 1
+    """,
+)
+def adapter_copy_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's copy-flow — its actual product surface
+    (HBaseTap.java:26 + HBaseScheme.java:52) — end-to-end through the
+    external keyed-store connector seam: seed a source store through
+    ``AdapterTap`` (SinkMode.KEEP = create, HBaseTap.java:123-132),
+    pruned half-open range scan with key-included projection
+    (TableInputFormatWrap.java:55-65, HBaseScheme.java:157-162), a
+    pipe ``ExpressionFunction`` in the middle
+    (MultiFamilyCascadeHBaseTest.java:62), then TWO upsert batches into
+    a second store — across calls the later batch wins per key, within
+    a batch the registered ``seq_col`` orders (the HBase cell-timestamp
+    analogue, HBaseScheme.java:127) — and a read-back with field
+    projection.  The oracle reproduces the batch-then-seq LWW order as
+    ``(last_orderkey % 2) DESC, last_orderkey DESC`` because the even
+    batch is written first.  Scale: both stores are the engine's
+    range-bucketed keyed tables (scan prunes buckets, upsert rewrites
+    only touched buckets); a real external store swaps in via one
+    adapter class with the same plan shape."""
+    import tempfile
+
+    from cascading_hbase_spark.keyed.adapters import LocalKeyedStoreAdapter
+    from cascading_hbase_spark.keyed.table import SinkMode
+    from cascading_hbase_spark.operators.functions import ExpressionFunction
+    from cascading_hbase_spark.operators.pipe import Each, Pipe
+    from cascading_hbase_spark.operators.taps import AdapterTap
+
+    root = tempfile.mkdtemp(prefix="chs_adapter_flow_")
+    src = LocalKeyedStoreAdapter(f"{root}/src", "o_orderkey")
+    dst = LocalKeyedStoreAdapter(
+        f"{root}/dst", "o_custkey", seq_col="last_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    AdapterTap(src).write(orders, SinkMode.KEEP)
+    scanned = AdapterTap(
+        src, start=256, stop=20000, fields=["o_custkey", "o_totalprice"]
+    ).read(spark)
+    banded = Each(
+        Pipe("scan"),
+        None,
+        ExpressionFunction(
+            "price_band",
+            "CASE WHEN o_totalprice >= 330000 THEN 'high' "
+            "WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END",
+        ),
+    )
+    out = banded.resolve({"scan": scanned}).select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_price"),
+        "price_band",
+    )
+    sink = AdapterTap(dst)
+    sink.write(out.filter(F.col("last_orderkey") % 2 == 0), SinkMode.APPEND)
+    sink.write(out.filter(F.col("last_orderkey") % 2 == 1), SinkMode.APPEND)
+    return AdapterTap(
+        dst, fields=["last_orderkey", "last_price", "price_band"]
+    ).read(spark)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filters / row-wise functions ([T] then [D])
 # ---------------------------------------------------------------------------

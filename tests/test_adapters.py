@@ -130,3 +130,25 @@ def test_adapter_tap_in_cascade_always_reruns(spark, adapter, tmp_path):
     c.complete(spark)  # keyed sink is never up-to-date -> flow re-runs
     assert _stored(adapter, spark) == FINAL
     assert first != FINAL
+
+
+def test_pathless_adapter_fallback_uris_never_collide(spark):
+    """Two pathless adapters whose lifetimes do NOT overlap must still
+    get distinct fallback uris: CPython reuses id() after GC, so an
+    id()-based fallback could cross-link unrelated flows in any
+    uri()-keyed registry that outlives the first tap (r09 ADVICE; the
+    fallback is now a process-monotonic counter)."""
+    import gc
+
+    seen = set()
+    for _ in range(5):
+        a = MemoryKeyedStoreAdapter("key")
+        uri = AdapterTap(a).uri()
+        assert uri not in seen, uri
+        seen.add(uri)
+        del a
+        gc.collect()  # make id() reuse likely; the counter must not care
+    # explicit names and path-carrying adapters keep their identity
+    assert AdapterTap(MemoryKeyedStoreAdapter("key"), name="n").uri() == (
+        "adapter://n"
+    )

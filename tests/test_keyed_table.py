@@ -1810,6 +1810,68 @@ def test_replica_carries_policies_and_detects_replace(spark, tmp_path):
         sync_replica(spark, primary, replica)
 
 
+def test_pre_of_id_replica_stamps_when_current_raises_when_behind(
+    spark, tmp_path
+):
+    """A replica seeded before the of_id stamp existed can only be
+    trusted when its cursor EQUALS the primary version — that case
+    stamps the incarnation with a meta-only flip and reports current.
+    A behind cursor must raise the rebuild signal instead of diffing:
+    the number alone cannot prove the primary was not REPLACEd onto an
+    overlapping version range (r09 ADVICE — supersedes the r09-review
+    fall-through; mirrors the matview twin)."""
+    import os
+
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError, create_replica, sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    primary = str(tmp_path / "p")
+    replica = str(tmp_path / "r")
+    write_keyed(
+        spark.createDataFrame([(1, 10)], "key long, val long"),
+        primary, "key", retain=10,
+    )
+    create_replica(spark, primary, replica)
+    cp = get_control_plane()
+    mp = os.path.join(replica, "_kt_meta.json")
+
+    def _devolve():
+        meta = cp.read_json(mp)
+        meta["replica"].pop("of_id", None)
+        cp.write_json_atomic(mp, meta)
+
+    _devolve()
+    # current cursor: stamped via a meta-only flip, reported current
+    assert sync_replica(spark, primary, replica) is False
+    assert (
+        cp.read_json(mp)["replica"]["of_id"]
+        == _load_meta(primary).get("table_id")
+    )
+    # a stamped replica syncs normally
+    write_keyed(
+        spark.createDataFrame([(2, 20)], "key long, val long"),
+        primary, "key", mode=SinkMode.APPEND,
+    )
+    assert sync_replica(spark, primary, replica) is True
+    assert read_keyed(spark, replica).count() == 2
+    # devolve AGAIN while behind: the diff must be refused
+    _devolve()
+    write_keyed(
+        spark.createDataFrame([(3, 30)], "key long, val long"),
+        primary, "key", mode=SinkMode.APPEND,
+    )
+    with _pytest.raises(StaleReplicaError, match="predates incarnation"):
+        sync_replica(spark, primary, replica)
+    # rebuild is the documented recovery
+    create_replica(spark, primary, replica)
+    assert read_keyed(spark, replica).count() == 3
+
+
 def test_replica_vacuumed_cursor_raises_stale_not_filenotfound(spark, tmp_path):
     """A vacuum that collects the replica's cursor generation must
     surface as the documented StaleReplicaError rebuild signal, not a

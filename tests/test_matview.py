@@ -158,11 +158,17 @@ def test_replaced_base_raises_stale(spark, tmp_path):
     assert _actual(spark, view) == _expected(spark, base)
 
 
-def test_pre_base_id_view_refreshes_and_backfills(spark, tmp_path):
-    """A view created before the base_id stamp existed (no 'base_id'
-    in its matview meta) must refresh normally — not spuriously raise
-    'base was replaced' — and the successful refresh backfills the
-    stamp so the guard is armed from then on (r09 review finding)."""
+def test_pre_base_id_view_stamps_when_current_raises_when_behind(
+    spark, tmp_path
+):
+    """A view created before the base_id stamp existed (no 'base_id' in
+    its matview meta) can only be trusted when its cursor EQUALS the
+    base version — that case stamps the incarnation with a meta-only
+    flip and reports current.  A behind cursor must raise the rebuild
+    signal instead of diffing: the number alone cannot prove the base
+    was not REPLACEd onto an overlapping version range (r09 ADVICE —
+    supersedes the r09-review fall-through, whose upgrade window could
+    quietly diff two unrelated histories)."""
     import os
 
     from cascading_hbase_spark.keyed.controlplane import get_control_plane
@@ -178,15 +184,30 @@ def test_pre_base_id_view_refreshes_and_backfills(spark, tmp_path):
     meta = cp.read_json(mp)
     meta["matview"].pop("base_id", None)
     cp.write_json_atomic(mp, meta)
+    # current cursor: stamped via a meta-only flip, reported current
+    assert refresh_aggregate_view(spark, base, view) is False
+    stamped = cp.read_json(mp)["matview"].get("base_id")
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    assert stamped == _load_meta(base).get("table_id")
+    # a stamped view refreshes normally
     write_keyed(
         _base_df(spark, [(2, "a", 2.0)]), base, "id", mode=SinkMode.APPEND
     )
     assert refresh_aggregate_view(spark, base, view) is True
     assert _actual(spark, view) == _expected(spark, base)
-    stamped = cp.read_json(mp)["matview"].get("base_id")
-    from cascading_hbase_spark.keyed.table import _load_meta
-
-    assert stamped == _load_meta(base).get("table_id")
+    # devolve AGAIN while behind: the diff must be refused
+    meta = cp.read_json(mp)
+    meta["matview"].pop("base_id", None)
+    cp.write_json_atomic(mp, meta)
+    write_keyed(
+        _base_df(spark, [(3, "b", 3.0)]), base, "id", mode=SinkMode.APPEND
+    )
+    with pytest.raises(StaleViewError, match="predates incarnation"):
+        refresh_aggregate_view(spark, base, view)
+    # rebuild is the documented recovery
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    assert _actual(spark, view) == _expected(spark, base)
     # and the armed guard now catches a real replacement
     write_keyed(
         _base_df(spark, [(9, "z", 9.0)]), base, "id", mode=SinkMode.REPLACE

@@ -313,6 +313,38 @@ def test_expired_lease_reclaim_exactly_one_winner():
         assert len(got) == 1 and len(errs) == 1, (got, errs)
 
 
+def test_commit_outrunning_lease_refuses_to_flip():
+    """A commit that outruns lease_ttl must NOT flip the manifest after
+    a contender reclaimed the lease: the pointer CAS alone protects the
+    manifest but not the shared generation data keys, so the slow
+    writer's flip could expose a mix of both writers' files (r09
+    ADVICE).  write_json_atomic re-verifies lease ownership just before
+    the flip and refuses, deleting its own versioned orphan."""
+    clock = FakeClock()
+    store = EmulatedObjectStore(time_fn=clock)
+    slow = ObjectStoreControlPlane(store, holder="slow", lease_ttl=10)
+    fast = ObjectStoreControlPlane(store, holder="fast", lease_ttl=10)
+    mkey = "/t/_kt_meta.json"
+    with pytest.raises(ConcurrentWriteError, match="reclaimed mid-commit"):
+        with slow.writer_lease("/t"):
+            clock.t += 11  # the slow commit outruns its TTL...
+            with fast.writer_lease("/t"):  # ...and a contender reclaims
+                fast.write_json_atomic(mkey, {"version": 1, "who": "fast"})
+            # the reclaimed writer must refuse the flip
+            slow.write_json_atomic(mkey, {"version": 1, "who": "slow"})
+    # the winner's manifest is intact and no orphan version objects
+    # from the loser survive
+    assert slow.read_json(mkey)["who"] == "fast"
+    vkeys = store.list_keys(mkey + ".v")
+    assert all(
+        json.loads(store.get(k)[0])["who"] == "fast" for k in vkeys
+    ), vkeys
+    # a lease held for table A must not veto a commit to table B
+    with slow.writer_lease("/t"):
+        slow.write_json_atomic("/other/_kt_meta.json", {"version": 1})
+    assert slow.read_json("/other/_kt_meta.json") == {"version": 1}
+
+
 def test_lease_release_unblocks_exclusion():
     cp = ObjectStoreControlPlane()
     with cp.writer_lease("/t"):
