@@ -6,9 +6,22 @@ must not change engine behavior."""
 from __future__ import annotations
 
 import json
+import os as _os
 
 import pyspark.sql.functions as F
 import pytest
+
+# The legacy flat-bucket layout is a LOCAL-FS artifact by definition
+# (a literal _kt_meta.json + flat files on disk predating generations);
+# under the object-store plane no table can exist in that form, so the
+# migration scenario is plane-inapplicable — same rationale as
+# tests/test_keyed_table.py's localfs_plane_only group.
+localfs_plane_only = pytest.mark.skipif(
+    _os.environ.get("KT_PLANE") == "objectstore",
+    reason="pre-generation legacy layout is a local-FS-only artifact; "
+    "the generation lifecycle itself is covered on the plane in "
+    "test_objectstore.py",
+)
 
 from cascading_hbase_spark.keyed.controlplane import (
     ConcurrentWriteError,
@@ -148,6 +161,7 @@ def test_history_prune_routes_delete_quiet(spark, tmp_path, monkeypatch):
     assert rec.calls.get("delete_quiet", 0) > 0
 
 
+@localfs_plane_only
 def test_legacy_migration_routes_move_object(spark, tmp_path):
     """The flat-bucket legacy layout migrates through move_object (the
     one single-object move in the engine — server-side copy+delete on
