@@ -90,6 +90,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # surface carries a driver verdict, not just pytest (VERDICT r09
     # item 2).
     "adapter_copy_flow",
+    # r10: NEW pair — the changefeed STREAMING SOURCE (manifest-version
+    # offsets; VERDICT r09 item 5a), oracled feed-vs-model.
+    "streaming_changefeed_source",
 ]
 
 # Number of head entries the driver's per-round budget is known to

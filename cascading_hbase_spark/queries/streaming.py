@@ -232,3 +232,61 @@ def streaming_stateful_totals_final(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("n_events").cast("bigint").alias("n_events"),
         F.max_by("value_sum", "n_events").alias("value_sum"),
     )
+
+
+_CHANGEFEED_SOURCE_ORACLE = """
+    SELECT o_orderkey, o_custkey, price, change FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             'delete' AS change
+      FROM orders WHERE o_orderkey % 10 < 8 AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice * 2, 'update'
+      FROM orders
+      WHERE o_orderkey % 10 < 8 AND o_orderkey % 5 = 0
+        AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, 'insert'
+      FROM orders WHERE o_orderkey % 10 >= 8 AND o_orderkey % 7 <> 0
+    )
+"""
+
+
+@query("streaming_changefeed_source", oracle=_CHANGEFEED_SOURCE_ORACLE)
+def streaming_changefeed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changefeed STREAMING SOURCE (r10): a keyed table commits
+    three generations — seed, update+insert, delete — and a Structured
+    Streaming subscriber (``read_changefeed_stream``, a PySpark 4
+    Python DataSource whose offsets are manifest commit versions,
+    ``streaming/changefeed_source.py``) drains the net (v1, v3] feed.
+    The oracle reconstructs that diff from first principles: deletes
+    carry the PRE-change (v1) payload, updates the doubled price,
+    inserts the v2-arrived rows; a key inserted at v2 and deleted at
+    v3 never appears (absent from both end snapshots)."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.catalog import load_table
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_cfs_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    updates = seed.filter(k % 5 == 0).withColumn(
+        "price", F.col("price") * 2
+    )
+    inserts = orders.filter(k % 10 >= 8)
+    write_keyed(
+        updates.unionByName(inserts), path, "o_orderkey",
+        mode=SinkMode.APPEND,
+    )                                                                  # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    feed = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=1), "append"
+    )
+    return feed.withColumnRenamed("_change", "change")

@@ -8,6 +8,7 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     enriched_segment_revenue,
     events_stream,
     exactly_once_ingest,
+    read_changefeed_stream,
     stream_ingest_dedup,
     interval_join_clicks_to_purchases,
     run_available_now,

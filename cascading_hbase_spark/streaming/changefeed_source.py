@@ -1,0 +1,302 @@
+"""Structured Streaming SOURCE over a keyed table's changefeed — the
+CDC loop's missing quadrant (batch feeds exist via ``changefeed_keyed``
+and replicas pull them; this lets ANY downstream streaming query
+subscribe to a table's changes).
+
+Spark-first architecture: a PySpark 4 Python DataSource
+(``pyspark.sql.datasource``) whose STREAM OFFSETS are the keyed
+table's manifest commit versions.  Generations are immutable, so
+replaying an offset interval is deterministic — the file-source-grade
+exactly-once contract falls out of the storage design instead of
+needing a dedup layer.  The HBase analogue the reference relied on is
+cluster-level WAL shipping (its deployments subscribed via HBase
+replication, ``HBaseTap.java:69-93`` holds only a client admin
+connection); here the manifest history IS the WAL.
+
+Scale design:
+
+- ``partitions(start, end)`` plans ONE partition per changed bucket
+  key-range: buckets whose generation pointer and boundaries are
+  identical at both offsets are skipped entirely, so a micro-batch
+  costs O(touched buckets), not O(table) — the same pruning the
+  engine's upsert write path gets.
+- planning resolves everything control-plane-flavored (manifest
+  history, file listings, the registered version-token column) on the
+  DRIVER; each ``InputPartition`` ships only final parquet file paths
+  + a key range, so executor-side ``read()`` touches the DATA plane
+  alone (pure Arrow, no Spark, no control plane).
+- the per-partition diff mirrors ``changefeed_keyed``'s semantics:
+  one row per key whose PAYLOAD changed, ``_change`` in
+  {'insert','update','delete'} (deletes carry the pre-delete row),
+  and the version-token column registered AT the end offset excluded
+  from change detection (an idempotent re-ingest is silent).
+
+Contract notes (each enforced or documented below): the output schema
+is pinned at stream start (columns added by later additive evolution
+join the feed only after a restart); TTL tables are refused (TTL
+filtering is wall-clock-dependent — replay would not be
+deterministic); a start offset older than the vacuum/retention horizon
+raises the standard rebuild signal instead of diffing partial data.
+
+Plane note: planning reads the manifest/history JSONs directly from
+the table path — the local-FS layout every real deployment of this
+engine has for its DATA plane.  The in-memory ``EmulatedObjectStore``
+plane is process-local by construction and invisible to Spark's
+planning worker; a cloud port passes the store's endpoint/credentials
+through the source options exactly like every other Spark connector.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+SOURCE_NAME = "keyed_changefeed"
+CHANGE_COL = "_change"
+
+# ---------------------------------------------------------------------------
+# planning helpers — plain-file manifest access (driver-side planning
+# worker; see the plane note in the module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _load_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_kt_meta.json")) as f:
+        return json.load(f)
+
+
+def _load_history(path: str, version: int) -> dict:
+    hp = os.path.join(path, "_kt_history", f"v{version}.json")
+    try:
+        with open(hp) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"keyed table {path}: manifest snapshot v{version} is no "
+            f"longer in the commit log (HISTORY_KEEP pruning); restart "
+            f"the changefeed stream from a retained version"
+        ) from None
+
+
+def _horizon(meta: dict) -> int:
+    return max(
+        meta.get("version", 1) - meta.get("retain", 2) + 1,
+        meta.get("vacuum_horizon", 1),
+    )
+
+
+def _gen_files(path: str, bucket: int, gen: int) -> list[str]:
+    d = os.path.join(path, f"_kt_bucket={bucket}", f"_kt_gen={gen}")
+    try:
+        names = os.listdir(d)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    return sorted(
+        os.path.join(d, n)
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
+def _bucket_range(boundaries: list, b: int) -> tuple:
+    """Half-open key range of bucket ``b`` (None = unbounded edge);
+    bucket(k) = number of boundaries <= k (keyed/table.py:246)."""
+    lo = boundaries[b - 1] if b > 0 else None
+    hi = boundaries[b] if b < len(boundaries) else None
+    return lo, hi
+
+
+def _overlapping_buckets(boundaries: list, lo, hi) -> list[int]:
+    """Buckets of ``boundaries`` whose range intersects [lo, hi)."""
+    out = []
+    for b in range(len(boundaries) + 1):
+        blo, bhi = _bucket_range(boundaries, b)
+        if hi is not None and blo is not None and blo >= hi:
+            continue
+        if lo is not None and bhi is not None and bhi <= lo:
+            continue
+        out.append(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# executor-side diff (pure Arrow — no Spark, no control plane)
+# ---------------------------------------------------------------------------
+
+
+def _read_rows(files: list[str], columns: list[str], key: str, lo, hi) -> dict:
+    """{key_value: [payload...] in ``columns`` order} over ``files``,
+    restricted to keys in [lo, hi).  Columns a file predates (additive
+    schema evolution) read as None.  ``to_pylist`` keeps values exact
+    (ints stay ints — no pandas null-float coercion)."""
+    import pyarrow.parquet as pq
+
+    rows: dict = {}
+    for f in files:
+        pf = pq.ParquetFile(f)
+        have = [c for c in columns if c in pf.schema_arrow.names]
+        t = pf.read(columns=have)
+        for r in t.to_pylist():
+            k = r.get(key)
+            if lo is not None and not (k is not None and k >= lo):
+                continue
+            if hi is not None and not (k is not None and k < hi):
+                continue
+            rows[k] = [r.get(c) for c in columns]
+    return rows
+
+
+class _DiffPartition(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+# ---------------------------------------------------------------------------
+# the source
+# ---------------------------------------------------------------------------
+
+
+class KeyedChangefeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("keyed_changefeed requires .option('path', ...)")
+        self.columns = [f.name for f in schema.fields if f.name != CHANGE_COL]
+        meta = _load_manifest(self.path)
+        if meta.get("ttl"):
+            raise ValueError(
+                f"keyed table {self.path} has a row-TTL policy; TTL "
+                f"filtering is wall-clock-dependent, so a changefeed "
+                f"stream over it could not replay deterministically — "
+                f"subscribe to a TTL-free table (e.g. a replica without "
+                f"the policy) instead"
+            )
+        self.key = meta["key"]
+        fv = options.get("from_version")
+        self._initial = int(fv) if fv is not None else meta.get("version", 1)
+
+    # -- offsets: manifest commit versions ------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        return {"version": _load_manifest(self.path).get("version", 1)}
+
+    def commit(self, end: dict) -> None:
+        # retention is the table's own vacuum/retain policy; the source
+        # keeps no state of its own (offsets live in the checkpoint)
+        pass
+
+    # -- planning --------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        cur = _load_manifest(self.path)
+        if v0 < _horizon(cur):
+            raise RuntimeError(
+                f"keyed table {self.path}: changefeed start generation "
+                f"{v0} is older than the readable horizon "
+                f"{_horizon(cur)} (retain/vacuum); restart the stream "
+                f"from a retained version"
+            )
+        old = _load_history(self.path, v0)
+        new = _load_history(self.path, v1)
+        seq_col = new.get("seq_col")  # registration in effect AT v1
+        ob, nb = old.get("boundaries", []), new.get("boundaries", [])
+        ogens, ngens = old.get("gens", {}), new.get("gens", {})
+        parts: list[InputPartition] = []
+        for b in range(len(nb) + 1):
+            lo, hi = _bucket_range(nb, b)
+            obuckets = _overlapping_buckets(ob, lo, hi)
+            if (
+                ob == nb
+                and obuckets == [b]
+                and ogens.get(str(b)) == ngens.get(str(b))
+            ):
+                # untouched bucket: same boundaries, same generation
+                # pointer — no diff to compute (micro-batch cost is
+                # O(touched buckets), not O(table))
+                continue
+            old_files = [
+                f
+                for b2 in obuckets
+                if str(b2) in ogens
+                for f in _gen_files(self.path, b2, ogens[str(b2)])
+            ]
+            new_files = (
+                _gen_files(self.path, b, ngens[str(b)])
+                if str(b) in ngens
+                else []
+            )
+            if not old_files and not new_files:
+                continue
+            parts.append(
+                _DiffPartition(
+                    {
+                        "lo": lo,
+                        "hi": hi,
+                        "old_files": old_files,
+                        "new_files": new_files,
+                        "columns": self.columns,
+                        "key": self.key,
+                        "seq_col": seq_col,
+                    }
+                )
+            )
+        return parts
+
+    # -- executor read ----------------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        s = partition.spec
+        cols, key, seq = s["columns"], s["key"], s["seq_col"]
+        payload_idx = [
+            i for i, c in enumerate(cols) if c != key and c != seq
+        ]
+        old = _read_rows(s["old_files"], cols, key, s["lo"], s["hi"])
+        new = _read_rows(s["new_files"], cols, key, s["lo"], s["hi"])
+        for k, row in new.items():
+            if k not in old:
+                yield (*row, "insert")
+            else:
+                prev = old[k]
+                if any(row[i] != prev[i] for i in payload_idx):
+                    yield (*row, "update")
+        for k, row in old.items():
+            if k not in new:
+                yield (*row, "delete")  # pre-delete row, like the batch feed
+
+
+class KeyedChangefeedDataSource(DataSource):
+    """``spark.readStream.format("keyed_changefeed")`` — see module
+    docstring.  Options: ``path`` (the keyed table), ``from_version``
+    (starting cursor; default = the table's version at stream start,
+    i.e. future changes only)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("keyed_changefeed requires .option('path', ...)")
+        meta = _load_manifest(path)
+        st = StructType.fromJson(json.loads(meta["schema"]))
+        return StructType(
+            list(st.fields) + [StructField(CHANGE_COL, StringType(), False)]
+        )
+
+    def streamReader(self, schema: StructType) -> KeyedChangefeedStreamReader:
+        return KeyedChangefeedStreamReader(schema, dict(self.options))

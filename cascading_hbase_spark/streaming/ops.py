@@ -699,3 +699,38 @@ def stream_maintained_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_changefeed_stream(
+    spark: SparkSession, path: str, from_version: int | None = None
+) -> DataFrame:
+    """Subscribe to a keyed table's changefeed as a STREAMING DataFrame
+    — offsets are manifest commit versions, partitions are the touched
+    buckets, every change row is tagged ``_change`` in
+    {'insert','update','delete'} (the batch ``changefeed_keyed``'s
+    contract, minus ``_before``).  See
+    ``streaming/changefeed_source.py`` for the source's architecture
+    and contracts (pinned schema, TTL refusal, horizon signal).
+
+    ``from_version=None`` (default) subscribes to FUTURE changes only
+    (cursor = the table's version at stream start, like
+    ``create_replica``); pass an older retained version to replay."""
+    from cascading_hbase_spark.keyed.table import _load_meta
+    from cascading_hbase_spark.streaming.changefeed_source import (
+        KeyedChangefeedDataSource,
+    )
+
+    # fail fast driver-side (the source re-checks in its own planning
+    # worker): TTL filtering is wall-clock-dependent, so replaying an
+    # offset interval would not be deterministic
+    if _load_meta(path).get("ttl"):
+        raise ValueError(
+            f"keyed table {path} has a row-TTL policy; a changefeed "
+            f"stream over it could not replay deterministically — "
+            f"subscribe to a TTL-free table instead"
+        )
+    spark.dataSource.register(KeyedChangefeedDataSource)
+    reader = spark.readStream.format("keyed_changefeed").option("path", path)
+    if from_version is not None:
+        reader = reader.option("from_version", str(from_version))
+    return reader.load()
