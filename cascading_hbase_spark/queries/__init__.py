@@ -93,6 +93,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r10: NEW pair — the changefeed STREAMING SOURCE (manifest-version
     # offsets; VERDICT r09 item 5a), oracled feed-vs-model.
     "streaming_changefeed_source",
+    # r10: NEW pair — multi-table atomic maintenance chain (keyed/txn.py;
+    # VERDICT r09 item 5b), view-vs-rebuild oracle.
+    "atomic_maintenance_chain",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -190,6 +190,69 @@ def adapter_copy_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).read(spark)
 
 
+@query(
+    "atomic_maintenance_chain",
+    oracle="""
+    SELECT o_custkey % 100 AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def atomic_maintenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC maintenance chain (r10, ``keyed/txn.py``):
+    ingest a delta into the primary, sync its replica, and refresh the
+    replica's aggregate view — three keyed tables, ONE transaction
+    (staged manifests, a single atomic decision document, healed
+    flips).  The returned view must equal a from-scratch aggregation
+    of ALL orders, which only holds if the full chain landed: a lost
+    sync or refresh would leave the delta missing from the view.
+    Integer-cents totals keep the incremental float-free (exact SUM
+    over longs — the house DECIMAL-internal rule)."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        read_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.replica import (
+        create_replica,
+        sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+    from cascading_hbase_spark.keyed.txn import multi_commit
+
+    root = tempfile.mkdtemp(prefix="chs_txn_chain_")
+    primary = os.path.join(root, "primary")
+    replica = os.path.join(root, "replica")
+    view = os.path.join(root, "view")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(orders.filter(k % 4 != 3), primary, "o_orderkey", retain=10)
+    create_replica(spark, primary, replica)
+    create_aggregate_view(
+        spark, replica, view, "grp", {"cents_total": "cents"}
+    )
+    with multi_commit([primary, replica, view]):
+        write_keyed(
+            orders.filter(k % 4 == 3), primary, "o_orderkey",
+            mode=SinkMode.APPEND,
+        )
+        sync_replica(spark, primary, replica)
+        refresh_aggregate_view(spark, replica, view)
+    return read_aggregate_view(spark, view).select(
+        "grp", "n_rows", "cents_total"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filters / row-wise functions ([T] then [D])
 # ---------------------------------------------------------------------------

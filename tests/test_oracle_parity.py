@@ -32,6 +32,11 @@ def test_oracle_parity(name, spark, duck):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+# NOTE: since r09 the registry is fully oracled, so this parameter set
+# is EMPTY and pytest reports one structural skip ("got empty parameter
+# set") — that skip is the 270/270-oracled milestone, not a gap.  The
+# test stays as the guard that would catch a future oracle-less
+# registration.
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(name, spark):
     df = QUERIES[name](spark, SF_DIR)

@@ -1,0 +1,237 @@
+"""Multi-table atomic commit (keyed/txn.py): an ingest + replica-sync
++ matview-refresh chain flips all three manifests in one transaction —
+all-or-nothing outcome, crash-healed flips, abort leaves every table
+untouched.  Plane-portable: all manifest manipulation goes through the
+control plane."""
+
+from __future__ import annotations
+
+import pytest
+
+from cascading_hbase_spark.keyed.controlplane import (
+    ConcurrentWriteError,
+    get_control_plane,
+)
+from cascading_hbase_spark.keyed.matview import (
+    create_aggregate_view,
+    refresh_aggregate_view,
+)
+from cascading_hbase_spark.keyed.replica import create_replica, sync_replica
+from cascading_hbase_spark.keyed.table import (
+    SinkMode,
+    read_keyed,
+    write_keyed,
+)
+from cascading_hbase_spark.keyed.txn import (
+    default_txn_log,
+    multi_commit,
+    recover_multi_commit,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, val double")
+
+
+def _versions(paths):
+    cp = get_control_plane()
+    return [
+        cp.read_json(p.rstrip("/") + "/_kt_meta.json").get("version")
+        for p in paths
+    ]
+
+
+@pytest.fixture
+def chain(spark, tmp_path):
+    """primary -> replica -> matview, all current at version 1/1/1."""
+    primary = str(tmp_path / "primary")
+    replica = str(tmp_path / "replica")
+    view = str(tmp_path / "view")
+    write_keyed(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), primary, "id", retain=10
+    )
+    create_replica(spark, primary, replica)
+    create_aggregate_view(spark, replica, view, "grp", {"total": "val"})
+    return primary, replica, view
+
+
+def _totals(spark, view):
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+
+    return {
+        r.grp: r.total for r in read_aggregate_view(spark, view).collect()
+    }
+
+
+def test_chain_commits_atomically_and_cleans_log(spark, chain):
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    before = _versions(paths)
+    with multi_commit(paths):
+        write_keyed(
+            _df(spark, [(3, "a", 10.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+        assert sync_replica(spark, primary, replica) is True
+        assert refresh_aggregate_view(spark, replica, view) is True
+    # all three advanced, chain state consistent, txn doc gone
+    assert _versions(paths) == [v + 1 for v in before]
+    assert read_keyed(spark, replica).count() == 3
+    assert _totals(spark, view) == {"a": 11.0, "b": 2.0}
+    assert not get_control_plane().object_exists(default_txn_log(paths))
+
+
+def test_abort_flips_nothing(spark, chain):
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    before = _versions(paths)
+    with pytest.raises(RuntimeError, match="chain failure"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            sync_replica(spark, primary, replica)
+            raise RuntimeError("chain failure")
+    assert _versions(paths) == before
+    assert read_keyed(spark, primary).count() == 2
+    assert read_keyed(spark, replica).count() == 2
+    # the chain is re-runnable after the abort
+    with multi_commit(paths):
+        write_keyed(
+            _df(spark, [(3, "a", 10.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+        sync_replica(spark, primary, replica)
+        refresh_aggregate_view(spark, replica, view)
+    assert read_keyed(spark, replica).count() == 3
+    assert _totals(spark, view) == {"a": 11.0, "b": 2.0}
+
+
+def test_crash_mid_flip_is_healed_by_recovery(spark, chain, monkeypatch):
+    """A crash between the decision write and the last pointer flip
+    leaves the transaction document; recovery completes the remaining
+    flips idempotently (already-flipped tables are skipped)."""
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    inner = get_control_plane()
+    log = default_txn_log(paths)
+    view_meta = view.rstrip("/") + "/_kt_meta.json"
+    real_write = inner.write_json_atomic
+
+    def crashing(key, obj):
+        if key == view_meta:
+            raise OSError("simulated crash before the view's flip")
+        real_write(key, obj)
+
+    monkeypatch.setattr(inner, "write_json_atomic", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            sync_replica(spark, primary, replica)
+            refresh_aggregate_view(spark, replica, view)
+    monkeypatch.undo()
+    # decided: the txn doc exists; primary+replica flipped, view stale
+    assert inner.object_exists(log)
+    pv, rv, vv = _versions(paths)
+    assert (pv, rv) == (2, 2) and vv == 1
+    assert recover_multi_commit(log) is True
+    assert _versions(paths) == [2, 2, 2]
+    assert _totals(spark, view) == {"a": 11.0, "b": 2.0}
+    assert not inner.object_exists(log)
+    # and the next multi_commit on the same log would have healed too
+    assert recover_multi_commit(log) is False
+
+
+def test_concurrent_advance_aborts_preflight(spark, chain):
+    """A table that moves under the transaction (another writer's
+    commit between staging and decision) aborts the whole transaction
+    before anything is decided or flipped."""
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            # an out-of-band writer sneaks a commit onto the replica
+            # while its sync is still staged
+            sync_replica(spark, primary, replica)
+            inner_cp = get_control_plane()
+            from cascading_hbase_spark.keyed.txn import _TxnControlPlane
+
+            assert isinstance(inner_cp, _TxnControlPlane)
+            from cascading_hbase_spark.keyed.controlplane import (
+                use_control_plane,
+            )
+
+            with use_control_plane(inner_cp._inner):
+                write_keyed(
+                    _df(spark, [(9, "z", 9.0)]), replica, "id",
+                    mode=SinkMode.APPEND,
+                )
+    # nothing from the transaction landed; the out-of-band write did
+    assert not get_control_plane().object_exists(default_txn_log(paths))
+    assert read_keyed(spark, primary).count() == 2
+    assert {r.id for r in read_keyed(spark, replica).collect()} == {1, 2, 9}
+
+
+def test_empty_transaction_is_a_noop(spark, chain):
+    primary, replica, view = chain
+    before = _versions([primary, replica, view])
+    with multi_commit([primary, replica, view]):
+        assert sync_replica(spark, primary, replica) is False
+    assert _versions([primary, replica, view]) == before
+    assert not get_control_plane().object_exists(
+        default_txn_log([primary, replica, view])
+    )
+
+
+@pytest.mark.parametrize("crash_at", [0, 1, 2, 3])
+def test_every_flip_crash_point_recovers_all_or_nothing(
+    spark, chain, monkeypatch, crash_at
+):
+    """Sweep the crash point across the whole flip sequence (before
+    the decision, and after each of the three pointer flips): before
+    the decision document lands NOTHING may flip; after it, recovery
+    must complete ALL flips — no crash point yields a half-applied
+    chain that recovery cannot heal."""
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    inner = get_control_plane()
+    log = default_txn_log(paths)
+    real_write = inner.write_json_atomic
+    seen = {"writes": 0}
+
+    def crashing(key, obj):
+        # count only the commit sequence: the decision doc + meta flips
+        if key == log or key.endswith("/_kt_meta.json"):
+            if seen["writes"] == crash_at:
+                raise OSError(f"simulated crash at step {crash_at}")
+            seen["writes"] += 1
+        real_write(key, obj)
+
+    monkeypatch.setattr(inner, "write_json_atomic", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            sync_replica(spark, primary, replica)
+            refresh_aggregate_view(spark, replica, view)
+    monkeypatch.undo()
+    if crash_at == 0:
+        # the decision never landed: aborted, nothing flipped, no doc
+        assert not inner.object_exists(log)
+        assert _versions(paths) == [1, 1, 1]
+    else:
+        # decided: recovery completes whatever the crash left undone
+        assert inner.object_exists(log)
+        assert recover_multi_commit(log) is True
+        assert _versions(paths) == [2, 2, 2]
+        assert _totals(spark, view) == {"a": 11.0, "b": 2.0}

@@ -144,12 +144,12 @@ def main() -> int:
                    "hash_match": True} for n in head}
         with open(os.path.join(clone, f"CORRECTNESS_r{max_round + 1:02d}.json"), "w") as f:
             json.dump(sim, f)
-        rc1 = run([sys.executable, "-m", "pytest", "tests/test_registry.py", "-q"], clone)
+        rc1 = run([sys.executable, "-m", "pytest", "tests/test_registry.py", "-q", "-rs"], clone)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
     # 2) guard at HEAD as-is
-    rc2 = run([sys.executable, "-m", "pytest", "tests/test_registry.py", "-q"], REPO)
+    rc2 = run([sys.executable, "-m", "pytest", "tests/test_registry.py", "-q", "-rs"], REPO)
 
     # 3) hand-list vs reality
     changed_ok = changed_list_matches_git()
