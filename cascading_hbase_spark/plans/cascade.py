@@ -95,8 +95,25 @@ class MaintenanceFlow:
 
 
 class Cascade:
-    def __init__(self, flows: list[Flow]):
+    """``atomic_tables`` (r10) runs the whole cascade pass inside
+    ``keyed.txn.multi_commit`` over those keyed-table paths: every
+    member flow's commits to them stage, and ONE transaction decides
+    the pass — the maintenance-chain atomicity the reference's HBase
+    deployments never had (crash mid-cascade = nothing visible, or
+    recovery completes the flips).  Only meaningful for serial
+    execution: ``parallel=True`` with ``atomic_tables`` is refused —
+    the staging proxy serializes manifest state, so concurrent member
+    flows would race it for no wall-clock gain on maintenance nodes."""
+
+    def __init__(
+        self,
+        flows: list[Flow],
+        atomic_tables: list[str] | None = None,
+        txn_log: str | None = None,
+    ):
         self.flows = flows
+        self.atomic_tables = atomic_tables
+        self.txn_log = txn_log
 
     def _sorter(self) -> "graphlib.TopologicalSorter":
         """Dependency graph on tap URIs: a flow reading another flow's
@@ -134,6 +151,21 @@ class Cascade:
         Dependency order still holds: a flow is only submitted once all
         flows producing its sources have finished."""
         ran: list[str] = []
+        if self.atomic_tables:
+            if parallel:
+                raise ValueError(
+                    "atomic_tables requires serial execution (the "
+                    "transaction stages manifest state; see Cascade "
+                    "docstring)"
+                )
+            from cascading_hbase_spark.keyed.txn import multi_commit
+
+            with multi_commit(self.atomic_tables, self.txn_log):
+                for f in self._ordered():
+                    if force or f.is_stale():
+                        f.complete(spark)
+                        ran.append(f.name)
+            return ran
         if not parallel:
             for f in self._ordered():
                 if force or f.is_stale():

@@ -591,3 +591,85 @@ def test_cascade_vacuum_and_compact_maintenance_nodes(spark, tmp_path):
     assert len(gens) == 1  # fully reclaimed
     got = sorted((r.k, r.v) for r in read_keyed(spark, path).collect())
     assert got == [(i, float(i)) for i in range(1, 7)]
+
+
+def test_atomic_cascade_all_or_nothing(spark, tmp_path):
+    """A maintenance cascade with ``atomic_tables`` commits its whole
+    pass as ONE transaction (keyed/txn.py): a member flow failing
+    mid-pass leaves every table at its pre-pass version, and a clean
+    pass flips them together (r10, VERDICT r09 item 5b's cascade
+    integration)."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view, read_aggregate_view, refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.replica import (
+        create_replica, sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, read_keyed, write_keyed,
+    )
+    from cascading_hbase_spark.operators.taps import KeyedTableTap
+    from cascading_hbase_spark.plans.cascade import Cascade, MaintenanceFlow
+
+    primary = str(tmp_path / "p")
+    replica = str(tmp_path / "r")
+    vpath = str(tmp_path / "v")
+    df = lambda rows: spark.createDataFrame(rows, "k long, g string, v double")  # noqa: E731
+    write_keyed(df([(1, "a", 1.0), (2, "b", 2.0)]), primary, "k", retain=10)
+    create_replica(spark, primary, replica)
+    create_aggregate_view(spark, replica, vpath, "g", {"total": "v"})
+
+    def versions():
+        cp = get_control_plane()
+        return [
+            cp.read_json(p + "/_kt_meta.json")["version"]
+            for p in (primary, replica, vpath)
+        ]
+
+    ptap = KeyedTableTap(primary, key="k")
+    rtap = KeyedTableTap(replica, key="k")
+    ingest = MaintenanceFlow(
+        ptap, ptap,
+        lambda s: write_keyed(
+            df([(3, "a", 10.0)]), primary, "k", mode=SinkMode.APPEND
+        ),
+        name="ingest",
+    )
+    sync = MaintenanceFlow(
+        ptap, rtap, lambda s: sync_replica(s, primary, replica), name="sync"
+    )
+    boom = MaintenanceFlow(
+        rtap, KeyedTableTap(vpath, key="g"),
+        lambda s: (_ for _ in ()).throw(RuntimeError("refresh exploded")),
+        name="boom",
+    )
+    with _pytest.raises(RuntimeError, match="refresh exploded"):
+        Cascade(
+            [ingest, sync, boom], atomic_tables=[primary, replica, vpath]
+        ).complete(spark)
+    # nothing flipped: the pass aborted as a unit
+    assert versions() == [1, 1, 1]
+    assert read_keyed(spark, primary).count() == 2
+
+    refresh = MaintenanceFlow(
+        rtap, KeyedTableTap(vpath, key="g"),
+        lambda s: refresh_aggregate_view(s, replica, vpath), name="refresh",
+    )
+    ran = Cascade(
+        [refresh, sync, ingest],  # reversed on purpose; topo-sort orders
+        atomic_tables=[primary, replica, vpath],
+    ).complete(spark)
+    assert ran.index("ingest") < ran.index("sync") < ran.index("refresh")
+    assert versions() == [2, 2, 2]
+    totals = {
+        r.g: r.total for r in read_aggregate_view(spark, vpath).collect()
+    }
+    assert totals == {"a": 11.0, "b": 2.0}
+    # parallel + atomic is an explicit refusal
+    with _pytest.raises(ValueError, match="serial"):
+        Cascade([ingest], atomic_tables=[primary]).complete(
+            spark, parallel=True
+        )
