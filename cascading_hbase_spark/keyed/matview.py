@@ -207,9 +207,10 @@ def refresh_aggregate_view(
         # one diff-free safe case is cursor == base_version: stamp with
         # a meta-only flip and report current; else the rebuild signal.
         if cursor == base_version:
-            mv["base_id"] = base_meta.get("table_id")
-            meta["matview"] = mv
-            _save_meta(view_path, meta)
+            if base_meta.get("table_id") is not None:  # else nothing to stamp
+                mv["base_id"] = base_meta["table_id"]
+                meta["matview"] = mv
+                _save_meta(view_path, meta)
             return False
         raise StaleViewError(
             f"view {view_path} predates incarnation stamping and is "

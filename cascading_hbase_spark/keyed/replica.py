@@ -116,9 +116,10 @@ def sync_replica(
         # version: stamp the incarnation with a meta-only flip and
         # report current; anything else is the rebuild signal.
         if cursor == version:
-            rep["of_id"] = pmeta.get("table_id")
-            rmeta["replica"] = rep
-            _save_meta(replica_path, rmeta)
+            if pmeta.get("table_id") is not None:  # else nothing to stamp
+                rep["of_id"] = pmeta["table_id"]
+                rmeta["replica"] = rep
+                _save_meta(replica_path, rmeta)
             return False
         raise StaleReplicaError(
             f"replica {replica_path} predates incarnation stamping and "

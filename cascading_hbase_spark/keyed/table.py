@@ -420,6 +420,12 @@ def _commit_manifest(
         else:
             gens.pop(sb, None)
     meta["version"] = meta.get("version", 0) + 1
+    # backfill for tables created before incarnation ids existed: every
+    # commit heals them, so the replica/matview None-incarnation gate
+    # (which forces a one-time rebuild when it cannot prove lineage)
+    # converges instead of looping — a legacy base that committed since
+    # the dependent was built always carries an id by then (r10 review)
+    meta.setdefault("table_id", uuid.uuid4().hex)
     _save_meta(path, meta)  # <- the commit point
     _write_history(path, meta)
     _gc_orphans(path, meta)
@@ -621,14 +627,25 @@ def _direct_publish(
         ]
     produced = sorted(int(b) for b in observed)
     if affected is not None and not set(produced) <= set(affected):
-        # data landed in a bucket the orphan probes did not cover — a
-        # caller broke the frame-buckets ⊆ affected contract.  Refuse
-        # to flip the manifest: the files stay invisible orphans, the
-        # previous snapshot stays intact.
+        # data landed in a bucket the orphan probes did not cover —
+        # either the caller broke the frame-buckets ⊆ affected contract
+        # or a crashed attempt's leftover sits in an unprobed dir.
+        # Refuse to flip the manifest (previous snapshot stays intact)
+        # AND delete the offending dirs first: every file there is
+        # uncommitted (this write's escapees or a crashed attempt's),
+        # so the cleanup is safe and makes the refusal actually
+        # retryable — without it a stale leftover outside the affected
+        # set would wedge every later empty-plan commit that recomputes
+        # the same generation number (r10 review).
+        escaped = sorted(set(produced) - set(affected))
+        for b in escaped:
+            _cp().delete_tree_quiet(
+                os.path.join(path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{newgen[b]}")
+            )
         raise AssertionError(
-            f"direct commit wrote buckets {sorted(set(produced) - set(affected))} "
-            f"outside the declared affected set {sorted(affected)}; refusing to "
-            f"commit (possible crashed-attempt leftovers in unprobed dirs)"
+            f"direct commit found data in buckets {escaped} outside the "
+            f"declared affected set {sorted(affected)}; refusing to commit "
+            f"(offending uncommitted dirs deleted — a retry starts clean)"
         )
     written = {str(b): newgen[b] for b in produced}
     if affected is None:
@@ -643,6 +660,7 @@ _RESERVED_META = {
     "key", "boundaries", "next_seq", "families", "schema", "gens",
     "last_gen", "version", "retain", "ttl", "schema_evolved",
     "zone_cols", "zone_maps", "vacuum_horizon", "seq_col", "table_id",
+    "txn",
 }
 
 

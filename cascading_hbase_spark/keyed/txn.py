@@ -14,38 +14,58 @@ the per-table pointer flips.
 Protocol (presumed-abort two-phase commit, recovery-completed):
 
 1. STAGE — inside the block a proxy control plane intercepts
-   ``write_json_atomic`` on the registered tables' manifest keys: the
-   new manifest is held in memory and served back to subsequent reads
-   (chained ops see their own writes — a replica synced in the txn
-   feeds the matview refresh its post-sync state), while data files,
-   history documents and leases pass through unchanged.  Data files
-   written under a staged manifest are INVISIBLE, exactly like a
-   single-table commit's pre-flip window.
-2. DECIDE — on clean exit, after verifying no table moved under the
-   transaction (current version == the version each staging was based
-   on, else ``ConcurrentWriteError`` and nothing flips), the full set
-   of staged manifests is published atomically at ``txn_log``.  Before
+   ``write_json_atomic`` on the registered tables' manifest AND
+   commit-history keys: the new documents are held in memory and
+   served back to subsequent reads (chained ops see their own writes —
+   a replica synced in the txn feeds the matview refresh its post-sync
+   state, and a changefeed pinned to a staged version resolves its
+   staged history snapshot), while data files and leases pass through
+   unchanged.  Data files written under a staged manifest are
+   INVISIBLE, exactly like a single-table commit's pre-flip window.
+   Destructive whole-table operations (``SinkMode.REPLACE``, ``drop``)
+   on a registered table are REFUSED inside the block — they delete
+   the real tree immediately and therefore cannot be staged; an abort
+   after one would have destroyed the table it promised to leave
+   untouched.
+2. DECIDE — on clean exit the transaction takes every registered
+   table's writer lease (sorted order; held through the flips, so a
+   live foreign writer is excluded from the whole commit sequence),
+   verifies no table moved since its first read inside the block
+   (else ``ConcurrentWriteError`` and nothing flips), stamps each
+   staged manifest with the transaction id + base version, and
+   publishes the full staged set atomically at ``txn_log``.  Before
    this write the transaction is nothing but orphan files (a crash
    aborts it; the next writer's standard orphan probes clean up);
    after it the transaction is committed even if the process dies.
 3. FLIP — each table's manifest pointer is flipped to its staged
-   document, then the transaction document is deleted.  A crash
-   mid-flip is healed by ``recover_multi_commit`` (run automatically
-   at the next ``multi_commit`` on the same ``txn_log``): flips are
-   idempotent via the manifest version (apply only while current <
-   staged), so recovery completes the remainder and nothing reflips.
+   document and its staged history snapshots are published (same
+   manifest-then-history order as a single-table commit), then the
+   transaction document is deleted.  A crash mid-flip is healed by
+   ``recover_multi_commit`` (run automatically at the next
+   ``multi_commit`` on the same ``txn_log``): a table already carrying
+   this transaction's id is skipped, a table still at its recorded
+   base version is flipped, and ANY other state — a foreign commit
+   that landed in the crash window after the leases expired — raises
+   ``TxnIntegrityError`` loudly instead of silently half-applying
+   (the foreign commit built on the unflipped state and may have
+   GC'd the transaction's staged files as orphans; flipping over it
+   or skipping it silently would both corrupt — a human decides).
 
 Honest contract notes: the OUTCOME is atomic (all tables flip or
 none), the visibility INSTANT is not — a reader racing the flip loop
 can see table A new while table B is still old for the duration of
 step 3 (on a real object store, N tiny conditional PUTs).  That is the
 same guarantee lakehouse multi-table transactions provide without a
-shared catalog indirection, and the crash window is healed, not
-leaked.  An ABORTED transaction may also have let a staged commit's
-post-write GC collect one generation beyond the retain window on the
-staged tables (GC passes through; see test).  The single-writer-per-
-table deployment contract is unchanged — inner operations still take
-their per-table writer leases.
+shared catalog indirection, and the crash window is healed or
+loudly surfaced, never silently leaked.  An ABORTED transaction may
+also have let a staged commit's post-write GC collect one generation
+beyond the retain window on the staged tables (GC passes through; see
+test).  The transaction swaps the PROCESS-GLOBAL control plane for the
+duration of the block (the engine's documented injection model), so
+keyed READS from other threads of this driver process during the block
+observe staged state — run maintenance transactions from the single
+maintenance driver, which is already the deployment contract;
+concurrent/nested ``multi_commit`` in one process is refused.
 
 Reference parity: the reference had no cross-table transactions at all
 (HBase offers single-row atomicity; ``HBaseTap.java`` commits per
@@ -58,6 +78,8 @@ from __future__ import annotations
 import contextlib
 import copy
 import os
+import threading
+import uuid
 from collections.abc import Iterator
 
 from cascading_hbase_spark.keyed.controlplane import (
@@ -67,9 +89,22 @@ from cascading_hbase_spark.keyed.controlplane import (
     use_control_plane,
 )
 
-__all__ = ["multi_commit", "recover_multi_commit"]
+__all__ = ["TxnIntegrityError", "multi_commit", "recover_multi_commit"]
 
 _META = "_kt_meta.json"
+_HISTORY = "_kt_history"
+
+# one transaction per driver process at a time (the plane swap is
+# process-global; overlapping swaps would clobber each other's restore)
+_ACTIVE = threading.Lock()
+
+
+class TxnIntegrityError(RuntimeError):
+    """Recovery found a registered table in a state neither 'untouched
+    since the decision' nor 'already flipped by this transaction' — a
+    foreign commit interleaved in a crash window.  Completing OR
+    skipping the flip silently would each corrupt; resolve manually
+    (usually: rebuild the downstream tables of the chain)."""
 
 
 def _meta_key(path: str) -> str:
@@ -84,50 +119,96 @@ def default_txn_log(paths: list[str]) -> str:
 
 
 class _TxnControlPlane(ControlPlane):
-    """Delegating proxy that defers manifest flips of the registered
-    tables: staged manifests are held here and served back to reads;
-    everything else (data trees, history log, leases, GC) passes
-    through to the real plane."""
+    """Delegating proxy that defers manifest + history publishes of the
+    registered tables: staged documents are held here and served back
+    to reads; data trees, leases and GC pass through to the real plane.
+    Whole-table deletes of a registered table are refused (they cannot
+    be staged)."""
 
     def __init__(self, inner: ControlPlane, paths: list[str]):
         self._inner = inner
+        self._roots = {p.rstrip("/") for p in paths}
         self._meta_keys = {_meta_key(p) for p in paths}
         self.staged: dict[str, dict] = {}
+        self.staged_history: dict[str, dict] = {}
         self.base_version: dict[str, int] = {}
 
     @property
     def direct_commit(self) -> bool:
         return bool(getattr(self._inner, "direct_commit", False))
 
+    def _history_owner(self, key: str) -> str | None:
+        for root in self._roots:
+            if key.startswith(os.path.join(root, _HISTORY) + os.sep) or (
+                key.startswith(root + "/" + _HISTORY + "/")
+            ):
+                return root
+        return None
+
+    def _record_base(self, key: str, obj: dict | None) -> None:
+        # the version the chain FIRST observed — any read or write may
+        # be the first touch (closing the read-then-stage gap a
+        # write-time capture would leave)
+        if key in self._meta_keys and key not in self.base_version:
+            self.base_version[key] = (obj or {}).get("version", 0)
+
     # -- interception ---------------------------------------------------
 
     def read_json(self, key: str) -> dict:
         if key in self.staged:
             return copy.deepcopy(self.staged[key])
-        return self._inner.read_json(key)
+        if key in self.staged_history:
+            return copy.deepcopy(self.staged_history[key])
+        try:
+            obj = self._inner.read_json(key)
+        except FileNotFoundError:
+            self._record_base(key, None)
+            raise
+        self._record_base(key, obj)
+        return obj
 
     def write_json_atomic(self, key: str, obj: dict) -> None:
         if key in self._meta_keys:
             if key not in self.base_version:
                 try:
-                    self.base_version[key] = self._inner.read_json(key).get(
-                        "version", 0
-                    )
+                    self._record_base(key, self._inner.read_json(key))
                 except FileNotFoundError:
-                    self.base_version[key] = 0
+                    self._record_base(key, None)
             self.staged[key] = copy.deepcopy(obj)
+            return
+        if self._history_owner(key) is not None:
+            # defer history snapshots with their manifests: an aborted
+            # transaction must not leave committed-looking snapshots in
+            # the real log (published at FLIP, manifest-then-history —
+            # the single-table commit's order)
+            self.staged_history[key] = copy.deepcopy(obj)
             return
         self._inner.write_json_atomic(key, obj)
 
     def object_exists(self, key: str) -> bool:
-        if key in self.staged:
+        if key in self.staged or key in self.staged_history:
             return True
         return self._inner.object_exists(key)
 
-    # -- pure delegation --------------------------------------------------
-
     def delete_quiet(self, key: str) -> None:
+        # history pruning of a staged (newest) snapshot never happens
+        # (HISTORY_KEEP prunes old versions only); a staged key deleted
+        # here would be a bug we want loud, so no special-casing
+        self.staged_history.pop(key, None)
         self._inner.delete_quiet(key)
+
+    def delete_tree_quiet(self, prefix: str) -> None:
+        if prefix.rstrip("/") in self._roots:
+            raise ValueError(
+                f"multi_commit: whole-table delete of registered table "
+                f"{prefix} cannot be staged (SinkMode.REPLACE / drop "
+                f"destroy the committed tree immediately, so an abort "
+                f"could not leave the table untouched); run destructive "
+                f"rebuilds outside the transaction"
+            )
+        self._inner.delete_tree_quiet(prefix)
+
+    # -- pure delegation --------------------------------------------------
 
     def object_size(self, key: str) -> int:
         return self._inner.object_size(key)
@@ -141,9 +222,6 @@ class _TxnControlPlane(ControlPlane):
     def ensure_dir(self, prefix: str) -> None:
         self._inner.ensure_dir(prefix)
 
-    def delete_tree_quiet(self, prefix: str) -> None:
-        self._inner.delete_tree_quiet(prefix)
-
     def promote_dir(self, src: str, dst: str) -> None:
         self._inner.promote_dir(src, dst)
 
@@ -154,23 +232,58 @@ class _TxnControlPlane(ControlPlane):
         return self._inner.writer_lease(table_path)
 
 
+def _table_of_meta_key(key: str) -> str:
+    return key[: -len("/" + _META)] if key.endswith("/" + _META) else key
+
+
+def _apply_one(cp: ControlPlane, key: str, staged: dict, history: dict) -> None:
+    """Flip one table and publish its staged history snapshots —
+    manifest first, then history, the single-table commit order."""
+    cp.write_json_atomic(key, staged)
+    root = _table_of_meta_key(key)
+    prefix = root + "/" + _HISTORY + "/"
+    for hkey, hobj in history.items():
+        if hkey.startswith(prefix):
+            cp.write_json_atomic(hkey, hobj)
+
+
 def recover_multi_commit(txn_log: str) -> bool:
-    """Complete a decided-but-unfinished transaction at ``txn_log``
-    (idempotent; flips only tables whose manifest version is still
-    below the staged one), then delete the document.  Returns whether
-    a transaction document was found."""
+    """Complete a decided-but-unfinished transaction at ``txn_log``,
+    then delete the document.  Returns whether a document was found.
+
+    Per table: already carrying this transaction's id -> skip; still at
+    the recorded base version -> flip; anything else -> loud
+    ``TxnIntegrityError`` (a foreign commit interleaved — see module
+    docstring), leaving the document in place for the operator."""
     cp = get_control_plane()
     try:
         doc = cp.read_json(txn_log)
     except FileNotFoundError:
         return False
-    for key, staged in doc["tables"].items():
-        try:
-            cur = cp.read_json(key).get("version", 0)
-        except FileNotFoundError:
-            cur = 0
-        if cur < staged.get("version", 0):
-            cp.write_json_atomic(key, staged)
+    txn_id = doc.get("id")
+    history = doc.get("history", {})
+    with contextlib.ExitStack() as stack:
+        for key in sorted(doc["tables"]):
+            stack.enter_context(cp.writer_lease(_table_of_meta_key(key)))
+        for key, staged in doc["tables"].items():
+            base = staged.get("txn", {}).get("base", -1)
+            try:
+                cur = cp.read_json(key)
+            except FileNotFoundError:
+                cur = {}
+            if cur.get("txn", {}).get("id") == txn_id:
+                continue  # this transaction's flip already landed
+            if cur.get("version", 0) == base:
+                _apply_one(cp, key, staged, history)
+                continue
+            raise TxnIntegrityError(
+                f"recovery of transaction {txn_id} at {txn_log}: table "
+                f"{key} is at version {cur.get('version', 0)} (neither "
+                f"its recorded base v{base} nor flipped by this "
+                f"transaction) — a foreign commit interleaved in the "
+                f"crash window; resolve manually before deleting the "
+                f"transaction document"
+            )
     cp.delete_quiet(txn_log)
     return True
 
@@ -187,29 +300,61 @@ def multi_commit(
     writer's standard probes."""
     if not paths:
         raise ValueError("multi_commit needs at least one table path")
-    inner = get_control_plane()
-    log = txn_log or default_txn_log(paths)
-    recover_multi_commit(log)  # heal a predecessor's crash first
-    proxy = _TxnControlPlane(inner, paths)
-    with use_control_plane(proxy):
-        yield
-    if not proxy.staged:
-        return
-    # pre-flight: refuse to decide over a table that moved under us
-    for key, base in proxy.base_version.items():
-        try:
-            cur = inner.read_json(key).get("version", 0)
-        except FileNotFoundError:
-            cur = 0
-        if cur != base:
-            raise ConcurrentWriteError(
-                f"multi_commit: {key} advanced from v{base} to v{cur} "
-                f"during the transaction; aborting (nothing flipped)"
+    if not _ACTIVE.acquire(blocking=False):
+        raise ConcurrentWriteError(
+            "multi_commit: another transaction is active in this "
+            "process (the plane swap is process-global; transactions "
+            "do not nest or overlap)"
+        )
+    try:
+        inner = get_control_plane()
+        log = txn_log or default_txn_log(paths)
+        recover_multi_commit(log)  # heal a predecessor's crash first
+        proxy = _TxnControlPlane(inner, paths)
+        with use_control_plane(proxy):
+            yield
+        if not proxy.staged:
+            return
+        txn_id = uuid.uuid4().hex
+        with contextlib.ExitStack() as stack:
+            # leases across DECIDE -> FLIP: a live foreign writer is
+            # excluded from the entire commit sequence (only a crash —
+            # leases expiring — opens the window recovery then polices)
+            for key in sorted(proxy.staged):
+                stack.enter_context(
+                    inner.writer_lease(_table_of_meta_key(key))
+                )
+            # pre-flight under the leases: refuse to decide over a
+            # table that moved since the chain first observed it
+            for key, base in proxy.base_version.items():
+                try:
+                    cur = inner.read_json(key).get("version", 0)
+                except FileNotFoundError:
+                    cur = 0
+                if cur != base:
+                    raise ConcurrentWriteError(
+                        f"multi_commit: {key} advanced from v{base} to "
+                        f"v{cur} during the transaction; aborting "
+                        f"(nothing flipped)"
+                    )
+            for key in proxy.staged:
+                proxy.staged[key]["txn"] = {
+                    "id": txn_id,
+                    "base": proxy.base_version.get(key, 0),
+                }
+            # DECIDE: one atomic publish — the outcome is committed here
+            inner.write_json_atomic(
+                log,
+                {
+                    "id": txn_id,
+                    "tables": proxy.staged,
+                    "history": proxy.staged_history,
+                },
             )
-    # DECIDE: one atomic publish — after this the outcome is committed
-    inner.write_json_atomic(log, {"tables": proxy.staged})
-    # FLIP: idempotent pointer advances; a crash here is healed by
-    # recover_multi_commit on the same txn_log
-    for key, staged in proxy.staged.items():
-        inner.write_json_atomic(key, staged)
-    inner.delete_quiet(log)
+            # FLIP under the held leases; a crash is healed by
+            # recover_multi_commit on the same txn_log
+            for key, staged in proxy.staged.items():
+                _apply_one(inner, key, staged, proxy.staged_history)
+            inner.delete_quiet(log)
+    finally:
+        _ACTIVE.release()

@@ -329,16 +329,27 @@ class AdapterTap(Tap):
         # The fallback must be unique per ADAPTER, not a constant: the
         # cascade scheduler keys producers/consumers by uri(), and two
         # pathless adapters sharing 'adapter://adapter' would silently
-        # cross-link unrelated flows (r09 review finding).  A process-
-        # unique token, NOT id(): CPython reuses id() after GC, so two
-        # pathless adapters with non-overlapping lifetimes could
-        # collide in a uri()-keyed registry outliving the first tap
-        # (r09 ADVICE).
+        # cross-link unrelated flows (r09 review finding).  It must
+        # also be STABLE per adapter — two taps wrapping the SAME
+        # pathless adapter are the same store, and the scheduler's
+        # producer/consumer edge depends on their uris matching — and
+        # never reused, which rules out id(): CPython recycles id()
+        # after GC (r09 ADVICE).  So: a process-monotonic token minted
+        # once per adapter and CACHED ON the adapter object (it dies
+        # with the adapter, never outlives it into a reused id).
         fallback = getattr(adapter, "path", None)
+        if not fallback:
+            fallback = getattr(adapter, "_chs_uri_token", None)
         if not fallback:
             with _ADAPTER_SEQ_LOCK:
                 _ADAPTER_SEQ[0] += 1
                 fallback = f"adapter-{_ADAPTER_SEQ[0]}"
+            try:
+                adapter._chs_uri_token = fallback
+            except AttributeError:
+                # __slots__-style adapter: per-tap uniqueness is the
+                # best available — pass name= to share identity
+                pass
         super().__init__(name or fallback)
         self.adapter = adapter
         self._name = name or fallback

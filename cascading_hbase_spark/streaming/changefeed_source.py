@@ -189,7 +189,19 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": _load_manifest(self.path).get("version", 1)}
+        # A live writer flips the manifest BEFORE writing the history
+        # snapshot (keyed/table.py _commit_manifest order), so the
+        # freshest version's history document can lag the pointer by a
+        # moment.  Planning needs that document; advancing the offset
+        # onto it would kill the stream with a spurious "pruned" error
+        # (r10 review).  Clamp to the newest version whose snapshot is
+        # already readable — the lagging commit is picked up next poll.
+        v = _load_manifest(self.path).get("version", 1)
+        while v > self._initial and not os.path.exists(
+            os.path.join(self.path, "_kt_history", f"v{v}.json")
+        ):
+            v -= 1
+        return {"version": v}
 
     def commit(self, end: dict) -> None:
         # retention is the table's own vacuum/retain policy; the source

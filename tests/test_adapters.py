@@ -148,6 +148,10 @@ def test_pathless_adapter_fallback_uris_never_collide(spark):
         seen.add(uri)
         del a
         gc.collect()  # make id() reuse likely; the counter must not care
+    # two taps over the SAME adapter share identity — the cascade
+    # scheduler's producer/consumer edge depends on it (r10 review)
+    shared = MemoryKeyedStoreAdapter("key")
+    assert AdapterTap(shared).uri() == AdapterTap(shared).uri()
     # explicit names and path-carrying adapters keep their identity
     assert AdapterTap(MemoryKeyedStoreAdapter("key"), name="n").uri() == (
         "adapter://n"

@@ -2038,3 +2038,29 @@ def test_replica_history_pruned_cursor_raises_stale(spark, tmp_path, monkeypatch
         )
     with _pytest.raises(StaleReplicaError, match="no longer readable"):
         sync_replica(spark, primary, replica)
+
+
+def test_commit_backfills_missing_table_id(spark, tmp_path):
+    """Tables created before incarnation ids existed have no table_id;
+    every commit must backfill one so the replica/matview None-
+    incarnation gates converge (one rebuild) instead of looping
+    forever on an id-less base (r10 review)."""
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, 10)], "key long, val long"),
+        path, "key",
+    )
+    cp = get_control_plane()
+    mp = path + "/_kt_meta.json"
+    meta = cp.read_json(mp)
+    meta.pop("table_id", None)  # devolve to the pre-id manifest shape
+    cp.write_json_atomic(mp, meta)
+    assert _load_meta(path).get("table_id") is None
+    write_keyed(
+        spark.createDataFrame([(2, 20)], "key long, val long"),
+        path, "key", mode=SinkMode.APPEND,
+    )
+    assert _load_meta(path).get("table_id") is not None

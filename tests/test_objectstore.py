@@ -410,10 +410,10 @@ def test_direct_commit_refuses_surprise_buckets(spark, tmp_path):
     (plan re-evaluation on non-deterministic input); the direct writer
     must REFUSE instead — a surprise bucket's final dir was never
     orphan-probed, so publishing could merge a crashed attempt's
-    leftovers. The refusal happens before the manifest flip: the
-    stray files stay invisible orphans and the previous snapshot
-    reads intact (deliberate plane difference, documented on both
-    sides)."""
+    leftovers. The refusal happens before the manifest flip (previous
+    snapshot reads intact) and deletes the offending uncommitted dirs
+    so a retry starts clean instead of wedging on the same leftover
+    (deliberate plane difference, documented on both sides)."""
     from cascading_hbase_spark.keyed import table as kt
 
     path = str(tmp_path / "surprise")
@@ -429,10 +429,17 @@ def test_direct_commit_refuses_surprise_buckets(spark, tmp_path):
         )
         with pytest.raises(AssertionError, match="outside the declared"):
             kt._stage_and_publish(batch, path, "key", meta, affected=[0])
-        # manifest never flipped: previous snapshot intact, stray files
-        # invisible
+        # manifest never flipped: previous snapshot intact
         keys = {r["key"] for r in read_keyed(spark, path).collect()}
         assert keys == {"a", "z"}
+        # the escaped dir was cleaned, so the refusal is retryable —
+        # the same batch with an honest affected set then publishes
+        # (each affected bucket's generation IS its full new content,
+        # so the batch's rows replace both buckets)
+        meta = kt._load_meta(path)
+        kt._stage_and_publish(batch, path, "key", meta, affected=[0, 1])
+        keys = {r["key"] for r in read_keyed(spark, path).collect()}
+        assert keys == {"b", "y"}
 
 
 def test_direct_commit_delete_empties_table(spark, tmp_path):

@@ -882,3 +882,42 @@ def test_changefeed_stream_refuses_ttl_and_collected_horizon(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="readable horizon"):
         reader.partitions({"version": 1}, {"version": 4})
+
+
+@changefeed_source_localfs_only
+def test_changefeed_latest_offset_clamps_to_readable_history(spark, tmp_path):
+    """A live writer flips the manifest BEFORE writing the history
+    snapshot; if latestOffset advanced onto the not-yet-written
+    snapshot, planning would kill the stream with a spurious 'pruned'
+    error.  The offset must clamp to the newest version whose snapshot
+    is readable and pick the lagging commit up next poll (r10
+    review)."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, write_keyed,
+    )
+    from cascading_hbase_spark.streaming.changefeed_source import (
+        KeyedChangefeedStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(_kv(spark, [(1, "a")]), path, "key", retain=10)        # v1
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    reader = KeyedChangefeedStreamReader(
+        schema, {"path": path, "from_version": "1"}
+    )
+    write_keyed(_kv(spark, [(2, "b")]), path, "key",
+                mode=SinkMode.APPEND)                                   # v2
+    assert reader.latestOffset() == {"version": 2}
+    # simulate the flip-before-snapshot window: v2's history document
+    # is not yet visible
+    h2 = os.path.join(path, "_kt_history", "v2.json")
+    os.rename(h2, h2 + ".lagging")
+    assert reader.latestOffset() == {"version": 1}
+    os.rename(h2 + ".lagging", h2)  # the snapshot lands
+    assert reader.latestOffset() == {"version": 2}

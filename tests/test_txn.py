@@ -235,3 +235,78 @@ def test_every_flip_crash_point_recovers_all_or_nothing(
         assert recover_multi_commit(log) is True
         assert _versions(paths) == [2, 2, 2]
         assert _totals(spark, view) == {"a": 11.0, "b": 2.0}
+
+
+def test_replace_inside_transaction_is_refused(spark, chain):
+    """SinkMode.REPLACE (and drop) on a registered table cannot be
+    staged — it deletes the committed tree immediately, so an abort
+    could not leave the table untouched (r10 review).  The refusal
+    aborts the transaction with every table intact."""
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    with pytest.raises(ValueError, match="cannot be staged"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(9, "z", 9.0)]), primary, "id",
+                mode=SinkMode.REPLACE,
+            )
+    assert _versions(paths) == [1, 1, 1]
+    assert read_keyed(spark, primary).count() == 2
+
+
+def test_foreign_commit_in_crash_window_raises_integrity_error(
+    spark, chain, monkeypatch
+):
+    """Decided transaction, crash before ANY flip, then a foreign
+    writer (leases expired with the crash) commits onto a registered
+    table: recovery must raise TxnIntegrityError loudly — completing
+    the flip would clobber the foreign commit (which may have GC'd the
+    transaction's staged files as orphans), skipping it silently would
+    half-apply the transaction (r10 review)."""
+    from cascading_hbase_spark.keyed.txn import TxnIntegrityError
+
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    inner = get_control_plane()
+    log = default_txn_log(paths)
+    real_write = inner.write_json_atomic
+    state = {"doc_written": False}
+
+    def crashing(key, obj):
+        if key.endswith("/_kt_meta.json") and state["doc_written"]:
+            raise OSError("simulated crash before any flip")
+        if key == log:
+            state["doc_written"] = True
+        real_write(key, obj)
+
+    monkeypatch.setattr(inner, "write_json_atomic", crashing)
+    with pytest.raises(OSError, match="simulated crash"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            sync_replica(spark, primary, replica)
+            refresh_aggregate_view(spark, replica, view)
+    monkeypatch.undo()
+    assert inner.object_exists(log) and _versions(paths) == [1, 1, 1]
+    # the foreign commit lands on the unflipped primary
+    write_keyed(
+        _df(spark, [(7, "c", 7.0)]), primary, "id", mode=SinkMode.APPEND
+    )
+    with pytest.raises(TxnIntegrityError, match="foreign commit"):
+        recover_multi_commit(log)
+    # the document stays for the operator; clean up for the test
+    assert inner.object_exists(log)
+    inner.delete_quiet(log)
+
+
+def test_nested_or_concurrent_transaction_refused(spark, chain):
+    primary, replica, view = chain
+    with pytest.raises(ConcurrentWriteError, match="another transaction"):
+        with multi_commit([primary]):
+            with multi_commit([replica]):
+                pass
+    # the lock was released by the outer abort: a fresh txn works
+    with multi_commit([primary]):
+        pass
