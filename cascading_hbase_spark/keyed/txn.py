@@ -139,9 +139,7 @@ class _TxnControlPlane(ControlPlane):
 
     def _history_owner(self, key: str) -> str | None:
         for root in self._roots:
-            if key.startswith(os.path.join(root, _HISTORY) + os.sep) or (
-                key.startswith(root + "/" + _HISTORY + "/")
-            ):
+            if key.startswith(root + "/" + _HISTORY + "/"):
                 return root
         return None
 
@@ -236,15 +234,19 @@ def _table_of_meta_key(key: str) -> str:
     return key[: -len("/" + _META)] if key.endswith("/" + _META) else key
 
 
+def _publish_history(cp: ControlPlane, key: str, history: dict) -> None:
+    """Idempotently publish one table's staged history snapshots."""
+    prefix = _table_of_meta_key(key) + "/" + _HISTORY + "/"
+    for hkey, hobj in history.items():
+        if hkey.startswith(prefix):
+            cp.write_json_atomic(hkey, hobj)
+
+
 def _apply_one(cp: ControlPlane, key: str, staged: dict, history: dict) -> None:
     """Flip one table and publish its staged history snapshots —
     manifest first, then history, the single-table commit order."""
     cp.write_json_atomic(key, staged)
-    root = _table_of_meta_key(key)
-    prefix = root + "/" + _HISTORY + "/"
-    for hkey, hobj in history.items():
-        if hkey.startswith(prefix):
-            cp.write_json_atomic(hkey, hobj)
+    _publish_history(cp, key, history)
 
 
 def recover_multi_commit(txn_log: str) -> bool:
@@ -271,8 +273,19 @@ def recover_multi_commit(txn_log: str) -> bool:
                 cur = cp.read_json(key)
             except FileNotFoundError:
                 cur = {}
+            if txn_id is None:
+                # document from a protocol version without txn ids:
+                # best-effort version rule (the only signal it carries)
+                if cur.get("version", 0) < staged.get("version", 0):
+                    _apply_one(cp, key, staged, history)
+                continue
             if cur.get("txn", {}).get("id") == txn_id:
-                continue  # this transaction's flip already landed
+                # this transaction's flip landed — but a crash inside
+                # _apply_one may have preceded the table's history
+                # publishes; republish idempotently before the document
+                # (their only copy) is deleted (r10 review #2)
+                _publish_history(cp, key, history)
+                continue
             if cur.get("version", 0) == base:
                 _apply_one(cp, key, staged, history)
                 continue
@@ -317,13 +330,14 @@ def multi_commit(
             return
         txn_id = uuid.uuid4().hex
         with contextlib.ExitStack() as stack:
-            # leases across DECIDE -> FLIP: a live foreign writer is
-            # excluded from the entire commit sequence (only a crash —
-            # leases expiring — opens the window recovery then polices)
-            for key in sorted(proxy.staged):
-                stack.enter_context(
-                    inner.writer_lease(_table_of_meta_key(key))
-                )
+            # leases across DECIDE -> FLIP on EVERY registered table
+            # (staged or read-only — the pre-flight version check
+            # covers both, and the lease keeps it from going stale
+            # before the flips): a live foreign writer is excluded from
+            # the entire commit sequence; only a crash — leases
+            # expiring — opens the window recovery then polices
+            for root in sorted(proxy._roots):
+                stack.enter_context(inner.writer_lease(root))
             # pre-flight under the leases: refuse to decide over a
             # table that moved since the chain first observed it
             for key, base in proxy.base_version.items():

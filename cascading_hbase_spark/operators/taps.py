@@ -339,17 +339,20 @@ class AdapterTap(Tap):
         # with the adapter, never outlives it into a reused id).
         fallback = getattr(adapter, "path", None)
         if not fallback:
-            fallback = getattr(adapter, "_chs_uri_token", None)
-        if not fallback:
+            # check-and-mint under ONE lock: two threads constructing
+            # taps over the same adapter must agree on the token
             with _ADAPTER_SEQ_LOCK:
-                _ADAPTER_SEQ[0] += 1
-                fallback = f"adapter-{_ADAPTER_SEQ[0]}"
-            try:
-                adapter._chs_uri_token = fallback
-            except AttributeError:
-                # __slots__-style adapter: per-tap uniqueness is the
-                # best available — pass name= to share identity
-                pass
+                fallback = getattr(adapter, "_chs_uri_token", None)
+                if not fallback:
+                    _ADAPTER_SEQ[0] += 1
+                    fallback = f"adapter-{_ADAPTER_SEQ[0]}"
+                    try:
+                        adapter._chs_uri_token = fallback
+                    except AttributeError:
+                        # __slots__-style adapter: per-tap uniqueness is
+                        # the best available — pass name= to share
+                        # identity
+                        pass
         super().__init__(name or fallback)
         self.adapter = adapter
         self._name = name or fallback

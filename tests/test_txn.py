@@ -310,3 +310,42 @@ def test_nested_or_concurrent_transaction_refused(spark, chain):
     # the lock was released by the outer abort: a fresh txn works
     with multi_commit([primary]):
         pass
+
+
+def test_recovery_republishes_history_after_crash_inside_apply(
+    spark, chain, monkeypatch
+):
+    """A crash INSIDE a table's apply — manifest flipped, its history
+    snapshot not yet published — must still end with the snapshot in
+    the log: recovery's already-flipped skip path republishes history
+    idempotently before deleting the document, which is the snapshot's
+    only other copy (r10 review #2)."""
+    primary, replica, view = chain
+    paths = [primary, replica, view]
+    inner = get_control_plane()
+    log = default_txn_log(paths)
+    hist_prefix = view.rstrip("/") + "/_kt_history/"
+    real_write = inner.write_json_atomic
+
+    def crashing(key, obj):
+        if key.startswith(hist_prefix):
+            raise OSError("simulated crash between flip and history")
+        real_write(key, obj)
+
+    monkeypatch.setattr(inner, "write_json_atomic", crashing)
+    with pytest.raises(OSError, match="between flip and history"):
+        with multi_commit(paths):
+            write_keyed(
+                _df(spark, [(3, "a", 10.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            sync_replica(spark, primary, replica)
+            refresh_aggregate_view(spark, replica, view)
+    monkeypatch.undo()
+    # every manifest flipped (the view's crash hit AFTER its flip), but
+    # the view's v2 snapshot is missing from the log
+    assert _versions(paths) == [2, 2, 2]
+    assert not inner.object_exists(hist_prefix + "v2.json")
+    assert recover_multi_commit(log) is True
+    assert inner.object_exists(hist_prefix + "v2.json")
+    assert not inner.object_exists(log)

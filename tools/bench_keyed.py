@@ -199,6 +199,27 @@ def main() -> None:
         },
     )
 
+    # 6b. the SAME incremental chain as one ATOMIC transaction
+    #     (keyed/txn.py) — measures the multi-table commit protocol's
+    #     overhead vs step 5's sequential per-table commits: staging is
+    #     in-memory, so the expected cost is one txn document write +
+    #     re-pointed flips + the leases
+    from cascading_hbase_spark.keyed.txn import multi_commit
+
+    txn_wave = orders.filter(F.col("o_orderkey") % 10 == 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 4.0
+    )
+    n_txn = txn_wave.count()
+
+    def _atomic_chain():
+        with multi_commit([path, rpath, vpath]):
+            write_keyed(txn_wave, path, "o_orderkey", mode=SinkMode.APPEND)
+            sync_replica(spark, path, rpath)
+            refresh_aggregate_view(spark, path, vpath)
+
+    step("atomic_chain_txn", _atomic_chain, rows=n_txn,
+         buckets_touched=N_BUCKETS)
+
     # 7. validated ingest: 1% new keys, one expectation, rejects to
     #    quarantine
     dirty = (
