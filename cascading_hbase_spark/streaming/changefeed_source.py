@@ -128,30 +128,41 @@ def _overlapping_buckets(boundaries: list, lo, hi) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
-# executor-side diff (pure Arrow — no Spark, no control plane)
+# executor-side diff (vectorized Arrow — no Spark, no control plane,
+# no per-row Python: files read as Arrow tables, the key-range filter
+# and payload comparison are columnar, and results stream back to the
+# JVM as RecordBatches)
 # ---------------------------------------------------------------------------
 
 
-def _read_rows(files: list[str], columns: list[str], key: str, lo, hi) -> dict:
-    """{key_value: [payload...] in ``columns`` order} over ``files``,
-    restricted to keys in [lo, hi).  Columns a file predates (additive
-    schema evolution) read as None.  ``to_pylist`` keeps values exact
-    (ints stay ints — no pandas null-float coercion)."""
+def _side_table(files: list[str], data_schema, key: str, lo, hi):
+    """One side of the diff as a single Arrow table in ``data_schema``
+    (columns a file predates — additive evolution — materialize as
+    typed nulls), restricted to keys in [lo, hi)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    rows: dict = {}
+    parts = []
     for f in files:
         pf = pq.ParquetFile(f)
-        have = [c for c in columns if c in pf.schema_arrow.names]
-        t = pf.read(columns=have)
-        for r in t.to_pylist():
-            k = r.get(key)
-            if lo is not None and not (k is not None and k >= lo):
-                continue
-            if hi is not None and not (k is not None and k < hi):
-                continue
-            rows[k] = [r.get(c) for c in columns]
-    return rows
+        have = set(pf.schema_arrow.names)
+        t = pf.read(columns=[c for c in data_schema.names if c in have])
+        cols = {
+            field.name: (
+                t[field.name].cast(field.type)
+                if field.name in t.column_names
+                else pa.nulls(len(t), type=field.type)
+            )
+            for field in data_schema
+        }
+        parts.append(pa.table(cols, schema=data_schema))
+    t = pa.concat_tables(parts) if parts else data_schema.empty_table()
+    if lo is not None:
+        t = t.filter(pc.greater_equal(t[key], pa.scalar(lo)))
+    if hi is not None:
+        t = t.filter(pc.less(t[key], pa.scalar(hi)))
+    return t
 
 
 class _DiffPartition(InputPartition):
@@ -169,6 +180,12 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("keyed_changefeed requires .option('path', ...)")
+        if CHANGE_COL not in schema.fieldNames():  # normalize direct use
+            schema = StructType(
+                list(schema.fields)
+                + [StructField(CHANGE_COL, StringType(), False)]
+            )
+        self._schema = schema  # pinned at stream start (incl. _change)
         self.columns = [f.name for f in schema.fields if f.name != CHANGE_COL]
         meta = _load_manifest(self.path)
         if meta.get("ttl"):
@@ -270,24 +287,63 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
 
     # -- executor read ----------------------------------------------------
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition):
+        """Vectorized per-key-range diff, returned as Arrow
+        RecordBatches (never per-row Python): both sides load as Arrow
+        tables, the join runs on Arrow-backed pandas (``ArrowDtype``
+        keeps ints exact under nulls — no float coercion), and the
+        null-safe payload comparison is columnar."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+
         s = partition.spec
         cols, key, seq = s["columns"], s["key"], s["seq_col"]
-        payload_idx = [
-            i for i, c in enumerate(cols) if c != key and c != seq
-        ]
-        old = _read_rows(s["old_files"], cols, key, s["lo"], s["hi"])
-        new = _read_rows(s["new_files"], cols, key, s["lo"], s["hi"])
-        for k, row in new.items():
-            if k not in old:
-                yield (*row, "insert")
-            else:
-                prev = old[k]
-                if any(row[i] != prev[i] for i in payload_idx):
-                    yield (*row, "update")
-        for k, row in old.items():
-            if k not in new:
-                yield (*row, "delete")  # pre-delete row, like the batch feed
+        out_schema = to_arrow_schema(self._schema)
+        data_schema = to_arrow_schema(
+            _ST([f for f in self._schema.fields if f.name != CHANGE_COL])
+        )
+        old = _side_table(
+            s["old_files"], data_schema, key, s["lo"], s["hi"]
+        ).to_pandas(types_mapper=pd.ArrowDtype)
+        new = _side_table(
+            s["new_files"], data_schema, key, s["lo"], s["hi"]
+        ).to_pandas(types_mapper=pd.ArrowDtype)
+        m = new.merge(
+            old, on=key, how="outer", suffixes=("", "__old"), indicator=True
+        )
+        payload = [c for c in cols if c != key and c != seq]
+        changed = pd.Series(False, index=m.index)
+        for c in payload:
+            a, b = m[c], m[c + "__old"]
+            # null-safe struct equality, like the batch feed's join:
+            # unequal non-nulls OR exactly one side null
+            changed = changed | (a != b).fillna(False) | (a.isna() ^ b.isna())
+        frames = []
+        ins = m["_merge"] == "left_only"
+        if ins.any():
+            frames.append(m.loc[ins, cols].assign(**{CHANGE_COL: "insert"}))
+        upd = (m["_merge"] == "both") & changed
+        if upd.any():
+            frames.append(m.loc[upd, cols].assign(**{CHANGE_COL: "update"}))
+        dels = m["_merge"] == "right_only"
+        if dels.any():  # pre-delete row, like the batch feed
+            old_cols = {
+                c: m.loc[dels, c if c == key else c + "__old"] for c in cols
+            }
+            frames.append(
+                pd.DataFrame(old_cols).assign(**{CHANGE_COL: "delete"})
+            )
+        if not frames:
+            return iter(())
+        out = pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True),
+            schema=out_schema,
+            preserve_index=False,
+        )
+        return iter(out.to_batches())
 
 
 class KeyedChangefeedDataSource(DataSource):

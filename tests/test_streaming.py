@@ -815,8 +815,14 @@ def test_changefeed_stream_plans_only_touched_buckets(spark, tmp_path):
     )
     parts = reader.partitions({"version": 1}, {"version": 2})
     assert len(parts) == 1
-    changes = list(reader.read(parts[0]))
-    assert changes == [(1, "X", "update")]
+    # read() streams Arrow RecordBatches (vectorized diff, never
+    # per-row Python)
+    rows = [
+        (d["key"], d["val"], d["_change"])
+        for b in reader.read(parts[0])
+        for d in b.to_pylist()
+    ]
+    assert rows == [(1, "X", "update")]
 
 
 @changefeed_source_localfs_only
