@@ -277,7 +277,6 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
                         "hi": hi,
                         "old_files": old_files,
                         "new_files": new_files,
-                        "columns": self.columns,
                         "key": self.key,
                         "seq_col": seq_col,
                     }
@@ -299,8 +298,11 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType as _ST
 
+        import pyarrow.types as pat
+
         s = partition.spec
-        cols, key, seq = s["columns"], s["key"], s["seq_col"]
+        key, seq = s["key"], s["seq_col"]
+        cols = self.columns  # one source of truth: the pinned schema
         out_schema = to_arrow_schema(self._schema)
         data_schema = to_arrow_schema(
             _ST([f for f in self._schema.fields if f.name != CHANGE_COL])
@@ -311,27 +313,51 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         new = _side_table(
             s["new_files"], data_schema, key, s["lo"], s["hi"]
         ).to_pandas(types_mapper=pd.ArrowDtype)
+        # collision-proof internal names: any legal user column may be
+        # called _merge / <col>__old (r10 review #3)
+        ind = "_chs_merge"
+        while ind in cols:
+            ind += "_"
+        suf = "__chs_old"
+        while any((c + suf) in cols for c in cols):
+            suf += "_"
         m = new.merge(
-            old, on=key, how="outer", suffixes=("", "__old"), indicator=True
+            old, on=key, how="outer", suffixes=("", suf), indicator=ind
         )
         payload = [c for c in cols if c != key and c != seq]
+        nested = {
+            f.name for f in data_schema if pat.is_nested(f.type)
+        }
         changed = pd.Series(False, index=m.index)
         for c in payload:
-            a, b = m[c], m[c + "__old"]
-            # null-safe struct equality, like the batch feed's join:
-            # unequal non-nulls OR exactly one side null
-            changed = changed | (a != b).fillna(False) | (a.isna() ^ b.isna())
+            a, b = m[c], m[c + suf]
+            if c in nested:
+                # Arrow has no not_equal kernel for list/struct columns
+                # — elementwise Python for THESE columns only (flat
+                # columns stay columnar); None == None is unchanged
+                changed = changed | pd.Series(
+                    [x != y for x, y in zip(a.tolist(), b.tolist())],
+                    index=m.index,
+                )
+                continue
+            # null-safe equality matching the batch feed's eqNullSafe:
+            # unequal non-nulls OR exactly one side null — and NaN
+            # equals NaN (Spark's <=> does; IEEE != would emit a
+            # spurious update every touched micro-batch)
+            neq = (a != b).fillna(False) | (a.isna() ^ b.isna())
+            neq = neq & ~((a != a).fillna(False) & (b != b).fillna(False))
+            changed = changed | neq
         frames = []
-        ins = m["_merge"] == "left_only"
+        ins = m[ind] == "left_only"
         if ins.any():
             frames.append(m.loc[ins, cols].assign(**{CHANGE_COL: "insert"}))
-        upd = (m["_merge"] == "both") & changed
+        upd = (m[ind] == "both") & changed
         if upd.any():
             frames.append(m.loc[upd, cols].assign(**{CHANGE_COL: "update"}))
-        dels = m["_merge"] == "right_only"
+        dels = m[ind] == "right_only"
         if dels.any():  # pre-delete row, like the batch feed
             old_cols = {
-                c: m.loc[dels, c if c == key else c + "__old"] for c in cols
+                c: m.loc[dels, c if c == key else c + suf] for c in cols
             }
             frames.append(
                 pd.DataFrame(old_cols).assign(**{CHANGE_COL: "delete"})

@@ -927,3 +927,46 @@ def test_changefeed_latest_offset_clamps_to_readable_history(spark, tmp_path):
     assert reader.latestOffset() == {"version": 1}
     os.rename(h2 + ".lagging", h2)  # the snapshot lands
     assert reader.latestOffset() == {"version": 2}
+
+
+@changefeed_source_localfs_only
+def test_changefeed_stream_nested_nan_and_reserved_names(spark, tmp_path):
+    """Three hazards of the vectorized diff, pinned (r10 review):
+    list-typed payload columns (Arrow has no not_equal kernel for
+    nested types — elementwise fallback), NaN payloads (NaN equals NaN,
+    like the batch feed's eqNullSafe — no spurious updates), and user
+    columns named like pandas-merge internals (_merge, <col>__old)."""
+    import math
+
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path = str(tmp_path / "t")
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "key long, vec array<double>, score double, "
+        "_merge string, val string, val__old string",
+    )
+    nan = float("nan")
+    write_keyed(
+        df([
+            (1, [1.0, 2.0], nan, "m1", "v1", "o1"),
+            (2, [3.0], 2.0, "m2", "v2", "o2"),
+            (3, None, 3.0, "m3", "v3", "o3"),
+        ]),
+        path, "key", retain=10,
+    )                                                                   # v1
+    write_keyed(
+        df([
+            (1, [1.0, 2.0], nan, "m1", "v1", "o1"),   # unchanged (incl. NaN)
+            (2, [3.0, 4.0], 2.0, "m2", "v2", "o2"),   # vec changed
+            (3, [9.9], 3.0, "m3", "v3", "o3"),        # None -> list
+        ]),
+        path, "key", mode=SinkMode.APPEND,
+    )                                                                   # v2
+    got = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=1), "append"
+    )
+    rows = {(r.key, r._change) for r in got.collect()}
+    assert rows == {(2, "update"), (3, "update")}  # key 1 is SILENT
+    vecs = {r.key: r.vec for r in got.collect()}
+    assert vecs == {2: [3.0, 4.0], 3: [9.9]}
