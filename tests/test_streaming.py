@@ -970,3 +970,43 @@ def test_changefeed_stream_nested_nan_and_reserved_names(spark, tmp_path):
     assert rows == {(2, "update"), (3, "update")}  # key 1 is SILENT
     vecs = {r.key: r.vec for r in got.collect()}
     assert vecs == {2: [3.0, 4.0], 3: [9.9]}
+
+
+@changefeed_source_localfs_only
+def test_changefeed_stream_over_multi_commit_transaction(spark, tmp_path):
+    """The round's two features composed: a subscriber over a table
+    whose commits land through keyed/txn.py's multi-table transaction.
+    The staged manifest+history publish at FLIP in the single-table
+    order, so the stream sees the transaction's commit exactly once,
+    with the same rows the batch feed reports — and sees NOTHING from
+    an aborted transaction."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, changefeed_keyed, write_keyed,
+    )
+    from cascading_hbase_spark.keyed.txn import multi_commit
+
+    path = str(tmp_path / "t")
+    other = str(tmp_path / "o")
+    write_keyed(_kv(spark, [(1, "a"), (2, "b")]), path, "key", retain=10)
+    write_keyed(_kv(spark, [(1, "x")]), other, "key", retain=10)
+    # an ABORTED transaction must be invisible to the stream
+    with pytest.raises(RuntimeError, match="boom"):
+        with multi_commit([path, other]):
+            write_keyed(_kv(spark, [(9, "never")]), path, "key",
+                        mode=SinkMode.APPEND)
+            raise RuntimeError("boom")
+    # a COMMITTED transaction appears exactly once
+    with multi_commit([path, other]):
+        write_keyed(_kv(spark, [(2, "B"), (3, "c")]), path, "key",
+                    mode=SinkMode.APPEND)
+        write_keyed(_kv(spark, [(2, "y")]), other, "key",
+                    mode=SinkMode.APPEND)
+    got = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=1), "append"
+    )
+    assert _rows(got, "key", "val", "_change") == _rows(
+        changefeed_keyed(spark, path, 1), "key", "val", "_change"
+    )
+    assert (9, "never", "insert") not in set(
+        (r.key, r.val, r._change) for r in got.collect()
+    )
