@@ -165,6 +165,24 @@ def _side_table(files: list[str], data_schema, key: str, lo, hi):
     return t
 
 
+def _eq_nan(x, y) -> bool:
+    """Python-value equality with Spark's eqNullSafe NaN rule (NaN
+    equals NaN), applied recursively through lists/structs — the
+    elementwise fallback for nested columns must not diverge from the
+    flat path's semantics."""
+    if x is y:
+        return True
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y or (x != x and y != y)
+    if isinstance(x, list) and isinstance(y, list):
+        return len(x) == len(y) and all(_eq_nan(a, b) for a, b in zip(x, y))
+    if isinstance(x, dict) and isinstance(y, dict):
+        return x.keys() == y.keys() and all(
+            _eq_nan(v, y[k]) for k, v in x.items()
+        )
+    return x == y
+
+
 class _DiffPartition(InputPartition):
     def __init__(self, spec: dict):
         self.spec = spec
@@ -325,27 +343,30 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
             old, on=key, how="outer", suffixes=("", suf), indicator=ind
         )
         payload = [c for c in cols if c != key and c != seq]
-        nested = {
-            f.name for f in data_schema if pat.is_nested(f.type)
-        }
+        nested = {f.name for f in data_schema if pat.is_nested(f.type)}
+        floating = {f.name for f in data_schema if pat.is_floating(f.type)}
         changed = pd.Series(False, index=m.index)
         for c in payload:
             a, b = m[c], m[c + suf]
             if c in nested:
                 # Arrow has no not_equal kernel for list/struct columns
                 # — elementwise Python for THESE columns only (flat
-                # columns stay columnar); None == None is unchanged
+                # columns stay columnar), with the same NaN-equals-NaN
+                # rule as the flat path (r10 review #4)
                 changed = changed | pd.Series(
-                    [x != y for x, y in zip(a.tolist(), b.tolist())],
+                    [not _eq_nan(x, y) for x, y in zip(a.tolist(), b.tolist())],
                     index=m.index,
                 )
                 continue
             # null-safe equality matching the batch feed's eqNullSafe:
-            # unequal non-nulls OR exactly one side null — and NaN
-            # equals NaN (Spark's <=> does; IEEE != would emit a
-            # spurious update every touched micro-batch)
+            # unequal non-nulls OR exactly one side null
             neq = (a != b).fillna(False) | (a.isna() ^ b.isna())
-            neq = neq & ~((a != a).fillna(False) & (b != b).fillna(False))
+            if c in floating:
+                # ...and NaN equals NaN (Spark's <=> does; IEEE !=
+                # would emit a spurious update every touched batch).
+                # Float columns only — elsewhere (a != a) is a
+                # guaranteed all-False compare, wasted on the hot path
+                neq = neq & ~((a != a).fillna(False) & (b != b).fillna(False))
             changed = changed | neq
         frames = []
         ins = m[ind] == "left_only"

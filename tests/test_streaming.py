@@ -952,6 +952,7 @@ def test_changefeed_stream_nested_nan_and_reserved_names(spark, tmp_path):
             (1, [1.0, 2.0], nan, "m1", "v1", "o1"),
             (2, [3.0], 2.0, "m2", "v2", "o2"),
             (3, None, 3.0, "m3", "v3", "o3"),
+            (4, [nan, 5.0], 4.0, "m4", "v4", "o4"),
         ]),
         path, "key", retain=10,
     )                                                                   # v1
@@ -960,6 +961,7 @@ def test_changefeed_stream_nested_nan_and_reserved_names(spark, tmp_path):
             (1, [1.0, 2.0], nan, "m1", "v1", "o1"),   # unchanged (incl. NaN)
             (2, [3.0, 4.0], 2.0, "m2", "v2", "o2"),   # vec changed
             (3, [9.9], 3.0, "m3", "v3", "o3"),        # None -> list
+            (4, [nan, 5.0], 4.0, "m4", "v4", "o4"),   # NaN INSIDE the list
         ]),
         path, "key", mode=SinkMode.APPEND,
     )                                                                   # v2
