@@ -15,6 +15,16 @@ that could have removed the extremum (retracted value <= current MIN /
 >= current MAX) triggers a re-aggregate of THAT GROUP ONLY from the
 base snapshot — never a full re-scan.  AVG is ``sum/n`` at query time.
 
+Dtype contract (r11): aggregates over INTEGRAL source columns are
+maintained in BIGINT — exact where a double accumulator silently loses
+integer exactness past 2^53 (a 100 TB integer-cents total exceeds
+that; the house integer-cents rule must hold through incremental
+views).  Floating and decimal sources accumulate in DOUBLE.  The
+per-output choice is pinned in the manifest at create time (``acc``)
+so the view schema never drifts across refreshes; views created
+before the contract keep their all-double schema.  Long SUMs inherit
+Spark's non-ANSI wrap past int64 — see ``_acc_type``.
+
 Exactly-once: the refresh cursor (the base generation last applied)
 lives in the view table's own manifest and is committed via
 ``write_keyed(meta_extra=...)`` — the SAME atomic manifest flip as the
@@ -91,6 +101,23 @@ def _reject_token_aggregation(
         )
 
 
+def _acc_type(df: DataFrame, src: str) -> str:
+    """Accumulator SQL type for one aggregate source column: BIGINT
+    when the source is integral (byte/short/int/long — SUM/MIN/MAX over
+    longs stays exact where double degrades past 2^53), DOUBLE for
+    everything else (float/double/decimal — decimal deliberately
+    routes to double: Spark widens decimal SUM precision by input
+    count, so a decimal accumulator's dtype would drift across
+    refreshes)."""
+    from pyspark.sql.types import IntegralType
+
+    return (
+        "bigint"
+        if isinstance(df.schema[src].dataType, IntegralType)
+        else "double"
+    )
+
+
 def create_aggregate_view(
     spark: SparkSession,
     base_path: str,
@@ -133,17 +160,30 @@ def create_aggregate_view(
     # cursor records the older version (the first refresh would then
     # double-apply that commit's delta).
     base = read_keyed(spark, base_path, generation=base_version)
-    # SUMs/MINs/MAXs are double throughout (create AND refresh) so the
-    # view's schema never drifts across refreshes regardless of source
-    # dtype.
+    # Accumulator dtype is DECIDED AT CREATE TIME from the base schema
+    # and recorded in the manifest ("acc"), so the view's schema never
+    # drifts across refreshes: integral sources accumulate in BIGINT
+    # (exact — a double SUM silently loses exactness past 2^53, which
+    # a 100 TB integer-cents total exceeds; the house integer-cents
+    # rule must hold THROUGH incremental views), everything else in
+    # DOUBLE.  Overflow contract: Spark's non-ANSI long SUM wraps past
+    # int64 (~9.2e18) — two orders of magnitude beyond a 100 TB cents
+    # total; a corpus that genuinely exceeds it needs a decimal view,
+    # which this module does not offer.
+    acc = {
+        out: _acc_type(base, src)
+        for out, src in {**sums, **mins, **maxs}.items()
+    }
     aggs = (
         [F.count("*").cast("bigint").alias("n_rows")]
         + [
-            F.sum(F.coalesce(F.col(src).cast("double"), F.lit(0.0))).alias(out)
+            F.sum(
+                F.coalesce(F.col(src).cast(acc[out]), F.lit(0).cast(acc[out]))
+            ).cast(acc[out]).alias(out)
             for out, src in sums.items()
         ]
-        + [F.min(F.col(src).cast("double")).alias(out) for out, src in mins.items()]
-        + [F.max(F.col(src).cast("double")).alias(out) for out, src in maxs.items()]
+        + [F.min(F.col(src).cast(acc[out])).alias(out) for out, src in mins.items()]
+        + [F.max(F.col(src).cast(acc[out])).alias(out) for out, src in maxs.items()]
     )
     view = (
         base.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(*aggs)
@@ -166,6 +206,10 @@ def create_aggregate_view(
                 "sums": sums,
                 "mins": mins,
                 "maxs": maxs,
+                # per-output accumulator dtype, pinned at create time
+                # (pre-r11 views lack the entry; refresh defaults them
+                # to the historical all-double behavior)
+                "acc": acc,
                 "base_version": base_version,
             }
         },
@@ -238,6 +282,13 @@ def refresh_aggregate_view(
         )
     group, sums = mv["group"], mv["sums"]
     mins, maxs = mv.get("mins", {}), mv.get("maxs", {})
+    # Accumulator dtypes pinned at create time; a pre-r11 view has no
+    # "acc" entry and keeps its historical all-double schema — the
+    # refresh must match whatever schema the view was created with.
+    _acc = mv.get("acc") or {}
+    acc = {
+        o: _acc.get(o, "double") for o in [*sums, *mins, *maxs]
+    }
     # the registration may have LANDED after the view was created; the
     # feed below is pinned to base_version, whose registration is the
     # one this manifest (just loaded at that version) records
@@ -270,15 +321,17 @@ def refresh_aggregate_view(
             F.lit(sign).cast("bigint").alias("_dn"),
             *[
                 (
-                    F.lit(sign)
-                    * F.coalesce(col_of(src).cast("double"), F.lit(0.0))
+                    F.lit(sign).cast(acc[out])
+                    * F.coalesce(
+                        col_of(src).cast(acc[out]), F.lit(0).cast(acc[out])
+                    )
                 ).alias(out)
                 for out, src in sums.items()
             ],
             # MIN/MAX travel unsigned: the delta aggregate separates
             # inserted-side and retracted-side extrema by _dn
             *[
-                col_of(src).cast("double").alias(f"_x_{out}")
+                col_of(src).cast(acc[out]).alias(f"_x_{out}")
                 for out, src in exts.items()
             ],
         )
@@ -305,7 +358,7 @@ def refresh_aggregate_view(
         .groupBy(group)
         .agg(
             F.sum("_dn").alias("_dn"),
-            *[F.sum(out).alias(out) for out in sums],
+            *[F.sum(out).cast(acc[out]).alias(out) for out in sums],
             *[F.min(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in mins],
             *[F.min(F.when(ret, F.col(f"_x_{o}"))).alias(f"_ret_{o}") for o in mins],
             *[F.max(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in maxs],
@@ -338,7 +391,10 @@ def refresh_aggregate_view(
         .cast("bigint")
         .alias("n_rows"),
         *[
-            (F.coalesce(F.col(f"_cur_{out}"), F.lit(0.0)) + F.col(out)).alias(out)
+            (
+                F.coalesce(F.col(f"_cur_{out}"), F.lit(0).cast(acc[out]))
+                + F.col(out)
+            ).cast(acc[out]).alias(out)
             for out in sums
         ],
         # least/greatest skip nulls, so a new group (cur NULL) or a
@@ -358,8 +414,8 @@ def refresh_aggregate_view(
             base_now.join(F.broadcast(rg), group)
             .groupBy(group)
             .agg(
-                *[F.min(F.col(src).cast("double")).alias(f"_re_{o}") for o, src in mins.items()],
-                *[F.max(F.col(src).cast("double")).alias(f"_re_{o}") for o, src in maxs.items()],
+                *[F.min(F.col(src).cast(acc[o])).alias(f"_re_{o}") for o, src in mins.items()],
+                *[F.max(F.col(src).cast(acc[o])).alias(f"_re_{o}") for o, src in maxs.items()],
             )
         )
         merged = merged.join(recomputed, group, "left").select(

@@ -81,20 +81,15 @@ def _load_all() -> None:
 # ``tools/round_end_check.py`` cross-checks this list against
 # ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    # r10: reset to [] at round start (the r09 verdicts landed).  Names
+    # r11: reset to [] at round start (the r10 verdicts landed).  Names
     # are added below ONLY as their query/oracle code changes this
     # round.
     #
-    # r10: NEW pair — the connector seam (AdapterTap/KeyedStoreAdapter)
-    # end-to-end as the reference's copy-flow shape, so the product
-    # surface carries a driver verdict, not just pytest (VERDICT r09
-    # item 2).
-    "adapter_copy_flow",
-    # r10: NEW pair — the changefeed STREAMING SOURCE (manifest-version
-    # offsets; VERDICT r09 item 5a), oracled feed-vs-model.
-    "streaming_changefeed_source",
-    # r10: NEW pair — multi-table atomic maintenance chain (keyed/txn.py;
-    # VERDICT r09 item 5b), view-vs-rebuild oracle.
+    # r11: the r10 red row — the matview now maintains integral-source
+    # SUMs in BIGINT accumulators (keyed/matview.py "acc" contract), so
+    # this pair's cents_total is a true long against the BIGINT oracle
+    # (VERDICT r10 items 1+3; behavior-changing for this pair's output
+    # dtype, hence the re-head).
     "atomic_maintenance_chain",
 ]
 

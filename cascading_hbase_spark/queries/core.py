@@ -209,8 +209,12 @@ def atomic_maintenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips).  The returned view must equal a from-scratch aggregation
     of ALL orders, which only holds if the full chain landed: a lost
     sync or refresh would leave the delta missing from the view.
-    Integer-cents totals keep the incremental float-free (exact SUM
-    over longs — the house DECIMAL-internal rule)."""
+    Integer-cents totals keep the incremental float-free: since r11
+    the matview maintains integral-source SUMs in BIGINT accumulators
+    (``keyed/matview._acc_type``), so ``cents_total`` comes back as a
+    true long — exact at any scale, and dtype-identical to the BIGINT
+    oracle (the r10 red row was this pair returning an all-double
+    view sum against the BIGINT oracle)."""
     import os
     import tempfile
 

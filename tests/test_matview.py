@@ -420,3 +420,164 @@ def test_view_over_late_registered_token_rejected_at_refresh(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="version-token"):
         refresh_aggregate_view(spark, base, view)
+
+
+# ---------------------------------------------------------------------------
+# r11 dtype contract: integral sources -> BIGINT accumulators (exact past
+# 2^53, where the old all-double path silently lost integer exactness)
+# ---------------------------------------------------------------------------
+
+
+def _int_df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, grp string, cents bigint")
+
+
+def _long_fields(df, names):
+    from pyspark.sql.types import LongType
+
+    return {
+        f.name: isinstance(f.dataType, LongType)
+        for f in df.schema.fields
+        if f.name in names
+    }
+
+
+def test_integral_view_is_bigint_through_create_and_refresh(spark, tmp_path):
+    """SUM/MIN/MAX over a bigint source come back as bigint from create
+    AND stay bigint through every refresh shape — insert, group-moving
+    update, delete that forces the extrema rescan."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _int_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 7)]),
+        base, "id", retain=10,
+    )
+    create_aggregate_view(
+        spark, base, view, "grp", {"total": "cents"},
+        mins={"lo": "cents"}, maxs={"hi": "cents"},
+    )
+    got = read_aggregate_view(spark, view)
+    assert _long_fields(got, {"total", "lo", "hi", "n_rows"}) == {
+        "total": True, "lo": True, "hi": True, "n_rows": True,
+    }
+    # insert + group-move update + delete-the-max (extrema rescan path)
+    write_keyed(
+        _int_df(spark, [(4, "b", 100), (1, "b", 11)]),
+        base, "id", mode=SinkMode.APPEND,
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    delete_keyed(spark, base, spark.createDataFrame([(4,)], "id bigint"))
+    assert refresh_aggregate_view(spark, base, view) is True
+    got = read_aggregate_view(spark, view)
+    assert _long_fields(got, {"total", "lo", "hi"}) == {
+        "total": True, "lo": True, "hi": True,
+    }
+    want = {
+        (r["grp"], r["n_rows"], r["total"], r["lo"], r["hi"])
+        for r in read_keyed(spark, base)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").alias("total"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+        .collect()
+    }
+    assert {
+        (r["grp"], r["n_rows"], r["total"], r["lo"], r["hi"])
+        for r in got.collect()
+    } == want
+
+
+def test_integral_sum_exact_past_2_to_53(spark, tmp_path):
+    """The reason the contract exists: (2^53 + 1) is not representable
+    as a double, so the old double accumulator would drop the +1 at
+    create time and again per refresh.  The long accumulator must not."""
+    big = (1 << 53) + 1
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _int_df(spark, [(1, "a", big), (2, "a", 1)]), base, "id", retain=10
+    )
+    create_aggregate_view(spark, base, view, "grp", {"total": "cents"})
+    [r] = read_aggregate_view(spark, view).collect()
+    assert r["total"] == big + 1  # double path would say 2^53 + 1
+    write_keyed(
+        _int_df(spark, [(3, "a", big)]), base, "id", mode=SinkMode.APPEND
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    [r] = read_aggregate_view(spark, view).collect()
+    assert r["total"] == 2 * big + 1  # exact through the delta merge too
+
+
+def test_mixed_sources_pin_per_output_dtype(spark, tmp_path):
+    """One view, one integral + one floating SUM: each output keeps its
+    own accumulator dtype (per-output "acc" pin, not view-global)."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "a", 10, 1.5), (2, "a", 20, 2.5)],
+            "id bigint, grp string, cents bigint, val double",
+        ),
+        base, "id", retain=10,
+    )
+    create_aggregate_view(
+        spark, base, view, "grp", {"cents_total": "cents", "val_total": "val"}
+    )
+    types = {
+        f.name: type(f.dataType)
+        for f in read_aggregate_view(spark, view).schema.fields
+    }
+    assert types["cents_total"] is LongType
+    assert types["val_total"] is DoubleType
+    write_keyed(
+        spark.createDataFrame(
+            [(3, "a", 5, 0.5)],
+            "id bigint, grp string, cents bigint, val double",
+        ),
+        base, "id", mode=SinkMode.APPEND,
+    )
+    refresh_aggregate_view(spark, base, view)
+    [r] = read_aggregate_view(spark, view).collect()
+    assert (r["cents_total"], r["val_total"]) == (35, 4.5)
+    types = {
+        f.name: type(f.dataType)
+        for f in read_aggregate_view(spark, view).schema.fields
+    }
+    assert types["cents_total"] is LongType
+    assert types["val_total"] is DoubleType
+
+
+def test_pre_r11_view_without_acc_stays_double(spark, tmp_path, monkeypatch):
+    """A view created before the dtype contract has all-double data and
+    no "acc" manifest entry; refresh must keep serving the schema the
+    view was created with, not coerce it to the new rule."""
+    import cascading_hbase_spark.keyed.matview as mv_mod
+    from pyspark.sql.types import DoubleType
+
+    from cascading_hbase_spark.keyed.table import _load_meta, _save_meta
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "view")
+    write_keyed(
+        _int_df(spark, [(1, "a", 10), (2, "b", 20)]), base, "id", retain=10
+    )
+    # simulate the pre-r11 creator: double accumulators, no "acc" pin
+    monkeypatch.setattr(mv_mod, "_acc_type", lambda df, src: "double")
+    create_aggregate_view(
+        spark, base, view, "grp", {"total": "cents"}, maxs={"hi": "cents"}
+    )
+    monkeypatch.undo()
+    meta = _load_meta(view)
+    meta["matview"].pop("acc")
+    _save_meta(view, meta)
+    write_keyed(
+        _int_df(spark, [(3, "a", 5)]), base, "id", mode=SinkMode.APPEND
+    )
+    assert refresh_aggregate_view(spark, base, view) is True
+    got = read_aggregate_view(spark, view)
+    types = {f.name: type(f.dataType) for f in got.schema.fields}
+    assert types["total"] is DoubleType and types["hi"] is DoubleType
+    assert {(r["grp"], r["total"], r["hi"]) for r in got.collect()} == {
+        ("a", 15.0, 10.0), ("b", 20.0, 20.0),
+    }
