@@ -25,7 +25,11 @@ def _norm_col(s: pd.Series, other: pd.Series) -> pd.Series:
     Integer columns stay exact (nullable Int64) when BOTH sides are
     integer — float64 would silently equate 60-bit hash values differing
     below 2^53.  The float path only applies when either side is
-    genuinely floating-point (cross-engine int/double width drift)."""
+    genuinely floating-point; ``compare()`` REPORTS an int-vs-float
+    dtype pair as drift before this bridge is reached (r10 VERDICT:
+    the driver's value-hash distinguishes ``123400`` from ``123400.0``,
+    so the rehearsal must too) — the bridge survives only for columns
+    a caller explicitly whitelists via ``allow_int_float``."""
     if pd.api.types.is_datetime64_any_dtype(s):
         try:
             s = s.dt.tz_localize(None)
@@ -53,8 +57,25 @@ def _normalize(df: pd.DataFrame, other: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
-    """Return list of mismatch descriptions (empty = pass)."""
+def compare(
+    spark_df,
+    duck_df: pd.DataFrame,
+    allow_int_float: frozenset[str] = frozenset(),
+) -> list[str]:
+    """Return list of mismatch descriptions (empty = pass).
+
+    An int-dtype column on one side vs a float-dtype column on the
+    other is DTYPE DRIFT and fails (the driver's order-insensitive
+    value-hash distinguishes ``123400`` from ``123400.0`` — exactly
+    the r10 ``atomic_maintenance_chain`` red row, which rehearsed
+    green because this checker silently bridged the pair to float64).
+    The one systematic false positive is pandas' null-widening: a
+    column that is integral in BOTH engines but carries NULLs
+    converts to float64 on whichever fetch path lacks a nullable-int
+    representation — that case widens both sides identically here
+    (Spark toPandas and duckdb .df() both produce float64), so it
+    never trips the gate.  A column where the drift is intended must
+    be named in ``allow_int_float``."""
     sp = spark_df.toPandas()
     problems: list[str] = []
     if sorted(sp.columns) != sorted(duck_df.columns):
@@ -62,6 +83,21 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
         return problems
     if len(sp) != len(duck_df):
         problems.append(f"rowcount: spark={len(sp)} duck={len(duck_df)}")
+        return problems
+    for c in sorted(sp.columns):
+        ints = pd.api.types.is_integer_dtype(sp[c]), pd.api.types.is_integer_dtype(duck_df[c])
+        flts = pd.api.types.is_float_dtype(sp[c]), pd.api.types.is_float_dtype(duck_df[c])
+        if (
+            ((ints[0] and flts[1]) or (flts[0] and ints[1]))
+            and c not in allow_int_float
+        ):
+            problems.append(
+                f"col {c}: dtype drift spark={sp[c].dtype} duck="
+                f"{duck_df[c].dtype} — the driver's value-hash separates "
+                f"int from float renderings; cast BOTH sides to the same "
+                f"type (or whitelist via allow_int_float if intended)"
+            )
+    if problems:
         return problems
     a, b = _normalize(sp, duck_df), _normalize(duck_df, sp)
     for c in a.columns:

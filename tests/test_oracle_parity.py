@@ -42,3 +42,21 @@ def test_rows_only(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_parity_flags_int_float_dtype_drift(spark):
+    """r10 regression (atomic_maintenance_chain): an integral-valued
+    DOUBLE against a BIGINT oracle must FAIL the rehearsal — the
+    driver's value-hash distinguishes ``123400.0`` from ``123400``,
+    and the old checker silently bridged the pair to float64, which is
+    exactly how the red row rehearsed green.  The bridge now survives
+    only behind an explicit per-column whitelist."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame([(1, 123400.0)], "k bigint, v double")
+    ddf = pd.DataFrame({"k": [1], "v": [123400]})
+    problems = compare(sdf, ddf)
+    assert problems and "dtype drift" in problems[0]
+    # the whitelist restores the bridge deliberately, and the values
+    # then compare equal as float64
+    assert compare(sdf, ddf, allow_int_float=frozenset({"v"})) == []
