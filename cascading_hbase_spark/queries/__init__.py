@@ -91,6 +91,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # (VERDICT r10 items 1+3; behavior-changing for this pair's output
     # dtype, hence the re-head).
     "atomic_maintenance_chain",
+    # r11: NEW pair — the STREAMING REPLICA (changefeed stream →
+    # foreachBatch MERGE follower, streaming/ops.stream_replica; the
+    # CDC loop's last quadrant, VERDICT r10 item 6), follower-vs-
+    # snapshot oracle.
+    "streaming_replica_follower",
 ]
 
 # Number of head entries the driver's per-round budget is known to

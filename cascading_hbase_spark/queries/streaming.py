@@ -290,3 +290,62 @@ def streaming_changefeed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.read_changefeed_stream(spark, path, from_version=1), "append"
     )
     return feed.withColumnRenamed("_change", "change")
+
+
+_STREAM_REPLICA_ORACLE = """
+    SELECT o_orderkey, o_custkey, price FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 < 8
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 >= 8
+    ) WHERE o_orderkey % 7 <> 0
+"""
+
+
+@query("streaming_replica_follower", oracle=_STREAM_REPLICA_ORACLE)
+def streaming_replica_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING REPLICA (r11, ``streaming/ops.stream_replica``): an
+    always-on follower driven by the changefeed streaming source —
+    seed a primary (v1), seed the follower off it and drain a
+    zero-change availableNow run, then commit updates+inserts (v2)
+    and deletes (v3) on the primary and drain a SECOND run from the
+    SAME checkpoint.  The second run resumes from the checkpoint's
+    offsets (not the follower's seed cursor), merges the (v1, v3] net
+    diff via foreachBatch ``apply_changefeed``, and the follower must
+    equal the primary's final snapshot exactly — updated prices
+    doubled, inserts present, deleted keys gone.  The oracle rebuilds
+    that snapshot from first principles over ``orders``."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.catalog import load_table
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, read_keyed, write_keyed,
+    )
+
+    root = tempfile.mkdtemp(prefix="chs_srep_")
+    primary = os.path.join(root, "primary")
+    follower = os.path.join(root, "follower")
+    ckpt = os.path.join(root, "ckpt")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, primary, "o_orderkey", retain=10)                # v1
+    # first run: seeds the follower at v1, drains zero changes, and
+    # writes the checkpoint the second run must resume from
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    updates = seed.filter(k % 5 == 0).withColumn("price", F.col("price") * 2)
+    write_keyed(
+        updates.unionByName(orders.filter(k % 10 >= 8)),
+        primary, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v2
+    delete_keyed(spark, primary, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    return read_keyed(spark, follower).select(
+        "o_orderkey", "o_custkey", "price"
+    )

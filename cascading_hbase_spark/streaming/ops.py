@@ -48,6 +48,7 @@ __all__ = [
     "session_close_on_timeout",
     "run_available_now",
     "stream_upsert_keyed",
+    "stream_replica",
     "documents_stream",
     "stream_ingest_dedup",
 ]
@@ -734,3 +735,86 @@ def read_changefeed_stream(
     if from_version is not None:
         reader = reader.option("from_version", str(from_version))
     return reader.load()
+
+
+def stream_replica(
+    spark: SparkSession,
+    primary_path: str,
+    replica_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """An ALWAYS-ON follower: subscribe to the primary's changefeed
+    stream (``read_changefeed_stream`` — offsets are manifest commit
+    versions) and MERGE each micro-batch into a downstream keyed table
+    — the streaming twin of ``keyed/replica.sync_replica``, and the
+    shape a 100 TB deployment actually runs (continuous convergence
+    instead of scheduled diff pulls; per-batch cost is O(touched
+    buckets), never O(table)).
+
+    Seeding: a missing follower is seeded from the primary's CURRENT
+    snapshot (``create_replica``) and the stream subscribes from that
+    snapshot's version, so no change is missed and none is applied
+    twice; an existing follower must be a replica of this primary, and
+    the stream resumes from the CHECKPOINT's offsets (first run: the
+    manifest cursor).
+
+    Exactly-once: offsets live in the stream checkpoint; a replayed
+    micro-batch re-merges the same diff rows, and a changefeed MERGE
+    is idempotent (upserts re-apply the same post-image, deletes of
+    absent keys no-op), so crash-replay converges instead of
+    double-applying.  The follower manifest's ``replica.cursor``
+    stays at the SEED version — the checkpoint is the authoritative
+    stream cursor (foreachBatch cannot see its offset range, so
+    advancing the manifest cursor would be a guess; an interleaved
+    batch ``sync_replica`` from the stale cursor stays convergent —
+    diffs re-applied over newer state still produce the primary's
+    post-image — but wastes work: pick one maintenance mode).
+
+    The primary's version-token registration is mirrored per batch
+    (``sync_replica``'s forwarding rule) so cascaded replication off
+    the follower classifies on payload too."""
+    from cascading_hbase_spark.keyed.replica import create_replica
+    from cascading_hbase_spark.keyed.table import (
+        META_FILE,
+        _load_meta,
+        apply_changefeed,
+    )
+
+    if not os.path.exists(os.path.join(replica_path, META_FILE)):
+        create_replica(spark, primary_path, replica_path)
+    rep = _load_meta(replica_path).get("replica")
+    if rep is None or rep.get("of") != primary_path:
+        raise ValueError(
+            f"{replica_path} exists but is not a replica of "
+            f"{primary_path} (create_replica first, or point the "
+            f"stream at the follower's real primary {rep and rep.get('of')!r})"
+        )
+    feed = read_changefeed_stream(
+        spark, primary_path, from_version=rep["cursor"]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pmeta = _load_meta(primary_path)
+        rmeta = _load_meta(replica_path)
+        # sync_replica's seq-forwarding rule: mirror the primary's
+        # registration, clear a deregistered one, else leave untouched
+        pseq = pmeta.get("seq_col")
+        if pseq and pseq in batch_df.columns:
+            fwd_seq = pseq
+        elif not pseq and rmeta.get("seq_col"):
+            fwd_seq = ""
+        else:
+            fwd_seq = None
+        apply_changefeed(
+            batch_df.sparkSession, replica_path, batch_df, seq_col=fwd_seq
+        )
+
+    writer = feed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

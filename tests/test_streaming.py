@@ -1012,3 +1012,107 @@ def test_changefeed_stream_over_multi_commit_transaction(spark, tmp_path):
     assert (9, "never", "insert") not in set(
         (r.key, r.val, r._change) for r in got.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_replica (r11): changefeed stream -> foreachBatch MERGE follower
+# ---------------------------------------------------------------------------
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_converges_through_update_insert_delete(spark, tmp_path):
+    """The follower equals the primary's snapshot after draining —
+    across an update, an insert, and a delete committed AFTER the
+    follower was seeded (the deltas arrive via the stream, not the
+    seed)."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, read_keyed, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "ckpt")
+    write_keyed(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), primary,
+                "key", retain=10)                                      # v1
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    assert _rows(read_keyed(spark, follower), "key", "val") == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    write_keyed(_kv(spark, [(2, "B"), (4, "d")]), primary, "key",
+                mode=SinkMode.APPEND)                                  # v2
+    delete_keyed(spark, primary,
+                 spark.createDataFrame([(1,)], "key long"))            # v3
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    assert _rows(read_keyed(spark, follower), "key", "val") == _rows(
+        read_keyed(spark, primary), "key", "val"
+    ) == [(2, "B"), (3, "c"), (4, "d")]
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_checkpoint_resume_no_double_apply(spark, tmp_path):
+    """A third drain with the same checkpoint (nothing new committed)
+    applies nothing: the follower's table version is unchanged — the
+    checkpoint, not the follower's seed cursor, is the stream cursor,
+    so a restart never re-merges already-applied batches."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, read_keyed, table_version, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "ckpt")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    write_keyed(_kv(spark, [(2, "b")]), primary, "key", mode=SinkMode.APPEND)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    v = table_version(follower)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    assert table_version(follower) == v  # empty batch -> no commit
+    assert _rows(read_keyed(spark, follower), "key", "val") == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_refuses_foreign_target(spark, tmp_path):
+    """An existing table that is not a replica of THIS primary must be
+    refused, not silently merged into."""
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    p1 = str(tmp_path / "p1")
+    p2 = str(tmp_path / "p2")
+    f1 = str(tmp_path / "f1")
+    plain = str(tmp_path / "plain")
+    write_keyed(_kv(spark, [(1, "a")]), p1, "key", retain=10)
+    write_keyed(_kv(spark, [(9, "z")]), p2, "key", retain=10)
+    write_keyed(_kv(spark, [(5, "e")]), plain, "key", retain=10)
+    with pytest.raises(ValueError, match="not a replica"):
+        S.stream_replica(spark, p1, plain, str(tmp_path / "c1"))
+    # a replica of p1 cannot be pointed at p2
+    S.stream_replica(spark, p1, f1, str(tmp_path / "c2")).awaitTermination()
+    with pytest.raises(ValueError, match="not a replica"):
+        S.stream_replica(spark, p2, f1, str(tmp_path / "c3"))
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_forwards_seq_registration(spark, tmp_path):
+    """sync_replica's token-forwarding rule holds on the streaming
+    path: the primary's seq_col registration reaches the follower, so
+    a changefeed taken OVER the follower classifies on payload too."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(1, "a", 10)], "key long, val string, seq long")
+    write_keyed(df, primary, "key", retain=10, seq_col="seq")
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    assert _load_meta(follower).get("seq_col") == "seq"  # carried by seed
+    write_keyed(
+        spark.createDataFrame([(2, "b", 11)], "key long, val string, seq long"),
+        primary, "key", mode=SinkMode.APPEND, seq_col="seq",
+    )
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    assert _load_meta(follower).get("seq_col") == "seq"  # held by stream
