@@ -53,7 +53,6 @@ from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
     _load_meta,
-    _save_meta,
     changefeed_keyed,
     read_keyed,
     write_keyed,
@@ -244,23 +243,25 @@ def refresh_aggregate_view(
     if mv.get("base_id") is None:
         # Pre-incarnation-stamp view: the cursor NUMBER alone cannot
         # prove which incarnation it names, so it must never reach the
-        # diff — a REPLACEd base whose new version lands inside
-        # [horizon, base_version] would otherwise be quietly diffed
-        # against the dead history and the backfill would stamp the
-        # wrong incarnation (r09 ADVICE; mirrors sync_replica).  The
-        # one diff-free safe case is cursor == base_version: stamp with
-        # a meta-only flip and report current; else the rebuild signal.
-        if cursor == base_version:
-            if base_meta.get("table_id") is not None:  # else nothing to stamp
-                mv["base_id"] = base_meta["table_id"]
-                meta["matview"] = mv
-                _save_meta(view_path, meta)
+        # diff — and not even cursor == base_version is safe to adopt:
+        # a REPLACEd base whose new incarnation's version count happens
+        # to equal the cursor would stamp a STALE view with the new
+        # table_id and report it current (r10 ADVICE; supersedes the
+        # r09 stamp-when-current rule; mirrors sync_replica).  Whenever
+        # the base carries a table_id, the rebuild signal is the only
+        # provably-safe answer — and the every-commit table_id backfill
+        # makes it one-time.  A base with NO table_id (never committed
+        # under stamping code) leaves nothing to prove lineage against
+        # either way: the current-cursor case reports current with the
+        # coincidence window explicitly accepted (it closes at the
+        # base's next commit, which backfills the id).
+        if base_meta.get("table_id") is None and cursor == base_version:
             return False
         raise StaleViewError(
-            f"view {view_path} predates incarnation stamping and is "
-            f"behind (cursor {cursor}, base version {base_version}); "
-            f"the cursor alone cannot prove the base was not replaced "
-            f"— rebuild with create_aggregate_view"
+            f"view {view_path} predates incarnation stamping (cursor "
+            f"{cursor}, base version {base_version}); the cursor alone "
+            f"cannot prove the base was not replaced — rebuild with "
+            f"create_aggregate_view"
         )
     if base_version == cursor:
         return False

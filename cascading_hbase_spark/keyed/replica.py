@@ -28,7 +28,6 @@ from cascading_hbase_spark.keyed.table import (
     SinkMode,
     _carried_policies,
     _load_meta,
-    _save_meta,
     apply_changefeed,
     changefeed_keyed,
     read_keyed,
@@ -108,24 +107,25 @@ def sync_replica(
     if rep.get("of_id") is None:
         # Pre-incarnation-stamp replica: the cursor NUMBER alone cannot
         # prove which incarnation it names, so it must never reach the
-        # diff — if the primary was REPLACEd and the new history's
-        # version lands inside [horizon, version], the feed would
-        # quietly compare two unrelated histories and the backfill
-        # would then stamp the wrong incarnation with a bogus cursor
-        # (r09 ADVICE).  The one diff-free safe case is cursor ==
-        # version: stamp the incarnation with a meta-only flip and
-        # report current; anything else is the rebuild signal.
-        if cursor == version:
-            if pmeta.get("table_id") is not None:  # else nothing to stamp
-                rep["of_id"] = pmeta["table_id"]
-                rmeta["replica"] = rep
-                _save_meta(replica_path, rmeta)
+        # diff — and not even cursor == version is safe to adopt: a
+        # REPLACEd primary whose new incarnation's version count
+        # happens to equal the cursor would stamp a STALE replica with
+        # the new table_id and report it current (r10 ADVICE;
+        # supersedes the r09 stamp-when-current rule).  Whenever the
+        # primary carries a table_id, the rebuild signal is the only
+        # provably-safe answer — one-time, thanks to the every-commit
+        # table_id backfill.  A primary with NO table_id (never
+        # committed under stamping code) leaves nothing to prove
+        # lineage against either way: the current-cursor case reports
+        # current with the coincidence window explicitly accepted (it
+        # closes at the primary's next commit, which backfills the id).
+        if pmeta.get("table_id") is None and cursor == version:
             return False
         raise StaleReplicaError(
-            f"replica {replica_path} predates incarnation stamping and "
-            f"is behind (cursor {cursor}, primary version {version}); "
-            f"the cursor alone cannot prove the primary was not "
-            f"replaced — rebuild with create_replica"
+            f"replica {replica_path} predates incarnation stamping "
+            f"(cursor {cursor}, primary version {version}); the cursor "
+            f"alone cannot prove the primary was not replaced — "
+            f"rebuild with create_replica"
         )
     if version == cursor:
         return False

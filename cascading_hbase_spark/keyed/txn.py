@@ -60,7 +60,11 @@ shared catalog indirection, and the crash window is healed or
 loudly surfaced, never silently leaked.  An ABORTED transaction may
 also have let a staged commit's post-write GC collect one generation
 beyond the retain window on the staged tables (GC passes through; see
-test).  The transaction swaps the PROCESS-GLOBAL control plane for the
+test).  History-log PRUNES, by contrast, do NOT pass through: they
+are staged like the writes and executed at FLIP (recorded in the
+decision document, replayed by recovery), so an abort leaves the real
+history log exactly as the un-advanced manifest expects it (r10
+ADVICE).  The transaction swaps the PROCESS-GLOBAL control plane for the
 duration of the block (the engine's documented injection model), so
 keyed READS from other threads of this driver process during the block
 observe staged state — run maintenance transactions from the single
@@ -89,7 +93,12 @@ from cascading_hbase_spark.keyed.controlplane import (
     use_control_plane,
 )
 
-__all__ = ["TxnIntegrityError", "multi_commit", "recover_multi_commit"]
+__all__ = [
+    "TxnCommittedError",
+    "TxnIntegrityError",
+    "multi_commit",
+    "recover_multi_commit",
+]
 
 _META = "_kt_meta.json"
 _HISTORY = "_kt_history"
@@ -97,6 +106,16 @@ _HISTORY = "_kt_history"
 # one transaction per driver process at a time (the plane swap is
 # process-global; overlapping swaps would clobber each other's restore)
 _ACTIVE = threading.Lock()
+
+
+class TxnCommittedError(RuntimeError):
+    """The transaction IS COMMITTED (its decision document was
+    published) but the flip sequence failed before completing — e.g.
+    an object-store lease re-verification error mid-flip.  Nothing is
+    lost: ``recover_multi_commit`` (run automatically by the next
+    ``multi_commit`` on the same ``txn_log``) completes the remaining
+    flips.  Raised INSTEAD of the underlying error so the caller can
+    never misread a decided transaction as an abort (r10 ADVICE)."""
 
 
 class TxnIntegrityError(RuntimeError):
@@ -131,6 +150,7 @@ class _TxnControlPlane(ControlPlane):
         self._meta_keys = {_meta_key(p) for p in paths}
         self.staged: dict[str, dict] = {}
         self.staged_history: dict[str, dict] = {}
+        self.staged_deletes: set[str] = set()
         self.base_version: dict[str, int] = {}
 
     @property
@@ -157,6 +177,10 @@ class _TxnControlPlane(ControlPlane):
             return copy.deepcopy(self.staged[key])
         if key in self.staged_history:
             return copy.deepcopy(self.staged_history[key])
+        if key in self.staged_deletes:
+            # pruned inside the txn: serve the post-prune view the
+            # chain's own commit produced
+            raise FileNotFoundError(key)
         try:
             obj = self._inner.read_json(key)
         except FileNotFoundError:
@@ -180,19 +204,34 @@ class _TxnControlPlane(ControlPlane):
             # the real log (published at FLIP, manifest-then-history —
             # the single-table commit's order)
             self.staged_history[key] = copy.deepcopy(obj)
+            self.staged_deletes.discard(key)  # re-written after a prune
             return
         self._inner.write_json_atomic(key, obj)
 
     def object_exists(self, key: str) -> bool:
         if key in self.staged or key in self.staged_history:
             return True
+        if key in self.staged_deletes:
+            return False
         return self._inner.object_exists(key)
 
     def delete_quiet(self, key: str) -> None:
-        # history pruning of a staged (newest) snapshot never happens
-        # (HISTORY_KEEP prunes old versions only); a staged key deleted
-        # here would be a bug we want loud, so no special-casing
-        self.staged_history.pop(key, None)
+        if key in self.staged_history:
+            # staged-only snapshot: it never reached the real plane, so
+            # un-staging it IS the delete
+            self.staged_history.pop(key)
+            return
+        if self._history_owner(key) is not None:
+            # DEFER prune deletes of REAL history snapshots to FLIP
+            # (r10 ADVICE): while the transaction is undecided the real
+            # log must keep serving the un-advanced manifest's retained
+            # window — an aborted transaction that had already pruned
+            # the oldest retained snapshot would have permanently
+            # removed history the real manifest still keeps.  Staged
+            # like the writes; executed after the flips, recorded in
+            # the decision document so recovery replays them.
+            self.staged_deletes.add(key)
+            return
         self._inner.delete_quiet(key)
 
     def delete_tree_quiet(self, prefix: str) -> None:
@@ -297,6 +336,10 @@ def recover_multi_commit(txn_log: str) -> bool:
                 f"crash window; resolve manually before deleting the "
                 f"transaction document"
             )
+        # deferred history prunes travel with the decision; idempotent
+        # (delete of an absent key no-ops), so replay is always safe
+        for key in doc.get("deletes", []):
+            cp.delete_quiet(key)
     cp.delete_quiet(txn_log)
     return True
 
@@ -310,7 +353,10 @@ def multi_commit(
 
     Any exception inside the block aborts: no manifest flips, the
     chain's data files become invisible orphans cleaned by the next
-    writer's standard probes."""
+    writer's standard probes.  After the decision document publishes,
+    a failure mid-flip raises ``TxnCommittedError`` instead — the
+    transaction IS committed and recovery completes it; only the
+    block body itself can abort."""
     if not paths:
         raise ValueError("multi_commit needs at least one table path")
     if not _ACTIVE.acquire(blocking=False):
@@ -363,12 +409,31 @@ def multi_commit(
                     "id": txn_id,
                     "tables": proxy.staged,
                     "history": proxy.staged_history,
+                    # deferred history prunes (delete_quiet under a
+                    # registered table's history prefix) — replayed by
+                    # recovery like the flips
+                    "deletes": sorted(proxy.staged_deletes),
                 },
             )
             # FLIP under the held leases; a crash is healed by
-            # recover_multi_commit on the same txn_log
-            for key, staged in proxy.staged.items():
-                _apply_one(inner, key, staged, proxy.staged_history)
-            inner.delete_quiet(log)
+            # recover_multi_commit on the same txn_log.  From here on
+            # the transaction is DECIDED: any failure must surface as
+            # committed-pending-recovery, never look like an abort.
+            try:
+                for key, staged in proxy.staged.items():
+                    _apply_one(inner, key, staged, proxy.staged_history)
+                for key in sorted(proxy.staged_deletes):
+                    inner.delete_quiet(key)
+                inner.delete_quiet(log)
+            except BaseException as e:
+                raise TxnCommittedError(
+                    f"multi_commit: transaction {txn_id} IS COMMITTED "
+                    f"(decision document published at {log}) but the "
+                    f"flip sequence failed mid-way: {e!r}.  "
+                    f"recover_multi_commit({log!r}) — run automatically "
+                    f"by the next multi_commit on this txn_log — will "
+                    f"complete the remaining flips; do NOT treat this "
+                    f"as an abort"
+                ) from e
     finally:
         _ACTIVE.release()

@@ -14,6 +14,7 @@ import os
 import shutil
 import threading
 import time
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -301,6 +302,19 @@ class MultiSourceTap(Tap):
 _ADAPTER_SEQ = [0]
 _ADAPTER_SEQ_LOCK = threading.Lock()
 
+# Slotted pathless adapters cannot carry the token attribute, so their
+# uri derives from id() — which is only safe while the object stays
+# alive (CPython recycles id() after GC).  Pinning the adapter here
+# makes the id permanent: WeakSet when the class supports weak refs
+# (the pin — and the hazard — dies with the adapter), strong set
+# otherwise (bounded by the count of distinct slotted pathless
+# adapters, which are connector singletons in practice).  r10 ADVICE:
+# without the stable id-based fallback, two taps wrapping the SAME
+# slotted adapter minted different uris and the cascade scheduler
+# silently missed their producer/consumer edge.
+_SLOTTED_PINS: weakref.WeakSet = weakref.WeakSet()
+_SLOTTED_PINS_STRONG: set = set()
+
 
 class AdapterTap(Tap):
     """Bind ANY ``KeyedStoreAdapter`` implementation into the flow/
@@ -349,10 +363,20 @@ class AdapterTap(Tap):
                     try:
                         adapter._chs_uri_token = fallback
                     except AttributeError:
-                        # __slots__-style adapter: per-tap uniqueness is
-                        # the best available — pass name= to share
-                        # identity
-                        pass
+                        # __slots__-style adapter cannot carry the
+                        # token: derive it from id() — stable for a
+                        # live object, so two taps over the SAME
+                        # adapter agree and the scheduler keeps its
+                        # producer/consumer edge — and PIN the adapter
+                        # so the id can never be recycled into a
+                        # different adapter (r10 ADVICE; the 'slotted'
+                        # infix keeps the namespace disjoint from the
+                        # seq tokens).
+                        fallback = f"adapter-slotted-{id(adapter):x}"
+                        try:
+                            _SLOTTED_PINS.add(adapter)
+                        except TypeError:
+                            _SLOTTED_PINS_STRONG.add(adapter)
         super().__init__(name or fallback)
         self.adapter = adapter
         self._name = name or fallback

@@ -156,3 +156,64 @@ def test_pathless_adapter_fallback_uris_never_collide(spark):
     assert AdapterTap(MemoryKeyedStoreAdapter("key"), name="n").uri() == (
         "adapter://n"
     )
+
+
+def test_slotted_pathless_adapter_keeps_stable_shared_identity():
+    """A ``__slots__`` pathless adapter cannot carry the cached uri
+    token; the fallback must still be (a) SHARED by two taps over the
+    same adapter — the cascade scheduler's producer/consumer edge
+    depends on their uris matching — and (b) never recycled: the
+    adapter is pinned module-side so a dead adapter's id() can never
+    be minted into a different adapter's uri (r10 ADVICE; the old
+    behavior silently minted a fresh uri per tap)."""
+    import gc
+
+    from cascading_hbase_spark.operators.taps import (
+        _SLOTTED_PINS,
+        _SLOTTED_PINS_STRONG,
+        AdapterTap,
+    )
+
+    class Slotted(MemoryKeyedStoreAdapter):
+        __slots__ = ()  # no __dict__, no __weakref__ of its own
+
+    # MemoryKeyedStoreAdapter may define __dict__ upstream; build a
+    # truly slotted stand-in if setattr still works on the subclass
+    probe = Slotted("key")
+    try:
+        probe._chs_probe = 1
+        slotted_cls = None  # upstream has __dict__; synthesize instead
+    except AttributeError:
+        slotted_cls = Slotted
+    if slotted_cls is None:
+        class Bare:
+            __slots__ = ("key",)
+
+            def __init__(self):
+                self.key = "key"
+
+            def exists(self):
+                return False
+
+        slotted_cls = Bare
+
+    a = slotted_cls() if slotted_cls is not Slotted else Slotted("key")
+    t1, t2 = AdapterTap(a), AdapterTap(a)
+    assert t1.uri() == t2.uri()
+    assert t1.uri().startswith("adapter://adapter-slotted-")
+    # the adapter is pinned: GC cannot recycle its id into a new one
+    pinned = (a in _SLOTTED_PINS) or (a in _SLOTTED_PINS_STRONG)
+    assert pinned
+    ref = id(a)
+    del a, t1, t2
+    gc.collect()
+    # a strong pin keeps the adapter alive, so its id (hence its uri)
+    # can never be recycled into a different adapter; a weak pin dies
+    # WITH the adapter, at which point no live object can collide
+    if any(id(x) == ref for x in _SLOTTED_PINS_STRONG):
+        b = slotted_cls() if slotted_cls is not Slotted else Slotted("key")
+        assert id(b) != ref
+    # distinct live objects -> distinct uris
+    b = slotted_cls() if slotted_cls is not Slotted else Slotted("key")
+    c = slotted_cls() if slotted_cls is not Slotted else Slotted("key")
+    assert AdapterTap(b).uri() != AdapterTap(c).uri()

@@ -1810,16 +1810,17 @@ def test_replica_carries_policies_and_detects_replace(spark, tmp_path):
         sync_replica(spark, primary, replica)
 
 
-def test_pre_of_id_replica_stamps_when_current_raises_when_behind(
+def test_pre_of_id_replica_always_raises_rebuild_signal(
     spark, tmp_path
 ):
-    """A replica seeded before the of_id stamp existed can only be
-    trusted when its cursor EQUALS the primary version — that case
-    stamps the incarnation with a meta-only flip and reports current.
-    A behind cursor must raise the rebuild signal instead of diffing:
-    the number alone cannot prove the primary was not REPLACEd onto an
-    overlapping version range (r09 ADVICE — supersedes the r09-review
-    fall-through; mirrors the matview twin)."""
+    """A replica seeded before the of_id stamp existed must raise the
+    rebuild signal EVEN when its cursor equals the primary version:
+    version-count equality cannot prove lineage — a REPLACEd primary
+    whose new incarnation's count happens to reach the cursor would
+    otherwise adopt a stale replica as current and stamp the wrong
+    incarnation (r10 ADVICE; supersedes the r09 stamp-when-current
+    rule; mirrors the matview twin).  Rebuild is one-time thanks to
+    the every-commit table_id backfill."""
     import os
 
     import pytest as _pytest
@@ -1846,20 +1847,22 @@ def test_pre_of_id_replica_stamps_when_current_raises_when_behind(
         cp.write_json_atomic(mp, meta)
 
     _devolve()
-    # current cursor: stamped via a meta-only flip, reported current
-    assert sync_replica(spark, primary, replica) is False
+    # cursor == primary version is NOT adopted: rebuild signal
+    with _pytest.raises(StaleReplicaError, match="predates incarnation"):
+        sync_replica(spark, primary, replica)
+    # rebuild stamps; the replica then syncs normally
+    create_replica(spark, primary, replica)
     assert (
         cp.read_json(mp)["replica"]["of_id"]
         == _load_meta(primary).get("table_id")
     )
-    # a stamped replica syncs normally
     write_keyed(
         spark.createDataFrame([(2, 20)], "key long, val long"),
         primary, "key", mode=SinkMode.APPEND,
     )
     assert sync_replica(spark, primary, replica) is True
     assert read_keyed(spark, replica).count() == 2
-    # devolve AGAIN while behind: the diff must be refused
+    # devolve AGAIN while behind: same rebuild signal
     _devolve()
     write_keyed(
         spark.createDataFrame([(3, 30)], "key long, val long"),

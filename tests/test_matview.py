@@ -158,17 +158,15 @@ def test_replaced_base_raises_stale(spark, tmp_path):
     assert _actual(spark, view) == _expected(spark, base)
 
 
-def test_pre_base_id_view_stamps_when_current_raises_when_behind(
-    spark, tmp_path
-):
+def test_pre_base_id_view_always_raises_rebuild_signal(spark, tmp_path):
     """A view created before the base_id stamp existed (no 'base_id' in
-    its matview meta) can only be trusted when its cursor EQUALS the
-    base version — that case stamps the incarnation with a meta-only
-    flip and reports current.  A behind cursor must raise the rebuild
-    signal instead of diffing: the number alone cannot prove the base
-    was not REPLACEd onto an overlapping version range (r09 ADVICE —
-    supersedes the r09-review fall-through, whose upgrade window could
-    quietly diff two unrelated histories)."""
+    its matview meta) must raise the rebuild signal EVEN when its
+    cursor equals the base version: version-count equality cannot
+    prove lineage — a REPLACEd base whose new incarnation's count
+    happens to reach the cursor would otherwise adopt a stale view as
+    current and stamp the wrong incarnation (r10 ADVICE; supersedes
+    the r09 stamp-when-current rule).  Rebuild is one-time thanks to
+    the every-commit table_id backfill."""
     import os
 
     from cascading_hbase_spark.keyed.controlplane import get_control_plane
@@ -184,19 +182,23 @@ def test_pre_base_id_view_stamps_when_current_raises_when_behind(
     meta = cp.read_json(mp)
     meta["matview"].pop("base_id", None)
     cp.write_json_atomic(mp, meta)
-    # current cursor: stamped via a meta-only flip, reported current
-    assert refresh_aggregate_view(spark, base, view) is False
-    stamped = cp.read_json(mp)["matview"].get("base_id")
+    # cursor == base version is NOT adopted: rebuild signal
+    with pytest.raises(StaleViewError, match="predates incarnation"):
+        refresh_aggregate_view(spark, base, view)
+    # rebuild stamps; the view then refreshes normally
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
     from cascading_hbase_spark.keyed.table import _load_meta
 
-    assert stamped == _load_meta(base).get("table_id")
-    # a stamped view refreshes normally
+    assert (
+        cp.read_json(mp)["matview"]["base_id"]
+        == _load_meta(base).get("table_id")
+    )
     write_keyed(
         _base_df(spark, [(2, "a", 2.0)]), base, "id", mode=SinkMode.APPEND
     )
     assert refresh_aggregate_view(spark, base, view) is True
     assert _actual(spark, view) == _expected(spark, base)
-    # devolve AGAIN while behind: the diff must be refused
+    # devolve AGAIN while behind: same rebuild signal
     meta = cp.read_json(mp)
     meta["matview"].pop("base_id", None)
     cp.write_json_atomic(mp, meta)

@@ -23,6 +23,7 @@ from cascading_hbase_spark.keyed.table import (
     write_keyed,
 )
 from cascading_hbase_spark.keyed.txn import (
+    TxnCommittedError,
     default_txn_log,
     multi_commit,
     recover_multi_commit,
@@ -125,7 +126,10 @@ def test_crash_mid_flip_is_healed_by_recovery(spark, chain, monkeypatch):
         real_write(key, obj)
 
     monkeypatch.setattr(inner, "write_json_atomic", crashing)
-    with pytest.raises(OSError, match="simulated crash"):
+    # post-decision failure surfaces as committed-pending-recovery,
+    # never as a bare error a caller could misread as an abort (r10
+    # ADVICE); the underlying cause stays in the message and __cause__
+    with pytest.raises(TxnCommittedError, match="simulated crash"):
         with multi_commit(paths):
             write_keyed(
                 _df(spark, [(3, "a", 10.0)]), primary, "id",
@@ -216,7 +220,10 @@ def test_every_flip_crash_point_recovers_all_or_nothing(
         real_write(key, obj)
 
     monkeypatch.setattr(inner, "write_json_atomic", crashing)
-    with pytest.raises(OSError, match="simulated crash"):
+    # crash_at 0 kills the decision write itself -> plain abort error;
+    # any later point is post-decision -> TxnCommittedError (r10 ADVICE)
+    expected = OSError if crash_at == 0 else TxnCommittedError
+    with pytest.raises(expected, match="simulated crash"):
         with multi_commit(paths):
             write_keyed(
                 _df(spark, [(3, "a", 10.0)]), primary, "id",
@@ -280,7 +287,7 @@ def test_foreign_commit_in_crash_window_raises_integrity_error(
         real_write(key, obj)
 
     monkeypatch.setattr(inner, "write_json_atomic", crashing)
-    with pytest.raises(OSError, match="simulated crash"):
+    with pytest.raises(TxnCommittedError, match="simulated crash"):
         with multi_commit(paths):
             write_keyed(
                 _df(spark, [(3, "a", 10.0)]), primary, "id",
@@ -333,7 +340,7 @@ def test_recovery_republishes_history_after_crash_inside_apply(
         real_write(key, obj)
 
     monkeypatch.setattr(inner, "write_json_atomic", crashing)
-    with pytest.raises(OSError, match="between flip and history"):
+    with pytest.raises(TxnCommittedError, match="between flip and history"):
         with multi_commit(paths):
             write_keyed(
                 _df(spark, [(3, "a", 10.0)]), primary, "id",
@@ -348,4 +355,91 @@ def test_recovery_republishes_history_after_crash_inside_apply(
     assert not inner.object_exists(hist_prefix + "v2.json")
     assert recover_multi_commit(log) is True
     assert inner.object_exists(hist_prefix + "v2.json")
+    assert not inner.object_exists(log)
+
+
+def test_history_prune_inside_txn_is_deferred(spark, chain, monkeypatch):
+    """HISTORY_KEEP pruning triggered by a staged commit must not reach
+    the real log while the transaction is undecided (r10 ADVICE): an
+    abort leaves the oldest retained snapshot exactly as the
+    un-advanced manifest expects it; a committed transaction prunes it
+    at FLIP."""
+    import cascading_hbase_spark.keyed.table as kt
+
+    monkeypatch.setattr(kt, "HISTORY_KEEP", 3)
+    primary, replica, view = chain
+    for i in range(4):  # advance to version 5: log keeps v3..v5
+        write_keyed(
+            _df(spark, [(10 + i, "a", 1.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+    inner = get_control_plane()
+    h = primary.rstrip("/") + "/_kt_history/"
+    assert inner.object_exists(h + "v3.json")
+    assert not inner.object_exists(h + "v2.json")
+    # ABORT: the staged v6 commit prunes v3 — deferral keeps it real
+    with pytest.raises(RuntimeError, match="boom"):
+        with multi_commit([primary]):
+            write_keyed(
+                _df(spark, [(99, "z", 9.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+            raise RuntimeError("boom")
+    assert _versions([primary]) == [5]
+    assert inner.object_exists(h + "v3.json")  # the ADVICE's lost key
+    # COMMIT: the prune lands with the flip, not before
+    with multi_commit([primary]):
+        write_keyed(
+            _df(spark, [(99, "z", 9.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+    assert _versions([primary]) == [6]
+    assert not inner.object_exists(h + "v3.json")
+    assert inner.object_exists(h + "v6.json")
+
+
+def test_deferred_prunes_survive_crash_and_replay_in_recovery(
+    spark, chain, monkeypatch
+):
+    """The deferred history prunes travel in the decision document: a
+    crash before ANY flip loses the in-memory staging, and recovery
+    must still flip the table AND apply the prune."""
+    import cascading_hbase_spark.keyed.table as kt
+
+    monkeypatch.setattr(kt, "HISTORY_KEEP", 3)
+    primary, replica, view = chain
+    for i in range(4):  # version 5: log keeps v3..v5
+        write_keyed(
+            _df(spark, [(10 + i, "a", 1.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+    inner = get_control_plane()
+    h = primary.rstrip("/") + "/_kt_history/"
+    log = default_txn_log([primary])
+    meta_key = primary.rstrip("/") + "/_kt_meta.json"
+    real_write = inner.write_json_atomic
+    state = {"doc": False}
+
+    def crashing(key, obj):
+        if state["doc"] and key == meta_key:
+            raise OSError("simulated crash before the flip")
+        if key == log:
+            state["doc"] = True
+        real_write(key, obj)
+
+    monkeypatch.setattr(inner, "write_json_atomic", crashing)
+    with pytest.raises(TxnCommittedError, match="simulated crash"):
+        with multi_commit([primary]):
+            write_keyed(
+                _df(spark, [(99, "z", 9.0)]), primary, "id",
+                mode=SinkMode.APPEND,
+            )
+    monkeypatch.setattr(inner, "write_json_atomic", real_write)
+    # decided but nothing flipped; the prune must not have run either
+    assert _versions([primary]) == [5]
+    assert inner.object_exists(h + "v3.json")
+    assert recover_multi_commit(log) is True
+    assert _versions([primary]) == [6]
+    assert not inner.object_exists(h + "v3.json")  # replayed from doc
+    assert inner.object_exists(h + "v6.json")
     assert not inner.object_exists(log)
