@@ -774,7 +774,10 @@ def stream_replica(
     The primary's version-token registration is mirrored per batch
     (``sync_replica``'s forwarding rule) so cascaded replication off
     the follower classifies on payload too."""
-    from cascading_hbase_spark.keyed.replica import create_replica
+    from cascading_hbase_spark.keyed.replica import (
+        StaleReplicaError,
+        create_replica,
+    )
     from cascading_hbase_spark.keyed.table import (
         META_FILE,
         _load_meta,
@@ -790,6 +793,26 @@ def stream_replica(
             f"{primary_path} (create_replica first, or point the "
             f"stream at the follower's real primary {rep and rep.get('of')!r})"
         )
+    # Incarnation gate, mirroring sync_replica exactly (review finding:
+    # the PATH check alone lets a REPLACEd primary silently diverge the
+    # follower — cursor numbers cannot prove lineage across a REPLACE):
+    # a stamped follower must name the primary's CURRENT incarnation; a
+    # pre-stamp follower is refused whenever the primary carries a
+    # table_id at all (rebuild is one-time, via the backfill).
+    expected_id = rep.get("of_id")
+    pmeta0 = _load_meta(primary_path)
+    if expected_id is None:
+        if pmeta0.get("table_id") is not None:
+            raise StaleReplicaError(
+                f"replica {replica_path} predates incarnation stamping; "
+                f"the cursor alone cannot prove the primary was not "
+                f"replaced — rebuild with create_replica"
+            )
+    elif expected_id != pmeta0.get("table_id"):
+        raise StaleReplicaError(
+            f"primary {primary_path} was replaced since the follower "
+            f"was seeded; rebuild with create_replica"
+        )
     feed = read_changefeed_stream(
         spark, primary_path, from_version=rep["cursor"]
     )
@@ -798,6 +821,18 @@ def stream_replica(
         if batch_df.isEmpty():
             return
         pmeta = _load_meta(primary_path)
+        if (
+            expected_id is not None
+            and pmeta.get("table_id") != expected_id
+        ):
+            # REPLACE landed MID-STREAM: refuse the merge — the batch
+            # was planned against one incarnation's history and must
+            # not land on a follower seeded from another
+            raise StaleReplicaError(
+                f"primary {primary_path} was replaced while the "
+                f"follower stream was running; rebuild with "
+                f"create_replica and a fresh checkpoint"
+            )
         rmeta = _load_meta(replica_path)
         # sync_replica's seq-forwarding rule: mirror the primary's
         # registration, clear a deregistered one, else leave untouched
