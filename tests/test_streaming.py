@@ -1116,3 +1116,94 @@ def test_stream_replica_forwards_seq_registration(spark, tmp_path):
     )
     S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
     assert _load_meta(follower).get("seq_col") == "seq"  # held by stream
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_pre_stamp_follower_raises_rebuild_signal(
+    spark, tmp_path
+):
+    """A follower seeded before the of_id stamp existed must raise the
+    rebuild signal whenever the primary carries a table_id at all —
+    cursor numbers cannot prove lineage across a REPLACE (mirrors
+    sync_replica's r10-ADVICE rule exactly; the gate runs BEFORE the
+    stream is constructed, so no checkpoint state is minted)."""
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
+    from cascading_hbase_spark.keyed.replica import StaleReplicaError
+    from cascading_hbase_spark.keyed.table import META_FILE, write_keyed
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "ckpt")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    cp = get_control_plane()
+    mp = _os.path.join(follower, META_FILE)
+    meta = cp.read_json(mp)
+    meta["replica"].pop("of_id", None)
+    cp.write_json_atomic(mp, meta)
+    with pytest.raises(StaleReplicaError, match="predates incarnation"):
+        S.stream_replica(spark, primary, follower, ckpt)
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_refuses_replaced_primary(spark, tmp_path):
+    """REPLACE restarts the primary's version counter and mints a new
+    table_id: a follower seeded from the OLD incarnation must be
+    refused at stream start, not silently diverged."""
+    from cascading_hbase_spark.keyed.replica import StaleReplicaError
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    write_keyed(_kv(spark, [(1, "a"), (2, "b")]), primary, "key", retain=10)
+    S.stream_replica(
+        spark, primary, follower, str(tmp_path / "c1")
+    ).awaitTermination()
+    write_keyed(_kv(spark, [(9, "z")]), primary, "key",
+                mode=SinkMode.REPLACE, retain=10)
+    with pytest.raises(StaleReplicaError, match="was replaced"):
+        S.stream_replica(spark, primary, follower, str(tmp_path / "c2"))
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_mid_stream_replace_refuses_merge(
+    spark, tmp_path, monkeypatch
+):
+    """A REPLACE landing AFTER the start gate but BEFORE a batch merges
+    must be refused inside the sink (the batch was planned against one
+    incarnation's history and must not land on a follower seeded from
+    another).  Simulated deterministically: the sink's meta reads are
+    driver-side, so patching the table module's _load_meta tampers the
+    primary's table_id only for reads made after the start gate ran —
+    the source's planning worker is a separate process and unaffected."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import cascading_hbase_spark.keyed.table as KT
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, table_version, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "ckpt")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    write_keyed(_kv(spark, [(2, "b")]), primary, "key",
+                mode=SinkMode.APPEND)  # pending change -> non-empty batch
+    real = KT._load_meta
+    tampered = []
+
+    def fake(path, *a, **k):
+        meta = real(path, *a, **k)
+        if tampered and path == primary:
+            meta = dict(meta, table_id="mid-stream-replace")
+        return meta
+
+    monkeypatch.setattr(KT, "_load_meta", fake)
+    v0 = table_version(follower)
+    q = S.stream_replica(spark, primary, follower, ckpt)
+    tampered.append(True)  # start gate already ran synchronously above
+    with pytest.raises(StreamingQueryException, match="replaced while"):
+        q.awaitTermination()
+    monkeypatch.undo()
+    assert table_version(follower) == v0  # the merge was refused
