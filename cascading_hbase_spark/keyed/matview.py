@@ -62,6 +62,7 @@ __all__ = [
     "StaleViewError",
     "create_aggregate_view",
     "refresh_aggregate_view",
+    "apply_sum_delta",
     "read_aggregate_view",
 ]
 
@@ -226,6 +227,19 @@ def refresh_aggregate_view(
     if mv is None:
         raise ValueError(f"{view_path} is not an aggregate view")
     cursor = mv["base_version"]
+    if mv.get("stream") is not None:
+        # The stream checkpoint — not this manifest's cursor — is the
+        # authoritative position of a stream-maintained view
+        # (streaming/ops.stream_matview): a scheduled refresh diffing
+        # from the stale cursor would re-apply every delta the
+        # checkpoint has already merged.  SUM deltas are not
+        # idempotent, so this is corruption, not waste — refuse.
+        raise StaleViewError(
+            f"view {view_path} is stream-maintained (checkpoint "
+            f"{mv['stream'].get('checkpoint')!r}); a scheduled refresh "
+            f"would double-apply merged batches — keep using "
+            f"stream_matview, or rebuild with create_aggregate_view"
+        )
     base_meta = _load_meta(base_path)
     base_version = base_meta["version"]
     if (
@@ -449,6 +463,133 @@ def refresh_aggregate_view(
         # the write above materialized everything; repeated refreshes
         # must not accumulate cache entries (each refresh has a new plan)
         cached.unpersist()
+    return True
+
+
+def apply_sum_delta(
+    spark: SparkSession,
+    view_path: str,
+    feed: DataFrame,
+    checkpoint: str,
+    batch_id: int,
+) -> bool:
+    """Apply ONE changefeed micro-batch (rows tagged ``_change``, with
+    ``_before`` pre-images) to a COUNT/SUM-only aggregate view —
+    the engine half of ``streaming/ops.stream_matview``.
+
+    Exactly-once WITHOUT merge idempotence: a SUM delta applied twice
+    corrupts (unlike the replica's LWW merge), so each application
+    stamps ``(checkpoint, batch_id)`` into the view manifest in the
+    SAME atomic commit as the data.  Spark replays a failed-or-
+    uncommitted micro-batch under the SAME batch_id with the SAME
+    offset range (and generations are immutable, so the same rows);
+    a replay of an already-stamped batch returns False and writes
+    nothing.  A DIFFERENT checkpoint raises: its batch numbering
+    restarts at 0 while the view already contains later batches —
+    offsets the new checkpoint would re-plan — and there is no way to
+    prove which deltas landed; rebuild the view (or reuse the original
+    checkpoint).
+
+    MIN/MAX views are refused: extremum retraction needs a re-aggregate
+    of the touched groups pinned to the diff's END snapshot, and
+    ``foreachBatch`` cannot see its offset range — reading the base's
+    CURRENT snapshot instead would fold future commits' rows into this
+    batch's extrema.  Scheduled ``refresh_aggregate_view`` (which pins
+    both ends) is the maintenance mode for extrema views."""
+    meta = _load_meta(view_path)
+    mv = meta.get("matview")
+    if mv is None:
+        raise ValueError(f"{view_path} is not an aggregate view")
+    if mv.get("mins") or mv.get("maxs"):
+        raise ValueError(
+            f"view {view_path} maintains MIN/MAX columns; extremum "
+            f"retraction needs a group re-aggregate pinned to the "
+            f"diff's end snapshot, which a stream batch cannot name — "
+            f"use scheduled refresh_aggregate_view for extrema views"
+        )
+    st = mv.get("stream")
+    if st is not None and st.get("checkpoint") != checkpoint:
+        raise StaleViewError(
+            f"view {view_path} is maintained under checkpoint "
+            f"{st.get('checkpoint')!r}; batch numbering is per-"
+            f"checkpoint, so deltas applied under a different one "
+            f"cannot be proven exactly-once — rebuild with "
+            f"create_aggregate_view and a fresh checkpoint"
+        )
+    if st is not None and batch_id <= st.get("batch_id", -1):
+        return False  # replayed batch: already atomically applied
+    group, sums = mv["group"], mv["sums"]
+    _acc = mv.get("acc") or {}
+    acc = {o: _acc.get(o, "double") for o in sums}
+    before_fields = set(
+        feed.schema["_before"].dataType.fieldNames()
+    )
+
+    def _before(c: str):
+        # the base KEY is identical pre/post by construction and is the
+        # one column the pre-image struct omits
+        return (
+            F.col("_before").getField(c) if c in before_fields else F.col(c)
+        )
+
+    def _side(df: DataFrame, sign: int, col_of) -> DataFrame:
+        return df.select(
+            col_of(group).alias(group),
+            F.lit(sign).cast("bigint").alias("_dn"),
+            *[
+                (
+                    F.lit(sign).cast(acc[out])
+                    * F.coalesce(
+                        col_of(src).cast(acc[out]), F.lit(0).cast(acc[out])
+                    )
+                ).alias(out)
+                for out, src in sums.items()
+            ],
+        )
+
+    plus = _side(
+        feed.filter(F.col("_change").isin("insert", "update")), 1, F.col
+    )
+    minus = _side(
+        feed.filter(F.col("_change").isin("update", "delete")), -1, _before
+    )
+    delta = (
+        plus.unionByName(minus)
+        .filter(F.col(group).isNotNull())
+        .groupBy(group)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(out).cast(acc[out]).alias(out) for out in sums],
+        )
+    )
+    cur = read_keyed(spark, view_path).select(
+        F.col(group),
+        F.col("n_rows").alias("_cur_n"),
+        *[F.col(out).alias(f"_cur_{out}") for out in sums],
+    )
+    merged = delta.join(cur, group, "left").select(
+        F.col(group),
+        (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn"))
+        .cast("bigint")
+        .alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"_cur_{out}"), F.lit(0).cast(acc[out]))
+                + F.col(out)
+            ).cast(acc[out]).alias(out)
+            for out in sums
+        ],
+    )
+    write_keyed(
+        merged,
+        view_path,
+        group,
+        mode=SinkMode.APPEND,
+        meta_extra={"matview": {
+            **mv,
+            "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
+        }},
+    )
     return True
 
 

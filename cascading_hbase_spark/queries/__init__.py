@@ -96,6 +96,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # CDC loop's last quadrant, VERDICT r10 item 6), follower-vs-
     # snapshot oracle.
     "streaming_replica_follower",
+    # r11: NEW pair — the STREAMING MATVIEW (changefeed stream with
+    # include_old pre-images → apply_sum_delta fold, exactly-once via
+    # the (checkpoint, batch_id) stamp; streaming/ops.stream_matview),
+    # view-vs-first-principles-rebuild oracle in exact BIGINT cents.
+    "streaming_matview_sums",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -349,3 +349,71 @@ def streaming_replica_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_keyed(spark, follower).select(
         "o_orderkey", "o_custkey", "price"
     )
+
+
+_STREAM_MATVIEW_ORACLE = """
+    SELECT o_custkey % 100 AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 10 < 8 AND o_orderkey % 5 = 0
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_total
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+"""
+
+
+@query("streaming_matview_sums", oracle=_STREAM_MATVIEW_ORACLE)
+def streaming_matview_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATVIEW (r11, ``streaming/ops.stream_matview``): an
+    always-on COUNT/SUM aggregate view maintained from the changefeed
+    stream WITH pre-images (``include_old`` on the r10 source) — the
+    CDC square's last cell (batch/stream x replica/view).  Seed a
+    primary at v1 and the view off its snapshot, drain a zero-change
+    run; then commit doubled-cents updates + inserts (v2) and deletes
+    (v3) and drain a second run from the SAME checkpoint: the per-group
+    delta (retract ``_before``, add post-image) folds in via
+    ``apply_sum_delta``, stamped (checkpoint, batch_id) in the same
+    atomic commit as the data — exactly-once without merge idempotence.
+    The view must equal a from-scratch aggregate of the final snapshot,
+    in exact BIGINT cents (the oracle rebuilds it from first
+    principles over ``orders``)."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.catalog import load_table
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, write_keyed,
+    )
+
+    root = tempfile.mkdtemp(prefix="chs_smv_")
+    base = os.path.join(root, "base")
+    view = os.path.join(root, "view")
+    ckpt = os.path.join(root, "ckpt")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, base, "o_orderkey", retain=10)                   # v1
+    # first run: seeds the view at v1 and writes the checkpoint the
+    # second run resumes from (zero-change drain)
+    S.stream_matview(
+        spark, base, view, ckpt, "grp", {"cents_total": "cents"}
+    ).awaitTermination()
+    updates = seed.filter(k % 5 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    write_keyed(
+        updates.unionByName(orders.filter(k % 10 >= 8)),
+        base, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v2
+    delete_keyed(spark, base, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    return read_aggregate_view(spark, view).select(
+        "grp", "n_rows", "cents_total"
+    )

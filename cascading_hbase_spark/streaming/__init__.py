@@ -19,6 +19,7 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     sliding_counts,
     stream_maintained_cms,
     stream_maintained_view,
+    stream_matview,
     stream_replica,
     stream_upsert_keyed,
     tumbling_counts,

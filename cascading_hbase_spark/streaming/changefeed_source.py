@@ -61,6 +61,11 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 SOURCE_NAME = "keyed_changefeed"
 CHANGE_COL = "_change"
+BEFORE_COL = "_before"
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes") if v is not None else False
 
 # ---------------------------------------------------------------------------
 # planning helpers — plain-file manifest access (driver-side planning
@@ -198,14 +203,37 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("keyed_changefeed requires .option('path', ...)")
+        self.include_old = _truthy(options.get("include_old"))
+        meta = _load_manifest(self.path)
+        if self.include_old and not [
+            f for f in schema.fields
+            if f.name not in (CHANGE_COL, BEFORE_COL)
+            and f.name != meta["key"]
+        ]:
+            raise ValueError(
+                f"keyed table {self.path} has no payload columns beside "
+                f"the key; include_old has no pre-image to carry"
+            )
         if CHANGE_COL not in schema.fieldNames():  # normalize direct use
             schema = StructType(
                 list(schema.fields)
                 + [StructField(CHANGE_COL, StringType(), False)]
             )
+        if self.include_old and BEFORE_COL not in schema.fieldNames():
+            data_fields = [
+                f for f in schema.fields
+                if f.name not in (CHANGE_COL, BEFORE_COL)
+                and f.name != meta["key"]
+            ]
+            schema = StructType(
+                list(schema.fields)
+                + [StructField(BEFORE_COL, StructType(data_fields), True)]
+            )
         self._schema = schema  # pinned at stream start (incl. _change)
-        self.columns = [f.name for f in schema.fields if f.name != CHANGE_COL]
-        meta = _load_manifest(self.path)
+        self.columns = [
+            f.name for f in schema.fields
+            if f.name not in (CHANGE_COL, BEFORE_COL)
+        ]
         if meta.get("ttl"):
             raise ValueError(
                 f"keyed table {self.path} has a row-TTL policy; TTL "
@@ -323,7 +351,10 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         cols = self.columns  # one source of truth: the pinned schema
         out_schema = to_arrow_schema(self._schema)
         data_schema = to_arrow_schema(
-            _ST([f for f in self._schema.fields if f.name != CHANGE_COL])
+            _ST([
+                f for f in self._schema.fields
+                if f.name not in (CHANGE_COL, BEFORE_COL)
+            ])
         )
         old = _side_table(
             s["old_files"], data_schema, key, s["lo"], s["hi"]
@@ -369,12 +400,25 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
                 neq = neq & ~((a != a).fillna(False) & (b != b).fillna(False))
             changed = changed | neq
         frames = []
+        befores = []  # old-side payloads, row-aligned with frames
+        before_null = []  # True per row = whole _before struct is NULL
+        bcols = [c for c in cols if c != key]
+
+        def _old_payload(sel) -> "pd.DataFrame":
+            return pd.DataFrame({c: m.loc[sel, c + suf] for c in bcols})
+
         ins = m[ind] == "left_only"
         if ins.any():
             frames.append(m.loc[ins, cols].assign(**{CHANGE_COL: "insert"}))
+            # inserts have no pre-image: a NULL struct, like the batch
+            # feed's include_old (_old is null on the left_only side)
+            befores.append(_old_payload(ins))
+            before_null.extend([True] * int(ins.sum()))
         upd = (m[ind] == "both") & changed
         if upd.any():
             frames.append(m.loc[upd, cols].assign(**{CHANGE_COL: "update"}))
+            befores.append(_old_payload(upd))
+            before_null.extend([False] * int(upd.sum()))
         dels = m[ind] == "right_only"
         if dels.any():  # pre-delete row, like the batch feed
             old_cols = {
@@ -383,13 +427,35 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
             frames.append(
                 pd.DataFrame(old_cols).assign(**{CHANGE_COL: "delete"})
             )
+            befores.append(_old_payload(dels))
+            before_null.extend([False] * int(dels.sum()))
         if not frames:
             return iter(())
+        data_out = pa.schema(
+            [out_schema.field(c) for c in cols]
+            + [out_schema.field(CHANGE_COL)]
+        )
         out = pa.Table.from_pandas(
             pd.concat(frames, ignore_index=True),
-            schema=out_schema,
+            schema=data_out,
             preserve_index=False,
         )
+        if self.include_old:
+            # pre-image struct column, columnar like the rest: the old
+            # side's payload columns assembled into one StructArray
+            # (child values at NULL-struct slots are ignored via mask)
+            bfields = [data_schema.field(c) for c in bcols]
+            btab = pa.Table.from_pandas(
+                pd.concat(befores, ignore_index=True),
+                schema=pa.schema(bfields),
+                preserve_index=False,
+            )
+            struct = pa.StructArray.from_arrays(
+                [btab.column(f.name).combine_chunks() for f in bfields],
+                fields=bfields,
+                mask=pa.array(before_null, type=pa.bool_()),
+            )
+            out = out.append_column(out_schema.field(BEFORE_COL), struct)
         return iter(out.to_batches())
 
 
@@ -397,7 +463,11 @@ class KeyedChangefeedDataSource(DataSource):
     """``spark.readStream.format("keyed_changefeed")`` — see module
     docstring.  Options: ``path`` (the keyed table), ``from_version``
     (starting cursor; default = the table's version at stream start,
-    i.e. future changes only)."""
+    i.e. future changes only), ``include_old`` ("true" appends a
+    ``_before`` struct carrying every non-key column's pre-image —
+    null for inserts, mirroring the batch feed's ``include_old=True``
+    — what incremental aggregate maintenance needs to retract an
+    update's old contribution)."""
 
     @classmethod
     def name(cls) -> str:
@@ -409,9 +479,20 @@ class KeyedChangefeedDataSource(DataSource):
             raise ValueError("keyed_changefeed requires .option('path', ...)")
         meta = _load_manifest(path)
         st = StructType.fromJson(json.loads(meta["schema"]))
-        return StructType(
-            list(st.fields) + [StructField(CHANGE_COL, StringType(), False)]
-        )
+        fields = list(st.fields) + [
+            StructField(CHANGE_COL, StringType(), False)
+        ]
+        if _truthy(self.options.get("include_old")):
+            fields.append(
+                StructField(
+                    BEFORE_COL,
+                    StructType(
+                        [f for f in st.fields if f.name != meta["key"]]
+                    ),
+                    True,
+                )
+            )
+        return StructType(fields)
 
     def streamReader(self, schema: StructType) -> KeyedChangefeedStreamReader:
         return KeyedChangefeedStreamReader(schema, dict(self.options))

@@ -49,6 +49,7 @@ __all__ = [
     "run_available_now",
     "stream_upsert_keyed",
     "stream_replica",
+    "stream_matview",
     "documents_stream",
     "stream_ingest_dedup",
 ]
@@ -703,13 +704,18 @@ def stream_maintained_cms(
 
 
 def read_changefeed_stream(
-    spark: SparkSession, path: str, from_version: int | None = None
+    spark: SparkSession,
+    path: str,
+    from_version: int | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Subscribe to a keyed table's changefeed as a STREAMING DataFrame
     — offsets are manifest commit versions, partitions are the touched
     buckets, every change row is tagged ``_change`` in
     {'insert','update','delete'} (the batch ``changefeed_keyed``'s
-    contract, minus ``_before``).  See
+    contract).  ``include_old=True`` adds the batch feed's ``_before``
+    pre-image struct (null for inserts) — what incremental aggregate
+    maintenance needs to retract an update's old contribution.  See
     ``streaming/changefeed_source.py`` for the source's architecture
     and contracts (pinned schema, TTL refusal, horizon signal).
 
@@ -734,6 +740,8 @@ def read_changefeed_stream(
     reader = spark.readStream.format("keyed_changefeed").option("path", path)
     if from_version is not None:
         reader = reader.option("from_version", str(from_version))
+    if include_old:
+        reader = reader.option("include_old", "true")
     return reader.load()
 
 
@@ -845,6 +853,142 @@ def stream_replica(
             fwd_seq = None
         apply_changefeed(
             batch_df.sparkSession, replica_path, batch_df, seq_col=fwd_seq
+        )
+
+    writer = feed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_matview(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    checkpoint: str,
+    group_col: str | None = None,
+    sums: dict[str, str] | None = None,
+    n_buckets: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """An ALWAYS-ON incrementally-maintained aggregate view: subscribe
+    to the base table's changefeed stream WITH pre-images
+    (``read_changefeed_stream(include_old=True)``) and fold each
+    micro-batch's per-group COUNT/SUM delta into the view — the
+    streaming twin of ``refresh_aggregate_view``, completing the CDC
+    quadrant square (batch/stream x replica/view).  Per-batch cost is
+    O(touched buckets) for the diff + O(changed groups) for the merge,
+    never O(table) — the shape continuous rollup maintenance runs at
+    100 TB.
+
+    Seeding: a missing view is built from the base's CURRENT snapshot
+    (``create_aggregate_view`` — ``group_col``/``sums`` required) and
+    the stream subscribes from that snapshot's version; an existing
+    COUNT/SUM-only view of this base is adopted and streamed from its
+    refresh cursor.  MIN/MAX views are refused (extremum retraction
+    needs rescans pinned to the diff's end version, which
+    ``foreachBatch`` cannot name — keep those on scheduled
+    ``refresh_aggregate_view``).
+
+    Exactly-once: SUM deltas are NOT idempotent, so replay safety
+    cannot ride on the merge like ``stream_replica``'s LWW does.
+    Instead ``keyed/matview.apply_sum_delta`` stamps (checkpoint,
+    batch_id) into the view manifest in the SAME atomic commit as the
+    data: a crash-replayed batch (same id, same offset range, same
+    rows — generations are immutable) is recognized and skipped, and
+    a FOREIGN checkpoint is refused outright.  Once a batch lands,
+    scheduled ``refresh_aggregate_view`` on this view is refused too
+    (its manifest cursor is stale by design; the checkpoint is the
+    authority) — pick one maintenance mode, enforced.
+
+    The incarnation gate mirrors ``stream_replica``: a REPLACEd base
+    is refused at stream start AND before every merge (a mid-stream
+    REPLACE must not fold one incarnation's diff into a view seeded
+    from another)."""
+    from cascading_hbase_spark.keyed.matview import (
+        StaleViewError,
+        apply_sum_delta,
+        create_aggregate_view,
+        _reject_token_aggregation,
+    )
+    from cascading_hbase_spark.keyed.table import META_FILE, _load_meta
+
+    if not os.path.exists(os.path.join(view_path, META_FILE)):
+        if group_col is None or not sums:
+            raise ValueError(
+                f"{view_path} does not exist; pass group_col and sums "
+                f"to seed it (create_aggregate_view)"
+            )
+        create_aggregate_view(
+            spark, base_path, view_path, group_col,
+            sums=sums, n_buckets=n_buckets,
+        )
+    mv = _load_meta(view_path).get("matview")
+    if mv is None or mv.get("base") != base_path:
+        raise ValueError(
+            f"{view_path} exists but is not an aggregate view of "
+            f"{base_path} (it views {mv and mv.get('base')!r})"
+        )
+    if mv.get("mins") or mv.get("maxs"):
+        raise ValueError(
+            f"view {view_path} maintains MIN/MAX columns; use scheduled "
+            f"refresh_aggregate_view (see apply_sum_delta's contract)"
+        )
+    st = mv.get("stream")
+    if st is not None and st.get("checkpoint") != checkpoint:
+        raise StaleViewError(
+            f"view {view_path} is maintained under checkpoint "
+            f"{st.get('checkpoint')!r}; rebuild with "
+            f"create_aggregate_view to move it to a new checkpoint"
+        )
+    # incarnation gate, mirroring stream_replica (cursor numbers cannot
+    # prove lineage across a REPLACE)
+    expected_id = mv.get("base_id")
+    bmeta0 = _load_meta(base_path)
+    if expected_id is None:
+        if bmeta0.get("table_id") is not None:
+            raise StaleViewError(
+                f"view {view_path} predates incarnation stamping; the "
+                f"cursor alone cannot prove the base was not replaced "
+                f"— rebuild with create_aggregate_view"
+            )
+    elif expected_id != bmeta0.get("table_id"):
+        raise StaleViewError(
+            f"base table {base_path} was replaced since the view was "
+            f"built; rebuild with create_aggregate_view"
+        )
+    _reject_token_aggregation(
+        bmeta0.get("seq_col"), mv["group"], mv["sums"], {}, {}, view_path,
+    )
+    feed = read_changefeed_stream(
+        spark, base_path, from_version=mv["base_version"], include_old=True
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bmeta = _load_meta(base_path)
+        if (
+            expected_id is not None
+            and bmeta.get("table_id") != expected_id
+        ):
+            raise StaleViewError(
+                f"base table {base_path} was replaced while the view "
+                f"stream was running; rebuild with "
+                f"create_aggregate_view and a fresh checkpoint"
+            )
+        # the registration can land AFTER the stream started; a token
+        # the view aggregates makes incremental maintenance silently
+        # lossy (token-only rewrites produce an empty diff) — re-check
+        # against the CURRENT registration, like every refresh does
+        _reject_token_aggregation(
+            bmeta.get("seq_col"), mv["group"], mv["sums"], {}, {},
+            view_path,
+        )
+        apply_sum_delta(
+            batch_df.sparkSession, view_path, batch_df, checkpoint, batch_id
         )
 
     writer = feed.writeStream.foreachBatch(sink).option(

@@ -583,3 +583,98 @@ def test_pre_r11_view_without_acc_stays_double(spark, tmp_path, monkeypatch):
     assert {(r["grp"], r["total"], r["hi"]) for r in got.collect()} == {
         ("a", 15.0, 10.0), ("b", 20.0, 20.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# apply_sum_delta (r11): the engine half of stream_matview — one
+# changefeed micro-batch folded into a COUNT/SUM view, exactly once
+# per (checkpoint, batch_id)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_sum_delta_replay_is_noop_and_next_batch_applies(
+    spark, tmp_path
+):
+    """SUM deltas are not idempotent, so replay safety is the stamp:
+    re-applying the SAME (checkpoint, batch_id) returns False and
+    changes nothing; the NEXT batch id applies; a FOREIGN checkpoint
+    raises instead of guessing."""
+    from cascading_hbase_spark.keyed.matview import apply_sum_delta
+    from cascading_hbase_spark.keyed.table import changefeed_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    write_keyed(
+        _base_df(spark, [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]),
+        base, "id", retain=10,
+    )                                                                  # v1
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    write_keyed(_base_df(spark, [(2, "a", 25.0), (4, "b", 7.0)]),
+                base, "id", mode=SinkMode.APPEND)                      # v2
+    feed = changefeed_keyed(spark, base, 1, to_generation=2,
+                            include_old=True)
+    assert apply_sum_delta(spark, view, feed, "ckpt-A", 0) is True
+    want = {("a", 2, 35.0), ("b", 2, 12.0)}
+
+    def _got():
+        return {
+            (r["grp"], r["n_rows"], r["total"])
+            for r in read_aggregate_view(spark, view).collect()
+        }
+
+    assert _got() == want
+    # crash-replay of the stamped batch: recognized, nothing applied
+    assert apply_sum_delta(spark, view, feed, "ckpt-A", 0) is False
+    assert _got() == want
+    # the next batch id applies normally
+    delete_keyed(spark, base,
+                 spark.createDataFrame([(1,)], "id bigint"))           # v3
+    feed2 = changefeed_keyed(spark, base, 2, to_generation=3,
+                             include_old=True)
+    assert apply_sum_delta(spark, view, feed2, "ckpt-A", 1) is True
+    assert _got() == {("a", 1, 25.0), ("b", 2, 12.0)}
+    # a foreign checkpoint's batch numbering proves nothing: refuse
+    with pytest.raises(StaleViewError, match="different|maintained under"):
+        apply_sum_delta(spark, view, feed2, "ckpt-B", 0)
+
+
+def test_refresh_refused_on_stream_maintained_view(spark, tmp_path):
+    """Once a stream batch landed, the manifest cursor is stale BY
+    DESIGN (the checkpoint is the authority) — a scheduled refresh
+    diffing from it would double-apply; it must refuse loudly."""
+    from cascading_hbase_spark.keyed.matview import apply_sum_delta
+    from cascading_hbase_spark.keyed.table import changefeed_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    write_keyed(_base_df(spark, [(2, "a", 2.0)]), base, "id",
+                mode=SinkMode.APPEND)
+    apply_sum_delta(
+        spark, view,
+        changefeed_keyed(spark, base, 1, to_generation=2, include_old=True),
+        "ckpt", 0,
+    )
+    with pytest.raises(StaleViewError, match="stream-maintained"):
+        refresh_aggregate_view(spark, base, view)
+
+
+def test_apply_sum_delta_refuses_extrema_view(spark, tmp_path):
+    """MIN/MAX retraction needs a group rescan pinned to the diff's end
+    snapshot, which a stream batch cannot name — refused."""
+    from cascading_hbase_spark.keyed.matview import apply_sum_delta
+    from cascading_hbase_spark.keyed.table import changefeed_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    write_keyed(_base_df(spark, [(1, "a", 1.0)]), base, "id", retain=10)
+    create_aggregate_view(
+        spark, base, view, "grp", {"total": "val"}, mins={"lo": "val"}
+    )
+    write_keyed(_base_df(spark, [(2, "a", 2.0)]), base, "id",
+                mode=SinkMode.APPEND)
+    feed = changefeed_keyed(spark, base, 1, to_generation=2,
+                            include_old=True)
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        apply_sum_delta(spark, view, feed, "ckpt", 0)

@@ -1207,3 +1207,125 @@ def test_stream_replica_mid_stream_replace_refuses_merge(
         q.awaitTermination()
     monkeypatch.undo()
     assert table_version(follower) == v0  # the merge was refused
+
+
+# ---------------------------------------------------------------------------
+# changefeed pre-images + stream_matview (r11): always-on COUNT/SUM
+# view maintenance off the changefeed stream
+# ---------------------------------------------------------------------------
+
+
+def _kgv(spark, rows):
+    return spark.createDataFrame(rows, "key long, grp string, cents long")
+
+
+@changefeed_source_localfs_only
+def test_changefeed_stream_include_old_matches_batch_feed(spark, tmp_path):
+    """include_old: the stream's _before pre-image struct must equal
+    the batch feed's (null for inserts, old payload for updates and
+    deletes) — same rows, same structs."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, changefeed_keyed, delete_keyed, write_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path,
+                "key", retain=10)                                      # v1
+    write_keyed(_kv(spark, [(2, "B"), (4, "d")]), path, "key",
+                mode=SinkMode.APPEND)                                  # v2
+    delete_keyed(spark, path, spark.createDataFrame([(1,)], "key long"))  # v3
+    got = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=1,
+                                 include_old=True),
+        "append",
+    )
+    want = changefeed_keyed(spark, path, 1, include_old=True)
+    cols = ("key", "_change", "val", "_before")
+    assert _rows(got, *cols) == _rows(want, *cols)
+    # inserts carry a NULL struct, not a struct of nulls
+    ins = got.filter("_change = 'insert'").select("_before").collect()
+    assert all(r._before is None for r in ins)
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_converges_and_adopts_scheduled_view(
+    spark, tmp_path
+):
+    """The streamed view equals a from-scratch aggregate of the base
+    after update + insert + delete — including ADOPTING a view that was
+    seeded by create_aggregate_view (stream resumes from its cursor)."""
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view, read_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, read_keyed, write_keyed,
+    )
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10), (2, "g1", 20), (3, "g2", 30)]),
+                base, "key", retain=10)                                # v1
+    create_aggregate_view(spark, base, view, "grp",
+                          {"cents_total": "cents"})
+    write_keyed(_kgv(spark, [(2, "g3", 25), (4, "g2", 40)]), base, "key",
+                mode=SinkMode.APPEND)  # group-moving update + insert  # v2
+    delete_keyed(spark, base, spark.createDataFrame([(1,)], "key long"))  # v3
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    got = _rows(read_aggregate_view(spark, view), "grp", "n_rows",
+                "cents_total")
+    want = _rows(
+        read_keyed(spark, base).groupBy("grp").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ),
+        "grp", "n_rows", "cents_total",
+    )
+    assert got == want == [("g2", 2, 70), ("g3", 1, 25)]
+    # the BIGINT accumulator contract holds through the stream path
+    assert dict(read_aggregate_view(spark, view).dtypes)["cents_total"] == "bigint"
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_checkpoint_resume_no_double_apply(spark, tmp_path):
+    """A drain with nothing new commits nothing (the checkpoint, not
+    the view's seed cursor, is the stream position), and a group
+    emptied by deletes disappears from read_aggregate_view."""
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, table_version, write_keyed,
+    )
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10), (2, "g2", 20)]), base, "key",
+                retain=10)
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    delete_keyed(spark, base, spark.createDataFrame([(1,)], "key long"))
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    assert _rows(read_aggregate_view(spark, view), "grp", "n_rows",
+                 "cents_total") == [("g2", 1, 20)]
+    v = table_version(view)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    assert table_version(view) == v  # empty drain -> no commit
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_refuses_replaced_base(spark, tmp_path):
+    """REPLACE mints a new base incarnation: the view's cursor names a
+    dead history — refused at stream start (and a foreign checkpoint
+    is refused by the stamp; covered in test_matview)."""
+    from cascading_hbase_spark.keyed.matview import StaleViewError
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), base, "key", retain=10)
+    S.stream_matview(spark, base, view, str(tmp_path / "c1"), "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(9, "g9", 90)]), base, "key",
+                mode=SinkMode.REPLACE, retain=10)
+    with pytest.raises(StaleViewError, match="was replaced"):
+        S.stream_matview(spark, base, view, str(tmp_path / "c1"))
