@@ -139,6 +139,35 @@ def main() -> None:
     )
     step("create_replica", lambda: create_replica(spark, path, rpath))
 
+    # 2b. STREAMING CDC maintenance (r11): seed an always-on follower
+    #     and an always-on COUNT/SUM view NOW (at the loaded snapshot);
+    #     their catch-up drains are measured after the write waves in
+    #     step 6c — the continuous-maintenance twin of steps 5's
+    #     scheduled refreshes.  localfs plane only: the changefeed
+    #     source's planning worker reads manifests from the table path
+    #     (see streaming/changefeed_source.py's plane note).
+    stream_ok = plane != "objectstore"
+    sfpath = os.path.join(base, "sf")
+    sfckpt = os.path.join(base, "sfckpt")
+    smvpath = os.path.join(base, "smv")
+    smvckpt = os.path.join(base, "smvckpt")
+    if stream_ok:
+        from cascading_hbase_spark import streaming as S
+
+        step(
+            "stream_follower_seed",
+            lambda: S.stream_replica(
+                spark, path, sfpath, sfckpt
+            ).awaitTermination(),
+        )
+        step(
+            "stream_matview_seed",
+            lambda: S.stream_matview(
+                spark, path, smvpath, smvckpt, "o_orderstatus",
+                sums={"revenue": "o_totalprice"},
+            ).awaitTermination(),
+        )
+
     # 3. NARROW upsert: a contiguous key slice routing to ~1 bucket.
     narrow = orders.filter(
         F.col("o_orderkey") <= F.lit(int(max_key / N_BUCKETS * 0.5))
@@ -219,6 +248,25 @@ def main() -> None:
 
     step("atomic_chain_txn", _atomic_chain, rows=n_txn,
          buckets_touched=N_BUCKETS)
+
+    # 6c. STREAMING CDC catch-up: one checkpointed drain each across
+    #     the three write waves (narrow + wide + txn) committed since
+    #     the step-2b seeds — the per-batch cost the always-on
+    #     deployment pays, O(touched buckets) for the diff plus
+    #     O(changed keys / groups) for the merge/fold
+    if stream_ok:
+        step(
+            "stream_follower_drain_3waves",
+            lambda: S.stream_replica(
+                spark, path, sfpath, sfckpt
+            ).awaitTermination(),
+        )
+        step(
+            "stream_matview_drain_3waves",
+            lambda: S.stream_matview(
+                spark, path, smvpath, smvckpt
+            ).awaitTermination(),
+        )
 
     # 7. validated ingest: 1% new keys, one expectation, rejects to
     #    quarantine
