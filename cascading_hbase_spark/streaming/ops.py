@@ -745,6 +745,21 @@ def read_changefeed_stream(
     return reader.load()
 
 
+def _max_checkpoint_offset(checkpoint: str) -> int:
+    """Highest micro-batch id the stream checkpoint has PLANNED (its
+    ``offsets`` write-ahead log), or -1 for a fresh/absent checkpoint.
+    Spark writes ``offsets/<batchId>`` before running the batch and
+    ``commits/<batchId>`` after — so at rest or mid-crash the planned
+    max is always the applied max or one ahead, which is the invariant
+    the CDC maintenance gates below check."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        ids = [int(n) for n in os.listdir(d) if n.isdigit()]
+    except FileNotFoundError:
+        return -1
+    return max(ids, default=-1)
+
+
 def stream_replica(
     spark: SparkSession,
     primary_path: str,
@@ -792,7 +807,18 @@ def stream_replica(
         apply_changefeed,
     )
 
-    if not os.path.exists(os.path.join(replica_path, META_FILE)):
+    seeded_now = not os.path.exists(os.path.join(replica_path, META_FILE))
+    if seeded_now:
+        if _max_checkpoint_offset(checkpoint) >= 0:
+            # a checkpoint that already planned batches belongs to some
+            # OTHER stream: resuming a just-seeded follower from its
+            # offsets (instead of the seed cursor) silently skips every
+            # change between them — refuse before minting the follower
+            raise ValueError(
+                f"checkpoint {checkpoint} already contains planned "
+                f"offsets but {replica_path} does not exist yet; a "
+                f"freshly seeded follower needs a FRESH checkpoint"
+            )
         create_replica(spark, primary_path, replica_path)
     rep = _load_meta(replica_path).get("replica")
     if rep is None or rep.get("of") != primary_path:
@@ -915,11 +941,20 @@ def stream_matview(
     )
     from cascading_hbase_spark.keyed.table import META_FILE, _load_meta
 
-    if not os.path.exists(os.path.join(view_path, META_FILE)):
+    seeded_now = not os.path.exists(os.path.join(view_path, META_FILE))
+    if seeded_now:
         if group_col is None or not sums:
             raise ValueError(
                 f"{view_path} does not exist; pass group_col and sums "
                 f"to seed it (create_aggregate_view)"
+            )
+        if _max_checkpoint_offset(checkpoint) >= 0:
+            raise ValueError(
+                f"checkpoint {checkpoint} already contains planned "
+                f"offsets but {view_path} does not exist yet; a freshly "
+                f"seeded view needs a FRESH checkpoint (resuming from a "
+                f"foreign checkpoint's offsets instead of the seed "
+                f"cursor would skip or double-apply deltas)"
             )
         create_aggregate_view(
             spark, base_path, view_path, group_col,
@@ -943,6 +978,58 @@ def stream_matview(
             f"{st.get('checkpoint')!r}; rebuild with "
             f"create_aggregate_view to move it to a new checkpoint"
         )
+    # Cross-check the checkpoint's planned-offset log against the
+    # view's applied stamp.  Spark plans offsets/<N> BEFORE the sink
+    # runs and commits/<N> after, so under correct operation (including
+    # every crash window) max_planned is the stamp or stamp+1.  Behind
+    # that: the checkpoint was RESET — batch numbering restarts at 0,
+    # every replayed id <= stamp would be skipped by the exactly-once
+    # stamp while covering DIFFERENT offset ranges: silent delta loss.
+    # Ahead: the checkpoint planned batches this view never applied
+    # (it belongs to some other maintenance run): silent gap.  Both
+    # are unrecoverable without a rebuild — refuse loudly.
+    max_planned = _max_checkpoint_offset(checkpoint)
+    stamp = st["batch_id"] if st is not None else -1
+    if st is not None and max_planned < stamp:
+        raise StaleViewError(
+            f"checkpoint {checkpoint} has no offsets entry for the "
+            f"view's last applied batch {stamp} (checkpoint reset or "
+            f"deleted?); replayed batch ids would alias already-applied "
+            f"stamps over different offset ranges — rebuild with "
+            f"create_aggregate_view and a fresh checkpoint"
+        )
+    if max_planned > stamp + 1:
+        raise StaleViewError(
+            f"checkpoint {checkpoint} already planned batch "
+            f"{max_planned} but view {view_path} last applied "
+            f"{stamp}; the checkpoint belongs to a different "
+            f"maintenance run — rebuild with create_aggregate_view "
+            f"and a fresh checkpoint"
+        )
+    if st is None and max_planned == 0:
+        # Planned-but-never-applied batch 0: legitimate iff it was
+        # planned AGAINST THIS VIEW's seed cursor — replay then covers
+        # (cursor, walled_end], exactly the delta the view needs.  A
+        # foreign checkpoint whose WAL'd end predates the cursor would
+        # instead replay a range the seed already contains (silent
+        # double-apply) — parse the offsets WAL entry and refuse it.
+        import json as _json
+
+        off_path = os.path.join(checkpoint, "offsets", "0")
+        try:
+            with open(off_path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            walled_end = int(_json.loads(lines[-1])["version"])
+        except Exception:
+            walled_end = None
+        if walled_end is None or walled_end < mv["base_version"]:
+            raise StaleViewError(
+                f"checkpoint {checkpoint} planned a batch ending at "
+                f"offset {walled_end!r}, behind (or unreadable against) "
+                f"the view's seed cursor {mv['base_version']}; it "
+                f"belongs to a different maintenance run — use a fresh "
+                f"checkpoint"
+            )
     # incarnation gate, mirroring stream_replica (cursor numbers cannot
     # prove lineage across a REPLACE)
     expected_id = mv.get("base_id")

@@ -1329,3 +1329,93 @@ def test_stream_matview_refuses_replaced_base(spark, tmp_path):
                 mode=SinkMode.REPLACE, retain=10)
     with pytest.raises(StaleViewError, match="was replaced"):
         S.stream_matview(spark, base, view, str(tmp_path / "c1"))
+
+
+@changefeed_source_localfs_only
+def test_stream_cdc_refuses_foreign_checkpoint_on_fresh_target(
+    spark, tmp_path
+):
+    """A checkpoint that already planned batches must not be pointed at
+    a JUST-SEEDED follower or view: the stream would resume from the
+    checkpoint's offsets instead of the seed cursor — silent gap.  Both
+    entry points refuse before minting the target."""
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    primary = str(tmp_path / "p")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), primary, "key", retain=10)
+    ckpt = str(tmp_path / "c")
+    S.stream_replica(spark, primary, str(tmp_path / "f0"),
+                     ckpt).awaitTermination()  # dirties the checkpoint
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        S.stream_replica(spark, primary, str(tmp_path / "f1"), ckpt)
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        S.stream_matview(spark, primary, str(tmp_path / "v1"), ckpt,
+                         "grp", {"cents_total": "cents"})
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_refuses_reset_checkpoint(spark, tmp_path):
+    """Deleting/resetting the checkpoint restarts batch numbering at 0;
+    every replayed id <= the view's stamp would be SKIPPED by the
+    exactly-once stamp while covering different offset ranges — silent
+    delta loss.  The planned-offset cross-check refuses instead."""
+    import shutil
+
+    from cascading_hbase_spark.keyed.matview import StaleViewError
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), base, "key", retain=10)
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(2, "g2", 20)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()  # stamps
+    shutil.rmtree(ckpt)
+    with pytest.raises(StaleViewError, match="reset or deleted"):
+        S.stream_matview(spark, base, view, ckpt)
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_refuses_checkpoint_ahead_of_view(spark, tmp_path):
+    """A rebuilt view (stream stamp cleared) must not resume from the
+    OLD checkpoint: its planned batches were applied to the dead view
+    — the gap between seed cursor and checkpoint offsets would never
+    re-apply.  Refused; and a handcrafted single-batch checkpoint whose
+    WAL'd end predates the seed cursor (the double-apply window) is
+    refused by the offsets-WAL parse."""
+    import os as _o
+
+    from cascading_hbase_spark.keyed.matview import (
+        StaleViewError, create_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), base, "key", retain=10)
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(2, "g2", 20)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    write_keyed(_kgv(spark, [(3, "g3", 30)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    # rebuild the view: stream stamp cleared, cursor = current version
+    create_aggregate_view(spark, base, view, "grp",
+                          {"cents_total": "cents"})
+    with pytest.raises(StaleViewError, match="different"):
+        S.stream_matview(spark, base, view, ckpt)
+    # single-planned-batch checkpoint with a WAL'd end BEHIND the seed
+    # cursor: the one case batch-id arithmetic alone cannot tell apart
+    # from a legitimate planned-not-applied crash window
+    ck2 = str(tmp_path / "c2")
+    _o.makedirs(_o.path.join(ck2, "offsets"))
+    with open(_o.path.join(ck2, "offsets", "0"), "w") as f:
+        f.write('v1\n{"batchWatermarkMs":0}\n{"version": 1}\n')
+    with pytest.raises(StaleViewError, match="behind"):
+        S.stream_matview(spark, base, view, ck2)
