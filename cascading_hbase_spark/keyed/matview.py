@@ -521,6 +521,12 @@ def apply_sum_delta(
     group, sums = mv["group"], mv["sums"]
     _acc = mv.get("acc") or {}
     acc = {o: _acc.get(o, "double") for o in sums}
+    if "_before" not in feed.columns:
+        raise ValueError(
+            "apply_sum_delta needs pre-images to retract updates: pass "
+            "a feed built with include_old=True (changefeed_keyed or "
+            "read_changefeed_stream)"
+        )
     before_fields = set(
         feed.schema["_before"].dataType.fieldNames()
     )

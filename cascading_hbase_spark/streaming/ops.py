@@ -943,10 +943,11 @@ def stream_matview(
 
     seeded_now = not os.path.exists(os.path.join(view_path, META_FILE))
     if seeded_now:
-        if group_col is None or not sums:
+        if group_col is None:
             raise ValueError(
-                f"{view_path} does not exist; pass group_col and sums "
-                f"to seed it (create_aggregate_view)"
+                f"{view_path} does not exist; pass group_col (and "
+                f"sums, unless count-only) to seed it "
+                f"(create_aggregate_view)"
             )
         if _max_checkpoint_offset(checkpoint) >= 0:
             raise ValueError(

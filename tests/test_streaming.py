@@ -1419,3 +1419,35 @@ def test_stream_matview_refuses_checkpoint_ahead_of_view(spark, tmp_path):
         f.write('v1\n{"batchWatermarkMs":0}\n{"version": 1}\n')
     with pytest.raises(StaleViewError, match="behind"):
         S.stream_matview(spark, base, view, ck2)
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_count_only_view_and_missing_preimage_refusal(
+    spark, tmp_path
+):
+    """A COUNT-only view (no SUM columns) is a legitimate streamed
+    view; and apply_sum_delta names its fix when handed a feed built
+    without pre-images instead of dying on a KeyError."""
+    from cascading_hbase_spark.keyed.matview import (
+        apply_sum_delta, read_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, changefeed_keyed, write_keyed,
+    )
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10), (2, "g2", 20)]), base, "key",
+                retain=10)
+    S.stream_matview(spark, base, view, ckpt, "grp").awaitTermination()
+    write_keyed(_kgv(spark, [(3, "g1", 30)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    assert _rows(read_aggregate_view(spark, view), "grp", "n_rows") == [
+        ("g1", 2), ("g2", 1),
+    ]
+    with pytest.raises(ValueError, match="include_old"):
+        apply_sum_delta(
+            spark, view, changefeed_keyed(spark, base, 1), ckpt, 99
+        )
