@@ -805,3 +805,83 @@ def test_changefeed_registration_tracks_model(spark, tmp_path_factory, ops):
             for r in changefeed_keyed(spark, path, gens[i], gens[j]).collect()
         }
         assert feed == expected, (i, j, regs, gens)
+
+
+_smv_op = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(
+        st.just("delete"),
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("drain"), st.just(None)),
+)
+
+_smv_localfs_only = __import__("pytest").mark.skipif(
+    os.environ.get("KT_PLANE") == "objectstore",
+    reason="the changefeed source's planning worker reads manifests "
+    "from the table path (see streaming/changefeed_source.py)",
+)
+
+
+@_smv_localfs_only
+@settings(
+    max_examples=_examples(4),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_smv_op, min_size=1, max_size=4))
+def test_stream_matview_tracks_dict_model(spark, tmp_path_factory, ops):
+    """STREAMED view maintenance against the dict model: after ANY
+    interleaving of appends (updates move rows between groups),
+    deletes, and checkpointed stream drains, a final drain leaves the
+    view exactly equal to the model's per-group (count, sum) — the
+    batch property's twin over apply_sum_delta, where an arbitrary
+    number of base commits accumulate into each micro-batch and
+    exactly-once rides the (checkpoint, batch_id) stamp instead of the
+    refresh cursor."""
+    from cascading_hbase_spark import streaming as S
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import delete_keyed
+
+    root = tmp_path_factory.mktemp("smv")
+    base = str(root / f"b{uuid.uuid4().hex[:8]}")
+    view, ckpt = base + "_view", base + "_ckpt"
+    model: dict[int, tuple[str, int]] = {}
+    view_exists = False
+
+    def _drain():
+        S.stream_matview(
+            spark, base, view, ckpt, "grp", {"total": "val"}
+        ).awaitTermination()
+
+    for op, arg in ops:
+        if op == "append":
+            rows = [(k, f"g{v % 3}", v) for k, v in arg]
+            df = spark.createDataFrame(rows, "key long, grp string, val long")
+            write_keyed(df, base, "key", retain=20)
+            for k, v in arg:
+                model[k] = (f"g{v % 3}", v)
+            if not view_exists:
+                _drain()  # seeds the view at the current snapshot
+                view_exists = True
+        elif op == "delete" and model:
+            delete_keyed(
+                spark, base,
+                spark.createDataFrame([(k,) for k in arg], "key long"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "drain" and view_exists:
+            _drain()
+    if not view_exists:
+        return
+    _drain()
+    expected: dict[str, tuple[int, int]] = {}
+    for grp, val in model.values():
+        n, s = expected.get(grp, (0, 0))
+        expected[grp] = (n + 1, s + val)
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    assert got == expected
