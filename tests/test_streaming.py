@@ -1451,3 +1451,63 @@ def test_stream_matview_count_only_view_and_missing_preimage_refusal(
         apply_sum_delta(
             spark, view, changefeed_keyed(spark, base, 1), ckpt, 99
         )
+
+
+@changefeed_source_localfs_only
+def test_compaction_is_silent_on_the_changefeed_stream(spark, tmp_path):
+    """Compaction rewrites generations without changing payload: the
+    stream PLANS the touched buckets (generation pointers moved) but
+    must emit ZERO change rows — a compaction storm on a 100 TB table
+    must not re-trigger every downstream CDC consumer."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, compact_keyed, table_version, write_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(_kv(spark, [(1, "a"), (2, "b")]), path, "key", retain=10)
+    write_keyed(_kv(spark, [(3, "c")]), path, "key", mode=SinkMode.APPEND)
+    compact_keyed(spark, path, min_files=1)
+    v_pre = table_version(path)
+    got = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=2), "append"
+    )
+    assert table_version(path) == v_pre  # compaction committed before
+    assert got.count() == 0  # generations moved, payload did not
+
+
+@changefeed_source_localfs_only
+def test_cascaded_cdc_stream_view_over_stream_follower(spark, tmp_path):
+    """The CDC stack composes: primary → stream_replica follower →
+    stream_matview over the FOLLOWER.  The follower's own commits
+    (apply_changefeed merges) are ordinary manifest generations, so it
+    is itself a valid stream source; after draining both hops the view
+    equals a from-scratch aggregate of the primary."""
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, read_keyed, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    view = str(tmp_path / "v")
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    write_keyed(_kgv(spark, [(1, "g1", 10), (2, "g2", 20)]), primary,
+                "key", retain=10)
+    S.stream_replica(spark, primary, follower, c1).awaitTermination()
+    S.stream_matview(spark, follower, view, c2, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(2, "g1", 25), (3, "g2", 30)]), primary,
+                "key", mode=SinkMode.APPEND)
+    delete_keyed(spark, primary, spark.createDataFrame([(1,)], "key long"))
+    S.stream_replica(spark, primary, follower, c1).awaitTermination()
+    S.stream_matview(spark, follower, view, c2).awaitTermination()
+    got = _rows(read_aggregate_view(spark, view), "grp", "n_rows",
+                "cents_total")
+    want = _rows(
+        read_keyed(spark, primary).groupBy("grp").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ),
+        "grp", "n_rows", "cents_total",
+    )
+    assert got == want == [("g1", 1, 25), ("g2", 1, 30)]
