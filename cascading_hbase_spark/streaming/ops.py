@@ -760,6 +760,22 @@ def _max_checkpoint_offset(checkpoint: str) -> int:
     return max(ids, default=-1)
 
 
+def _walled_end(checkpoint: str, batch_id: int) -> int | None:
+    """The END offset (a keyed-table manifest version) the checkpoint's
+    write-ahead log recorded for ``batch_id``, or None when the entry
+    is missing/unparseable.  Format: Spark's HDFSMetadataLog — a
+    version line, a metadata JSON line, then one offset JSON per
+    source (ours is ``{"version": N}``)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(checkpoint, "offsets", str(batch_id))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return int(_json.loads(lines[-1])["version"])
+    except Exception:
+        return None
+
+
 def stream_replica(
     spark: SparkSession,
     primary_path: str,
@@ -1000,36 +1016,59 @@ def stream_matview(
             f"create_aggregate_view and a fresh checkpoint"
         )
     if max_planned > stamp + 1:
-        raise StaleViewError(
-            f"checkpoint {checkpoint} already planned batch "
-            f"{max_planned} but view {view_path} last applied "
-            f"{stamp}; the checkpoint belongs to a different "
-            f"maintenance run — rebuild with create_aggregate_view "
-            f"and a fresh checkpoint"
-        )
-    if st is None and max_planned == 0:
-        # Planned-but-never-applied batch 0: legitimate iff it was
-        # planned AGAINST THIS VIEW's seed cursor — replay then covers
-        # (cursor, walled_end], exactly the delta the view needs.  A
-        # foreign checkpoint whose WAL'd end predates the cursor would
-        # instead replay a range the seed already contains (silent
-        # double-apply) — parse the offsets WAL entry and refuse it.
-        import json as _json
+        # Planned ran ahead of applied by more than the one in-flight
+        # batch.  LEGITIMATE cause: empty micro-batches — the sink's
+        # isEmpty early-return never stamps, so version-bump-only base
+        # commits (absent-key deletes, compactions, vacuum) advance the
+        # planned log arbitrarily far past the stamp (r11 explore-fuzz
+        # falsifier).  ILLEGITIMATE cause: a checkpoint from a
+        # different maintenance run, whose planned batches carried
+        # real deltas this view never applied.  The two are separable
+        # by the base's own history: diff the never-stamped interval
+        # (stamped batch's WAL'd end -> newest planned end) — empty
+        # means nothing was skipped, proceed; non-empty means real
+        # deltas would be silently lost, refuse.
+        from cascading_hbase_spark.keyed.table import changefeed_keyed
 
-        off_path = os.path.join(checkpoint, "offsets", "0")
-        try:
-            with open(off_path) as f:
-                lines = [ln for ln in f.read().splitlines() if ln.strip()]
-            walled_end = int(_json.loads(lines[-1])["version"])
-        except Exception:
-            walled_end = None
+        v_a = (
+            _walled_end(checkpoint, stamp)
+            if stamp >= 0
+            else mv["base_version"]
+        )
+        v_b = _walled_end(checkpoint, max_planned)
+        skipped_real_deltas = True
+        if v_a is not None and v_b is not None and v_b >= v_a:
+            skipped_real_deltas = (
+                v_b > v_a
+                and not changefeed_keyed(
+                    spark, base_path, v_a, to_generation=v_b
+                ).isEmpty()
+            )
+        if skipped_real_deltas:
+            raise StaleViewError(
+                f"checkpoint {checkpoint} planned through batch "
+                f"{max_planned} but view {view_path} last applied "
+                f"{stamp}, and the un-applied offset interval carries "
+                f"real changes; the checkpoint belongs to a different "
+                f"maintenance run — rebuild with create_aggregate_view "
+                f"and a fresh checkpoint"
+            )
+    if st is None and max_planned >= 0:
+        # Planned-but-never-applied batches against an unstamped view:
+        # legitimate iff planned AGAINST THIS VIEW's seed cursor —
+        # replay/resume then covers (cursor, walled_end] onward,
+        # exactly the delta the view needs.  A foreign checkpoint
+        # whose WAL'd end predates the cursor would instead replay a
+        # range the seed already contains (silent double-apply) —
+        # parse the oldest planned entry's WAL and refuse it.
+        walled_end = _walled_end(checkpoint, 0)
         if walled_end is None or walled_end < mv["base_version"]:
             raise StaleViewError(
-                f"checkpoint {checkpoint} planned a batch ending at "
-                f"offset {walled_end!r}, behind (or unreadable against) "
-                f"the view's seed cursor {mv['base_version']}; it "
-                f"belongs to a different maintenance run — use a fresh "
-                f"checkpoint"
+                f"checkpoint {checkpoint} planned a first batch ending "
+                f"at offset {walled_end!r}, behind (or unreadable "
+                f"against) the view's seed cursor {mv['base_version']}; "
+                f"it belongs to a different maintenance run — use a "
+                f"fresh checkpoint"
             )
     # incarnation gate, mirroring stream_replica (cursor numbers cannot
     # prove lineage across a REPLACE)

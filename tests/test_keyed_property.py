@@ -830,6 +830,13 @@ _smv_localfs_only = __import__("pytest").mark.skipif(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_smv_op, min_size=1, max_size=4))
+# explore-fuzz falsifier (r11): ONE batch upserting the same key twice
+# — without a registered seq token the engine's within-batch LWW
+# collapse picks by its documented TOTAL-ORDER tie-break, while the
+# dict model assumed batch position wins.  Fixed like the batch
+# property: register a positional seq column, making "last tuple in
+# the batch wins" the engine's rule too.
+@example(ops=[("append", [(0, 1), (0, 0)])])
 def test_stream_matview_tracks_dict_model(spark, tmp_path_factory, ops):
     """STREAMED view maintenance against the dict model: after ANY
     interleaving of appends (updates move rows between groups),
@@ -856,9 +863,11 @@ def test_stream_matview_tracks_dict_model(spark, tmp_path_factory, ops):
 
     for op, arg in ops:
         if op == "append":
-            rows = [(k, f"g{v % 3}", v) for k, v in arg]
-            df = spark.createDataFrame(rows, "key long, grp string, val long")
-            write_keyed(df, base, "key", retain=20)
+            rows = [(k, f"g{v % 3}", v, i) for i, (k, v) in enumerate(arg)]
+            df = spark.createDataFrame(
+                rows, "key long, grp string, val long, seq long"
+            )
+            write_keyed(df, base, "key", seq_col="seq", retain=20)
             for k, v in arg:
                 model[k] = (f"g{v % 3}", v)
             if not view_exists:
