@@ -673,3 +673,72 @@ def test_atomic_cascade_all_or_nothing(spark, tmp_path):
         Cascade([ingest], atomic_tables=[primary]).complete(
             spark, parallel=True
         )
+
+
+def test_cascade_drives_streaming_cdc_maintenance(spark, tmp_path):
+    """The STREAMING maintenance twins are cascade-schedulable through
+    the same MaintenanceFlow node as their scheduled counterparts: a
+    cascade chains ingest -> stream-follower drain -> stream-view
+    drain (over the follower), each node one checkpointed availableNow
+    run; after the cascade the follower equals the primary and the
+    view equals the aggregate — the nightly-window shape, but each
+    node is incremental CDC instead of a rebuild."""
+    import os as _o
+
+    if _o.environ.get("KT_PLANE") == "objectstore":
+        import pytest as _pytest
+
+        _pytest.skip("changefeed source planning reads the table path")
+    from cascading_hbase_spark import streaming as S
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, read_keyed, write_keyed,
+    )
+    from cascading_hbase_spark.plans.cascade import (
+        CascadeConnector, MaintenanceFlow,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    view = str(tmp_path / "v")
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    df0 = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g2", 20)], "key long, grp string, cents long"
+    )
+    write_keyed(df0, primary, "key", retain=10)
+    # seed both streaming targets (first drains)
+    S.stream_replica(spark, primary, follower, c1).awaitTermination()
+    S.stream_matview(spark, follower, view, c2, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+
+    df1 = spark.createDataFrame(
+        [(2, "g1", 25), (3, "g2", 30)], "key long, grp string, cents long"
+    )
+    ingest = MaintenanceFlow(
+        KeyedTableTap(primary, key="key"), KeyedTableTap(primary, key="key"),
+        lambda s: write_keyed(df1, primary, "key", mode=SinkMode.APPEND),
+        name="ingest",
+    )
+    drain_follower = MaintenanceFlow(
+        KeyedTableTap(primary, key="key"),
+        KeyedTableTap(follower, key="key"),
+        lambda s: S.stream_replica(s, primary, follower, c1).awaitTermination(),
+        name="drain_follower",
+    )
+    drain_view = MaintenanceFlow(
+        KeyedTableTap(follower, key="key"),
+        KeyedTableTap(view, key="grp"),
+        lambda s: S.stream_matview(s, follower, view, c2).awaitTermination(),
+        name="drain_view",
+    )
+    ran = CascadeConnector().connect(drain_view, drain_follower, ingest)\
+        .complete(spark)
+    assert ran.index("ingest") < ran.index("drain_follower") < ran.index("drain_view")
+    assert sorted(tuple(r) for r in read_keyed(spark, follower).collect()) == \
+        sorted(tuple(r) for r in read_keyed(spark, primary).collect())
+    got = sorted(
+        tuple(r)
+        for r in read_aggregate_view(spark, view)
+        .select("grp", "n_rows", "cents_total").collect()
+    )
+    assert got == [("g1", 2, 35), ("g2", 1, 30)]
