@@ -52,8 +52,11 @@ from pyspark.sql.types import (
 )
 
 from cascading_hbase_spark.keyed.table import (
+    DEFAULT_RETAIN,
     SinkMode,
     _load_meta,
+    apply_changefeed,
+    changefeed_keyed,
     read_keyed,
     write_keyed,
 )
@@ -114,7 +117,96 @@ def create_index(spark: SparkSession, path: str, col: str) -> None:
     )
 
 
-refresh_index = create_index
+def refresh_index(spark: SparkSession, path: str, col: str) -> None:
+    """Bring the index current — INCREMENTALLY when the stamp proves
+    it possible (r11): apply only the main table's changefeed since the
+    stamped version, O(changed rows) instead of the full O(table)
+    rebuild.  An update that does not touch the indexed column costs
+    the index NOTHING — the null-safe value filter drops it before the
+    merge — which is the difference between an index surviving a
+    wide-table update storm at 100 TB and re-scanning the world.
+
+    The delta: inserts/value-updates upsert ``<new value>\\x00<key>``,
+    deletes/value-updates remove ``<old value>\\x00<key>`` (pre-images
+    from ``changefeed_keyed(include_old=True)``); both sides land in
+    ONE atomic ``apply_changefeed`` merge whose commit also carries
+    the advanced stamp — a crash leaves the old (stamp, data) pair or
+    the new one, never a half-refreshed index.  An index-silent
+    interval still commits (the stamp must advance for
+    ``index_lookup``'s freshness check).
+
+    Falls back to a full rebuild (``create_index``) whenever increment
+    cannot be proven: missing index, pre-incarnation-stamp index, a
+    REPLACEd main table, or a stamp below the readable horizon
+    (retain/vacuum) — the same rebuild-signal taxonomy as the
+    replica/matview twins, resolved here by just doing the rebuild
+    (an index rebuild is self-contained; theirs are not)."""
+    ipath = _index_path(path, col)
+    try:
+        info = _load_meta(ipath).get("index_of", {})
+    except FileNotFoundError:
+        return create_index(spark, path, col)
+    meta = _load_meta(path)
+    version = meta["version"]
+    stamp_v = info.get("version")
+    horizon = max(
+        version - meta.get("retain", DEFAULT_RETAIN) + 1,
+        meta.get("vacuum_horizon", 1),
+    )
+    if (
+        info.get("table_id") is None
+        or info.get("table_id") != meta.get("table_id")
+        or stamp_v is None
+        or stamp_v < horizon
+        or stamp_v > version
+    ):
+        return create_index(spark, path, col)
+    if stamp_v == version:
+        return  # already current — no commit
+    key = meta["key"]
+    feed = changefeed_keyed(
+        spark, path, stamp_v, to_generation=version, include_old=True
+    )
+    new_v = F.col(col)
+    old_v = F.col("_before").getField(col)
+    is_upsert = F.col("_change").isin("insert", "update")
+    is_retract = F.col("_change").isin("update", "delete")
+    # value-unchanged updates are index-silent (null-safe: the index
+    # treats null as not-indexed on both sides already)
+    value_moved = ~new_v.eqNullSafe(old_v)
+
+    def _row(val_col, change: str) -> DataFrame:
+        vs = val_col.cast("string")
+        return (
+            feed.filter(
+                (is_upsert if change == "update" else is_retract)
+                & val_col.isNotNull()
+                & value_moved
+            ).select(
+                F.concat(vs, F.lit(_SEP), F.col(key).cast("string"))
+                .alias("idx_key"),
+                val_col.alias("idx_value"),
+                F.col(key).cast("string").alias("ref_key"),
+                F.lit(change).alias("_change"),
+            )
+        )
+
+    plus = _row(new_v, "update")
+    if plus.filter(F.col("idx_value").cast("string").contains(_SEP)).limit(1).count():
+        raise ValueError(
+            f"column {col!r} contains the index separator NUL in its "
+            f"string form; cannot maintain a prefix-ranged index"
+        )
+    batch = plus.unionByName(_row(old_v, "delete"))
+    apply_changefeed(
+        spark, ipath, batch,
+        meta_extra={
+            "index_of": {
+                "path": path, "col": col, "version": version,
+                "table_id": meta.get("table_id"),
+            }
+        },
+    )
 
 
 def drop_index(path: str, col: str) -> None:

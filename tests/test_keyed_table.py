@@ -2067,3 +2067,102 @@ def test_commit_backfills_missing_table_id(spark, tmp_path):
         path, "key", mode=SinkMode.APPEND,
     )
     assert _load_meta(path).get("table_id") is not None
+
+
+# ---------------------------------------------------------------------------
+# incremental index refresh (r11): O(changed rows), not O(table)
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_index_is_incremental_and_exact(spark, tmp_path):
+    """refresh_index applies only the changefeed delta — one MERGE
+    commit on the index table (a rebuild would REPLACE it) — and the
+    result is exact under every delta shape at once: a value-moving
+    update (old entry removed, new added), an index-SILENT update
+    (other column only: costs the index nothing), an insert, and a
+    delete.  An index-silent interval still advances the stamp so the
+    freshness check passes."""
+    from cascading_hbase_spark.keyed.index import (
+        _index_path, create_index, index_lookup, refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import table_version
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "red", 10), (2, "blue", 20), (3, "red", 30)],
+        "key long, color string, v long",
+    )
+    write_keyed(df, path, "key", retain=10)
+    create_index(spark, path, "color")
+    ipath = _index_path(path, "color")
+    iv0 = table_version(ipath)
+    write_keyed(
+        spark.createDataFrame(
+            [(2, "red", 20), (3, "red", 99), (4, "green", 40)],
+            "key long, color string, v long",
+        ),
+        path, "key", mode=SinkMode.APPEND,
+    )
+    delete_keyed(spark, path, spark.createDataFrame([(1,)], "key long"))
+    refresh_index(spark, path, "color")
+    assert table_version(ipath) == iv0 + 1  # ONE merge, not a REPLACE
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "red").collect()
+    ) == [2, 3]
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "green").collect()
+    ) == [4]
+    assert index_lookup(spark, path, "color", "blue").count() == 0
+    # index-silent wave: stamp advances (freshness holds), values exact
+    write_keyed(
+        spark.createDataFrame([(2, "red", 77)], "key long, color string, v long"),
+        path, "key", mode=SinkMode.APPEND,
+    )
+    refresh_index(spark, path, "color")
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "red").collect()
+    ) == [2, 3]
+    # already current: no commit at all
+    v = table_version(ipath)
+    refresh_index(spark, path, "color")
+    assert table_version(ipath) == v
+
+
+def test_refresh_index_falls_back_to_rebuild(spark, tmp_path):
+    """The rebuild-signal taxonomy resolves to an automatic full
+    rebuild: a REPLACEd main table (incarnation mismatch) and a stamp
+    below the readable horizon both produce a correct index via
+    create_index instead of diffing unprovable history."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index, index_lookup, refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import vacuum_keyed
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame([(1, "red", 1)], "key long, color string, v long"),
+        path, "key", retain=10,
+    )
+    create_index(spark, path, "color")
+    write_keyed(
+        spark.createDataFrame([(9, "black", 9)], "key long, color string, v long"),
+        path, "key", mode=SinkMode.REPLACE, retain=10,
+    )
+    refresh_index(spark, path, "color")  # incarnation mismatch -> rebuild
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "black").collect()
+    ) == [9]
+    assert index_lookup(spark, path, "color", "red").count() == 0
+    # stamp below the vacuum horizon -> rebuild
+    for i in range(3):
+        write_keyed(
+            spark.createDataFrame(
+                [(10 + i, "white", i)], "key long, color string, v long"
+            ),
+            path, "key", mode=SinkMode.APPEND,
+        )
+    vacuum_keyed(path, retain=1)
+    refresh_index(spark, path, "color")
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "white").collect()
+    ) == [10, 11, 12]
