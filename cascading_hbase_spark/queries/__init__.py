@@ -101,6 +101,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the (checkpoint, batch_id) stamp; streaming/ops.stream_matview),
     # view-vs-first-principles-rebuild oracle in exact BIGINT cents.
     "streaming_matview_sums",
+    # r11: NEW pair — INCREMENTAL secondary-index maintenance
+    # (keyed/index.refresh_index now applies the changefeed delta, one
+    # MERGE commit instead of a full rebuild), lookup-vs-full-scan
+    # oracle over a mixed insert/value-move/silent-update/delete wave.
+    "index_incremental_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

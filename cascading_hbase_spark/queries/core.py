@@ -257,6 +257,71 @@ def atomic_maintenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "index_incremental_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 5
+                THEN 2 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+           THEN '1-URGENT' ELSE o_orderpriority END) = '1-URGENT'
+    """,
+)
+def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL secondary-index maintenance end-to-end (r11,
+    ``keyed/index.refresh_index``): seed a keyed table and its
+    equality index, then commit one mixed wave — inserts, updates that
+    MOVE the indexed value, updates that do NOT touch it (index-silent
+    by the null-safe value filter), and deletes — and refresh.  The
+    refresh applies only the changefeed delta (one MERGE commit, never
+    a rebuild), and ``index_lookup`` through the refreshed index must
+    return exactly the rows a full-scan filter over the final snapshot
+    would — which the oracle computes from first principles."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idx_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 4 != 3)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    create_index(spark, path, "prio")
+    wave = (
+        orders.filter(k % 4 == 3)  # inserts
+        .unionByName(  # value-moving updates (disjoint: %10==0 is even)
+            seed.filter(k % 10 == 0).withColumn("prio", F.lit("1-URGENT"))
+        )
+        .unionByName(  # index-silent updates (cents only)
+            seed.filter((k % 10 == 5) & (k % 4 != 3))
+            .withColumn("cents", F.col("cents") * 2)
+        )
+    )
+    write_keyed(wave, path, "o_orderkey", mode=SinkMode.APPEND)        # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    refresh_index(spark, path, "prio")  # incremental: (v1, v3] delta only
+    return index_lookup(spark, path, "prio", "1-URGENT").select(
+        "o_orderkey", "cents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filters / row-wise functions ([T] then [D])
 # ---------------------------------------------------------------------------
