@@ -1546,8 +1546,37 @@ def changefeed_keyed(
     meta = _meta_at(path, to_generation)
     if to_generation is None:
         to_generation = meta.get("version", 1)
-    old = read_keyed(spark, path, generation=from_generation)
-    new = read_keyed(spark, path, generation=to_generation)
+    old_meta = _meta_at(path, from_generation)
+    # TOUCHED-BUCKET PRUNING (r11, ported from the streaming source's
+    # planner): a bucket whose generation pointer is identical at both
+    # snapshots holds the same immutable file set, so no key in its
+    # range changed — skip it on BOTH sides of the join.  The diff then
+    # costs O(rows in touched buckets), not O(table): the difference
+    # between an incremental refresh (replica sync, matview refresh,
+    # index refresh all ride this) reading one bucket after a narrow
+    # wave and re-scanning 100 TB twice.  Requires identical bucket
+    # boundaries (a re-bucketing compaction in between remaps key
+    # ranges — fall back to the full read) and a generation-mapped
+    # manifest on both ends (legacy flat layouts read fully).
+    touched: set[int] | None = None
+    ob, nb = old_meta.get("gens"), meta.get("gens")
+    if (
+        ob is not None
+        and nb is not None
+        and old_meta.get("boundaries") == meta.get("boundaries")
+    ):
+        touched = {
+            int(b) for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)
+        }
+
+    def _read_at(m: dict) -> DataFrame:
+        df = _read_raw(spark, path, m, buckets=touched)
+        if m.get("ttl"):
+            df = _ttl_filter(df, m["ttl"])
+        return df.drop(SEQ_COL, BUCKET_COL)
+
+    old = _read_at(old_meta)
+    new = _read_at(meta)
     key = meta["key"]
     seq_token = meta.get("seq_col")
     # Conform both snapshots to the union of their columns (a snapshot

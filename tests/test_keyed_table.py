@@ -2166,3 +2166,48 @@ def test_refresh_index_falls_back_to_rebuild(spark, tmp_path):
     assert sorted(
         r.key for r in index_lookup(spark, path, "color", "white").collect()
     ) == [10, 11, 12]
+
+
+def test_batch_changefeed_prunes_untouched_buckets(spark, tmp_path):
+    """The batch diff reads ONLY buckets whose generation pointer moved
+    between the two snapshots (r11, ported from the streaming source's
+    planner) — proven by the plan's input files — and falls back to
+    the full read when a re-bucketing compaction remapped key ranges
+    in between (still zero spurious diff rows)."""
+    from cascading_hbase_spark.keyed.table import (
+        changefeed_keyed, compact_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "key long, val string"
+    )
+    write_keyed(df, path, "key", n_buckets=4, retain=10)           # v1
+    write_keyed(
+        spark.createDataFrame([(3, "X")], "key long, val string"),
+        path, "key", mode=SinkMode.APPEND,
+    )                                                              # v2
+    feed = changefeed_keyed(spark, path, 1, to_generation=2)
+    assert sorted((r.key, r._change, r.val) for r in feed.collect()) == [
+        (3, "update", "X"),
+    ]
+    buckets = {
+        f.split("_kt_bucket=")[1].split("/")[0] for f in feed.inputFiles()
+    }
+    assert buckets == {"0"}, buckets  # 1 of 4 buckets touched -> 1 read
+    delete_keyed(spark, path, spark.createDataFrame([(99,)], "key long"))  # v3
+    feed2 = changefeed_keyed(spark, path, 1, to_generation=3,
+                             include_old=True)
+    assert sorted((r.key, r._change) for r in feed2.collect()) == [
+        (3, "update"), (99, "delete"),
+    ]
+    b2 = {
+        f.split("_kt_bucket=")[1].split("/")[0] for f in feed2.inputFiles()
+    }
+    assert b2 == {"0", "3"}, b2
+    # identical-pointer interval: zero buckets read, zero rows
+    assert changefeed_keyed(spark, path, 2, to_generation=2).count() == 0
+    # re-bucketing compaction remaps ranges: full-read fallback, and
+    # the payload-identical rewrite is still a silent feed
+    compact_keyed(spark, path, n_buckets=2)                        # v4
+    assert changefeed_keyed(spark, path, 3, to_generation=4).count() == 0
