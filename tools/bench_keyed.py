@@ -179,6 +179,24 @@ def main() -> None:
         rows=n_narrow,
     )
 
+    # 3b. NARROW-interval incremental maintenance (r11): the diff these
+    #     refreshes consume spans ONLY the narrow wave, so the pruned
+    #     batch changefeed reads ~1 of 32 buckets — the O(touched
+    #     buckets) claim, measured.  (The step-5 refreshes then span
+    #     the wide wave: the all-buckets data point.)
+    step(
+        "sync_replica_narrow",
+        lambda: sync_replica(spark, path, rpath),
+    )
+    step(
+        "refresh_matview_narrow",
+        lambda: refresh_aggregate_view(spark, path, vpath),
+    )
+    step(
+        "refresh_index_narrow",
+        lambda: refresh_index(spark, path, "o_orderpriority"),
+    )
+
     # 4. WIDE upsert: every 10th key — touches all buckets.
     wide = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") + 2.0
