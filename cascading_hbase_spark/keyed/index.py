@@ -170,9 +170,15 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
     new_v = F.col(col)
     old_v = F.col("_before").getField(col)
     is_upsert = F.col("_change").isin("insert", "update")
+    is_delete = F.col("_change") == "delete"
     is_retract = F.col("_change").isin("update", "delete")
-    # value-unchanged updates are index-silent (null-safe: the index
-    # treats null as not-indexed on both sides already)
+    # value-unchanged UPDATES are index-silent (null-safe: the index
+    # treats null as not-indexed on both sides already).  DELETES must
+    # retract UNCONDITIONALLY: a delete row carries the pre-delete
+    # payload in-row, so new_v == old_v on it and a value-moved gate
+    # would silently keep the dead entry — a later re-insert of the
+    # key under a different value would then make the stale composite
+    # key a FALSE lookup match (the semi-join sees the key alive).
     value_moved = ~new_v.eqNullSafe(old_v)
 
     def _row(val_col, change: str) -> DataFrame:
@@ -181,7 +187,7 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
             feed.filter(
                 (is_upsert if change == "update" else is_retract)
                 & val_col.isNotNull()
-                & value_moved
+                & (value_moved | (is_delete if change == "delete" else F.lit(False)))
             ).select(
                 F.concat(vs, F.lit(_SEP), F.col(key).cast("string"))
                 .alias("idx_key"),

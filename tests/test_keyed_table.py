@@ -2211,3 +2211,42 @@ def test_batch_changefeed_prunes_untouched_buckets(spark, tmp_path):
     # the payload-identical rewrite is still a silent feed
     compact_keyed(spark, path, n_buckets=2)                        # v4
     assert changefeed_keyed(spark, path, 3, to_generation=4).count() == 0
+
+
+def test_refresh_index_retracts_deletes_unconditionally(spark, tmp_path):
+    """A delete row carries the pre-delete payload in-row, so a
+    value-moved gate would see old == new and keep the dead index
+    entry; when the key is later RE-INSERTED under a different value,
+    that stale composite key becomes a false lookup match (the
+    semi-join only checks the key is alive).  The incremental refresh
+    must retract deletes unconditionally — and leave no garbage row
+    in the index table itself."""
+    from cascading_hbase_spark.keyed.index import (
+        _index_path, create_index, index_lookup, refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        spark.createDataFrame(
+            [(1, "red", 1), (2, "blue", 2)], "key long, color string, v long"
+        ),
+        path, "key", retain=10,
+    )
+    create_index(spark, path, "color")
+    delete_keyed(spark, path, spark.createDataFrame([(1,)], "key long"))
+    refresh_index(spark, path, "color")
+    # the dead entry is gone from the index TABLE, not just masked
+    ipath = _index_path(path, "color")
+    assert read_keyed(spark, ipath).filter("ref_key = '1'").count() == 0
+    # re-insert key 1 under a DIFFERENT value: the old value must not
+    # produce a false match
+    write_keyed(
+        spark.createDataFrame([(1, "green", 9)], "key long, color string, v long"),
+        path, "key", mode=SinkMode.APPEND,
+    )
+    refresh_index(spark, path, "color")
+    assert index_lookup(spark, path, "color", "red").count() == 0
+    assert sorted(
+        r.key for r in index_lookup(spark, path, "color", "green").collect()
+    ) == [1]
