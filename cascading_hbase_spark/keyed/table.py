@@ -1564,6 +1564,13 @@ def changefeed_keyed(
         ob is not None
         and nb is not None
         and old_meta.get("boundaries") == meta.get("boundaries")
+        # TTL is a READ-TIME filter carried by each version's meta: a
+        # policy added/changed between the snapshots turns rows into
+        # diff deletions WITHOUT moving any generation pointer
+        # (set_ttl is a meta-only commit), so pointer-equal buckets
+        # are only provably diff-free when the policy is identical at
+        # both ends (r11 scenario-test catch)
+        and old_meta.get("ttl") == meta.get("ttl")
     ):
         touched = {
             int(b) for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)

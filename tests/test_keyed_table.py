@@ -2250,3 +2250,31 @@ def test_refresh_index_retracts_deletes_unconditionally(spark, tmp_path):
     assert sorted(
         r.key for r in index_lookup(spark, path, "color", "green").collect()
     ) == [1]
+
+
+def test_batch_changefeed_pruning_disabled_across_ttl_change(
+    spark, tmp_path
+):
+    """set_ttl is a META-ONLY commit: no generation pointer moves, yet
+    the newly-filtered rows must appear as diff DELETIONS.  The
+    touched-bucket pruning therefore requires an identical TTL policy
+    at both snapshot versions — without that guard the pruned diff is
+    empty and every downstream incremental consumer silently keeps
+    expired rows."""
+    import time
+
+    from cascading_hbase_spark.keyed.table import changefeed_keyed, set_ttl
+
+    path = str(tmp_path / "t")
+    now = time.time()
+    df = spark.createDataFrame(
+        [(1, "live", now), (2, "old", now - 10_000.0)],
+        "key long, val string, ts double",
+    )
+    write_keyed(df, path, "key", retain=10)                        # v1
+    set_ttl(path, "ts", 3_600)                                     # v2
+    feed = changefeed_keyed(spark, path, 1, to_generation=2,
+                            include_old=True)
+    assert sorted((r.key, r._change) for r in feed.collect()) == [
+        (2, "delete"),
+    ]
