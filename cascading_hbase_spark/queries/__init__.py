@@ -81,31 +81,10 @@ def _load_all() -> None:
 # ``tools/round_end_check.py`` cross-checks this list against
 # ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    # r11: reset to [] at round start (the r10 verdicts landed).  Names
-    # are added below ONLY as their query/oracle code changes this
-    # round.
-    #
-    # r11: the r10 red row — the matview now maintains integral-source
-    # SUMs in BIGINT accumulators (keyed/matview.py "acc" contract), so
-    # this pair's cents_total is a true long against the BIGINT oracle
-    # (VERDICT r10 items 1+3; behavior-changing for this pair's output
-    # dtype, hence the re-head).
-    "atomic_maintenance_chain",
-    # r11: NEW pair — the STREAMING REPLICA (changefeed stream →
-    # foreachBatch MERGE follower, streaming/ops.stream_replica; the
-    # CDC loop's last quadrant, VERDICT r10 item 6), follower-vs-
-    # snapshot oracle.
-    "streaming_replica_follower",
-    # r11: NEW pair — the STREAMING MATVIEW (changefeed stream with
-    # include_old pre-images → apply_sum_delta fold, exactly-once via
-    # the (checkpoint, batch_id) stamp; streaming/ops.stream_matview),
-    # view-vs-first-principles-rebuild oracle in exact BIGINT cents.
-    "streaming_matview_sums",
-    # r11: NEW pair — INCREMENTAL secondary-index maintenance
-    # (keyed/index.refresh_index now applies the changefeed delta, one
-    # MERGE commit instead of a full rebuild), lookup-vs-full-scan
-    # oracle over a mixed insert/value-move/silent-update/delete wave.
-    "index_incremental_lookup",
+    # r12: reset to [] at round start (the r11 verdicts landed; the
+    # derived head is now the 28 r05-dated + 22 oldest r07-dated pairs
+    # per VERDICT r11 item 3).  Names are added below ONLY as their
+    # query/oracle code changes this round.
 ]
 
 # Number of head entries the driver's per-round budget is known to
