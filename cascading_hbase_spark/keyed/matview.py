@@ -52,7 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
+    _gc_orphans,
     _load_meta,
+    _save_meta,
+    _write_history,
+    _writer_lock,
     changefeed_keyed,
     read_keyed,
     write_keyed,
@@ -63,6 +67,7 @@ __all__ = [
     "create_aggregate_view",
     "refresh_aggregate_view",
     "apply_sum_delta",
+    "attach_stream_stamp",
     "read_aggregate_view",
 ]
 
@@ -464,6 +469,54 @@ def refresh_aggregate_view(
         # must not accumulate cache entries (each refresh has a new plan)
         cached.unpersist()
     return True
+
+
+def attach_stream_stamp(view_path: str, checkpoint: str) -> None:
+    """Stamp ``stream: {checkpoint, batch_id: -1}`` into the view
+    manifest at STREAM ATTACH time — a meta-only commit (the ``set_ttl``
+    pattern: no data moves, version bumps, history snapshots).
+
+    Closes the maintenance-mode TOCTOU window (r11 ADVICE): without
+    it, ``refresh_aggregate_view`` is only refused once the stream's
+    FIRST non-empty batch writes the stamp, so a scheduled refresh
+    racing the gap would advance the cursor and apply the same
+    interval the stream's first batch then folds AGAIN — silent SUM
+    double-apply, the exact corruption the one-mode rule exists to
+    prevent.  With the attach stamp, the refusal holds from the moment
+    the stream is attached.
+
+    ``batch_id=-1`` is safe: ``apply_sum_delta`` treats ``batch_id <=
+    stamp`` as replay and every real micro-batch id is >= 0, and the
+    checkpoint cross-check gates in ``stream_matview`` already handle
+    a -1 stamp (nothing applied yet — the seed cursor is the
+    authority).  Idempotent for the same checkpoint; a different one
+    raises (same per-checkpoint exclusivity as ``apply_sum_delta``).
+    A refresh already IN FLIGHT when the stamp lands (read its cursor
+    before, commits after) can still clobber it — the one-mode rule
+    remains the deployment contract; this stamp closes the scheduled-
+    refresh-after-attach ordering, the common race."""
+    with _writer_lock(view_path):
+        meta = _load_meta(view_path)
+        mv = meta.get("matview")
+        if mv is None:
+            raise ValueError(f"{view_path} is not an aggregate view")
+        st = mv.get("stream")
+        if st is not None:
+            if st.get("checkpoint") != checkpoint:
+                raise StaleViewError(
+                    f"view {view_path} is maintained under checkpoint "
+                    f"{st.get('checkpoint')!r}; rebuild with "
+                    f"create_aggregate_view to move it to a new checkpoint"
+                )
+            return  # already attached (possibly with applied batches)
+        meta["matview"] = {
+            **mv,
+            "stream": {"checkpoint": checkpoint, "batch_id": -1},
+        }
+        meta["version"] = meta.get("version", 1) + 1
+        _save_meta(view_path, meta)
+        _write_history(view_path, meta)
+        _gc_orphans(view_path, meta)
 
 
 def apply_sum_delta(

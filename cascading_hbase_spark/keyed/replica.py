@@ -27,14 +27,23 @@ from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
     _carried_policies,
+    _gc_orphans,
     _load_meta,
+    _save_meta,
+    _write_history,
+    _writer_lock,
     apply_changefeed,
     changefeed_keyed,
     read_keyed,
     write_keyed,
 )
 
-__all__ = ["StaleReplicaError", "create_replica", "sync_replica"]
+__all__ = [
+    "StaleReplicaError",
+    "attach_replica_stream_stamp",
+    "create_replica",
+    "sync_replica",
+]
 
 
 class StaleReplicaError(RuntimeError):
@@ -80,6 +89,45 @@ def create_replica(
             "cursor": version,
         }},
     )
+
+
+def attach_replica_stream_stamp(replica_path: str, checkpoint: str) -> None:
+    """Stamp ``stream: {checkpoint, batch_id: -1}`` into the follower's
+    ``replica`` manifest entry at STREAM ATTACH time — a meta-only
+    commit (the ``set_ttl`` pattern), mirroring
+    ``matview.attach_stream_stamp``.
+
+    The stamp is what lets ``stream_replica`` cross-check the
+    checkpoint's planned-offset log against the follower's APPLIED
+    state at every stream start (r11 ADVICE): without it, an existing
+    follower attached to a foreign checkpoint whose offsets run AHEAD
+    of what this follower applied silently skips the interval between
+    them — and unlike a matview there is no non-idempotent delta to
+    corrupt loudly, so the divergence is permanent and undetected.
+    Idempotent for the same checkpoint; a different one raises (one
+    stream per follower)."""
+    with _writer_lock(replica_path):
+        meta = _load_meta(replica_path)
+        rep = meta.get("replica")
+        if rep is None:
+            raise ValueError(f"{replica_path} is not a replica")
+        st = rep.get("stream")
+        if st is not None:
+            if st.get("checkpoint") != checkpoint:
+                raise StaleReplicaError(
+                    f"replica {replica_path} is stream-maintained under "
+                    f"checkpoint {st.get('checkpoint')!r}; rebuild with "
+                    f"create_replica to move it to a new checkpoint"
+                )
+            return  # already attached (possibly with applied batches)
+        meta["replica"] = {
+            **rep,
+            "stream": {"checkpoint": checkpoint, "batch_id": -1},
+        }
+        meta["version"] = meta.get("version", 1) + 1
+        _save_meta(replica_path, meta)
+        _write_history(replica_path, meta)
+        _gc_orphans(replica_path, meta)
 
 
 def sync_replica(

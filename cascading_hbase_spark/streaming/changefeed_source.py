@@ -403,6 +403,10 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         befores = []  # old-side payloads, row-aligned with frames
         before_null = []  # True per row = whole _before struct is NULL
         bcols = [c for c in cols if c != key]
+        # pre-image accumulation is paid ONLY when the stream asked for
+        # it: the pandas column materialization below is per-batch work
+        # that a plain (no include_old) subscriber never consumes
+        want_old = self.include_old
 
         def _old_payload(sel) -> "pd.DataFrame":
             return pd.DataFrame({c: m.loc[sel, c + suf] for c in bcols})
@@ -412,13 +416,15 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
             frames.append(m.loc[ins, cols].assign(**{CHANGE_COL: "insert"}))
             # inserts have no pre-image: a NULL struct, like the batch
             # feed's include_old (_old is null on the left_only side)
-            befores.append(_old_payload(ins))
-            before_null.extend([True] * int(ins.sum()))
+            if want_old:
+                befores.append(_old_payload(ins))
+                before_null.extend([True] * int(ins.sum()))
         upd = (m[ind] == "both") & changed
         if upd.any():
             frames.append(m.loc[upd, cols].assign(**{CHANGE_COL: "update"}))
-            befores.append(_old_payload(upd))
-            before_null.extend([False] * int(upd.sum()))
+            if want_old:
+                befores.append(_old_payload(upd))
+                before_null.extend([False] * int(upd.sum()))
         dels = m[ind] == "right_only"
         if dels.any():  # pre-delete row, like the batch feed
             old_cols = {
@@ -427,8 +433,9 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
             frames.append(
                 pd.DataFrame(old_cols).assign(**{CHANGE_COL: "delete"})
             )
-            befores.append(_old_payload(dels))
-            before_null.extend([False] * int(dels.sum()))
+            if want_old:
+                befores.append(_old_payload(dels))
+                before_null.extend([False] * int(dels.sum()))
         if not frames:
             return iter(())
         data_out = pa.schema(

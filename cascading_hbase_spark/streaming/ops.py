@@ -760,6 +760,21 @@ def _max_checkpoint_offset(checkpoint: str) -> int:
     return max(ids, default=-1)
 
 
+def _max_checkpoint_commit(checkpoint: str) -> int:
+    """Highest micro-batch id the checkpoint has COMMITTED (its
+    ``commits`` log — written AFTER the sink completes), or -1.
+    Commits are sequential, so every id at or below the max has
+    committed even when its own log entry was purged
+    (``minBatchesToRetain``, default 100, trims both logs from the
+    oldest end)."""
+    d = os.path.join(checkpoint, "commits")
+    try:
+        ids = [int(n) for n in os.listdir(d) if n.isdigit()]
+    except FileNotFoundError:
+        return -1
+    return max(ids, default=-1)
+
+
 def _walled_end(checkpoint: str, batch_id: int) -> int | None:
     """The END offset (a keyed-table manifest version) the checkpoint's
     write-ahead log recorded for ``batch_id``, or None when the entry
@@ -802,25 +817,35 @@ def stream_replica(
     micro-batch re-merges the same diff rows, and a changefeed MERGE
     is idempotent (upserts re-apply the same post-image, deletes of
     absent keys no-op), so crash-replay converges instead of
-    double-applying.  The follower manifest's ``replica.cursor``
-    stays at the SEED version — the checkpoint is the authoritative
-    stream cursor (foreachBatch cannot see its offset range, so
-    advancing the manifest cursor would be a guess; an interleaved
-    batch ``sync_replica`` from the stale cursor stays convergent —
-    diffs re-applied over newer state still produce the primary's
-    post-image — but wastes work: pick one maintenance mode).
+    double-applying — and since r12 each applied batch additionally
+    stamps ``replica.stream = {checkpoint, batch_id}`` in the SAME
+    atomic commit as its merge, so replays are recognized and skipped
+    outright, and every stream start can cross-check the checkpoint's
+    planned-offset log against the follower's APPLIED state (a
+    checkpoint running ahead of the stamp would otherwise silently
+    skip the interval between them — LWW replays converge but never
+    re-emit a skipped interval).  The follower manifest's
+    ``replica.cursor`` stays at the SEED version — the checkpoint is
+    the authoritative stream cursor (foreachBatch cannot see its
+    offset range, so advancing the manifest cursor would be a guess;
+    an interleaved batch ``sync_replica`` from the stale cursor stays
+    convergent — diffs re-applied over newer state still produce the
+    primary's post-image — but wastes work: pick one maintenance
+    mode).
 
     The primary's version-token registration is mirrored per batch
     (``sync_replica``'s forwarding rule) so cascaded replication off
     the follower classifies on payload too."""
     from cascading_hbase_spark.keyed.replica import (
         StaleReplicaError,
+        attach_replica_stream_stamp,
         create_replica,
     )
     from cascading_hbase_spark.keyed.table import (
         META_FILE,
         _load_meta,
         apply_changefeed,
+        changefeed_keyed,
     )
 
     seeded_now = not os.path.exists(os.path.join(replica_path, META_FILE))
@@ -863,6 +888,67 @@ def stream_replica(
             f"primary {primary_path} was replaced since the follower "
             f"was seeded; rebuild with create_replica"
         )
+    # Applied-offset cross-check (r11 ADVICE): the sink stamps
+    # (checkpoint, batch_id) into the replica manifest in the SAME
+    # atomic commit as each merge, so at stream start the checkpoint's
+    # planned-offset log can be checked against what the follower
+    # actually APPLIED.  A checkpoint running AHEAD of the applied
+    # stamp by more than the one in-flight batch means batches were
+    # planned that this follower never merged — resuming would skip
+    # the interval between them, and an LWW merge replays converge but
+    # NEVER re-emit a skipped interval: the divergence would be
+    # permanent and undetected.  Proof order mirrors stream_matview:
+    # the checkpoint's own commits log first (stamp proves ownership;
+    # committed-but-unstamped => the sink's isEmpty path => empty for
+    # this follower), then the primary's history (interval diff empty
+    # => nothing to skip), else refuse.
+    st = rep.get("stream")
+    if st is not None and st.get("checkpoint") != checkpoint:
+        raise StaleReplicaError(
+            f"replica {replica_path} is stream-maintained under "
+            f"checkpoint {st.get('checkpoint')!r}; rebuild with "
+            f"create_replica to move it to a new checkpoint"
+        )
+    stamp = st["batch_id"] if st is not None else -1
+    max_planned = _max_checkpoint_offset(checkpoint)
+    if st is not None and max_planned < stamp:
+        raise StaleReplicaError(
+            f"checkpoint {checkpoint} has no offsets entry for the "
+            f"follower's last applied batch {stamp} (checkpoint reset "
+            f"or deleted?); rebuild with create_replica and a fresh "
+            f"checkpoint"
+        )
+    if (st is None and max_planned >= 0) or max_planned > stamp + 1:
+        if st is None or _max_checkpoint_commit(checkpoint) < max_planned - 1:
+            v_a = (
+                _walled_end(checkpoint, stamp)
+                if stamp >= 0
+                else rep["cursor"]
+            )
+            v_b = _walled_end(checkpoint, max_planned)
+            skipped = True
+            if v_a is not None and v_b is not None and v_b >= v_a:
+                try:
+                    skipped = (
+                        v_b > v_a
+                        and not changefeed_keyed(
+                            spark, primary_path, v_a, to_generation=v_b
+                        ).isEmpty()
+                    )
+                except FileNotFoundError:
+                    skipped = True  # interval fell below the horizon
+            if skipped:
+                raise StaleReplicaError(
+                    f"checkpoint {checkpoint} planned through batch "
+                    f"{max_planned} but follower {replica_path} last "
+                    f"applied batch {stamp}, and the un-applied offset "
+                    f"interval cannot be proven empty; resuming would "
+                    f"silently skip it — rebuild with create_replica "
+                    f"and a fresh checkpoint"
+                )
+    # mode stamp from attach time (not first batch): a foreign
+    # checkpoint can never adopt this follower unchecked again
+    attach_replica_stream_stamp(replica_path, checkpoint)
     feed = read_changefeed_stream(
         spark, primary_path, from_version=rep["cursor"]
     )
@@ -884,6 +970,13 @@ def stream_replica(
                 f"create_replica and a fresh checkpoint"
             )
         rmeta = _load_meta(replica_path)
+        rep_now = rmeta["replica"]
+        st_now = rep_now.get("stream")
+        if st_now is not None and batch_id <= st_now.get("batch_id", -1):
+            # crash-replayed batch already atomically applied+stamped:
+            # re-merging would converge (LWW is idempotent) but wastes
+            # a full merge commit — skip, like apply_sum_delta does
+            return
         # sync_replica's seq-forwarding rule: mirror the primary's
         # registration, clear a deregistered one, else leave untouched
         pseq = pmeta.get("seq_col")
@@ -894,7 +987,13 @@ def stream_replica(
         else:
             fwd_seq = None
         apply_changefeed(
-            batch_df.sparkSession, replica_path, batch_df, seq_col=fwd_seq
+            batch_df.sparkSession, replica_path, batch_df, seq_col=fwd_seq,
+            # applied-batch stamp, in the SAME atomic commit as the
+            # merge — what the stream-start cross-check reads
+            meta_extra={"replica": {
+                **rep_now,
+                "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
+            }},
         )
 
     writer = feed.writeStream.foreachBatch(sink).option(
@@ -952,6 +1051,7 @@ def stream_matview(
     from cascading_hbase_spark.keyed.matview import (
         StaleViewError,
         apply_sum_delta,
+        attach_stream_stamp,
         create_aggregate_view,
         _reject_token_aggregation,
     )
@@ -1023,36 +1123,66 @@ def stream_matview(
         # planned log arbitrarily far past the stamp (r11 explore-fuzz
         # falsifier).  ILLEGITIMATE cause: a checkpoint from a
         # different maintenance run, whose planned batches carried
-        # real deltas this view never applied.  The two are separable
-        # by the base's own history: diff the never-stamped interval
-        # (stamped batch's WAL'd end -> newest planned end) — empty
-        # means nothing was skipped, proceed; non-empty means real
-        # deltas would be silently lost, refuse.
-        from cascading_hbase_spark.keyed.table import changefeed_keyed
+        # real deltas this view never applied.
+        #
+        # FIRST proof (r11 ADVICE): the checkpoint's own commits log.
+        # The stamp proves THIS view's sink owned this checkpoint, and
+        # the sink's only no-stamp completion path is the isEmpty
+        # early-return — so every batch the checkpoint COMMITTED past
+        # the stamp was provably empty for this view (a sink that
+        # raised never commits; a sink that applied would have advanced
+        # the stamp).  Commits are sequential, so committed >=
+        # max_planned - 1 proves every planned batch except the one
+        # legitimate in-flight tail (which Spark replays under the same
+        # id) was empty — no diff needed, no dependence on offset
+        # entries or base generations that retention may have pruned
+        # (the > minBatchesToRetain quiet-period and the retain-horizon
+        # crash of the r11 ADVICE both land here).
+        # (the commits proof needs the stamp: with st None the
+        # checkpoint was never provably this view's, so committed
+        # batches could be another query's non-empty work — only the
+        # base-history diff below can clear it)
+        if st is None or _max_checkpoint_commit(checkpoint) < max_planned - 1:
+            # SECOND proof: the base's own history — diff the
+            # never-stamped interval (stamped batch's WAL'd end ->
+            # newest planned end); empty means nothing was skipped.
+            from cascading_hbase_spark.keyed.table import changefeed_keyed
 
-        v_a = (
-            _walled_end(checkpoint, stamp)
-            if stamp >= 0
-            else mv["base_version"]
-        )
-        v_b = _walled_end(checkpoint, max_planned)
-        skipped_real_deltas = True
-        if v_a is not None and v_b is not None and v_b >= v_a:
-            skipped_real_deltas = (
-                v_b > v_a
-                and not changefeed_keyed(
-                    spark, base_path, v_a, to_generation=v_b
-                ).isEmpty()
+            v_a = (
+                _walled_end(checkpoint, stamp)
+                if stamp >= 0
+                else mv["base_version"]
             )
-        if skipped_real_deltas:
-            raise StaleViewError(
-                f"checkpoint {checkpoint} planned through batch "
-                f"{max_planned} but view {view_path} last applied "
-                f"{stamp}, and the un-applied offset interval carries "
-                f"real changes; the checkpoint belongs to a different "
-                f"maintenance run — rebuild with create_aggregate_view "
-                f"and a fresh checkpoint"
-            )
+            v_b = _walled_end(checkpoint, max_planned)
+            skipped_real_deltas = True
+            if v_a is not None and v_b is not None and v_b >= v_a:
+                try:
+                    skipped_real_deltas = (
+                        v_b > v_a
+                        and not changefeed_keyed(
+                            spark, base_path, v_a, to_generation=v_b
+                        ).isEmpty()
+                    )
+                except FileNotFoundError:
+                    # v_a fell below the base's retain/vacuum horizon
+                    # (r11 ADVICE: two version-bump commits drained as
+                    # empty batches suffice at DEFAULT_RETAIN=2) — the
+                    # interval can no longer be proven empty.  Refuse
+                    # with the documented rebuild signal (mirroring
+                    # refresh_aggregate_view's wrap) instead of leaking
+                    # a raw I/O error.
+                    skipped_real_deltas = True
+            if skipped_real_deltas:
+                raise StaleViewError(
+                    f"checkpoint {checkpoint} planned through batch "
+                    f"{max_planned} but view {view_path} last applied "
+                    f"{stamp}, and the un-applied offset interval "
+                    f"cannot be proven empty (uncommitted batches, or "
+                    f"the interval is no longer retained/diffable on "
+                    f"the base); the checkpoint may belong to a "
+                    f"different maintenance run — rebuild with "
+                    f"create_aggregate_view and a fresh checkpoint"
+                )
     if st is None and max_planned >= 0:
         # Planned-but-never-applied batches against an unstamped view:
         # legitimate iff planned AGAINST THIS VIEW's seed cursor —
@@ -1089,6 +1219,13 @@ def stream_matview(
     _reject_token_aggregation(
         bmeta0.get("seq_col"), mv["group"], mv["sums"], {}, {}, view_path,
     )
+    # Attach-time mode stamp (r11 ADVICE): refuse scheduled refreshes
+    # from the moment the stream is attached, not only after its first
+    # non-empty batch lands — the gap is exactly the window where a
+    # racing refresh would advance the cursor and the first stream
+    # batch then folds the same interval again (SUM double-apply).
+    # Runs AFTER every gate above so a refused stream never stamps.
+    attach_stream_stamp(view_path, checkpoint)
     feed = read_changefeed_stream(
         spark, base_path, from_version=mv["base_version"], include_old=True
     )

@@ -1511,3 +1511,140 @@ def test_cascaded_cdc_stream_view_over_stream_follower(spark, tmp_path):
         "grp", "n_rows", "cents_total",
     )
     assert got == want == [("g1", 1, 25), ("g2", 1, 30)]
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_survives_long_empty_quiet_period(spark, tmp_path):
+    """r11 ADVICE (medium): version-bump-only base commits drained as
+    empty batches push the checkpoint's planned log past the view's
+    stamp AND past the base's retain horizon (DEFAULT_RETAIN=2 needs
+    just two).  The old gate then diffed a garbage-collected interval
+    and leaked a raw FileNotFoundError on a perfectly healthy resume.
+    The commits-log proof (committed-but-unstamped => empty for this
+    view) must clear the resume without touching base history at all —
+    and later real deltas must still apply."""
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, write_keyed,
+    )
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    # DEFAULT retain (2): the quiet period must outrun the horizon
+    write_keyed(_kgv(spark, [(1, "g1", 10), (2, "g2", 20)]), base, "key")
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(3, "g1", 30)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()  # stamps
+    absent = spark.createDataFrame([(999,)], "key long")
+    for _ in range(3):  # bump-only commits, each drained as EMPTY
+        delete_keyed(spark, base, absent)
+        S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    # resume is healthy (no FileNotFoundError, no StaleViewError) and
+    # a real delta still folds in
+    write_keyed(_kgv(spark, [(4, "g2", 40)]), base, "key",
+                mode=SinkMode.APPEND)
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    assert _rows(read_aggregate_view(spark, view), "grp", "n_rows",
+                 "cents_total") == [("g1", 2, 40), ("g2", 2, 60)]
+
+
+@changefeed_source_localfs_only
+def test_stream_matview_attach_blocks_scheduled_refresh_immediately(
+    spark, tmp_path
+):
+    """r11 ADVICE (medium, TOCTOU): the one-maintenance-mode refusal
+    must hold from the moment the stream is ATTACHED, not only after
+    its first non-empty batch stamps — in the gap a scheduled refresh
+    would advance the cursor and the stream's first batch then folds
+    the same interval again (silent SUM double-apply)."""
+    from cascading_hbase_spark.keyed.matview import (
+        StaleViewError, refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), base, "key", retain=10)
+    # attach + drain with ZERO base changes: no batch ever stamps, but
+    # the attach stamp (batch_id=-1) must already be in the manifest
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    write_keyed(_kgv(spark, [(2, "g1", 20)]), base, "key",
+                mode=SinkMode.APPEND)
+    with pytest.raises(StaleViewError, match="stream-maintained"):
+        refresh_aggregate_view(spark, base, view)
+    # the stream itself still owns the view
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+
+
+@changefeed_source_localfs_only
+def test_stream_replica_refuses_foreign_ahead_checkpoint(spark, tmp_path):
+    """r11 ADVICE (low): an EXISTING follower attached to a foreign
+    checkpoint whose offsets run AHEAD of the follower's applied state
+    would silently skip the interval between them — permanently (LWW
+    replays converge but never re-emit a skipped interval).  The
+    applied-batch stamp the sink now writes makes the skip provable at
+    stream start, and the un-stamped follower + dirty checkpoint
+    combination is refused."""
+    from cascading_hbase_spark.keyed.replica import create_replica
+    from cascading_hbase_spark.keyed.replica import StaleReplicaError
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, read_keyed, write_keyed,
+    )
+
+    primary = str(tmp_path / "p")
+    fa = str(tmp_path / "fa")
+    fb = str(tmp_path / "fb")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)   # v1
+    create_replica(spark, primary, fb)  # follower B seeded at v1
+    S.stream_replica(spark, primary, fa, ckpt).awaitTermination()
+    write_keyed(_kv(spark, [(2, "b")]), primary, "key",
+                mode=SinkMode.APPEND)                                # v2
+    S.stream_replica(spark, primary, fa, ckpt).awaitTermination()
+    # A's manifest carries the applied-batch stamp, same checkpoint
+    st = _load_meta(fa)["replica"].get("stream")
+    assert st is not None and st["checkpoint"] == ckpt
+    assert st["batch_id"] >= 0
+    # B (never streamed, cursor v1) + A's checkpoint (planned past v2
+    # with real deltas in between): resuming would skip (v1, v2] on B
+    with pytest.raises(StaleReplicaError, match="proven empty"):
+        S.stream_replica(spark, primary, fb, ckpt)
+    # ...while A itself still resumes cleanly off its own stamp
+    S.stream_replica(spark, primary, fa, ckpt).awaitTermination()
+    assert _rows(read_keyed(spark, fa), "key", "val") == [(1, "a"), (2, "b")]
+
+
+@changefeed_source_localfs_only
+def test_checkpoint_wal_format_pin(spark, tmp_path):
+    """VERDICT r11 item 5: the CDC maintenance gates parse Spark's
+    private HDFSMetadataLog layout (offsets/<batchId> = a version line,
+    a metadata JSON line, then one offset JSON per source — ours is
+    {"version": N}).  Pin the dependency against the RUNNING Spark: a
+    version bump that changes the layout must fail HERE, loudly, not
+    as a confusing StaleViewError on some operator's resume."""
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, table_version, write_keyed,
+    )
+    from cascading_hbase_spark.streaming.ops import (
+        _max_checkpoint_commit, _max_checkpoint_offset, _walled_end,
+    )
+
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    write_keyed(_kv(spark, [(2, "b")]), primary, "key",
+                mode=SinkMode.APPEND)
+    S.stream_replica(spark, primary, follower, ckpt).awaitTermination()
+    mp = _max_checkpoint_offset(ckpt)
+    assert mp >= 0
+    # a cleanly drained availableNow run commits everything it planned
+    assert _max_checkpoint_commit(ckpt) == mp
+    # the newest batch's WAL'd end offset is the primary's version NOW
+    assert _walled_end(ckpt, mp) == table_version(primary)
