@@ -111,25 +111,15 @@ def _gen_files(path: str, bucket: int, gen: int) -> list[str]:
     )
 
 
-def _bucket_range(boundaries: list, b: int) -> tuple:
-    """Half-open key range of bucket ``b`` (None = unbounded edge);
-    bucket(k) = number of boundaries <= k (keyed/table.py:246)."""
-    lo = boundaries[b - 1] if b > 0 else None
-    hi = boundaries[b] if b < len(boundaries) else None
-    return lo, hi
-
-
-def _overlapping_buckets(boundaries: list, lo, hi) -> list[int]:
-    """Buckets of ``boundaries`` whose range intersects [lo, hi)."""
-    out = []
-    for b in range(len(boundaries) + 1):
-        blo, bhi = _bucket_range(boundaries, b)
-        if hi is not None and blo is not None and blo >= hi:
-            continue
-        if lo is not None and bhi is not None and bhi <= lo:
-            continue
-        out.append(b)
-    return out
+# Key-range arithmetic and the cross-re-bucket pruning walk are shared
+# with the batch diff (keyed/cdc_prune.py — pure Python over manifest
+# dicts, safe to import in the planning worker: no Spark, no control
+# plane).
+from cascading_hbase_spark.keyed.cdc_prune import (  # noqa: E402
+    overlapping_buckets as _overlapping_buckets,
+    bucket_range as _bucket_range,
+    prune_across_rebucket as _prune_across_rebucket,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +263,19 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
 
     # -- planning --------------------------------------------------------
 
+    def _history_or_none(self, version: int) -> dict | None:
+        """Manifest snapshot for an INTERMEDIATE version of the pruning
+        walk — None (not an error) when pruned from the commit log:
+        the walk then falls back to the full diff, unlike the
+        endpoints, whose absence is fatal (``_load_history``)."""
+        try:
+            with open(
+                os.path.join(self.path, "_kt_history", f"v{version}.json")
+            ) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            return None
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
@@ -290,19 +293,33 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         seq_col = new.get("seq_col")  # registration in effect AT v1
         ob, nb = old.get("boundaries", []), new.get("boundaries", [])
         ogens, ngens = old.get("gens", {}), new.get("gens", {})
+        # New-side buckets that can contain CHANGED keys.  Same
+        # boundaries: the pointer diff directly.  Across a re-bucket:
+        # the shared history walk maps every segment's touched key
+        # ranges into v1's bucket space (None = unprovable — plan the
+        # full diff), so a micro-batch stays O(touched buckets) even
+        # when a re-bucketing compaction landed inside its offset
+        # interval (VERDICT r11 item 1).
+        if ob == nb:
+            need = {
+                int(b)
+                for b in set(ogens) | set(ngens)
+                if ogens.get(b) != ngens.get(b)
+            }
+        else:
+            pruned = _prune_across_rebucket(
+                v0, old, v1, new,
+                lambda v: self._history_or_none(v),
+            )
+            need = None if pruned is None else pruned[1]
         parts: list[InputPartition] = []
         for b in range(len(nb) + 1):
+            if need is not None and b not in need:
+                # no touched key range intersects this bucket: provably
+                # diff-free, skipped without listing a single file
+                continue
             lo, hi = _bucket_range(nb, b)
             obuckets = _overlapping_buckets(ob, lo, hi)
-            if (
-                ob == nb
-                and obuckets == [b]
-                and ogens.get(str(b)) == ngens.get(str(b))
-            ):
-                # untouched bucket: same boundaries, same generation
-                # pointer — no diff to compute (micro-batch cost is
-                # O(touched buckets), not O(table))
-                continue
             old_files = [
                 f
                 for b2 in obuckets

@@ -2278,3 +2278,112 @@ def test_batch_changefeed_pruning_disabled_across_ttl_change(
     assert sorted((r.key, r._change) for r in feed.collect()) == [
         (2, "delete"),
     ]
+
+
+def test_batch_changefeed_prunes_across_rebucket(spark, tmp_path):
+    """VERDICT r11 item 1: a re-bucketing compaction between the two
+    snapshots no longer forces the diff to read BOTH full snapshots.
+    The re-bucket commit's content-preservation hint lets the history
+    walk (keyed/cdc_prune.py) locate the segments' touched key ranges
+    and map them into EACH side's own bucket space — a narrow wave
+    after a re-bucket reads a strict subset of buckets on both sides
+    (proven by the plan's input files), with identical diff rows."""
+    from cascading_hbase_spark.keyed.table import (
+        changefeed_keyed, compact_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "key long, val string"
+    )
+    write_keyed(df, path, "key", n_buckets=4, retain=10)           # v1
+    write_keyed(
+        spark.createDataFrame([(3, "X")], "key long, val string"),
+        path, "key", mode=SinkMode.APPEND,
+    )                                                              # v2
+    compact_keyed(spark, path, n_buckets=2)                        # v3
+    write_keyed(
+        spark.createDataFrame([(90, "Y")], "key long, val string"),
+        path, "key", mode=SinkMode.APPEND,
+    )                                                              # v4
+    # narrow wave ACROSS the re-bucket: only key 90 changed in (2, 4]
+    feed = changefeed_keyed(spark, path, 2, to_generation=4)
+    assert sorted((r.key, r._change, r.val) for r in feed.collect()) == [
+        (90, "update", "Y"),
+    ]
+    read = {
+        tuple(f.split("/_kt_bucket=")[1].split("/")[:2])
+        for f in feed.inputFiles()
+    }
+    # all live (bucket, gen) dirs of the two snapshots = the full read
+    full = {
+        tuple(f.split("/_kt_bucket=")[1].split("/")[:2])
+        for g in (2, 4)
+        for f in changefeed_keyed(spark, path, g, to_generation=g)
+        .inputFiles()
+    }  # empty interval reads nothing; recompute via raw snapshots
+    from cascading_hbase_spark.keyed.table import _meta_at, _read_raw
+
+    full = set()
+    for g in (2, 4):
+        m = _meta_at(path, g)
+        for f in _read_raw(spark, path, m).inputFiles():
+            full.add(tuple(f.split("/_kt_bucket=")[1].split("/")[:2]))
+    assert read < full, (sorted(read), sorted(full))
+    # key 90's range maps to 1 of 2 new buckets and 2 of 4 old buckets
+    # (the old upper half) — 3 of the 6 live bucket-generation dirs
+    assert len(read) <= len(full) // 2, (sorted(read), sorted(full))
+    # spanning the re-bucket from BEFORE the pre-compaction update
+    # still reports every change exactly once
+    feed14 = changefeed_keyed(spark, path, 1, to_generation=4)
+    assert sorted((r.key, r._change, r.val) for r in feed14.collect()) == [
+        (3, "update", "X"), (90, "update", "Y"),
+    ]
+    # the re-bucket commit alone remains a silent, zero-read interval
+    f34 = changefeed_keyed(spark, path, 2, to_generation=3)
+    assert f34.count() == 0 and f34.inputFiles() == []
+
+
+def test_changefeed_rebucket_prune_respects_ttl_and_missing_history(
+    spark, tmp_path
+):
+    """The cross-re-bucket walk refuses to prune (falls back to the
+    full read, same rows) when a TTL policy change lands inside a
+    segment — set_ttl moves no pointer, so pointer-equality proves
+    nothing — and when an intermediate history doc is missing."""
+    import os as _o
+    import time as _t
+
+    from cascading_hbase_spark.keyed.table import (
+        changefeed_keyed, compact_keyed, set_ttl,
+    )
+
+    path = str(tmp_path / "t")
+    now = _t.time()
+    df = spark.createDataFrame(
+        [(i, f"v{i}", now - (4000 if i < 5 else 0)) for i in range(40)],
+        "key long, val string, ts double",
+    )
+    write_keyed(df, path, "key", n_buckets=4, retain=10)           # v1
+    compact_keyed(spark, path, n_buckets=2)                        # v2
+    set_ttl(path, "ts", 3600.0)                                    # v3
+    write_keyed(
+        spark.createDataFrame(
+            [(39, "Z", now)], "key long, val string, ts double"
+        ),
+        path, "key", mode=SinkMode.APPEND,
+    )                                                              # v4
+    # keys 0..4 aged out via the v3 policy (no pointer moved) and 39
+    # changed: the diff must see ALL of it — the TTL guard forces the
+    # full read across this interval
+    feed = changefeed_keyed(spark, path, 1, to_generation=4)
+    got = sorted((r.key, r._change) for r in feed.collect())
+    assert got == [(k, "delete") for k in range(5)] + [(39, "update")]
+    # missing intermediate history doc: prune falls back, rows intact
+    _o.remove(_o.path.join(path, "_kt_history", "v2.json"))
+    set_ttl(path, "ts", None)                                      # v5
+    compact_keyed(spark, path, n_buckets=3)                        # v6
+    feed2 = changefeed_keyed(spark, path, 4, to_generation=6)
+    assert sorted((r.key, r._change) for r in feed2.collect()) == [
+        (k, "insert") for k in range(5)
+    ]

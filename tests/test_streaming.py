@@ -1648,3 +1648,56 @@ def test_checkpoint_wal_format_pin(spark, tmp_path):
     assert _max_checkpoint_commit(ckpt) == mp
     # the newest batch's WAL'd end offset is the primary's version NOW
     assert _walled_end(ckpt, mp) == table_version(primary)
+
+
+@changefeed_source_localfs_only
+def test_changefeed_stream_prunes_across_rebucket(spark, tmp_path):
+    """VERDICT r11 item 1, streaming half: a micro-batch whose offset
+    interval contains a re-bucketing compaction plans only the new
+    buckets whose key range intersects a touched range — not the full
+    cross product of both layouts — and still emits exactly the batch
+    feed's rows."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, _load_meta, compact_keyed, write_keyed,
+    )
+    from cascading_hbase_spark.streaming.changefeed_source import (
+        KeyedChangefeedStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    write_keyed(
+        _kv(spark, [(k, f"v{k}") for k in range(100)]), path, "key",
+        n_buckets=4, retain=10,
+    )                                                                   # v1
+    compact_keyed(spark, path, n_buckets=2)                             # v2
+    write_keyed(_kv(spark, [(90, "Y")]), path, "key",
+                mode=SinkMode.APPEND)                                   # v3
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    reader = KeyedChangefeedStreamReader(
+        schema, {"path": path, "from_version": "1"}
+    )
+    # the interval (1, 3] straddles the re-bucket; only key 90's new
+    # bucket is planned (1 of 2), not both layouts in full
+    parts = reader.partitions({"version": 1}, {"version": 3})
+    assert len(parts) == 1
+    rows = [
+        (d["key"], d["val"], d["_change"])
+        for p in parts
+        for b in reader.read(p)
+        for d in b.to_pylist()
+    ]
+    assert rows == [(90, "Y", "update")]
+    # the re-bucket interval alone is content-identical: ZERO partitions
+    assert reader.partitions({"version": 1}, {"version": 2}) == []
+    # availableNow end-to-end across the re-bucket agrees
+    got = S.run_available_now(
+        S.read_changefeed_stream(spark, path, from_version=1), "append"
+    )
+    assert sorted(
+        (r.key, r.val, r._change) for r in got.collect()
+    ) == [(90, "Y", "update")]
