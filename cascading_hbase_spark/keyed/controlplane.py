@@ -55,6 +55,7 @@ __all__ = [
     "ControlPlane",
     "LocalFSControlPlane",
     "get_control_plane",
+    "plane_from_spec",
     "set_control_plane",
     "use_control_plane",
 ]
@@ -157,6 +158,21 @@ class ControlPlane(ABC):
     def move_object(self, src: str, dst: str) -> None:
         """Single-object move (legacy-layout migration only).
         Object-store port: server-side copy + delete."""
+
+    # -- cross-process reconstruction ----------------------------------
+
+    def plane_spec(self) -> dict | None:
+        """A JSON-serializable spec from which ``plane_from_spec`` can
+        rebuild an EQUIVALENT plane in ANOTHER process — what the
+        changefeed streaming source ships to its planning worker (a
+        separate Python process that must see the same manifests this
+        driver sees).  A real cloud plane returns its endpoint/bucket/
+        credential-reference here, exactly what any Spark connector
+        passes through reader options.  ``None`` = this plane's state
+        is process-local and cannot be reconstructed (the in-memory
+        emulated store); consumers must refuse rather than silently
+        read the local filesystem."""
+        return None
 
     # -- writer mutual exclusion ---------------------------------------
 
@@ -295,6 +311,28 @@ class LocalFSControlPlane(ControlPlane):
         finally:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(tmp)
+
+
+    def plane_spec(self) -> dict | None:
+        return {"kind": "localfs"}
+
+
+def plane_from_spec(spec: dict) -> ControlPlane:
+    """Rebuild a control plane from a ``plane_spec`` in THIS process —
+    the worker-side half of the cross-process seam (the changefeed
+    streaming source's planning worker calls this with the spec it
+    received via reader options)."""
+    kind = spec.get("kind")
+    if kind == "localfs":
+        return LocalFSControlPlane()
+    if kind == "objectstore":
+        from cascading_hbase_spark.keyed.objectstore import (
+            FileBackedObjectStore,
+            ObjectStoreControlPlane,
+        )
+
+        return ObjectStoreControlPlane(FileBackedObjectStore(spec["root"]))
+    raise ValueError(f"unknown control-plane spec kind: {kind!r}")
 
 
 _CONTROL_PLANE: ControlPlane = LocalFSControlPlane()

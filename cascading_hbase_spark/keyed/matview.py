@@ -525,10 +525,11 @@ def apply_sum_delta(
     feed: DataFrame,
     checkpoint: str,
     batch_id: int,
+    end_version: int | None = None,
 ) -> bool:
     """Apply ONE changefeed micro-batch (rows tagged ``_change``, with
-    ``_before`` pre-images) to a COUNT/SUM-only aggregate view —
-    the engine half of ``streaming/ops.stream_matview``.
+    ``_before`` pre-images) to an aggregate view — the engine half of
+    ``streaming/ops.stream_matview``.
 
     Exactly-once WITHOUT merge idempotence: a SUM delta applied twice
     corrupts (unlike the replica's LWW merge), so each application
@@ -543,22 +544,32 @@ def apply_sum_delta(
     prove which deltas landed; rebuild the view (or reuse the original
     checkpoint).
 
-    MIN/MAX views are refused: extremum retraction needs a re-aggregate
-    of the touched groups pinned to the diff's END snapshot, and
-    ``foreachBatch`` cannot see its offset range — reading the base's
-    CURRENT snapshot instead would fold future commits' rows into this
-    batch's extrema.  Scheduled ``refresh_aggregate_view`` (which pins
-    both ends) is the maintenance mode for extrema views."""
+    MIN/MAX views (r12): extremum retraction needs a re-aggregate of
+    the retraction-threatened groups pinned to the diff's END
+    snapshot — reading the base's CURRENT snapshot instead would fold
+    future commits' rows into this batch's extrema.  ``foreachBatch``
+    cannot see its offset range, but the stream checkpoint's
+    write-ahead log CAN name it: ``stream_matview`` recovers the
+    batch's end offset (a base manifest version) via ``_walled_end``
+    and passes it here as ``end_version``.  Without it (``None``),
+    extrema views are refused exactly as before — scheduled
+    ``refresh_aggregate_view`` pins both ends itself.  The caller is
+    responsible for the incarnation gate (``stream_matview`` checks
+    base identity at start AND before every merge): ``end_version``
+    only names a version within the CURRENT incarnation's history."""
     meta = _load_meta(view_path)
     mv = meta.get("matview")
     if mv is None:
         raise ValueError(f"{view_path} is not an aggregate view")
-    if mv.get("mins") or mv.get("maxs"):
+    mins, maxs = mv.get("mins") or {}, mv.get("maxs") or {}
+    exts = {**mins, **maxs}
+    if exts and end_version is None:
         raise ValueError(
             f"view {view_path} maintains MIN/MAX columns; extremum "
             f"retraction needs a group re-aggregate pinned to the "
-            f"diff's end snapshot, which a stream batch cannot name — "
-            f"use scheduled refresh_aggregate_view for extrema views"
+            f"diff's end snapshot — pass end_version (stream_matview "
+            f"recovers it from the checkpoint WAL) or use scheduled "
+            f"refresh_aggregate_view"
         )
     st = mv.get("stream")
     if st is not None and st.get("checkpoint") != checkpoint:
@@ -573,7 +584,7 @@ def apply_sum_delta(
         return False  # replayed batch: already atomically applied
     group, sums = mv["group"], mv["sums"]
     _acc = mv.get("acc") or {}
-    acc = {o: _acc.get(o, "double") for o in sums}
+    acc = {o: _acc.get(o, "double") for o in [*sums, *exts]}
     if "_before" not in feed.columns:
         raise ValueError(
             "apply_sum_delta needs pre-images to retract updates: pass "
@@ -604,6 +615,12 @@ def apply_sum_delta(
                 ).alias(out)
                 for out, src in sums.items()
             ],
+            # MIN/MAX travel unsigned: the delta aggregate separates
+            # inserted-side and retracted-side extrema by _dn
+            *[
+                col_of(src).cast(acc[out]).alias(f"_x_{out}")
+                for out, src in exts.items()
+            ],
         )
 
     plus = _side(
@@ -612,6 +629,8 @@ def apply_sum_delta(
     minus = _side(
         feed.filter(F.col("_change").isin("update", "delete")), -1, _before
     )
+    ins = F.col("_dn") == 1
+    ret = F.col("_dn") == -1
     delta = (
         plus.unionByName(minus)
         .filter(F.col(group).isNotNull())
@@ -619,13 +638,35 @@ def apply_sum_delta(
         .agg(
             F.sum("_dn").alias("_dn"),
             *[F.sum(out).cast(acc[out]).alias(out) for out in sums],
+            *[F.min(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in mins],
+            *[F.min(F.when(ret, F.col(f"_x_{o}"))).alias(f"_ret_{o}") for o in mins],
+            *[F.max(F.when(ins, F.col(f"_x_{o}"))).alias(f"_ins_{o}") for o in maxs],
+            *[F.max(F.when(ret, F.col(f"_x_{o}"))).alias(f"_ret_{o}") for o in maxs],
         )
     )
     cur = read_keyed(spark, view_path).select(
         F.col(group),
         F.col("n_rows").alias("_cur_n"),
-        *[F.col(out).alias(f"_cur_{out}") for out in sums],
+        *[
+            F.col(out).alias(f"_cur_{out}")
+            for out in list(sums) + list(exts)
+        ],
     )
+    # A retraction can only invalidate an extremum if the retracted
+    # value ties-or-beats it; such groups (alone) re-aggregate from
+    # the base AT THE BATCH'S END SNAPSHOT below.  Inserts maintain
+    # incrementally.  (Same rule as refresh_aggregate_view.)
+    rescan = F.lit(False)
+    for o in mins:
+        rescan = rescan | (
+            F.col(f"_ret_{o}").isNotNull()
+            & (F.col(f"_cur_{o}").isNull() | (F.col(f"_ret_{o}") <= F.col(f"_cur_{o}")))
+        )
+    for o in maxs:
+        rescan = rescan | (
+            F.col(f"_ret_{o}").isNotNull()
+            & (F.col(f"_cur_{o}").isNull() | (F.col(f"_ret_{o}") >= F.col(f"_cur_{o}")))
+        )
     merged = delta.join(cur, group, "left").select(
         F.col(group),
         (F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn"))
@@ -638,7 +679,48 @@ def apply_sum_delta(
             ).cast(acc[out]).alias(out)
             for out in sums
         ],
+        *[F.least(F.col(f"_cur_{o}"), F.col(f"_ins_{o}")).alias(o) for o in mins],
+        *[F.greatest(F.col(f"_cur_{o}"), F.col(f"_ins_{o}")).alias(o) for o in maxs],
+        rescan.alias("_rescan"),
     )
+    cached = None
+    if exts:
+        cached = merged = merged.persist()
+        rg = merged.filter("_rescan").select(group)
+        try:
+            base_at_end = read_keyed(
+                spark, mv["base"], generation=end_version
+            )
+        except FileNotFoundError as e:
+            cached.unpersist()
+            raise StaleViewError(
+                f"base generation {end_version} (this batch's WAL'd "
+                f"end offset) is no longer readable at {mv['base']} "
+                f"({e}); the extremum rescan cannot be pinned — raise "
+                f"the base's retain, or rebuild the view with "
+                f"create_aggregate_view"
+            ) from e
+        recomputed = (
+            base_at_end.join(F.broadcast(rg), group)
+            .groupBy(group)
+            .agg(
+                *[F.min(F.col(src).cast(acc[o])).alias(f"_re_{o}") for o, src in mins.items()],
+                *[F.max(F.col(src).cast(acc[o])).alias(f"_re_{o}") for o, src in maxs.items()],
+            )
+        )
+        merged = merged.join(recomputed, group, "left").select(
+            F.col(group),
+            F.col("n_rows"),
+            *[F.col(out) for out in sums],
+            # a rescan group whose rows all vanished recomputes to no
+            # row at all -> NULL extremum, the correct answer
+            *[
+                F.when(F.col("_rescan"), F.col(f"_re_{o}")).otherwise(F.col(o)).alias(o)
+                for o in exts
+            ],
+        )
+    else:
+        merged = merged.drop("_rescan")
     write_keyed(
         merged,
         view_path,
@@ -649,6 +731,8 @@ def apply_sum_delta(
             "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
         }},
     )
+    if cached is not None:
+        cached.unpersist()
     return True
 
 

@@ -59,6 +59,7 @@ from .controlplane import ConcurrentWriteError, ControlPlane
 
 __all__ = [
     "EmulatedObjectStore",
+    "FileBackedObjectStore",
     "ObjectStoreControlPlane",
     "PreconditionFailed",
 ]
@@ -173,6 +174,160 @@ class EmulatedObjectStore:
             )
 
 
+class FileBackedObjectStore:
+    """The emulated store with its objects on a SHARED directory —
+    the same five primitives as ``EmulatedObjectStore`` (conditional
+    PUT / GET / HEAD / conditional DELETE / prefix LIST), but visible
+    across PROCESSES, the way a real bucket is.
+
+    Why it exists: the in-memory emulation is process-local by
+    construction, which made the changefeed STREAMING source's
+    planning worker (a separate Python process Spark spawns on the
+    driver) blind to the control plane — streaming CDC was localfs-
+    only under ``KT_PLANE=objectstore`` (VERDICT r11 item 2).  A real
+    cloud port reconstructs its SDK client in that worker from
+    endpoint/credentials; this store reconstructs from ``root``, so
+    the plane-spec plumbing (``ControlPlane.plane_spec`` ->
+    ``.option("plane", ...)`` -> worker-side rebuild) is exercised
+    end-to-end exactly as a real deployment would use it.
+
+    Mechanics: one file per object (key percent-quoted into a flat
+    namespace), payload = JSON {etag, b64 data}, every primitive
+    under one OS-level ``flock`` so each request is individually
+    atomic — the same assumption the protocol makes of S3/GCS.
+    Request atomicity, not caching: every call re-reads the backing
+    file, so two processes interleave exactly like two clients of one
+    bucket.  ``time_fn`` defaults to wall-clock (``time.time``) —
+    lease expiry must mean the same thing in every process."""
+
+    def __init__(self, root: str, time_fn=time.time):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._lockfile = os.path.join(root, ".lock")
+        self.time_fn = time_fn
+
+    @contextlib.contextmanager
+    def _locked(self):
+        import fcntl
+
+        with open(self._lockfile, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    def _fname(self, key: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self.root, quote(key, safe=""))
+
+    def _read(self, key: str):
+        try:
+            with open(self._fname(key)) as f:
+                doc = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+        import base64
+
+        return base64.b64decode(doc["data"]), doc["etag"]
+
+    def _write(self, key: str, data: bytes) -> str:
+        import base64
+
+        etag = f"etag-{uuid.uuid4().hex[:16]}"
+        fn = self._fname(key)
+        tmp = fn + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"etag": etag, "data": base64.b64encode(data).decode()}, f
+            )
+        os.replace(tmp, fn)
+        return etag
+
+    def put(
+        self,
+        key: str,
+        data: bytes,
+        *,
+        if_none_match: bool = False,
+        if_match: str | None = None,
+    ) -> str:
+        if if_none_match and if_match is not None:
+            raise ValueError("if_none_match and if_match are exclusive")
+        with self._locked():
+            cur = self._read(key)
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(f"{key}: already exists")
+            if if_match is not None and (cur is None or cur[1] != if_match):
+                raise PreconditionFailed(f"{key}: etag mismatch")
+            return self._write(key, data)
+
+    def get(self, key: str) -> tuple[bytes, str]:
+        with self._locked():
+            cur = self._read(key)
+            if cur is None:
+                raise KeyError(key)
+            return cur
+
+    def head(self, key: str) -> str | None:
+        with self._locked():
+            cur = self._read(key)
+            return None if cur is None else cur[1]
+
+    def size(self, key: str) -> int:
+        with self._locked():
+            cur = self._read(key)
+            if cur is None:
+                raise KeyError(key)
+            return len(cur[0])
+
+    def delete(self, key: str, *, if_match: str | None = None) -> None:
+        with self._locked():
+            cur = self._read(key)
+            if cur is None:
+                return
+            if if_match is not None and cur[1] != if_match:
+                raise PreconditionFailed(f"{key}: etag mismatch")
+            with contextlib.suppress(OSError):
+                os.remove(self._fname(key))
+
+    def copy(self, src: str, dst: str) -> str:
+        with self._locked():
+            cur = self._read(src)
+            if cur is None:
+                raise KeyError(src)
+            return self._write(dst, cur[0])
+
+    def _all_keys(self) -> list[str]:
+        from urllib.parse import unquote
+
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return [
+            unquote(n)
+            for n in names
+            if n != ".lock" and ".tmp" not in n
+        ]
+
+    def list_keys(self, prefix: str) -> list[str]:
+        with self._locked():
+            return sorted(k for k in self._all_keys() if k.startswith(prefix))
+
+    def child_names(self, prefix: str) -> list[str]:
+        norm = prefix.rstrip("/") + "/"
+        with self._locked():
+            return sorted(
+                {
+                    k[len(norm):].split("/", 1)[0]
+                    for k in self._all_keys()
+                    if k.startswith(norm)
+                }
+            )
+
+
 # A versioned manifest object: "<pointer-key>.v<N>-<attempt>".  The
 # suffix keeps versioned objects out of delimiter listings of ".json"
 # control documents.
@@ -217,6 +372,14 @@ class ObjectStoreControlPlane(ControlPlane):
         # pointer flip (see there)
         self._held_leases: dict[str, tuple[str, str]] = {}
         self._held_lock = threading.Lock()
+
+    def plane_spec(self) -> dict | None:
+        # only the file-backed store is visible from another process;
+        # the in-memory emulation deliberately returns None so the
+        # streaming source refuses instead of misreading local paths
+        if isinstance(self.store, FileBackedObjectStore):
+            return {"kind": "objectstore", "root": self.store.root}
+        return None
 
     # -- control documents: versioned object + latest-pointer flip -----
 

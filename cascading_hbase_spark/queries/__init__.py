@@ -85,6 +85,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # derived head is now the 28 r05-dated + 22 oldest r07-dated pairs
     # per VERDICT r11 item 3).  Names are added below ONLY as their
     # query/oracle code changes this round.
+    #
+    # r12: NEW pair — the STREAMING MIN/MAX MATVIEW (growth seam,
+    # VERDICT r11 item 6): stream_matview with mins/maxs, extremum
+    # retraction rescans pinned to each batch's WAL'd end offset,
+    # view-vs-first-principles oracle in exact BIGINT cents.
+    "streaming_matview_minmax",
 ]
 
 # Number of head entries the driver's per-round budget is known to

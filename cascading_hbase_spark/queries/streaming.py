@@ -417,3 +417,78 @@ def streaming_matview_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_aggregate_view(spark, view).select(
         "grp", "n_rows", "cents_total"
     )
+
+
+_STREAM_MATVIEW_MINMAX_ORACLE = """
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(MIN(cents) AS BIGINT) AS cents_min,
+           CAST(MAX(cents) AS BIGINT) AS cents_max
+    FROM (
+      SELECT o_custkey % 100 AS grp,
+             CASE WHEN o_orderkey % 10 < 8 AND o_orderkey % 5 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 7 <> 0
+    )
+    GROUP BY 1
+"""
+
+
+@query("streaming_matview_minmax", oracle=_STREAM_MATVIEW_MINMAX_ORACLE)
+def streaming_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MIN/MAX MATVIEW (r12, ``streaming/ops.stream_matview``
+    with ``mins``/``maxs``): the scheduled-only restriction on extrema
+    views is lifted — the checkpoint's write-ahead log names each
+    batch's END offset (a base manifest version), so the
+    extremum-retraction rescan pins to the batch's end snapshot
+    exactly like ``refresh_aggregate_view`` pins both diff ends
+    (``_walled_end``; format regression-pinned against the running
+    Spark).  Seed a primary at v1 and the view off its snapshot; then
+    commit doubled-cents updates + inserts (v2) and a delete wave
+    (v3) that removes many per-group extrema (every 7th key,
+    including group minima and maxima), and drain from the SAME
+    checkpoint: COUNT/SUM fold incrementally, threatened extrema
+    re-aggregate per group from the pinned snapshot.  The view must
+    equal a from-scratch COUNT/SUM/MIN/MAX aggregate of the final
+    snapshot in exact BIGINT cents (the oracle rebuilds it from first
+    principles over ``orders``)."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.catalog import load_table
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, write_keyed,
+    )
+
+    root = tempfile.mkdtemp(prefix="chs_smvx_")
+    base = os.path.join(root, "base")
+    view = os.path.join(root, "view")
+    ckpt = os.path.join(root, "ckpt")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, base, "o_orderkey", retain=10)                   # v1
+    S.stream_matview(
+        spark, base, view, ckpt, "grp", {"cents_total": "cents"},
+        mins={"cents_min": "cents"}, maxs={"cents_max": "cents"},
+    ).awaitTermination()
+    updates = seed.filter(k % 5 == 0).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    write_keyed(
+        updates.unionByName(orders.filter(k % 10 >= 8)),
+        base, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v2
+    delete_keyed(spark, base, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    S.stream_matview(spark, base, view, ckpt).awaitTermination()
+    return read_aggregate_view(spark, view).select(
+        "grp", "n_rows", "cents_total", "cents_min", "cents_max"
+    )

@@ -38,12 +38,17 @@ filtering is wall-clock-dependent — replay would not be
 deterministic); a start offset older than the vacuum/retention horizon
 raises the standard rebuild signal instead of diffing partial data.
 
-Plane note: planning reads the manifest/history JSONs directly from
-the table path — the local-FS layout every real deployment of this
-engine has for its DATA plane.  The in-memory ``EmulatedObjectStore``
-plane is process-local by construction and invisible to Spark's
-planning worker; a cloud port passes the store's endpoint/credentials
-through the source options exactly like every other Spark connector.
+Plane note (r12): planning routes every manifest/history read through
+a ``ControlPlane`` the planning worker REBUILDS from the ``plane``
+reader option — ``read_changefeed_stream`` ships the driver plane's
+``plane_spec()`` there, exactly how every Spark connector passes
+endpoint/credentials to its tasks.  The default spec rebuilds the
+local-FS plane (plain file reads, the historical behavior); the
+file-backed object-store plane rebuilds from its shared root, so
+``KT_PLANE=objectstore`` covers streaming CDC end-to-end; only the
+process-local in-memory emulation has no spec and is refused at
+stream creation.  DATA files (parquet) stay on whatever path Spark's
+executors read — the hybrid split every real deployment has.
 """
 
 from __future__ import annotations
@@ -68,21 +73,37 @@ def _truthy(v) -> bool:
     return str(v).lower() in ("1", "true", "yes") if v is not None else False
 
 # ---------------------------------------------------------------------------
-# planning helpers — plain-file manifest access (driver-side planning
-# worker; see the plane note in the module docstring)
+# planning helpers — manifest access through a control plane the
+# PLANNING WORKER rebuilds from the ``plane`` reader option (r12,
+# VERDICT r11 item 2).  The worker is a separate Python process, so
+# the driver's installed plane is ipso facto invisible; the driver
+# ships ``ControlPlane.plane_spec()`` through the option and the
+# worker rebuilds an equivalent plane — a fresh local-FS plane by
+# default, a file-backed object-store plane under KT_PLANE=objectstore,
+# an SDK client from endpoint/credentials in a real cloud port.
 # ---------------------------------------------------------------------------
 
 
-def _load_manifest(path: str) -> dict:
-    with open(os.path.join(path, "_kt_meta.json")) as f:
-        return json.load(f)
+def _plane_of(options: dict):
+    spec = options.get("plane")
+    from cascading_hbase_spark.keyed.controlplane import (
+        LocalFSControlPlane,
+        plane_from_spec,
+    )
+
+    if spec:
+        return plane_from_spec(json.loads(spec))
+    return LocalFSControlPlane()  # historical default: plain file reads
 
 
-def _load_history(path: str, version: int) -> dict:
+def _load_manifest(cp, path: str) -> dict:
+    return cp.read_json(os.path.join(path, "_kt_meta.json"))
+
+
+def _load_history(cp, path: str, version: int) -> dict:
     hp = os.path.join(path, "_kt_history", f"v{version}.json")
     try:
-        with open(hp) as f:
-            return json.load(f)
+        return cp.read_json(hp)
     except FileNotFoundError:
         raise RuntimeError(
             f"keyed table {path}: manifest snapshot v{version} is no "
@@ -194,7 +215,8 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("keyed_changefeed requires .option('path', ...)")
         self.include_old = _truthy(options.get("include_old"))
-        meta = _load_manifest(self.path)
+        self._options = dict(options)
+        meta = _load_manifest(self._cp(), self.path)
         if self.include_old and not [
             f for f in schema.fields
             if f.name not in (CHANGE_COL, BEFORE_COL)
@@ -236,6 +258,22 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         fv = options.get("from_version")
         self._initial = int(fv) if fv is not None else meta.get("version", 1)
 
+    # -- plane (rebuilt per process; never pickled) ---------------------
+
+    def _cp(self):
+        cp = getattr(self, "_cp_cache", None)
+        if cp is None:
+            cp = self._cp_cache = _plane_of(self._options)
+        return cp
+
+    def __getstate__(self):
+        # the plane holds process-local state (locks); every process
+        # (driver, planning worker, executor) rebuilds its own from
+        # the serializable spec in _options
+        d = dict(self.__dict__)
+        d.pop("_cp_cache", None)
+        return d
+
     # -- offsets: manifest commit versions ------------------------------
 
     def initialOffset(self) -> dict:
@@ -249,8 +287,9 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         # onto it would kill the stream with a spurious "pruned" error
         # (r10 review).  Clamp to the newest version whose snapshot is
         # already readable — the lagging commit is picked up next poll.
-        v = _load_manifest(self.path).get("version", 1)
-        while v > self._initial and not os.path.exists(
+        cp = self._cp()
+        v = _load_manifest(cp, self.path).get("version", 1)
+        while v > self._initial and not cp.object_exists(
             os.path.join(self.path, "_kt_history", f"v{v}.json")
         ):
             v -= 1
@@ -269,10 +308,9 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         the walk then falls back to the full diff, unlike the
         endpoints, whose absence is fatal (``_load_history``)."""
         try:
-            with open(
+            return self._cp().read_json(
                 os.path.join(self.path, "_kt_history", f"v{version}.json")
-            ) as f:
-                return json.load(f)
+            )
         except (FileNotFoundError, NotADirectoryError, ValueError):
             return None
 
@@ -280,7 +318,8 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
-        cur = _load_manifest(self.path)
+        cp = self._cp()
+        cur = _load_manifest(cp, self.path)
         if v0 < _horizon(cur):
             raise RuntimeError(
                 f"keyed table {self.path}: changefeed start generation "
@@ -288,8 +327,8 @@ class KeyedChangefeedStreamReader(DataSourceStreamReader):
                 f"{_horizon(cur)} (retain/vacuum); restart the stream "
                 f"from a retained version"
             )
-        old = _load_history(self.path, v0)
-        new = _load_history(self.path, v1)
+        old = _load_history(cp, self.path, v0)
+        new = _load_history(cp, self.path, v1)
         seq_col = new.get("seq_col")  # registration in effect AT v1
         ob, nb = old.get("boundaries", []), new.get("boundaries", [])
         ogens, ngens = old.get("gens", {}), new.get("gens", {})
@@ -501,7 +540,7 @@ class KeyedChangefeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("keyed_changefeed requires .option('path', ...)")
-        meta = _load_manifest(path)
+        meta = _load_manifest(_plane_of(dict(self.options)), path)
         st = StructType.fromJson(json.loads(meta["schema"]))
         fields = list(st.fields) + [
             StructField(CHANGE_COL, StringType(), False)

@@ -611,9 +611,9 @@ def stream_maintained_view(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         write_keyed(batch_df, base_path, key=key, mode=SinkMode.APPEND, retain=4)
-        from cascading_hbase_spark.keyed.table import META_FILE
+        from cascading_hbase_spark.keyed.table import _exists
 
-        if os.path.exists(os.path.join(view_path, META_FILE)):
+        if _exists(view_path):
             refresh_aggregate_view(batch_df.sparkSession, base_path, view_path)
         else:
             create_aggregate_view(
@@ -657,7 +657,7 @@ def stream_maintained_cms(
         create_aggregate_view,
         refresh_aggregate_view,
     )
-    from cascading_hbase_spark.keyed.table import META_FILE
+    from cascading_hbase_spark.keyed.table import _exists
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tok = batch_df.filter(F.col(text_col).isNotNull()).select(
@@ -687,7 +687,7 @@ def stream_maintained_cms(
             )
         )
         write_keyed(part, base_path, key="cell_key", mode=SinkMode.APPEND, retain=4)
-        if os.path.exists(os.path.join(view_path, META_FILE)):
+        if _exists(view_path):
             refresh_aggregate_view(batch_df.sparkSession, base_path, view_path)
         else:
             create_aggregate_view(
@@ -722,6 +722,9 @@ def read_changefeed_stream(
     ``from_version=None`` (default) subscribes to FUTURE changes only
     (cursor = the table's version at stream start, like
     ``create_replica``); pass an older retained version to replay."""
+    import json as _json
+
+    from cascading_hbase_spark.keyed.controlplane import get_control_plane
     from cascading_hbase_spark.keyed.table import _load_meta
     from cascading_hbase_spark.streaming.changefeed_source import (
         KeyedChangefeedDataSource,
@@ -736,8 +739,27 @@ def read_changefeed_stream(
             f"stream over it could not replay deterministically — "
             f"subscribe to a TTL-free table instead"
         )
+    # Ship the installed control plane to the planning worker (r12):
+    # the worker is a separate process, so it rebuilds an equivalent
+    # plane from this serializable spec — the same pattern a cloud
+    # connector uses for endpoint/credentials.  A plane whose state is
+    # process-local (the in-memory emulated store) cannot be shipped;
+    # refuse here rather than let the worker silently read local paths
+    # that hold no manifest.
+    spec = get_control_plane().plane_spec()
+    if spec is None:
+        raise RuntimeError(
+            "the installed control plane's state is process-local and "
+            "cannot be reconstructed in the streaming source's planning "
+            "worker; use a shareable plane (local FS, or an object "
+            "store with a FileBackedObjectStore/SDK client)"
+        )
     spark.dataSource.register(KeyedChangefeedDataSource)
-    reader = spark.readStream.format("keyed_changefeed").option("path", path)
+    reader = (
+        spark.readStream.format("keyed_changefeed")
+        .option("path", path)
+        .option("plane", _json.dumps(spec))
+    )
     if from_version is not None:
         reader = reader.option("from_version", str(from_version))
     if include_old:
@@ -842,13 +864,13 @@ def stream_replica(
         create_replica,
     )
     from cascading_hbase_spark.keyed.table import (
-        META_FILE,
+        _exists,
         _load_meta,
         apply_changefeed,
         changefeed_keyed,
     )
 
-    seeded_now = not os.path.exists(os.path.join(replica_path, META_FILE))
+    seeded_now = not _exists(replica_path)
     if seeded_now:
         if _max_checkpoint_offset(checkpoint) >= 0:
             # a checkpoint that already planned batches belongs to some
@@ -1013,25 +1035,35 @@ def stream_matview(
     sums: dict[str, str] | None = None,
     n_buckets: int | None = None,
     available_now: bool = True,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """An ALWAYS-ON incrementally-maintained aggregate view: subscribe
     to the base table's changefeed stream WITH pre-images
     (``read_changefeed_stream(include_old=True)``) and fold each
-    micro-batch's per-group COUNT/SUM delta into the view — the
-    streaming twin of ``refresh_aggregate_view``, completing the CDC
-    quadrant square (batch/stream x replica/view).  Per-batch cost is
-    O(touched buckets) for the diff + O(changed groups) for the merge,
-    never O(table) — the shape continuous rollup maintenance runs at
-    100 TB.
+    micro-batch's per-group COUNT/SUM/MIN/MAX delta into the view —
+    the streaming twin of ``refresh_aggregate_view``, completing the
+    CDC quadrant square (batch/stream x replica/view).  Per-batch cost
+    is O(touched buckets) for the diff + O(changed groups) for the
+    merge, never O(table) — the shape continuous rollup maintenance
+    runs at 100 TB.
 
     Seeding: a missing view is built from the base's CURRENT snapshot
-    (``create_aggregate_view`` — ``group_col``/``sums`` required) and
-    the stream subscribes from that snapshot's version; an existing
-    COUNT/SUM-only view of this base is adopted and streamed from its
-    refresh cursor.  MIN/MAX views are refused (extremum retraction
-    needs rescans pinned to the diff's end version, which
-    ``foreachBatch`` cannot name — keep those on scheduled
-    ``refresh_aggregate_view``).
+    (``create_aggregate_view`` — ``group_col``/``sums``/``mins``/
+    ``maxs`` required) and the stream subscribes from that snapshot's
+    version; an existing view of this base is adopted and streamed
+    from its refresh cursor.
+
+    MIN/MAX (r12): an extremum-removing retraction triggers a
+    re-aggregate of THAT group pinned to the batch's END snapshot.
+    ``foreachBatch`` cannot see its offset range, but the checkpoint's
+    write-ahead log records each batch's end offset (a base manifest
+    version) — the sink recovers it via ``_walled_end`` and pins the
+    rescan there, so rows from commits AFTER the batch can never leak
+    into its extrema.  An unparseable WAL entry refuses loudly
+    (StaleViewError) rather than rescanning the wrong snapshot; the
+    WAL format itself is pinned by a regression test against the
+    running Spark.
 
     Exactly-once: SUM deltas are NOT idempotent, so replay safety
     cannot ride on the merge like ``stream_replica``'s LWW does.
@@ -1055,9 +1087,9 @@ def stream_matview(
         create_aggregate_view,
         _reject_token_aggregation,
     )
-    from cascading_hbase_spark.keyed.table import META_FILE, _load_meta
+    from cascading_hbase_spark.keyed.table import _exists, _load_meta
 
-    seeded_now = not os.path.exists(os.path.join(view_path, META_FILE))
+    seeded_now = not _exists(view_path)
     if seeded_now:
         if group_col is None:
             raise ValueError(
@@ -1075,7 +1107,7 @@ def stream_matview(
             )
         create_aggregate_view(
             spark, base_path, view_path, group_col,
-            sums=sums, n_buckets=n_buckets,
+            sums=sums, n_buckets=n_buckets, mins=mins, maxs=maxs,
         )
     mv = _load_meta(view_path).get("matview")
     if mv is None or mv.get("base") != base_path:
@@ -1083,11 +1115,7 @@ def stream_matview(
             f"{view_path} exists but is not an aggregate view of "
             f"{base_path} (it views {mv and mv.get('base')!r})"
         )
-    if mv.get("mins") or mv.get("maxs"):
-        raise ValueError(
-            f"view {view_path} maintains MIN/MAX columns; use scheduled "
-            f"refresh_aggregate_view (see apply_sum_delta's contract)"
-        )
+    has_exts = bool(mv.get("mins") or mv.get("maxs"))
     st = mv.get("stream")
     if st is not None and st.get("checkpoint") != checkpoint:
         raise StaleViewError(
@@ -1217,7 +1245,8 @@ def stream_matview(
             f"built; rebuild with create_aggregate_view"
         )
     _reject_token_aggregation(
-        bmeta0.get("seq_col"), mv["group"], mv["sums"], {}, {}, view_path,
+        bmeta0.get("seq_col"), mv["group"], mv["sums"],
+        mv.get("mins") or {}, mv.get("maxs") or {}, view_path,
     )
     # Attach-time mode stamp (r11 ADVICE): refuse scheduled refreshes
     # from the moment the stream is attached, not only after its first
@@ -1248,11 +1277,26 @@ def stream_matview(
         # lossy (token-only rewrites produce an empty diff) — re-check
         # against the CURRENT registration, like every refresh does
         _reject_token_aggregation(
-            bmeta.get("seq_col"), mv["group"], mv["sums"], {}, {},
-            view_path,
+            bmeta.get("seq_col"), mv["group"], mv["sums"],
+            mv.get("mins") or {}, mv.get("maxs") or {}, view_path,
         )
+        end_version = None
+        if has_exts:
+            # the batch's END offset (a base manifest version), from
+            # the checkpoint WAL Spark wrote BEFORE running this sink
+            # — the snapshot the extremum rescan must pin to
+            end_version = _walled_end(checkpoint, batch_id)
+            if end_version is None:
+                raise StaleViewError(
+                    f"checkpoint {checkpoint} has no parseable offsets "
+                    f"entry for in-flight batch {batch_id}; the "
+                    f"extremum rescan cannot be pinned to the batch's "
+                    f"end snapshot — refusing to fold (a WAL format "
+                    f"change? see test_checkpoint_wal_format_pin)"
+                )
         apply_sum_delta(
-            batch_df.sparkSession, view_path, batch_df, checkpoint, batch_id
+            batch_df.sparkSession, view_path, batch_df, checkpoint,
+            batch_id, end_version=end_version,
         )
 
     writer = feed.writeStream.foreachBatch(sink).option(

@@ -49,14 +49,27 @@ def _kt_plane():
     Off by default; suites that inspect local control files on disk
     are not expected to pass under it."""
     if os.environ.get("KT_PLANE") == "objectstore":
+        import shutil
+        import tempfile
+
         from cascading_hbase_spark.keyed.controlplane import set_control_plane
         from cascading_hbase_spark.keyed.objectstore import (
+            FileBackedObjectStore,
             ObjectStoreControlPlane,
         )
 
-        prev = set_control_plane(ObjectStoreControlPlane())
+        # the FILE-BACKED store (r12): same conditional-PUT protocol,
+        # objects on a shared root — visible to the changefeed
+        # streaming source's planning worker, so streaming CDC runs
+        # under the plane too (the in-memory store is process-local
+        # and was the reason those suites used to skip)
+        root = tempfile.mkdtemp(prefix="kt-objectstore-")
+        prev = set_control_plane(
+            ObjectStoreControlPlane(FileBackedObjectStore(root))
+        )
         yield
         set_control_plane(prev)
+        shutil.rmtree(root, ignore_errors=True)
     else:
         yield
 

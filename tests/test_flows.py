@@ -683,12 +683,6 @@ def test_cascade_drives_streaming_cdc_maintenance(spark, tmp_path):
     run; after the cascade the follower equals the primary and the
     view equals the aggregate — the nightly-window shape, but each
     node is incremental CDC instead of a rebuild."""
-    import os as _o
-
-    if _o.environ.get("KT_PLANE") == "objectstore":
-        import pytest as _pytest
-
-        _pytest.skip("changefeed source planning reads the table path")
     from cascading_hbase_spark import streaming as S
     from cascading_hbase_spark.keyed.matview import read_aggregate_view
     from cascading_hbase_spark.keyed.table import (

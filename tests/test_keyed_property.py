@@ -816,10 +816,11 @@ _smv_op = st.one_of(
     st.tuples(st.just("drain"), st.just(None)),
 )
 
+# r12: no longer a skip — the planning worker rebuilds the control
+# plane from the `plane` reader option, and the objectstore session
+# uses the cross-process FileBackedObjectStore.
 _smv_localfs_only = __import__("pytest").mark.skipif(
-    os.environ.get("KT_PLANE") == "objectstore",
-    reason="the changefeed source's planning worker reads manifests "
-    "from the table path (see streaming/changefeed_source.py)",
+    False, reason="r12: streaming CDC runs on every plane"
 )
 
 
@@ -857,8 +858,13 @@ def test_stream_matview_tracks_dict_model(spark, tmp_path_factory, ops):
     view_exists = False
 
     def _drain():
+        # r12: MIN/MAX maintained alongside COUNT/SUM — the extremum
+        # retraction rescan (pinned to each batch's WAL'd end offset)
+        # is exercised by every delete and group-moving update the
+        # interleaving generates
         S.stream_matview(
-            spark, base, view, ckpt, "grp", {"total": "val"}
+            spark, base, view, ckpt, "grp", {"total": "val"},
+            mins={"vmin": "val"}, maxs={"vmax": "val"},
         ).awaitTermination()
 
     for op, arg in ops:
@@ -885,12 +891,17 @@ def test_stream_matview_tracks_dict_model(spark, tmp_path_factory, ops):
     if not view_exists:
         return
     _drain()
-    expected: dict[str, tuple[int, int]] = {}
+    expected: dict[str, tuple] = {}
     for grp, val in model.values():
-        n, s = expected.get(grp, (0, 0))
-        expected[grp] = (n + 1, s + val)
+        n, s, lo, hi = expected.get(grp, (0, 0, None, None))
+        expected[grp] = (
+            n + 1,
+            s + val,
+            val if lo is None else min(lo, val),
+            val if hi is None else max(hi, val),
+        )
     got = {
-        r["grp"]: (r["n_rows"], r["total"])
+        r["grp"]: (r["n_rows"], r["total"], r["vmin"], r["vmax"])
         for r in read_aggregate_view(spark, view).collect()
     }
     assert got == expected

@@ -544,3 +544,86 @@ def test_secondary_index_on_object_store_plane(spark, tmp_path):
         create_index(spark, path, "val")
         got = {r.key for r in index_lookup(spark, path, "val", "x").collect()}
         assert got == {1, 3}
+
+
+def test_file_backed_store_conditional_semantics(tmp_path):
+    """r12: the FILE-BACKED store honors the same conditional-PUT /
+    CAS / conditional-DELETE contract as the in-memory emulation — and
+    a SECOND instance over the same root (standing in for another
+    process, e.g. the changefeed source's planning worker) observes
+    every mutation immediately."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.objectstore import (
+        FileBackedObjectStore, PreconditionFailed,
+    )
+
+    root = str(tmp_path / "store")
+    a = FileBackedObjectStore(root)
+    b = FileBackedObjectStore(root)  # fresh instance = other process
+    e1 = a.put("/t/x.json", b"one", if_none_match=True)
+    with _pytest.raises(PreconditionFailed):
+        b.put("/t/x.json", b"two", if_none_match=True)
+    assert b.get("/t/x.json") == (b"one", e1)
+    e2 = b.put("/t/x.json", b"two", if_match=e1)
+    with _pytest.raises(PreconditionFailed):
+        a.put("/t/x.json", b"three", if_match=e1)  # stale CAS loses
+    assert a.head("/t/x.json") == e2 and a.size("/t/x.json") == 3
+    with _pytest.raises(PreconditionFailed):
+        a.delete("/t/x.json", if_match=e1)
+    a.put("/t/sub/y.json", b"yy", if_none_match=True)
+    assert b.list_keys("/t/") == ["/t/sub/y.json", "/t/x.json"]
+    assert b.child_names("/t") == ["sub", "x.json"]
+    b.delete("/t/x.json", if_match=e2)
+    b.delete("/t/x.json")  # idempotent
+    assert a.head("/t/x.json") is None
+    e3 = a.copy("/t/sub/y.json", "/t/z.json")
+    assert b.get("/t/z.json") == (b"yy", e3)
+
+
+def test_plane_spec_roundtrip_and_refusals(tmp_path):
+    """r12 cross-process seam: plane_spec -> plane_from_spec rebuilds
+    an equivalent plane (localfs and file-backed objectstore); the
+    in-memory emulation returns None and read_changefeed_stream
+    refuses it instead of silently reading local paths."""
+    import pytest as _pytest
+
+    from cascading_hbase_spark.keyed.controlplane import (
+        LocalFSControlPlane, plane_from_spec, use_control_plane,
+    )
+    from cascading_hbase_spark.keyed.objectstore import (
+        EmulatedObjectStore, FileBackedObjectStore, ObjectStoreControlPlane,
+    )
+
+    assert LocalFSControlPlane().plane_spec() == {"kind": "localfs"}
+    assert isinstance(
+        plane_from_spec({"kind": "localfs"}), LocalFSControlPlane
+    )
+    root = str(tmp_path / "s")
+    cp = ObjectStoreControlPlane(FileBackedObjectStore(root))
+    spec = cp.plane_spec()
+    assert spec == {"kind": "objectstore", "root": root}
+    cp2 = plane_from_spec(spec)
+    cp.write_json_atomic("/t/_kt_meta.json", {"v": 7})
+    assert cp2.read_json("/t/_kt_meta.json") == {"v": 7}  # shared root
+    assert ObjectStoreControlPlane(EmulatedObjectStore()).plane_spec() is None
+    with _pytest.raises(ValueError, match="unknown control-plane"):
+        plane_from_spec({"kind": "martian"})
+    # the stream constructor refuses a process-local plane up front
+    with use_control_plane(ObjectStoreControlPlane(EmulatedObjectStore())):
+        from cascading_hbase_spark.streaming.ops import (
+            read_changefeed_stream,
+        )
+
+        cp3 = ObjectStoreControlPlane(EmulatedObjectStore())
+        with _pytest.raises(RuntimeError, match="process-local"):
+            # table existence is probed through the plane first; give
+            # it a manifest so the refusal under test is reached
+            from cascading_hbase_spark.keyed.controlplane import (
+                get_control_plane,
+            )
+
+            get_control_plane().write_json_atomic(
+                str(tmp_path / "t" / "_kt_meta.json"), {"version": 1}
+            )
+            read_changefeed_stream(None, str(tmp_path / "t"))

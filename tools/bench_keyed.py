@@ -76,13 +76,21 @@ def main() -> None:
         # run the SAME lifecycle under the cloud-port plane: manifests
         # via conditional-PUT commit protocol, data files committed
         # rename-free at final generation keys (direct_commit) —
-        # measures what the object-store pattern costs vs the default
+        # measures what the object-store pattern costs vs the default.
+        # r12: FILE-BACKED store (shared root, one flock per request)
+        # so the changefeed streaming source's planning worker sees
+        # the same manifests — the stream steps run on this plane too.
         from cascading_hbase_spark.keyed.controlplane import set_control_plane
         from cascading_hbase_spark.keyed.objectstore import (
+            FileBackedObjectStore,
             ObjectStoreControlPlane,
         )
 
-        set_control_plane(ObjectStoreControlPlane())
+        set_control_plane(
+            ObjectStoreControlPlane(
+                FileBackedObjectStore(tempfile.mkdtemp(prefix="kt-os-"))
+            )
+        )
     spark = get_session("cascading-hbase-spark-bench-keyed")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -143,10 +151,10 @@ def main() -> None:
     #     and an always-on COUNT/SUM view NOW (at the loaded snapshot);
     #     their catch-up drains are measured after the write waves in
     #     step 6c — the continuous-maintenance twin of steps 5's
-    #     scheduled refreshes.  localfs plane only: the changefeed
-    #     source's planning worker reads manifests from the table path
-    #     (see streaming/changefeed_source.py's plane note).
-    stream_ok = plane != "objectstore"
+    #     scheduled refreshes.  r12: runs on EVERY plane — the source's
+    #     planning worker rebuilds the control plane from the `plane`
+    #     reader option (file-backed store under KT_PLANE=objectstore).
+    stream_ok = True
     sfpath = os.path.join(base, "sf")
     sfckpt = os.path.join(base, "sfckpt")
     smvpath = os.path.join(base, "smv")
