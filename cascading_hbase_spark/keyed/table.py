@@ -670,6 +670,37 @@ def _merge_meta_extra(meta: dict, meta_extra: dict | None) -> None:
     bad = sorted(set(meta_extra) & _RESERVED_META)
     if bad:
         raise ValueError(f"meta_extra may not override engine keys: {bad}")
+    # Stream-stamp clobber guard (r12): the maintenance-consumer
+    # entries ("matview"/"replica") carry a ``stream`` mode stamp once
+    # a streaming maintainer is attached.  A scheduled refresh/sync
+    # that READ the manifest before the attach and commits after would
+    # spread its stale copy and silently DROP the stamp — for a
+    # matview that re-opens the double-apply door, for a replica it
+    # turns the follower's next stream start into a confusing
+    # foreign-checkpoint refusal.  This is the commit half of the
+    # attach-time stamp: the attach closes the ordering for commits
+    # that start after it, this guard closes it for the one already in
+    # flight.  Same-checkpoint updates (the stream's own batch stamps
+    # advancing batch_id) pass; rebuilds go through REPLACE, whose
+    # fresh manifest has no stamp to clobber.
+    for app_key in ("matview", "replica"):
+        incoming = meta_extra.get(app_key)
+        if not isinstance(incoming, dict):
+            continue
+        disk_st = (meta.get(app_key) or {}).get("stream") or None
+        new_st = incoming.get("stream")
+        if disk_st is not None and (
+            not isinstance(new_st, dict)
+            or new_st.get("checkpoint") != disk_st.get("checkpoint")
+        ):
+            raise StaleWriteError(
+                f"refusing to commit a {app_key!r} manifest entry that "
+                f"would drop/replace the stream maintenance stamp "
+                f"(checkpoint {disk_st.get('checkpoint')!r}); a "
+                f"streaming maintainer attached after this operation "
+                f"read its cursor — it owns the table now (rebuild via "
+                f"REPLACE to hand maintenance back to batch)"
+            )
     meta.update(meta_extra)
 
 

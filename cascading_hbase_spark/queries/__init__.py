@@ -91,6 +91,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # retraction rescans pinned to each batch's WAL'd end offset,
     # view-vs-first-principles oracle in exact BIGINT cents.
     "streaming_matview_minmax",
+    # r12: NEW pair — changefeed ACROSS a re-bucketing compaction
+    # (VERDICT r11 item 1, keyed/cdc_prune.py): the pruned diff vs a
+    # first-principles oracle; a skipped touched range or asymmetric
+    # per-side coverage fails the hash.
+    "changefeed_across_rebucket",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -1009,3 +1009,72 @@ def fk_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+@query(
+    "changefeed_across_rebucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey, price, change FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             'delete' AS change
+      FROM orders WHERE o_orderkey % 10 < 8 AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice * 3, 'update'
+      FROM orders
+      WHERE o_orderkey % 10 < 8 AND o_orderkey % 11 = 0
+        AND o_orderkey % 7 <> 0
+    )
+    """,
+)
+def changefeed_across_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed ACROSS a re-bucketing compaction (r12,
+    ``keyed/cdc_prune.py``): seed an 8-bucket keyed table (v1), update
+    every 5th key (v2), RE-BUCKET to 3 (v3 — remaps every key range;
+    before r12 this forced the diff to read both full snapshots),
+    update every 11th key (v4), delete every 7th (v5), and diff
+    (v2, v5].  The pruned diff must report exactly the net changes
+    between the two END snapshots: updates to the tripled price, and
+    deletes carrying the OLD-snapshot (v2) payload — a two-snapshot
+    diff never sees intermediate states, so a key updated at v4 and
+    deleted at v5 reports its v2 row (the doubled price where
+    k%5==0), not the v4 one.  The content-identical re-bucket itself
+    emits nothing.  The oracle rebuilds the diff from first
+    principles over ``orders``; a pruning bug (a skipped touched
+    range, or the asymmetric-coverage hazard of reading a key on one
+    side only) surfaces as a missing or spurious row and fails the
+    hash."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        changefeed_keyed,
+        compact_keyed,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_cfr_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("price")
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, path, "o_orderkey", n_buckets=8, retain=10)      # v1
+    write_keyed(
+        seed.filter(k % 5 == 0).withColumn("price", F.col("price") * 2),
+        path, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v2
+    compact_keyed(spark, path, n_buckets=3)                            # v3
+    write_keyed(
+        seed.filter(k % 11 == 0).withColumn("price", F.col("price") * 3),
+        path, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v4
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v5
+    feed = changefeed_keyed(spark, path, 2, to_generation=5)
+    return feed.select(
+        "o_orderkey", "o_custkey", "price",
+        F.col("_change").alias("change"),
+    )

@@ -1785,3 +1785,62 @@ def test_stream_matview_minmax_extremum_retraction(spark, tmp_path):
             spark, view, changefeed_keyed(spark, base, 1, include_old=True),
             ckpt, 99,
         )
+
+
+@changefeed_source_localfs_only
+def test_stream_stamp_clobber_guard_at_commit(spark, tmp_path):
+    """r12: the commit half of the attach-time mode stamp.  A
+    scheduled refresh/sync that READ the manifest before the stream
+    attached and commits after would spread its stale copy and
+    silently DROP the stream stamp (matview: the double-apply door
+    re-opens; replica: the next stream start refuses as foreign).
+    write_keyed's meta-merge refuses the clobbering commit; the
+    stream's own same-checkpoint stamps still pass."""
+    from cascading_hbase_spark.keyed.table import (
+        StaleWriteError, _load_meta, write_keyed,
+    )
+
+    base = str(tmp_path / "b")
+    view = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    write_keyed(_kgv(spark, [(1, "g1", 10)]), base, "key", retain=10)
+    S.stream_matview(spark, base, view, ckpt, "grp",
+                     {"cents_total": "cents"}).awaitTermination()
+    mv = _load_meta(view)["matview"]
+    assert mv["stream"]["checkpoint"] == ckpt  # attach stamped
+    stale_mv = {k: v for k, v in mv.items() if k != "stream"}
+    one = spark.createDataFrame(
+        [("g1", 1, 10)], "grp string, n_rows long, cents_total long"
+    )
+    with pytest.raises(StaleWriteError, match="stream maintenance stamp"):
+        write_keyed(one, view, "grp", meta_extra={"matview": stale_mv})
+    # a different checkpoint is just as clobbering
+    with pytest.raises(StaleWriteError, match="stream maintenance stamp"):
+        write_keyed(
+            one, view, "grp",
+            meta_extra={"matview": {
+                **stale_mv,
+                "stream": {"checkpoint": "/other", "batch_id": 0},
+            }},
+        )
+    # the stream's own stamp (same checkpoint, newer batch) passes
+    write_keyed(
+        one, view, "grp",
+        meta_extra={"matview": {
+            **stale_mv, "stream": {"checkpoint": ckpt, "batch_id": 99},
+        }},
+    )
+    # replica flavor: same guard, same direction
+    primary = str(tmp_path / "p")
+    follower = str(tmp_path / "f")
+    c2 = str(tmp_path / "c2")
+    write_keyed(_kv(spark, [(1, "a")]), primary, "key", retain=10)
+    S.stream_replica(spark, primary, follower, c2).awaitTermination()
+    rep = _load_meta(follower)["replica"]
+    assert rep["stream"]["checkpoint"] == c2
+    stale_rep = {k: v for k, v in rep.items() if k != "stream"}
+    with pytest.raises(StaleWriteError, match="stream maintenance stamp"):
+        write_keyed(
+            _kv(spark, [(1, "a")]), follower, "key",
+            meta_extra={"replica": stale_rep},
+        )
