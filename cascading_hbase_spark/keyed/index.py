@@ -54,7 +54,11 @@ from pyspark.sql.types import (
 from cascading_hbase_spark.keyed.table import (
     DEFAULT_RETAIN,
     SinkMode,
+    _gc_orphans,
     _load_meta,
+    _save_meta,
+    _write_history,
+    _writer_lock,
     apply_changefeed,
     changefeed_keyed,
     read_keyed,
@@ -62,8 +66,8 @@ from cascading_hbase_spark.keyed.table import (
 )
 
 __all__ = [
-    "StaleIndexError", "create_index", "refresh_index", "drop_index",
-    "index_lookup",
+    "StaleIndexError", "attach_index_stream_stamp", "create_index",
+    "refresh_index", "drop_index", "index_lookup",
 ]
 
 _SEP = "\x00"
@@ -163,10 +167,27 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
         return create_index(spark, path, col)
     if stamp_v == version:
         return  # already current — no commit
-    key = meta["key"]
     feed = changefeed_keyed(
         spark, path, stamp_v, to_generation=version, include_old=True
     )
+    batch = _index_delta(feed, meta["key"], col)
+    apply_changefeed(
+        spark, ipath, batch,
+        meta_extra={
+            "index_of": {
+                "path": path, "col": col, "version": version,
+                "table_id": meta.get("table_id"),
+            }
+        },
+    )
+
+
+def _index_delta(feed: DataFrame, key: str, col: str) -> DataFrame:
+    """One changefeed interval (``include_old=True`` rows) as the index
+    MERGE batch: upsert ``<new value>\\x00<key>``, retract ``<old
+    value>\\x00<key>`` — shared by the scheduled ``refresh_index`` and
+    the streaming maintainer (``streaming/ops.stream_index``).  Raises
+    on NUL in a new value's string form (prefix-range safety)."""
     new_v = F.col(col)
     old_v = F.col("_before").getField(col)
     is_upsert = F.col("_change").isin("insert", "update")
@@ -203,16 +224,57 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
             f"column {col!r} contains the index separator NUL in its "
             f"string form; cannot maintain a prefix-ranged index"
         )
-    batch = plus.unionByName(_row(old_v, "delete"))
-    apply_changefeed(
-        spark, ipath, batch,
-        meta_extra={
-            "index_of": {
-                "path": path, "col": col, "version": version,
-                "table_id": meta.get("table_id"),
-            }
-        },
-    )
+    return plus.unionByName(_row(old_v, "delete"))
+
+
+def _index_meta_commit(ipath: str, mutate) -> None:
+    """Meta-only commit on the INDEX table (the ``set_ttl`` pattern):
+    ``mutate(info)`` edits the ``index_of`` entry in place, version
+    bumps, history snapshots."""
+    with _writer_lock(ipath):
+        meta = _load_meta(ipath)
+        info = meta.get("index_of")
+        if info is None:
+            raise ValueError(f"{ipath} is not an index table")
+        info = dict(info)
+        mutate(info)
+        meta["index_of"] = info
+        meta["version"] = meta.get("version", 1) + 1
+        _save_meta(ipath, meta)
+        _write_history(ipath, meta)
+        _gc_orphans(ipath, meta)
+
+
+def attach_index_stream_stamp(path: str, col: str, checkpoint: str) -> None:
+    """Stamp ``stream: {checkpoint, batch_id: -1}`` into the index's
+    ``index_of`` entry at STREAM ATTACH time — the index twin of
+    ``matview.attach_stream_stamp`` / ``replica.attach_replica_stream_
+    stamp``: scheduled ``refresh_index`` commits are refused from the
+    moment the stream owns the index (the ``write_keyed`` stream-stamp
+    clobber guard), and every stream start can cross-check the
+    checkpoint's planned offsets against the APPLIED stamp.
+    Idempotent for the same checkpoint; a different one raises."""
+
+    def mutate(info: dict) -> None:
+        st = info.get("stream")
+        if st is not None:
+            if st.get("checkpoint") != checkpoint:
+                raise StaleIndexError(
+                    f"index on {col!r} is stream-maintained under "
+                    f"checkpoint {st.get('checkpoint')!r}; rebuild with "
+                    f"create_index to move it to a new checkpoint"
+                )
+            raise _AlreadyAttached()
+        info["stream"] = {"checkpoint": checkpoint, "batch_id": -1}
+
+    try:
+        _index_meta_commit(_index_path(path, col), mutate)
+    except _AlreadyAttached:
+        pass
+
+
+class _AlreadyAttached(Exception):
+    """Internal: the attach stamp is already present (no-op commit)."""
 
 
 def drop_index(path: str, col: str) -> None:

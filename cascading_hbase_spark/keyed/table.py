@@ -683,7 +683,7 @@ def _merge_meta_extra(meta: dict, meta_extra: dict | None) -> None:
     # flight.  Same-checkpoint updates (the stream's own batch stamps
     # advancing batch_id) pass; rebuilds go through REPLACE, whose
     # fresh manifest has no stamp to clobber.
-    for app_key in ("matview", "replica"):
+    for app_key in ("matview", "replica", "index_of"):
         incoming = meta_extra.get(app_key)
         if not isinstance(incoming, dict):
             continue

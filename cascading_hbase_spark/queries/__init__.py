@@ -96,6 +96,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # first-principles oracle; a skipped touched range or asymmetric
     # per-side coverage fails the hash.
     "changefeed_across_rebucket",
+    # r12: NEW pair — STREAMING SECONDARY INDEX (stream_index, the
+    # third streaming CDC consumer): stream-maintained index lookup
+    # vs a full-scan first-principles oracle over a mixed
+    # insert/value-move/silent-update/delete wave.
+    "streaming_index_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

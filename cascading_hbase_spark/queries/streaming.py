@@ -492,3 +492,66 @@ def streaming_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_aggregate_view(spark, view).select(
         "grp", "n_rows", "cents_total", "cents_min", "cents_max"
     )
+
+
+_STREAM_INDEX_ORACLE = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 10 = 5 THEN 2 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND (CASE WHEN o_orderkey % 10 = 0 THEN '1-URGENT'
+           ELSE o_orderpriority END) = '1-URGENT'
+"""
+
+
+@query("streaming_index_lookup", oracle=_STREAM_INDEX_ORACLE)
+def streaming_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SECONDARY INDEX (r12, ``streaming/ops.stream_index``
+    — the third streaming CDC consumer, completing the
+    batch/stream x replica/view/index square): seed a keyed table and
+    its equality index via a first stream attach, then commit one
+    mixed wave — inserts, updates that MOVE the indexed value into the
+    looked-up bucket, updates that do NOT touch it (index-silent,
+    doubled cents), and deletes — and drain from the SAME checkpoint.
+    Each micro-batch MERGEs the index delta and advances the
+    freshness stamp to the batch's WAL'd end offset in one atomic
+    commit, so ``index_lookup`` through the stream-maintained index
+    must return exactly the rows a full-scan filter over the final
+    snapshot would — which the oracle computes from first
+    principles."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.catalog import load_table
+    from cascading_hbase_spark.keyed.index import index_lookup
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, delete_keyed, write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_sidx_"), "t")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="chs_sidx_"), "c")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 10 < 8)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    # first attach: builds the index at v1 and mints the checkpoint
+    S.stream_index(spark, path, "o_orderpriority", ckpt).awaitTermination()
+    moved = seed.filter(k % 10 == 0).withColumn(
+        "o_orderpriority", F.lit("1-URGENT")
+    )
+    silent = seed.filter(k % 10 == 5).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    write_keyed(
+        moved.unionByName(silent).unionByName(orders.filter(k % 10 >= 8)),
+        path, "o_orderkey", mode=SinkMode.APPEND,
+    )                                                                  # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    S.stream_index(spark, path, "o_orderpriority", ckpt).awaitTermination()
+    return index_lookup(spark, path, "o_orderpriority", "1-URGENT").select(
+        "o_orderkey", "cents"
+    )

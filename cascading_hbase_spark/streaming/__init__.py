@@ -17,6 +17,7 @@ from cascading_hbase_spark.streaming.ops import (  # noqa: F401
     session_close_on_timeout,
     session_counts,
     sliding_counts,
+    stream_index,
     stream_maintained_cms,
     stream_maintained_view,
     stream_matview,

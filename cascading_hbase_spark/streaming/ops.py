@@ -50,6 +50,7 @@ __all__ = [
     "stream_upsert_keyed",
     "stream_replica",
     "stream_matview",
+    "stream_index",
     "documents_stream",
     "stream_ingest_dedup",
 ]
@@ -1297,6 +1298,182 @@ def stream_matview(
         apply_sum_delta(
             batch_df.sparkSession, view_path, batch_df, checkpoint,
             batch_id, end_version=end_version,
+        )
+
+    writer = feed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """An ALWAYS-ON secondary-index maintainer: subscribe to the main
+    table's changefeed stream WITH pre-images and MERGE each
+    micro-batch's index delta (upsert ``<new value>\\x00<key>``,
+    retract ``<old value>\\x00<key>`` — ``keyed/index._index_delta``,
+    the same delta scheduled ``refresh_index`` applies) — the THIRD
+    streaming CDC consumer, completing the square's index column
+    (batch/stream x replica/view/index).  Per-batch cost is O(touched
+    buckets) for the diff + O(value-moved rows) for the merge;
+    index-silent updates cost nothing.
+
+    Freshness: the ``index_of.version`` stamp advances to each batch's
+    END offset — a base manifest version recovered from the checkpoint
+    WAL (``_walled_end``), so ``index_lookup``'s freshness check and
+    its point-in-time snapshot pinning stay EXACT.  Batches that carry
+    no change rows still advance the stamp (a meta-only commit):
+    version-bump-only main commits must not leave an always-on index
+    reporting stale.
+
+    Exactly-once rides merge idempotence (like ``stream_replica``:
+    re-applying the same index delta converges) plus the applied-batch
+    stamp written in the SAME atomic commit as each merge; replays
+    skip, a foreign checkpoint running ahead of the applied stamp is
+    refused at stream start, scheduled ``refresh_index`` commits are
+    refused from ATTACH time (the ``write_keyed`` stream-stamp clobber
+    guard), and a REPLACEd main table is refused at start and before
+    every merge.  Rebuild (``create_index``) hands maintenance back to
+    batch: REPLACE mints a fresh manifest, and the next ``stream_index``
+    needs a fresh checkpoint."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        _index_delta,
+        _index_meta_commit,
+        _index_path,
+        attach_index_stream_stamp,
+        create_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        _exists,
+        _load_meta,
+        apply_changefeed,
+        changefeed_keyed,
+    )
+
+    ipath = _index_path(path, col)
+    if not _exists(ipath):
+        if _max_checkpoint_offset(checkpoint) >= 0:
+            raise ValueError(
+                f"checkpoint {checkpoint} already contains planned "
+                f"offsets but the index on {col!r} does not exist yet; "
+                f"a freshly built index needs a FRESH checkpoint"
+            )
+        create_index(spark, path, col)
+    info = _load_meta(ipath).get("index_of", {})
+    if info.get("path") != path or info.get("col") != col:
+        raise ValueError(
+            f"{ipath} is not the index of ({path}, {col!r})"
+        )
+    expected_id = info.get("table_id")
+    pmeta0 = _load_meta(path)
+    if expected_id is None or expected_id != pmeta0.get("table_id"):
+        raise StaleIndexError(
+            f"index on {col!r} was built against a previous incarnation "
+            f"of {path} (or predates incarnation stamping); rebuild "
+            f"with create_index and a fresh checkpoint"
+        )
+    # applied-offset cross-check, mirroring stream_replica: the sink
+    # stamps (checkpoint, batch_id) atomically with each merge, so a
+    # checkpoint running AHEAD of the applied stamp is provable —
+    # resuming it would silently skip the interval
+    st = info.get("stream")
+    if st is not None and st.get("checkpoint") != checkpoint:
+        raise StaleIndexError(
+            f"index on {col!r} is stream-maintained under checkpoint "
+            f"{st.get('checkpoint')!r}; rebuild with create_index to "
+            f"move it to a new checkpoint"
+        )
+    stamp = st["batch_id"] if st is not None else -1
+    max_planned = _max_checkpoint_offset(checkpoint)
+    if st is not None and max_planned < stamp:
+        raise StaleIndexError(
+            f"checkpoint {checkpoint} has no offsets entry for the "
+            f"index's last applied batch {stamp} (checkpoint reset or "
+            f"deleted?); rebuild with create_index and a fresh "
+            f"checkpoint"
+        )
+    if (st is None and max_planned >= 0) or max_planned > stamp + 1:
+        if st is None or _max_checkpoint_commit(checkpoint) < max_planned - 1:
+            v_a = (
+                _walled_end(checkpoint, stamp)
+                if stamp >= 0
+                else info.get("version")
+            )
+            v_b = _walled_end(checkpoint, max_planned)
+            skipped = True
+            if v_a is not None and v_b is not None and v_b >= v_a:
+                try:
+                    skipped = (
+                        v_b > v_a
+                        and not changefeed_keyed(
+                            spark, path, v_a, to_generation=v_b
+                        ).isEmpty()
+                    )
+                except FileNotFoundError:
+                    skipped = True  # interval fell below the horizon
+            if skipped:
+                raise StaleIndexError(
+                    f"checkpoint {checkpoint} planned through batch "
+                    f"{max_planned} but the index on {col!r} last "
+                    f"applied batch {stamp}, and the un-applied offset "
+                    f"interval cannot be proven empty; resuming would "
+                    f"silently skip it — rebuild with create_index and "
+                    f"a fresh checkpoint"
+                )
+    attach_index_stream_stamp(path, col, checkpoint)
+    feed = read_changefeed_stream(
+        spark, path, from_version=info["version"], include_old=True
+    )
+    key = pmeta0["key"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pmeta = _load_meta(path)
+        if pmeta.get("table_id") != expected_id:
+            raise StaleIndexError(
+                f"main table {path} was replaced while the index "
+                f"stream was running; rebuild with create_index and a "
+                f"fresh checkpoint"
+            )
+        cur = _load_meta(ipath).get("index_of", {})
+        st_now = cur.get("stream")
+        if st_now is not None and batch_id <= st_now.get("batch_id", -1):
+            return  # replayed batch: already atomically applied
+        end_v = _walled_end(checkpoint, batch_id)
+        if end_v is None:
+            raise StaleIndexError(
+                f"checkpoint {checkpoint} has no parseable offsets "
+                f"entry for in-flight batch {batch_id}; the index "
+                f"freshness stamp cannot be pinned to the batch's end "
+                f"offset — refusing to merge (a WAL format change? "
+                f"see test_checkpoint_wal_format_pin)"
+            )
+        stamped = {
+            "path": path, "col": col, "version": end_v,
+            "table_id": expected_id,
+            "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
+        }
+        if batch_df.isEmpty():
+            # no change rows, but the stamp must still advance: a
+            # version-bump-only main commit (compaction, vacuum,
+            # absent-key delete) must not leave an always-on index
+            # reporting stale to index_lookup
+            def mutate(i: dict) -> None:
+                i.update(stamped)
+
+            _index_meta_commit(ipath, mutate)
+            return
+        apply_changefeed(
+            batch_df.sparkSession, ipath,
+            _index_delta(batch_df, key, col),
+            meta_extra={"index_of": stamped},
         )
 
     writer = feed.writeStream.foreachBatch(sink).option(

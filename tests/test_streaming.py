@@ -1844,3 +1844,78 @@ def test_stream_stamp_clobber_guard_at_commit(spark, tmp_path):
             _kv(spark, [(1, "a")]), follower, "key",
             meta_extra={"replica": stale_rep},
         )
+
+
+@changefeed_source_localfs_only
+def test_stream_index_maintains_lookup(spark, tmp_path):
+    """r12: the THIRD streaming CDC consumer — an always-on secondary
+    index.  Insert / value-move / index-silent update / delete waves
+    drain through stream_index; index_lookup must equal a full-scan
+    filter over the final snapshot, the freshness stamp must track
+    each batch's WAL'd end offset (so bump-only main commits drained
+    as empty batches never leave the index reporting stale), and
+    scheduled refresh_index commits are refused once the stream owns
+    the index."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError, create_index, drop_index, index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode, StaleWriteError, _load_meta, delete_keyed, read_keyed,
+        table_version, write_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "c")
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "key long, color string, v long")
+
+    def _check(value):
+        got = sorted(
+            r.key for r in index_lookup(spark, path, "color", value).collect()
+        )
+        want = sorted(
+            r.key
+            for r in read_keyed(spark, path).filter(F.col("color") == value).collect()
+        )
+        assert got == want, (value, got, want)
+        return got
+
+    write_keyed(
+        _df([(1, "red", 0), (2, "blue", 0), (3, "red", 0)]), path, "key",
+        retain=10,
+    )                                                                   # v1
+    S.stream_index(spark, path, "color", ckpt).awaitTermination()  # builds
+    assert _check("red") == [1, 3]
+    # one wave: insert, value-move, index-silent update, delete
+    write_keyed(
+        _df([(4, "red", 0), (2, "red", 0), (3, "red", 9)]), path, "key",
+        mode=SinkMode.APPEND,
+    )                                                                   # v2
+    delete_keyed(spark, path, spark.createDataFrame([(1,)], "key long"))  # v3
+    S.stream_index(spark, path, "color", ckpt).awaitTermination()
+    assert _check("red") == [2, 3, 4]
+    assert _check("blue") == []
+    info = _load_meta(path.rstrip("/") + "__kt_idx_color")["index_of"]
+    assert info["version"] == table_version(path)  # stamp == WAL'd end
+    assert info["stream"]["checkpoint"] == ckpt
+    # bump-only commit drains as an EMPTY batch; the stamp must still
+    # advance (meta-only commit) so lookups stay fresh
+    delete_keyed(spark, path, spark.createDataFrame([(99,)], "key long"))
+    S.stream_index(spark, path, "color", ckpt).awaitTermination()
+    assert _check("red") == [2, 3, 4]  # no StaleIndexError
+    # scheduled refresh on a stream-owned index: refused at commit
+    write_keyed(_df([(5, "blue", 0)]), path, "key", mode=SinkMode.APPEND)
+    with pytest.raises(StaleWriteError, match="stream maintenance stamp"):
+        refresh_index(spark, path, "color")
+    S.stream_index(spark, path, "color", ckpt).awaitTermination()
+    assert _check("blue") == [5]
+    # rebuild hands maintenance back to batch — and the OLD checkpoint,
+    # now lagging the rebuild, is refused at stream start
+    write_keyed(_df([(6, "red", 0)]), path, "key", mode=SinkMode.APPEND)
+    drop_index(path, "color")
+    create_index(spark, path, "color")
+    refresh_index(spark, path, "color")  # batch mode works again
+    with pytest.raises(StaleIndexError, match="proven empty|rebuild"):
+        S.stream_index(spark, path, "color", ckpt)
