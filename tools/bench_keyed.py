@@ -159,6 +159,7 @@ def main() -> None:
     sfckpt = os.path.join(base, "sfckpt")
     smvpath = os.path.join(base, "smv")
     smvckpt = os.path.join(base, "smvckpt")
+    sixckpt = os.path.join(base, "sixckpt")
     if stream_ok:
         from cascading_hbase_spark import streaming as S
 
@@ -173,6 +174,15 @@ def main() -> None:
             lambda: S.stream_matview(
                 spark, path, smvpath, smvckpt, "o_orderstatus",
                 sums={"revenue": "o_totalprice"},
+            ).awaitTermination(),
+        )
+        # the third streaming CDC consumer (r12): an always-on index
+        # on a DIFFERENT column than the scheduled index steps, so the
+        # two maintenance modes never contend for one index table
+        step(
+            "stream_index_seed",
+            lambda: S.stream_index(
+                spark, path, "o_orderstatus", sixckpt
             ).awaitTermination(),
         )
 
@@ -291,6 +301,12 @@ def main() -> None:
             "stream_matview_drain_3waves",
             lambda: S.stream_matview(
                 spark, path, smvpath, smvckpt
+            ).awaitTermination(),
+        )
+        step(
+            "stream_index_drain_3waves",
+            lambda: S.stream_index(
+                spark, path, "o_orderstatus", sixckpt
             ).awaitTermination(),
         )
 
