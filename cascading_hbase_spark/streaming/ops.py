@@ -1222,12 +1222,21 @@ def stream_matview(
         # parse the oldest planned entry's WAL and refuse it.
         walled_end = _walled_end(checkpoint, 0)
         if walled_end is None or walled_end < mv["base_version"]:
+            # walled_end None also covers an offsets/0 entry purged by
+            # Spark's minBatchesToRetain (default 100) — possible only
+            # after >100 batches against a NEVER-stamped view, where
+            # nothing can prove the purged lineage started at this
+            # view's seed; the refusal direction is safe (rebuild),
+            # and a stamped view never enters this branch (the
+            # commits-log proof above covers its quiet periods).
             raise StaleViewError(
                 f"checkpoint {checkpoint} planned a first batch ending "
                 f"at offset {walled_end!r}, behind (or unreadable "
-                f"against) the view's seed cursor {mv['base_version']}; "
-                f"it belongs to a different maintenance run — use a "
-                f"fresh checkpoint"
+                f"against) the view's seed cursor {mv['base_version']} "
+                f"— either it belongs to a different maintenance run, "
+                f"or its offsets/0 entry aged out of Spark's "
+                f"minBatchesToRetain window before this view ever "
+                f"applied a batch; use a fresh checkpoint"
             )
     # incarnation gate, mirroring stream_replica (cursor numbers cannot
     # prove lineage across a REPLACE)
