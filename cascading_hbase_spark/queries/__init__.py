@@ -101,6 +101,24 @@ _CHANGED_THIS_ROUND: list[str] = [
     # vs a full-scan first-principles oracle over a mixed
     # insert/value-move/silent-update/delete wave.
     "streaming_index_lookup",
+    # r12: NEW pair — secondary-index RANGE lookup through the
+    # order-preserving composite-key encoding (keyed/index.py v2:
+    # integrals as lpad(v + 2^63, 20, '0'), the OrderedBytes pattern);
+    # BETWEEN over an indexed BIGINT = one bucket-pruned index range
+    # scan, maintained incrementally across a mixed wave first.
+    "index_range_lookup",
+    # r12: NEW pair — COVERING index lookup (include columns stored
+    # in-row, fields served INDEX-ONLY); the oracle pins that
+    # include-column-only updates refresh the covered payload.
+    "index_covering_lookup",
+    # r12: CHANGED pair — index_incremental_lookup's engine path now
+    # writes v2-encoded composite keys (same query/oracle code, but
+    # the standing rule is about the pair's MEANING: its evidence
+    # must be re-earned the round its engine semantics change).
+    "index_incremental_lookup",
+    # r12: CHANGED pair — streaming_index_lookup's engine path
+    # likewise (stream_index stamps enc/include and encodes keys v2).
+    # Already listed above as a new r12 pair.
 ]
 
 # Number of head entries the driver's per-round budget is known to

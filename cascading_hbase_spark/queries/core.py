@@ -322,6 +322,135 @@ def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "index_range_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+                THEN 2 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND CAST(round(o_totalprice * 100) AS BIGINT)
+            * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+               THEN 2 ELSE 1 END)
+          BETWEEN 5000000 AND 15000000
+    """,
+)
+def index_range_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index RANGE lookup (r12, ``keyed/index.index_range_
+    lookup``): the composite index key uses an ORDER-PRESERVING
+    integral encoding (``lpad(v + 2^63, 20, '0')`` — the
+    decimal-string analogue of the OrderedBytes rowkey encoding HBase
+    users hand-build for exactly this), so ``BETWEEN`` over the
+    indexed BIGINT resolves as ONE bucket-pruned index key-range scan
+    + a semi-join of the hits into the main table.  The index is
+    maintained INCREMENTALLY across a mixed wave first (inserts,
+    value-moving updates — which must retract old positions OUT of the
+    range and insert new ones INTO it — and deletes), so a stale
+    retraction or a mis-ordered encoding shows up as a hash mismatch
+    against the first-principles oracle."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxr_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 4 != 3)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    create_index(spark, path, "cents")
+    wave = (
+        orders.filter(k % 4 == 3)  # inserts
+        .unionByName(  # value-moving updates: cents doubles, so rows
+            # cross the range bounds in BOTH directions
+            seed.filter(k % 10 == 0).withColumn("cents", F.col("cents") * 2)
+        )
+    )
+    write_keyed(wave, path, "o_orderkey", mode=SinkMode.APPEND)        # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    refresh_index(spark, path, "cents")  # incremental delta only
+    return index_range_lookup(
+        spark, path, "cents", 5_000_000, 15_000_000
+    ).select("o_orderkey", "cents")
+
+
+@query(
+    "index_covering_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 5
+                THEN 3 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def index_covering_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVERING index lookup (r12): ``create_index(include=['cents'])``
+    stores the covered column in the index row, and a lookup whose
+    ``fields`` are all covered is served INDEX-ONLY — zero main-table
+    bytes (pinned by input-file assertions in
+    ``tests/test_index_range.py``; here the ORACLE pins the covered
+    PAYLOAD is maintained: the wave's cents-only updates do not move
+    the indexed value, so a value-moved-gated maintainer would serve
+    the pre-update cents and fail the value hash)."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxc_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 4 != 3)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    create_index(spark, path, "prio", include=["cents"])
+    wave = (
+        orders.filter(k % 4 == 3)  # inserts (covered payload in-row)
+        .unionByName(  # include-column-only updates: prio unchanged,
+            # cents tripled — index-silent to the retract side, but the
+            # covering payload MUST refresh
+            seed.filter(k % 10 == 5)
+            .withColumn("cents", F.col("cents") * 3)
+        )
+    )
+    write_keyed(wave, path, "o_orderkey", mode=SinkMode.APPEND)        # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    refresh_index(spark, path, "prio")
+    return index_lookup(
+        spark, path, "prio", "1-URGENT",
+        fields=["o_orderkey", "cents"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / filters / row-wise functions ([T] then [D])
 # ---------------------------------------------------------------------------

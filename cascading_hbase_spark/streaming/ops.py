@@ -1367,6 +1367,8 @@ def stream_index(
         changefeed_keyed,
     )
 
+    from cascading_hbase_spark.keyed.index import _ENC
+
     ipath = _index_path(path, col)
     if not _exists(ipath):
         if _max_checkpoint_offset(checkpoint) >= 0:
@@ -1381,6 +1383,13 @@ def stream_index(
         raise ValueError(
             f"{ipath} is not the index of ({path}, {col!r})"
         )
+    if info.get("enc") != _ENC:
+        raise StaleIndexError(
+            f"index on {col!r} was built with key-encoding "
+            f"v{info.get('enc', 1)} but this engine maintains v{_ENC}; "
+            f"rebuild with create_index and a fresh checkpoint"
+        )
+    include = info.get("include") or []
     expected_id = info.get("table_id")
     pmeta0 = _load_meta(path)
     if expected_id is None or expected_id != pmeta0.get("table_id"):
@@ -1466,7 +1475,7 @@ def stream_index(
             )
         stamped = {
             "path": path, "col": col, "version": end_v,
-            "table_id": expected_id,
+            "table_id": expected_id, "enc": _ENC, "include": include,
             "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
         }
         if batch_df.isEmpty():
@@ -1481,7 +1490,7 @@ def stream_index(
             return
         apply_changefeed(
             batch_df.sparkSession, ipath,
-            _index_delta(batch_df, key, col),
+            _index_delta(batch_df, key, col, include=include),
             meta_extra={"index_of": stamped},
         )
 

@@ -1,0 +1,459 @@
+"""Secondary-index RANGE lookups, the order-preserving key encoding
+behind them, and COVERING (index-only) lookups.
+
+The reference's tables are reachable by row key only
+(HBaseTap.java:52-60); the HBase ecosystem answer to "range scan a
+non-key column" is a second table whose rowkey is an ORDER-PRESERVING
+encoding of the value (OrderedBytes) — these tests pin the engine-side
+analogue: ``lpad(v + 2^63, 20, '0')`` for integrals, ISO strings for
+date/timestamp, identity for strings.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import _examples
+
+
+def _mk(spark, tmp_path, rows, schema, key="k", **kw):
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(rows, schema)
+    write_keyed(df, path, key, **kw)
+    return path, df
+
+
+# ---------------------------------------------------------------------------
+# the encoding itself
+# ---------------------------------------------------------------------------
+
+def test_integral_encoding_is_order_preserving_and_matches_local(spark):
+    """The Spark-side encoded form sorts exactly like the values — over
+    the FULL int64 range including both extremes and the zero crossing —
+    and the Python fast path (`_encode_value`) produces bit-identical
+    strings (a probe encoded differently from the stored key would
+    silently miss)."""
+    from pyspark.sql.types import LongType
+
+    from cascading_hbase_spark.keyed.index import _encode_expr, _encode_value
+
+    vals = [
+        -(2**63), -(2**63) + 1, -10**18, -65536, -2, -1, 0, 1, 2, 9, 10,
+        11, 99, 100, 65535, 10**18, 2**63 - 2, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    enc = [
+        r.e
+        for r in df.select(_encode_expr(F.col("v"), LongType()).alias("e"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert enc == sorted(enc), "encoded order diverged from value order"
+    assert all(len(e) == 20 for e in enc), "fixed-width padding broke"
+    local = [_encode_value(spark, v, LongType()) for v in vals]
+    assert local == enc, "local probe encoding != stored key encoding"
+
+
+def test_temporal_and_string_encodings_order_preserving(spark):
+    """Timestamp CAST AS STRING drops trailing fraction zeros, which is
+    still order-preserving ('…00' < '…00.001' < '…00.25' < '…00.5');
+    dates are fixed-width ISO."""
+    from pyspark.sql.types import TimestampType
+
+    from cascading_hbase_spark.keyed.index import _encode_expr
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    ts = [
+        base,
+        base + datetime.timedelta(microseconds=1000),
+        base + datetime.timedelta(microseconds=250000),
+        base + datetime.timedelta(microseconds=500000),
+        base + datetime.timedelta(seconds=1),
+        base + datetime.timedelta(days=40),
+    ]
+    df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+    enc = [
+        r.e
+        for r in df.select(_encode_expr(F.col("t"), TimestampType()).alias("e"))
+        .orderBy("t")
+        .collect()
+    ]
+    assert enc == sorted(enc), enc
+
+
+@settings(max_examples=_examples(20), deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=8, unique=True,
+    )
+)
+def test_integral_encoding_monotone_property(vals):
+    """Pure-local property over the Python mirror: encoding is strictly
+    monotone (sorted values <=> sorted encodings).  The Spark-vs-local
+    agreement test above makes this transfer to the stored keys."""
+    enc = [format(v + 2**63, "020d") for v in vals]
+    assert sorted(range(len(vals)), key=lambda i: vals[i]) == sorted(
+        range(len(vals)), key=lambda i: enc[i]
+    )
+
+
+# ---------------------------------------------------------------------------
+# range lookup semantics
+# ---------------------------------------------------------------------------
+
+def test_range_lookup_matches_filter_all_bound_shapes(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+
+    path, df = _mk(
+        spark, tmp_path,
+        [(i, i * 7 - 50) for i in range(60)], "k int, v long",
+    )
+    create_index(spark, path, "v")
+
+    def got(**kw):
+        return sorted(r.k for r in index_range_lookup(spark, path, "v", **kw).collect())
+
+    def exp(cond):
+        return sorted(r.k for r in df.filter(cond).collect())
+
+    assert got(lower=-30, upper=30) == exp("v between -30 and 30")
+    assert got(lower=-30, upper=30, include_lower=False) == exp("v > -30 and v <= 30")
+    assert got(lower=-30, upper=30, include_upper=False) == exp("v >= -30 and v < 30")
+    assert got(lower=100) == exp("v >= 100")
+    assert got(upper=0) == exp("v <= 0")
+    assert got() == exp("v is not null")
+    # bound values that EXIST as stored values (boundary exactness)
+    assert got(lower=-50, upper=-50) == exp("v = -50")
+    assert got(lower=-50, upper=-50, include_upper=False) == []
+
+
+def test_range_lookup_prunes_index_buckets(spark, tmp_path):
+    """A narrow range reads FEWER index bucket files than the open
+    scan — the composite-key layout turns the value range into a key
+    range, so bucket-dir pruning applies (at 100 TB: O(matching rows),
+    not O(index))."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+
+    path, df = _mk(
+        spark, tmp_path,
+        [(i, i) for i in range(400)], "k int, v long",
+    )
+    create_index(spark, path, "v", n_buckets=8)
+    narrow = index_range_lookup(spark, path, "v", 10, 20, fields=["k", "v"])
+    full = index_range_lookup(spark, path, "v", fields=["k", "v"])
+    nf, ff = set(narrow.inputFiles()), set(full.inputFiles())
+    assert len(nf) < len(ff), (len(nf), len(ff))
+    assert sorted(r.k for r in narrow.collect()) == list(range(10, 21))
+
+
+def test_range_lookup_refuses_unordered_types(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        index_range_lookup,
+    )
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, float(i) / 4) for i in range(20)], "k int, x double",
+    )
+    create_index(spark, path, "x")
+    with pytest.raises(ValueError, match="zone maps"):
+        index_range_lookup(spark, path, "x", 1.0, 2.0)
+    # equality through the same index still works (encoding is
+    # injective even where it is not ordered)
+    assert [r.k for r in index_lookup(spark, path, "x", 1.25).collect()] == [5]
+
+
+def test_range_lookup_dates(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+
+    d0 = datetime.date(2023, 12, 25)
+    rows = [(i, d0 + datetime.timedelta(days=i)) for i in range(30)]
+    path, df = _mk(spark, tmp_path, rows, "k int, d date")
+    create_index(spark, path, "d")
+    lo, hi = datetime.date(2024, 1, 1), datetime.date(2024, 1, 10)
+    got = sorted(
+        r.k for r in index_range_lookup(spark, path, "d", lo, hi).collect()
+    )
+    exp = sorted(r.k for r in df.filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))
+    ).collect())
+    assert got == exp and got, got
+
+
+def test_range_lookup_point_in_time_pins_build_snapshot(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        create_index,
+        index_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, i) for i in range(10)], "k int, v long", retain=10,
+    )
+    create_index(spark, path, "v")
+    # move k=3 out of the range AFTER the index build
+    write_keyed(
+        spark.createDataFrame([(3, 999)], "k int, v long"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    with pytest.raises(StaleIndexError):
+        index_range_lookup(spark, path, "v", 0, 5)
+    pit = index_range_lookup(spark, path, "v", 0, 5, check_fresh=False)
+    # the point-in-time contract: k=3 WAS in range at the build snapshot
+    assert sorted(r.k for r in pit.collect()) == [0, 1, 2, 3, 4, 5]
+    assert [r.v for r in pit.filter("k = 3").collect()] == [3]
+
+
+# ---------------------------------------------------------------------------
+# covering (index-only) lookups
+# ---------------------------------------------------------------------------
+
+def test_covering_lookup_never_touches_main_table(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        index_range_lookup,
+    )
+
+    path, df = _mk(
+        spark, tmp_path,
+        [(i, i % 5, f"name{i}") for i in range(50)],
+        "k int, grp long, name string",
+    )
+    create_index(spark, path, "grp", include=["name"])
+    covered = index_range_lookup(
+        spark, path, "grp", 1, 2, fields=["k", "grp", "name"]
+    )
+    main_dirs = {f for f in covered.inputFiles() if "__kt_idx_" not in f}
+    assert not main_dirs, f"covering lookup read main-table files: {main_dirs}"
+    got = sorted((r.k, r.grp, r.name) for r in covered.collect())
+    exp = sorted(
+        (r.k, r.grp, r.name)
+        for r in df.filter("grp between 1 and 2").collect()
+    )
+    assert got == exp
+    # an UNcovered field falls back to the main-table semi-join
+    uncovered = index_lookup(spark, path, "grp", 1, fields=["k", "name", "grp"])
+    assert sorted(r.k for r in uncovered.collect()) == sorted(
+        r.k for r in df.filter("grp = 1").collect()
+    )
+
+
+def test_covering_payload_maintained_incrementally(spark, tmp_path):
+    """An update that changes ONLY an include column must refresh the
+    covering payload (same composite key upserted) — the value-moved
+    gate alone would leave the index serving a stale covered value."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, i % 3, f"name{i}") for i in range(12)],
+        "k int, grp long, name string", retain=10,
+    )
+    create_index(spark, path, "grp", include=["name"])
+    write_keyed(
+        spark.createDataFrame([(4, 4 % 3, "RENAMED")],
+                              "k int, grp long, name string"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    refresh_index(spark, path, "grp")
+    got = {
+        (r.k, r.name)
+        for r in index_lookup(
+            spark, path, "grp", 1, fields=["k", "name"]
+        ).collect()
+    }
+    assert (4, "RENAMED") in got and (4, "name4") not in got
+    # index table holds exactly one row per live (value, key)
+    from cascading_hbase_spark.keyed.index import _index_path
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    idx = read_keyed(spark, _index_path(path, "grp"))
+    assert idx.count() == idx.select("ref_key").distinct().count() == 12
+
+
+def test_covering_rebuild_preserves_include_list(spark, tmp_path):
+    """refresh_index's full-rebuild fallback (here: a vacuumed-past
+    stamp is simulated by a REPLACE... use incarnation change) keeps
+    the stamped include list."""
+    from cascading_hbase_spark.keyed.index import (
+        _index_path,
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        _load_meta,
+        write_keyed,
+    )
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, i % 3, f"n{i}") for i in range(9)],
+        "k int, grp long, name string",
+    )
+    create_index(spark, path, "grp", include=["name"])
+    # REPLACE the main table: rebuild signal
+    write_keyed(
+        spark.createDataFrame(
+            [(i, i % 3, f"m{i}") for i in range(9)],
+            "k int, grp long, name string",
+        ),
+        path, "k", mode=SinkMode.REPLACE,
+    )
+    refresh_index(spark, path, "grp")
+    info = _load_meta(_index_path(path, "grp"))["index_of"]
+    assert info["include"] == ["name"]
+    got = {
+        (r.k, r.name)
+        for r in index_lookup(spark, path, "grp", 0, fields=["k", "name"]).collect()
+    }
+    assert got == {(0, "m0"), (3, "m3"), (6, "m6")}
+
+
+def test_create_index_validates_include(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import create_index
+
+    path, _ = _mk(
+        spark, tmp_path, [(1, 2, "a")], "k int, grp long, name string"
+    )
+    with pytest.raises(ValueError, match="not in table"):
+        create_index(spark, path, "grp", include=["nope"])
+    with pytest.raises(ValueError, match="always covered"):
+        create_index(spark, path, "grp", include=["k"])
+
+
+# ---------------------------------------------------------------------------
+# encoding-version gate
+# ---------------------------------------------------------------------------
+
+def test_stale_encoding_refused_then_rebuilt(spark, tmp_path):
+    """An index whose stamp predates the v2 encoding (or was written by
+    an older engine) must refuse lookups — its stored keys would
+    mis-range against a v2-encoded probe — and refresh_index resolves
+    by full rebuild."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        _index_meta_commit,
+        _index_path,
+        create_index,
+        index_lookup,
+        index_range_lookup,
+        refresh_index,
+    )
+
+    path, _ = _mk(spark, tmp_path, [(i, i) for i in range(8)], "k int, v long")
+    create_index(spark, path, "v")
+
+    def strip(info):
+        info.pop("enc", None)
+
+    _index_meta_commit(_index_path(path, "v"), strip)
+    with pytest.raises(StaleIndexError, match="encoding"):
+        index_lookup(spark, path, "v", 3, check_fresh=False)
+    with pytest.raises(StaleIndexError, match="encoding"):
+        index_range_lookup(spark, path, "v", 1, 2, check_fresh=False)
+    refresh_index(spark, path, "v")  # rebuild resolves
+    assert [r.k for r in index_lookup(spark, path, "v", 3).collect()] == [3]
+
+
+# ---------------------------------------------------------------------------
+# range lookup == filter, fuzzed over mixed maintenance waves
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=_examples(3), deadline=None)
+@given(
+    seed_vals=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=1, max_size=12
+    ),
+    moves=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        max_size=6,
+    ),
+    deletes=st.lists(st.integers(min_value=0, max_value=11), max_size=4),
+    lo=st.integers(min_value=-110, max_value=110),
+    width=st.integers(min_value=0, max_value=120),
+)
+def test_range_lookup_model_property(spark_prop, tmp_path_factory,
+                                     seed_vals, moves, deletes, lo, width):
+    """Dict-model property: seed -> value-moving updates -> deletes ->
+    incremental refresh -> range lookup ≡ model filter."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    spark = spark_prop
+    path = str(tmp_path_factory.mktemp("idxprop") / "t")
+    model = {i: v for i, v in enumerate(seed_vals)}
+    write_keyed(
+        spark.createDataFrame(list(model.items()), "k int, v long"),
+        path, "k", retain=16,
+    )
+    create_index(spark, path, "v")
+    upd = [(k, v) for k, v in moves if k in model]
+    if upd:
+        for k, v in upd:
+            model[k] = v
+        write_keyed(
+            spark.createDataFrame(upd, "k int, v long"),
+            path, "k", mode=SinkMode.APPEND,
+        )
+    dels = [k for k in deletes if k in model]
+    if dels:
+        for k in dels:
+            model.pop(k)
+        delete_keyed(
+            spark, path,
+            spark.createDataFrame([(k,) for k in set(dels)], "k int"),
+        )
+    refresh_index(spark, path, "v")
+    hi = lo + width
+    got = sorted(
+        (r.k, r.v)
+        for r in index_range_lookup(spark, path, "v", lo, hi).collect()
+    )
+    exp = sorted((k, v) for k, v in model.items() if lo <= v <= hi)
+    assert got == exp
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    return spark

@@ -1919,3 +1919,44 @@ def test_stream_index_maintains_lookup(spark, tmp_path):
     refresh_index(spark, path, "color")  # batch mode works again
     with pytest.raises(StaleIndexError, match="proven empty|rebuild"):
         S.stream_index(spark, path, "color", ckpt)
+
+
+def test_stream_index_maintains_covering_payload(spark, tmp_path):
+    """r12: a stream-maintained COVERING index must refresh its stored
+    include columns on include-only updates (indexed value unchanged
+    — the retract side is silent, but the upsert must overwrite the
+    composite key's payload) and serve range lookups INDEX-ONLY
+    through the order-preserving encoding."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "c")
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "key long, score long, name string")
+
+    write_keyed(
+        _df([(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]), path, "key",
+        retain=10,
+    )
+    create_index(spark, path, "score", include=["name"])
+    S.stream_index(spark, path, "score", ckpt).awaitTermination()
+    # include-only update (score unchanged) + a value move INTO range
+    write_keyed(
+        _df([(2, 20, "B2"), (3, 15, "c")]), path, "key",
+        mode=SinkMode.APPEND,
+    )
+    S.stream_index(spark, path, "score", ckpt).awaitTermination()
+    got = index_range_lookup(
+        spark, path, "score", 11, 25, fields=["key", "score", "name"]
+    )
+    assert not {f for f in got.inputFiles() if "__kt_idx_" not in f}, (
+        "covering range lookup touched main-table files"
+    )
+    assert sorted((r.key, r.score, r.name) for r in got.collect()) == [
+        (2, 20, "B2"), (3, 15, "c"),
+    ]
