@@ -505,7 +505,13 @@ def _serve(
     bytes — else a semi-join of the row keys into the main table
     pinned at the stamped version."""
     key = main_meta["key"]
-    if fields is not None:
+    if fields is not None and not main_meta.get("ttl"):
+        # Index-only reads are refused under a row-TTL policy: expiry
+        # is enforced as a read-time filter on the MAIN table
+        # (table._ttl_filter), which an index-only projection would
+        # bypass — a covering lookup on a TTL table would serve
+        # expired rows.  The semi-join path below stays correct (the
+        # main-table read applies the filter), just not index-only.
         covered = {key, col, *(info.get("include") or [])}
         if set(fields) <= covered:
             key_t = _col_type(main_meta, key)

@@ -339,6 +339,37 @@ def test_covering_rebuild_preserves_include_list(spark, tmp_path):
     assert got == {(0, "m0"), (3, "m3"), (6, "m6")}
 
 
+def test_covering_lookup_honors_row_ttl(spark, tmp_path):
+    """Row TTL is a read-time filter on the MAIN table, so an
+    index-only projection would serve EXPIRED rows — under a TTL
+    policy, covered lookups must fall back to the semi-join (which
+    reads the main table and applies the filter)."""
+    import time
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = str(tmp_path / "t")
+    now = time.time()
+    df = spark.createDataFrame(
+        [(1, 10, now - 10_000.0), (2, 20, now - 10_000.0),
+         (3, 30, now - 1.0)],
+        "k int, v long, ts double",
+    )
+    write_keyed(df, path, "k", ttl={"col": "ts", "seconds": 3600})
+    create_index(spark, path, "v", include=["ts"])
+    got = index_range_lookup(spark, path, "v", 0, 100, fields=["k", "v"])
+    # the expired rows (1, 2) must NOT be served, and the plan must
+    # have read the main table to know that
+    assert sorted(r.k for r in got.collect()) == [3]
+    assert {f for f in got.inputFiles() if "__kt_idx_" not in f}, (
+        "TTL table lookup never read the main table — expiry bypassed"
+    )
+
+
 def test_create_index_validates_include(spark, tmp_path):
     from cascading_hbase_spark.keyed.index import create_index
 
