@@ -27,6 +27,13 @@ before "2").  So
   covered is served INDEX-ONLY — zero main-table bytes touched, the
   difference between a point lookup costing O(matching rows) and
   O(matching rows + a wide-table fetch) at 100 TB;
+- a COMPOSITE index (``create_index(path, ["a", "b"])``) concatenates
+  the encoded values (``enc(a)\\x00enc(b)\\x00rowkey``), giving the
+  classic composite-key query shapes: full-tuple equality, equality on
+  a LEADING prefix of the columns, and equality-on-prefix + range on
+  the next column (``index_range_lookup(..., prefix=(a_val,))``) — all
+  as ONE contiguous key-range scan.  Like a B-tree composite index,
+  non-leading access (skipping a column) is not served;
 - the fetched row keys come back as a semi-join against the key-sorted
   main table (the key filter pushes into its parquet scan; AQE
   broadcasts the index side at runtime when it is small — a hot value
@@ -93,8 +100,9 @@ _SUFFIX = "__kt_idx_"
 # when the composite-key layout changes; a lookup through an index
 # whose stamp does not match refuses (the stored keys would mis-range),
 # and refresh_index resolves the mismatch by full rebuild.  v2 =
-# order-preserving integral encoding (offset + zero-pad).
-_ENC = 2
+# order-preserving integral encoding (offset + zero-pad); v3 = indexed
+# values stored under their real column names (composite support).
+_ENC = 3
 _I64_OFFSET = 2**63
 
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
@@ -104,14 +112,20 @@ def _orderable(dtype) -> bool:
     """Types whose v2 encoding preserves the COLUMN order in the index
     key order — the precondition for ``index_range_lookup``.  String is
     identity; boolean is 'false' < 'true'; integrals are offset+padded;
-    date/timestamp CAST AS STRING is ISO-formatted, which compares
-    lexicographically as it compares temporally (Spark prints no
-    trailing fraction zeros, and fraction digits without trailing
-    zeros compare lexicographically as numerically)."""
-    from pyspark.sql.types import DateType, TimestampType
+    date/timestamp (both TZ and NTZ) CAST AS STRING is ISO-formatted,
+    which compares lexicographically as it compares temporally (Spark
+    prints no trailing fraction zeros, and fraction digits without
+    trailing zeros compare lexicographically as numerically)."""
+    from pyspark.sql.types import (
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     return isinstance(
-        dtype, (StringType, BooleanType, DateType, TimestampType) + _INTEGRAL
+        dtype,
+        (StringType, BooleanType, DateType, TimestampType, TimestampNTZType)
+        + _INTEGRAL,
     )
 
 
@@ -177,57 +191,89 @@ class StaleIndexError(RuntimeError):
     index's build snapshot."""
 
 
-def _index_path(path: str, col: str) -> str:
-    return path.rstrip("/") + _SUFFIX + col
+def _cols(col) -> list[str]:
+    """Normalize the ``col`` argument (one name or a list) to the
+    indexed-column list."""
+    cols = [col] if isinstance(col, str) else list(col)
+    if not cols:
+        raise ValueError("index needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate index columns: {cols}")
+    reserved = {"idx_key", "ref_key"}
+    bad = [c for c in cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"column names {bad} collide with the index's own schema "
+            f"(idx_key/ref_key); rename before indexing"
+        )
+    return cols
+
+
+def _index_path(path: str, col) -> str:
+    return path.rstrip("/") + _SUFFIX + "+".join(_cols(col))
+
+
+def _key_expr(schema, cols: list[str], key: str):
+    """The composite index key: ``enc(c1)\\x00enc(c2)\\x00...rowkey``.
+    Every component ends with the separator, so a LEADING-prefix probe
+    (fewer values than columns) is still a contiguous key range."""
+    parts = []
+    for c in cols:
+        parts.append(_encode_expr(F.col(c), schema[c].dataType))
+        parts.append(F.lit(_SEP))
+    parts.append(F.col(key).cast("string"))
+    return F.concat(*parts)
 
 
 def create_index(
     spark: SparkSession,
     path: str,
-    col: str,
+    col,
     include: list[str] | None = None,
     n_buckets: int | None = None,
 ) -> None:
-    """Build (or rebuild) the index for ``col``.  ``include`` names
-    extra columns stored in-row (a COVERING index): lookups whose
-    ``fields`` are all covered never touch the main table.
-    ``n_buckets`` sizes the index's own bucket count (default:
-    cluster parallelism) — the index is usually much narrower than its
-    main table, so size it to the index's bytes, not the table's."""
+    """Build (or rebuild) the index for ``col`` (one column name or a
+    list — a COMPOSITE index).  ``include`` names extra columns stored
+    in-row (a COVERING index): lookups whose ``fields`` are all covered
+    never touch the main table.  ``n_buckets`` sizes the index's own
+    bucket count (default: cluster parallelism) — the index is usually
+    much narrower than its main table, so size it to the index's
+    bytes, not the table's."""
+    cols = _cols(col)
     meta = _load_meta(path)
     key = meta["key"]
     # Pin the read to the version just captured: a concurrent main
     # commit between the meta load and the scan must not leave the
     # recorded stamp naming a version other than the data indexed.
     version = meta["version"]
-    df = read_keyed(spark, path, generation=version).filter(
-        F.col(col).isNotNull()
-    )
+    df = read_keyed(spark, path, generation=version)
+    for c in cols:
+        # rows with ANY null indexed component are not indexed
+        # (SQL-index convention, extended componentwise)
+        df = df.filter(F.col(c).isNotNull())
     include = list(include or [])
     missing = [c for c in include if c not in df.columns]
     if missing:
         raise ValueError(f"include columns not in table: {missing}")
-    if col in include or key in include:
+    overlap = [c for c in include if c in cols or c == key]
+    if overlap:
         raise ValueError(
-            f"include must not repeat the indexed column {col!r} or the "
-            f"key {key!r} — both are always covered"
+            f"include must not repeat indexed columns or the key "
+            f"{key!r} — both are always covered (got {overlap})"
         )
-    dtype = df.schema[col].dataType
-    if isinstance(dtype, StringType):
-        # Only the identity (string) encoding can carry the separator;
-        # encoded integrals are digits, date/timestamp are ISO.
-        bad = df.filter(F.col(col).contains(_SEP)).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"column {col!r} contains the index separator NUL; "
-                f"cannot build a prefix-ranged index"
-            )
+    for c in cols:
+        if isinstance(df.schema[c].dataType, StringType):
+            # Only the identity (string) encoding can carry the
+            # separator; encoded integrals are digits, date/timestamp
+            # are ISO.
+            if df.filter(F.col(c).contains(_SEP)).limit(1).count():
+                raise ValueError(
+                    f"column {c!r} contains the index separator NUL; "
+                    f"cannot build a prefix-ranged index"
+                )
     idx = df.select(
-        F.concat(
-            _encode_expr(F.col(col), dtype), F.lit(_SEP),
-            F.col(key).cast("string"),
-        ).alias("idx_key"),
-        F.col(col).alias("idx_value"),
+        _key_expr(df.schema, cols, key).alias("idx_key"),
+        *[F.col(c) for c in cols],
         F.col(key).cast("string").alias("ref_key"),
         *[F.col(c) for c in include],
     )
@@ -313,72 +359,86 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
 
 
 def _index_delta(
-    feed: DataFrame, key: str, col: str, include: list[str] | None = None
+    feed: DataFrame, key: str, col, include: list[str] | None = None
 ) -> DataFrame:
     """One changefeed interval (``include_old=True`` rows) as the index
-    MERGE batch: upsert ``<encoded new value>\\x00<key>``, retract
-    ``<encoded old value>\\x00<key>`` — shared by the scheduled
+    MERGE batch: upsert ``<encoded new values>\\x00<key>``, retract
+    ``<encoded old values>\\x00<key>`` — shared by the scheduled
     ``refresh_index`` and the streaming maintainer
     (``streaming/ops.stream_index``).  Raises on NUL in a new STRING
     value (prefix-range safety; non-string encodings cannot emit NUL).
 
     Covering (``include``): upserts carry the post-image include
     columns; an update that moves ONLY an include column (indexed
-    value unchanged) upserts the SAME composite key with the fresh
+    values unchanged) upserts the SAME composite key with the fresh
     payload — no retraction needed — so the covering payload never
     goes stale while staying index-silent on the retract side."""
+    cols = _cols(col)
     include = list(include or [])
-    dtype = feed.schema[col].dataType
-    new_v = F.col(col)
-    old_v = F.col("_before").getField(col)
     is_upsert = F.col("_change").isin("insert", "update")
     is_delete = F.col("_change") == "delete"
     is_retract = F.col("_change").isin("update", "delete")
     # value-unchanged UPDATES are index-silent (null-safe: the index
     # treats null as not-indexed on both sides already).  DELETES must
     # retract UNCONDITIONALLY: a delete row carries the pre-delete
-    # payload in-row, so new_v == old_v on it and a value-moved gate
+    # payload in-row, so new == old on it and a value-moved gate
     # would silently keep the dead entry — a later re-insert of the
     # key under a different value would then make the stale composite
     # key a FALSE lookup match (the semi-join sees the key alive).
-    value_moved = ~new_v.eqNullSafe(old_v)
+    value_moved = F.lit(False)
+    for c in cols:
+        value_moved = value_moved | ~F.col(c).eqNullSafe(
+            F.col("_before").getField(c)
+        )
     payload_moved = value_moved
     for c in include:
         payload_moved = payload_moved | ~F.col(c).eqNullSafe(
             F.col("_before").getField(c)
         )
 
-    def _row(val_col, change: str) -> DataFrame:
+    def _enc_key(side: str):
+        parts = []
+        for c in cols:
+            v = F.col(c) if side == "new" else F.col("_before").getField(c)
+            parts.append(_encode_expr(v, feed.schema[c].dataType))
+            parts.append(F.lit(_SEP))
+        parts.append(F.col(key).cast("string"))
+        return F.concat(*parts)
+
+    def _row(side: str, change: str) -> DataFrame:
         if change == "update":
             gate = is_upsert & payload_moved
+            vals = [F.col(c) for c in cols]
             extras = [F.col(c) for c in include]
         else:
             gate = is_retract & (value_moved | is_delete)
+            vals = [F.col("_before").getField(c).alias(c) for c in cols]
             extras = [
                 F.col("_before").getField(c).alias(c) for c in include
             ]
+        for c in cols:
+            v = F.col(c) if side == "new" else F.col("_before").getField(c)
+            gate = gate & v.isNotNull()
         return (
-            feed.filter(gate & val_col.isNotNull()).select(
-                F.concat(
-                    _encode_expr(val_col, dtype), F.lit(_SEP),
-                    F.col(key).cast("string"),
-                ).alias("idx_key"),
-                val_col.alias("idx_value"),
+            feed.filter(gate).select(
+                _enc_key(side).alias("idx_key"),
+                *vals,
                 F.col(key).cast("string").alias("ref_key"),
                 *extras,
                 F.lit(change).alias("_change"),
             )
         )
 
-    plus = _row(new_v, "update")
-    if isinstance(dtype, StringType) and (
-        plus.filter(F.col("idx_value").contains(_SEP)).limit(1).count()
-    ):
-        raise ValueError(
-            f"column {col!r} contains the index separator NUL; cannot "
-            f"maintain a prefix-ranged index"
-        )
-    return plus.unionByName(_row(old_v, "delete"))
+    plus = _row("new", "update")
+    for c in cols:
+        if isinstance(feed.schema[c].dataType, StringType) and (
+            plus.filter(F.col(c).contains(_SEP)).limit(1).count()
+        ):
+            raise ValueError(
+                f"column {c!r} contains the index separator NUL; cannot "
+                f"maintain a prefix-ranged index"
+            )
+    return plus.unionByName(_row("old", "delete"))
 
 
 def _index_meta_commit(ipath: str, mutate) -> None:
@@ -493,7 +553,7 @@ def _col_type(main_meta: dict, col: str):
 def _serve(
     spark: SparkSession,
     path: str,
-    col: str,
+    col,
     info: dict,
     main_meta: dict,
     hits: DataFrame,
@@ -501,10 +561,11 @@ def _serve(
 ) -> DataFrame:
     """Resolve scanned index rows (``hits``) into the result: an
     INDEX-ONLY projection when every requested field is covered by the
-    index row (key, indexed value, include columns) — zero main-table
+    index row (key, indexed columns, include columns) — zero main-table
     bytes — else a semi-join of the row keys into the main table
     pinned at the stamped version."""
     key = main_meta["key"]
+    cols = _cols(col)
     if fields is not None and not main_meta.get("ttl"):
         # Index-only reads are refused under a row-TTL policy: expiry
         # is enforced as a read-time filter on the MAIN table
@@ -512,16 +573,15 @@ def _serve(
         # bypass — a covering lookup on a TTL table would serve
         # expired rows.  The semi-join path below stays correct (the
         # main-table read applies the filter), just not index-only.
-        covered = {key, col, *(info.get("include") or [])}
+        covered = {key, *cols, *(info.get("include") or [])}
         if set(fields) <= covered:
             key_t = _col_type(main_meta, key)
-            mapping = {
-                key: F.col("ref_key").cast(key_t).alias(key)
-                if key_t is not None else F.col("ref_key").alias(key),
-                col: F.col("idx_value").alias(col),
-            }
+            key_expr = (
+                F.col("ref_key").cast(key_t).alias(key)
+                if key_t is not None else F.col("ref_key").alias(key)
+            )
             return hits.select(
-                *[mapping.get(f, F.col(f)) for f in fields]
+                *[key_expr if f == key else F.col(f) for f in fields]
             )
     keys = hits.select("ref_key")
     # ALWAYS pin to the stamped version — when fresh it equals the
@@ -547,20 +607,49 @@ def _serve(
     return out.select(*fields) if fields is not None else out
 
 
+def _encode_probe_prefix(
+    spark: SparkSession, main_meta: dict, cols: list[str], values
+) -> str:
+    """Encode a LEADING tuple of probe values (1..len(cols)) into the
+    composite-key prefix ``enc(v1)\\x00enc(v2)\\x00...`` — each
+    component through its own column type, exactly as stored."""
+    vals = list(values) if isinstance(values, (list, tuple)) else [values]
+    if not 1 <= len(vals) <= len(cols):
+        raise ValueError(
+            f"lookup takes 1..{len(cols)} leading values for index "
+            f"columns {cols}, got {len(vals)}"
+        )
+    out = []
+    for c, v in zip(cols, vals):
+        if v is None:
+            raise ValueError(
+                f"index on {cols} does not cover NULL in {c!r} (nulls "
+                f"are not indexed, SQL-index convention); filter the "
+                f"main table"
+            )
+        out.append(_encode_value(spark, v, _col_type(main_meta, c)))
+        out.append(_SEP)
+    return "".join(out)
+
+
 def index_lookup(
     spark: SparkSession,
     path: str,
-    col: str,
+    col,
     value,
     check_fresh: bool = True,
     fields: list[str] | None = None,
 ) -> DataFrame:
-    """Main-table rows where ``col == value``, resolved through the
-    index: a bucket-pruned range scan of the value prefix, then a
-    semi-join of the matching row keys into the main table — or, when
-    ``fields`` are all covered (the key, the indexed column, and the
-    index's ``include`` list), an INDEX-ONLY projection that never
-    touches the main table.
+    """Main-table rows where the indexed column(s) equal ``value``,
+    resolved through the index: a bucket-pruned range scan of the
+    encoded-value prefix, then a semi-join of the matching row keys
+    into the main table — or, when ``fields`` are all covered (the
+    key, the indexed columns, and the index's ``include`` list), an
+    INDEX-ONLY projection that never touches the main table.
+
+    For a COMPOSITE index, ``value`` is a tuple: the full tuple is an
+    exact match; a SHORTER tuple matches on the leading columns (the
+    B-tree leading-prefix rule) — still one contiguous key-range scan.
 
     ``check_fresh=False`` is a point-in-time lookup: it resolves
     against the main-table SNAPSHOT the index was built from, so the
@@ -568,70 +657,93 @@ def index_lookup(
     rewrote an indexed row to a different value.  It raises loudly if
     that snapshot has fallen out of the main table's retention."""
     ipath, info, main_meta = _resolve(path, col, check_fresh)
+    cols = _cols(col)
     # The prefix must be the SAME encoded form the index keys were
-    # built with (``_encode_expr`` through the COLUMN's type).  A
+    # built with (``_encode_expr`` through each COLUMN's type).  A
     # Python literal's inferred type is not enough (Decimal('1.5')
     # infers decimal(2,1) -> '1.5' while a decimal(10,2) column stored
     # '1.50'; 1 infers bigint while a double column stored '1.0').
-    if value is None:
-        raise ValueError(
-            f"index on {col!r} does not cover NULL (nulls are not "
-            f"indexed, SQL-index convention); filter the main table"
-        )
-    val_str = _encode_value(spark, value, _col_type(main_meta, col))
-    prefix = val_str + _SEP
-    # Every key for this value is exactly <val>\x00<rowkey>, so the
-    # tight exclusive upper bound is <val>\x01 — correct for any
-    # rowkey content (a ￿ sentinel would drop rowkeys starting
-    # with a code point above U+FFFF).
-    hits = read_keyed(spark, ipath, start=prefix, stop=val_str + "\x01")
+    if len(cols) == 1 and isinstance(value, (list, tuple)):
+        value = list(value)  # allow 1-tuples uniformly
+    prefix = _encode_probe_prefix(spark, main_meta, cols, value)
+    # Every matching key extends the prefix (which ends with \x00), so
+    # the tight exclusive upper bound flips that trailing separator to
+    # \x01 — correct for any rowkey / deeper-component content (a
+    # \uffff sentinel would drop content starting with a code point
+    # above U+FFFF).
+    hits = read_keyed(
+        spark, ipath, start=prefix, stop=prefix[:-1] + "\x01"
+    )
     return _serve(spark, path, col, info, main_meta, hits, fields)
 
 
 def index_range_lookup(
     spark: SparkSession,
     path: str,
-    col: str,
+    col,
     lower=None,
     upper=None,
     include_lower: bool = True,
     include_upper: bool = True,
     check_fresh: bool = True,
     fields: list[str] | None = None,
+    prefix=(),
 ) -> DataFrame:
-    """Main-table rows where ``col`` is in the given range, resolved
-    through the index as ONE composite-key range scan — bucket-dir and
-    row-group pruned to O(matching rows), the secondary range scan
-    HBase users hand-build with OrderedBytes-encoded rowkeys.  Either
-    bound may be None (open).  Requires an order-preserving value
-    encoding (string / boolean / integral / date / timestamp); float
-    and decimal columns refuse — their CAST-string form is not ordered
-    — with the main table's zone maps as the scale path instead
+    """Main-table rows where the indexed column is in the given range,
+    resolved through the index as ONE composite-key range scan —
+    bucket-dir and row-group pruned to O(matching rows), the secondary
+    range scan HBase users hand-build with OrderedBytes-encoded
+    rowkeys.  Either bound may be None (open).  Requires an
+    order-preserving value encoding for the RANGED column (string /
+    boolean / integral / date / timestamp); float and decimal columns
+    refuse — their CAST-string form is not ordered — with the main
+    table's zone maps as the scale path instead
     (``read_keyed(zone_filter=...)``).
 
-    Bound-to-key mapping (keys are ``<enc(v)>\\x00<rowkey>``; the scan
-    is ``[start, stop)``): inclusive lower -> ``enc(lower)\\x00``
-    (first possible key of that value), exclusive lower ->
-    ``enc(lower)\\x01`` (just past every key of that value); inclusive
-    upper -> ``enc(upper)\\x01``, exclusive upper -> ``enc(upper)\\x00``.
+    For a COMPOSITE index, ``prefix`` gives equality values for the
+    LEADING columns and the range applies to the NEXT column — the
+    classic ``a = ? AND b BETWEEN ? AND ?`` composite-index shape,
+    still one contiguous scan.  Skipping a column is not served (the
+    B-tree rule).
 
-    ``fields`` covered by the index (key / indexed column / include
+    Bound-to-key mapping (keys are ``<pfx><enc(v)>\\x00<rest>``; the
+    scan is ``[start, stop)``): inclusive lower ->
+    ``pfx + enc(lower)\\x00`` (first possible key of that value),
+    exclusive lower -> ``pfx + enc(lower)\\x01`` (just past every key
+    of that value); inclusive upper -> ``pfx + enc(upper)\\x01``,
+    exclusive upper -> ``pfx + enc(upper)\\x00``; an open bound falls
+    back to the prefix region's own edge.
+
+    ``fields`` covered by the index (key / indexed columns / include
     list) serve INDEX-ONLY, like ``index_lookup``."""
     ipath, info, main_meta = _resolve(path, col, check_fresh)
-    dtype = _col_type(main_meta, col)
+    cols = _cols(col)
+    pvals = list(prefix) if isinstance(prefix, (list, tuple)) else [prefix]
+    if len(pvals) >= len(cols):
+        raise ValueError(
+            f"prefix covers all {len(cols)} index columns — nothing "
+            f"left to range over; use index_lookup for full-tuple "
+            f"equality"
+        )
+    range_col = cols[len(pvals)]
+    dtype = _col_type(main_meta, range_col)
     if dtype is None or not _orderable(dtype):
         raise ValueError(
             f"index_range_lookup needs an order-preserving key encoding "
-            f"and column {col!r} is {dtype} (string/boolean/integral/"
-            f"date/timestamp only); use the main table's zone maps "
-            f"(read_keyed(zone_filter=...)) for numeric ranges"
+            f"and column {range_col!r} is {dtype} (string/boolean/"
+            f"integral/date/timestamp only); use the main table's zone "
+            f"maps (read_keyed(zone_filter=...)) for numeric ranges"
         )
-    start = stop = None
+    base = (
+        _encode_probe_prefix(spark, main_meta, cols, pvals) if pvals else ""
+    )
+    start = base or None
+    stop = (base[:-1] + "\x01") if base else None
     if lower is not None:
         enc_lo = _encode_value(spark, lower, dtype)
-        start = enc_lo + (_SEP if include_lower else "\x01")
+        start = base + enc_lo + (_SEP if include_lower else "\x01")
     if upper is not None:
         enc_hi = _encode_value(spark, upper, dtype)
-        stop = enc_hi + ("\x01" if include_upper else _SEP)
+        stop = base + enc_hi + ("\x01" if include_upper else _SEP)
     hits = read_keyed(spark, ipath, start=start, stop=stop)
     return _serve(spark, path, col, info, main_meta, hits, fields)

@@ -119,6 +119,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r12: CHANGED pair — streaming_index_lookup's engine path
     # likewise (stream_index stamps enc/include and encodes keys v2).
     # Already listed above as a new r12 pair.
+    #
+    # r12: NEW pair — COMPOSITE index (create_index(path, [a, b])):
+    # equality on the leading column + range on the next as one
+    # contiguous encoded-key scan, served index-only, maintained
+    # incrementally with per-component move retraction.
+    "index_composite_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

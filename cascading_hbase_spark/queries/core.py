@@ -389,6 +389,78 @@ def index_range_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_composite_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 5
+                THEN 2 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+           THEN '1-URGENT' ELSE o_orderpriority END) = '1-URGENT'
+      AND CAST(round(o_totalprice * 100) AS BIGINT)
+            * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 5
+               THEN 2 ELSE 1 END)
+          BETWEEN 5000000 AND 15000000
+    """,
+)
+def index_composite_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE index, the classic ``a = ? AND b BETWEEN ? AND ?``
+    shape (r12): ``create_index(path, ["prio", "cents"])`` concatenates
+    the encoded components (``enc(prio)\\x00enc(cents)\\x00<key>``), so
+    equality on the leading column + a range on the next is ONE
+    contiguous bucket-pruned key-range scan — and with both columns
+    indexed, ``fields=["o_orderkey", "cents"]`` serves INDEX-ONLY.
+    The index is refreshed INCREMENTALLY across a wave that moves each
+    component independently (prio moves retract+reinsert under a new
+    leading prefix; cents moves re-rank within the prefix) plus
+    deletes — a missed retraction in either component fails the
+    hash."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxm_"), "t")
+    cols = ["prio", "cents"]
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seed = orders.filter(k % 4 != 3)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    create_index(spark, path, cols)
+    wave = (
+        orders.filter(k % 4 == 3)  # inserts
+        .unionByName(  # leading-component moves (prefix changes)
+            seed.filter(k % 10 == 0).withColumn("prio", F.lit("1-URGENT"))
+        )
+        .unionByName(  # second-component moves (re-rank in prefix)
+            seed.filter(k % 10 == 5).withColumn("cents", F.col("cents") * 2)
+        )
+    )
+    write_keyed(wave, path, "o_orderkey", mode=SinkMode.APPEND)        # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    refresh_index(spark, path, cols)  # incremental delta only
+    return index_range_lookup(
+        spark, path, cols, 5_000_000, 15_000_000,
+        prefix=("1-URGENT",), fields=["o_orderkey", "cents"],
+    )
+
+
+@query(
     "index_covering_lookup",
     oracle="""
     SELECT o_orderkey,

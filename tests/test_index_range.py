@@ -180,6 +180,29 @@ def test_range_lookup_refuses_unordered_types(spark, tmp_path):
     assert [r.k for r in index_lookup(spark, path, "x", 1.25).collect()] == [5]
 
 
+def test_range_lookup_timestamp_ntz(spark, tmp_path):
+    """TIMESTAMP_NTZ (what the driver testdata's o_orderdate actually
+    is) ranges through the same ISO-string encoding."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [(i, t0 + datetime.timedelta(hours=i * 7)) for i in range(40)]
+    path, df = _mk(spark, tmp_path, rows, "k int, t timestamp_ntz")
+    create_index(spark, path, "t")
+    lo = t0 + datetime.timedelta(days=2)
+    hi = t0 + datetime.timedelta(days=7)
+    got = sorted(
+        r.k for r in index_range_lookup(spark, path, "t", lo, hi).collect()
+    )
+    exp = sorted(r.k for r in df.filter(
+        (F.col("t") >= F.lit(lo)) & (F.col("t") <= F.lit(hi))
+    ).collect())
+    assert got == exp and got, got
+
+
 def test_range_lookup_dates(spark, tmp_path):
     from cascading_hbase_spark.keyed.index import (
         create_index,
@@ -380,6 +403,138 @@ def test_create_index_validates_include(spark, tmp_path):
         create_index(spark, path, "grp", include=["nope"])
     with pytest.raises(ValueError, match="always covered"):
         create_index(spark, path, "grp", include=["k"])
+
+
+# ---------------------------------------------------------------------------
+# composite (multi-column) indexes
+# ---------------------------------------------------------------------------
+
+def test_composite_full_tuple_and_leading_prefix(spark, tmp_path):
+    """``create_index(path, ["cat", "v"])``: full-tuple equality and
+    leading-prefix equality are each ONE contiguous key-range scan."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+    )
+
+    rows = [(i, f"cat{i % 3}", (i * 7) % 50) for i in range(60)]
+    path, df = _mk(spark, tmp_path, rows, "k int, cat string, v long")
+    create_index(spark, path, ["cat", "v"])
+    # full tuple
+    got = sorted(
+        r.k for r in index_lookup(spark, path, ["cat", "v"], ("cat1", 49)).collect()
+    )
+    exp = sorted(r.k for r in df.filter("cat = 'cat1' and v = 49").collect())
+    assert got == exp and got, got
+    # leading prefix (cat only)
+    got = sorted(
+        r.k for r in index_lookup(spark, path, ["cat", "v"], ("cat2",)).collect()
+    )
+    exp = sorted(r.k for r in df.filter("cat = 'cat2'").collect())
+    assert got == exp and got
+    # too many probe values refused
+    with pytest.raises(ValueError, match="1..2 leading values"):
+        index_lookup(spark, path, ["cat", "v"], ("cat1", 21, 99))
+
+
+def test_composite_prefix_plus_range(spark, tmp_path):
+    """The classic ``a = ? AND b BETWEEN ? AND ?`` shape: equality on
+    the leading column + range on the next, one scan, served
+    INDEX-ONLY when covered."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+    )
+
+    rows = [(i, f"cat{i % 3}", (i * 7) % 50, i * 1.5) for i in range(90)]
+    path, df = _mk(
+        spark, tmp_path, rows, "k int, cat string, v long, x double"
+    )
+    create_index(spark, path, ["cat", "v"], include=["x"])
+    got = index_range_lookup(
+        spark, path, ["cat", "v"], 10, 30, prefix=("cat1",),
+        fields=["k", "cat", "v", "x"],
+    )
+    assert not {f for f in got.inputFiles() if "__kt_idx_" not in f}, (
+        "covered composite range lookup touched the main table"
+    )
+    g = sorted((r.k, r.cat, r.v, r.x) for r in got.collect())
+    e = sorted(
+        (r.k, r.cat, r.v, r.x)
+        for r in df.filter("cat = 'cat1' and v between 10 and 30").collect()
+    )
+    assert g == e and g
+    # open range over the full prefix region == prefix equality
+    all_cat1 = index_range_lookup(
+        spark, path, ["cat", "v"], prefix=("cat1",)
+    )
+    assert all_cat1.count() == df.filter("cat = 'cat1'").count()
+    # range on the FIRST column with no prefix still works
+    got0 = sorted(
+        r.k
+        for r in index_range_lookup(
+            spark, path, ["cat", "v"], "cat0", "cat1"
+        ).collect()
+    )
+    exp0 = sorted(
+        r.k for r in df.filter("cat between 'cat0' and 'cat1'").collect()
+    )
+    assert got0 == exp0
+    # prefix covering every column: nothing left to range over
+    with pytest.raises(ValueError, match="nothing"):
+        index_range_lookup(spark, path, ["cat", "v"], prefix=("cat1", 5))
+
+
+def test_composite_incremental_maintenance(spark, tmp_path):
+    """Value moves in EITHER component retract the old composite key;
+    deletes retract unconditionally; the refresh is the incremental
+    changefeed delta, not a rebuild."""
+    from cascading_hbase_spark.keyed.index import (
+        _index_path,
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        _load_meta,
+        delete_keyed,
+        read_keyed,
+        write_keyed,
+    )
+
+    rows = [(i, f"cat{i % 2}", i) for i in range(10)]
+    path, _ = _mk(
+        spark, tmp_path, rows, "k int, cat string, v long", retain=10
+    )
+    create_index(spark, path, ["cat", "v"])
+    # move k=2's second component, k=3's first component; delete k=4
+    write_keyed(
+        spark.createDataFrame(
+            [(2, "cat0", 999), (3, "catX", 3)], "k int, cat string, v long"
+        ),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    delete_keyed(spark, path, spark.createDataFrame([(4,)], "k int"))
+    v_before = _load_meta(_index_path(path, ["cat", "v"]))["version"]
+    refresh_index(spark, path, ["cat", "v"])
+    imeta = _load_meta(_index_path(path, ["cat", "v"]))
+    assert imeta["version"] == v_before + 1, "refresh was not one MERGE commit"
+
+    def _both(value):
+        got = sorted(
+            r.k
+            for r in index_lookup(spark, path, ["cat", "v"], value).collect()
+        )
+        return got
+
+    assert _both(("cat0", 999)) == [2]
+    assert _both(("cat0", 2)) == []          # old composite key retracted
+    assert _both(("catX", 3)) == [3]
+    assert _both(("cat0", 4)) == []          # deleted
+    # index table has exactly one row per live key
+    idx = read_keyed(spark, _index_path(path, ["cat", "v"]))
+    assert idx.count() == 9
 
 
 # ---------------------------------------------------------------------------

@@ -1960,3 +1960,46 @@ def test_stream_index_maintains_covering_payload(spark, tmp_path):
     assert sorted((r.key, r.score, r.name) for r in got.collect()) == [
         (2, 20, "B2"), (3, 15, "c"),
     ]
+
+
+def test_stream_index_maintains_composite(spark, tmp_path):
+    """r12: a COMPOSITE index stream-maintained — moves in either
+    component retract the old composite key, and prefix+range lookups
+    stay exact across the drain."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        index_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import SinkMode, write_keyed
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "c")
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "key long, cat string, v long")
+
+    write_keyed(
+        _df([(1, "a", 10), (2, "a", 20), (3, "b", 30)]), path, "key",
+        retain=10,
+    )
+    create_index(spark, path, ["cat", "v"])
+    S.stream_index(spark, path, ["cat", "v"], ckpt).awaitTermination()
+    assert sorted(
+        r.key
+        for r in index_lookup(spark, path, ["cat", "v"], ("a",)).collect()
+    ) == [1, 2]
+    # move k=2 to cat b; move k=1's v
+    write_keyed(
+        _df([(2, "b", 20), (1, "a", 15)]), path, "key",
+        mode=SinkMode.APPEND,
+    )
+    S.stream_index(spark, path, ["cat", "v"], ckpt).awaitTermination()
+    assert sorted(
+        r.key
+        for r in index_lookup(spark, path, ["cat", "v"], ("a",)).collect()
+    ) == [1]
+    got = index_range_lookup(
+        spark, path, ["cat", "v"], 15, 30, prefix=("b",)
+    )
+    assert sorted(r.key for r in got.collect()) == [2, 3]

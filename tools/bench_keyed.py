@@ -41,6 +41,7 @@ from cascading_hbase_spark.keyed.expectations import (  # noqa: E402
 from cascading_hbase_spark.keyed.index import (  # noqa: E402
     create_index,
     index_lookup,
+    index_range_lookup,
     refresh_index,
 )
 from cascading_hbase_spark.keyed.matview import (  # noqa: E402
@@ -260,6 +261,33 @@ def main() -> None:
         lambda: {
             "rows": index_lookup(
                 spark, path, "o_orderpriority", "1-URGENT"
+            ).count()
+        },
+    )
+
+    # 6a. RANGE + COVERING lookups (r12): a covering date index built
+    #     at the CURRENT snapshot (so its create cost is measured on
+    #     the post-wave table), then one month served INDEX-ONLY — the
+    #     value range is a composite-key range under the v2
+    #     order-preserving encoding, so the scan is bucket-pruned and
+    #     never touches the main table's width
+    import datetime as _dt
+
+    dmin = orders.agg(F.min("o_orderdate")).collect()[0][0]
+    step(
+        "create_index_covering_date",
+        lambda: create_index(
+            spark, path, "o_orderdate", include=["o_totalprice"],
+        ),
+    )
+    step(
+        "index_range_lookup_covered_month",
+        lambda: {
+            "rows": index_range_lookup(
+                spark, path, "o_orderdate",
+                dmin + _dt.timedelta(days=30),
+                dmin + _dt.timedelta(days=60),
+                fields=["o_orderkey", "o_orderdate", "o_totalprice"],
             ).count()
         },
     )
