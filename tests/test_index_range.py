@@ -16,7 +16,7 @@ import os
 
 import pyspark.sql.functions as F
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from tests.conftest import _examples
@@ -591,6 +591,16 @@ def test_stale_encoding_refused_then_rebuilt(spark, tmp_path):
     lo=st.integers(min_value=-110, max_value=110),
     width=st.integers(min_value=0, max_value=120),
 )
+@example(  # explore-fuzz falsifier (r12): duplicate delete keys popped
+    # the MODEL twice (test bug, engine unaffected) — pinned
+    seed_vals=[0], moves=[], deletes=[0, 0], lo=0, width=0,
+)
+@example(  # explore-fuzz falsifier (r12): two updates to one key in
+    # ONE batch — the engine resolves in-batch duplicates by its total
+    # LWW tie-break, not list order; the model now keeps one update
+    # per key (test bug, engine behaves as documented) — pinned
+    seed_vals=[0] * 8, moves=[(5, 3), (5, 0)], deletes=[], lo=0, width=0,
+)
 def test_range_lookup_model_property(spark_prop, tmp_path_factory,
                                      seed_vals, moves, deletes, lo, width):
     """Dict-model property: seed -> value-moving updates -> deletes ->
@@ -614,7 +624,10 @@ def test_range_lookup_model_property(spark_prop, tmp_path_factory,
         path, "k", retain=16,
     )
     create_index(spark, path, "v")
-    upd = [(k, v) for k, v in moves if k in model]
+    # one update per key: in-batch duplicate keys are resolved by the
+    # engine's total LWW tie-break, not list order — a separate,
+    # separately-tested contract (test_keyed_table LWW tests)
+    upd = list({k: (k, v) for k, v in moves if k in model}.values())
     if upd:
         for k, v in upd:
             model[k] = v
@@ -622,7 +635,7 @@ def test_range_lookup_model_property(spark_prop, tmp_path_factory,
             spark.createDataFrame(upd, "k int, v long"),
             path, "k", mode=SinkMode.APPEND,
         )
-    dels = [k for k in deletes if k in model]
+    dels = sorted({k for k in deletes if k in model})
     if dels:
         for k in dels:
             model.pop(k)
