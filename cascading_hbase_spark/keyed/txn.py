@@ -94,10 +94,13 @@ from cascading_hbase_spark.keyed.controlplane import (
 )
 
 __all__ = [
+    "SavepointError",
     "TxnCommittedError",
     "TxnIntegrityError",
     "multi_commit",
     "recover_multi_commit",
+    "restore_savepoint",
+    "savepoint_keyed",
 ]
 
 _META = "_kt_meta.json"
@@ -437,3 +440,95 @@ def multi_commit(
                 ) from e
     finally:
         _ACTIVE.release()
+
+
+# ---------------------------------------------------------------------------
+# Cross-table savepoints
+# ---------------------------------------------------------------------------
+
+class SavepointError(RuntimeError):
+    """The savepoint cannot be restored: a table was REPLACEd since
+    the cut (its version counter restarted — the recorded version now
+    names a different table's history), or the cut fell out of a
+    table's retention window."""
+
+
+def savepoint_keyed(paths: list[str]) -> dict:
+    """A CONSISTENT cross-table cut: ``{path: {"version": v,
+    "table_id": id}}``, taken with every table's writer lease held
+    (sorted acquisition, the same order the commit protocol uses) so
+    the cut can never split a ``multi_commit`` transaction — either
+    all of a transaction's flips are inside the cut or none are.
+    Driver-side metadata reads only; no data is copied (the snapshot
+    IS the manifest history, like ``rollback_keyed``'s time travel).
+
+    The savepoint is advisory, not pinning: ``retain`` /
+    ``vacuum_keyed`` do not know about it, so size the retention
+    window to the savepoint's intended lifetime — a restore past the
+    horizon refuses loudly, never resurrects GC'd generations."""
+    if not paths:
+        raise ValueError("savepoint_keyed needs at least one table path")
+    cp = get_control_plane()
+    out = {}
+    with contextlib.ExitStack() as stack:
+        for p in sorted(set(paths)):
+            stack.enter_context(cp.writer_lease(p.rstrip("/")))
+        for p in paths:
+            try:
+                meta = cp.read_json(_meta_key(p))
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"savepoint_keyed: no keyed table at {p}"
+                ) from None
+            out[p] = {
+                "version": meta.get("version", 1),
+                "table_id": meta.get("table_id"),
+            }
+    return out
+
+
+def restore_savepoint(sp: dict, txn_log: str | None = None) -> None:
+    """Roll EVERY table in the savepoint back to its recorded version
+    as ONE atomic multi-table transaction (``multi_commit`` over
+    per-table ``rollback_keyed``): all tables restore or none do — a
+    failed restore (a version below a table's retention horizon, a
+    concurrent writer) leaves the group exactly as it was.
+
+    A table REPLACEd since the cut refuses (``SavepointError``): its
+    version counter restarted, so the recorded version names a
+    different incarnation's history.  Tables already at the savepoint
+    version are left untouched (no empty commit), but still
+    participate in the transaction's pre-flight version check — a
+    concurrent commit to ANY table in the group aborts the restore.
+    Restoring the same savepoint twice converges (rollback is itself
+    a commit; the second restore rolls back over the first)."""
+    from cascading_hbase_spark.keyed.table import _load_meta, rollback_keyed
+
+    if not sp:
+        raise ValueError("restore_savepoint: empty savepoint")
+    for p, ent in sorted(sp.items()):
+        meta = _load_meta(p)
+        if meta.get("table_id") != ent.get("table_id"):
+            raise SavepointError(
+                f"restore_savepoint: {p} was replaced since the "
+                f"savepoint (incarnation changed); the recorded "
+                f"version {ent.get('version')} names a different "
+                f"table's history"
+            )
+    with multi_commit(sorted(sp), txn_log=txn_log):
+        for p in sorted(sp):
+            cur = _load_meta(p)
+            if cur.get("table_id") != sp[p].get("table_id"):
+                raise SavepointError(
+                    f"restore_savepoint: {p} was replaced between the "
+                    f"pre-check and the transaction"
+                )
+            if cur.get("version") != sp[p]["version"]:
+                try:
+                    rollback_keyed(p, sp[p]["version"])
+                except (FileNotFoundError, KeyError, ValueError) as e:
+                    raise SavepointError(
+                        f"restore_savepoint: {p} cannot roll back to "
+                        f"v{sp[p]['version']} (fell below the "
+                        f"retention/vacuum horizon?): {e}"
+                    ) from e

@@ -125,6 +125,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # contiguous encoded-key scan, served index-only, maintained
     # incrementally with per-component move retraction.
     "index_composite_lookup",
+    # r12: NEW pair — cross-table SAVEPOINT/RESTORE (keyed/txn.py):
+    # a consistent {table: version} cut under all writer leases,
+    # restored as ONE atomic multi_commit of per-table rollbacks;
+    # the oracle recomputes the pre-mutation join from first
+    # principles, so a half-restored group fails the hash.
+    "savepoint_restore_roundtrip",
 ]
 
 # Number of head entries the driver's per-round budget is known to

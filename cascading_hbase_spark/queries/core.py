@@ -323,6 +323,76 @@ def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "savepoint_restore_roundtrip",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey,
+               o_custkey % 50 AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT grp, CAST(SUM(cents) AS BIGINT) AS grp_total
+        FROM a GROUP BY grp
+    )
+    SELECT a.o_orderkey, a.cents, a.grp, b.grp_total
+    FROM a JOIN b USING (grp)
+    """,
+)
+def savepoint_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table SAVEPOINT/RESTORE (r12, ``keyed/txn.savepoint_keyed``
+    / ``restore_savepoint``): cut a consistent {table: version} map
+    under every table's writer lease, mutate BOTH tables (an append
+    that doubles some cents, a group-delete), then restore the group
+    as ONE atomic transaction (``multi_commit`` over per-table
+    ``rollback_keyed``).  The returned join must equal the
+    PRE-MUTATION first principles — a half-restored group (one table
+    rolled back, the other not) breaks the fact-to-total consistency
+    the oracle recomputes exactly."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        read_keyed,
+        write_keyed,
+    )
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    root = tempfile.mkdtemp(prefix="chs_sp_")
+    a_path, b_path = os.path.join(root, "a"), os.path.join(root, "b")
+    k = F.col("o_orderkey")
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = a.groupBy("grp").agg(F.sum("cents").alias("grp_total"))
+    write_keyed(a, a_path, "o_orderkey", retain=10)
+    write_keyed(b, b_path, "grp", retain=10)
+    sp = savepoint_keyed([a_path, b_path])
+    # mutate BOTH tables past the cut
+    write_keyed(
+        a.filter(k % 3 == 0).withColumn("cents", F.col("cents") * 2),
+        a_path, "o_orderkey", mode=SinkMode.APPEND,
+    )
+    delete_keyed(
+        spark, b_path,
+        b.filter(F.col("grp") % 7 == 0).select("grp"),
+    )
+    restore_savepoint(sp)
+    fa = read_keyed(spark, a_path)
+    fb = read_keyed(spark, b_path)
+    return fa.join(fb, "grp").select(
+        "o_orderkey", "cents", "grp", "grp_total"
+    )
+
+
+@query(
     "index_range_lookup",
     oracle="""
     SELECT o_orderkey,

@@ -443,3 +443,106 @@ def test_deferred_prunes_survive_crash_and_replay_in_recovery(
     assert not inner.object_exists(h + "v3.json")  # replayed from doc
     assert inner.object_exists(h + "v6.json")
     assert not inner.object_exists(log)
+
+
+# ---------------------------------------------------------------------------
+# cross-table savepoints (r12)
+# ---------------------------------------------------------------------------
+
+def test_savepoint_restore_roundtrip_and_convergence(spark, tmp_path):
+    """Savepoint both tables, mutate both (append + delete), restore:
+    both snap back in ONE transaction; restoring again converges (the
+    rollback commit itself rolls back)."""
+    from cascading_hbase_spark.keyed.table import delete_keyed
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_keyed(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), a, "id", retain=10)
+    write_keyed(_df(spark, [(7, "x", 7.0), (8, "y", 8.0)]), b, "id", retain=10)
+    sp = savepoint_keyed([a, b])
+    write_keyed(
+        _df(spark, [(1, "a", 99.0), (3, "c", 3.0)]), a, "id",
+        mode=SinkMode.APPEND,
+    )
+    delete_keyed(spark, b, spark.createDataFrame([(7,)], "id long"))
+    restore_savepoint(sp)
+    assert sorted(
+        (r.id, r.val) for r in read_keyed(spark, a).collect()
+    ) == [(1, 1.0), (2, 2.0)]
+    assert sorted(r.id for r in read_keyed(spark, b).collect()) == [7, 8]
+    restore_savepoint(sp)  # converges, no error
+    assert read_keyed(spark, a).count() == 2
+
+
+def test_savepoint_restore_refuses_replaced_incarnation(spark, tmp_path):
+    from cascading_hbase_spark.keyed.txn import (
+        SavepointError,
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=10)
+    sp = savepoint_keyed([a])
+    write_keyed(_df(spark, [(2, "b", 2.0)]), a, "id", mode=SinkMode.REPLACE)
+    with pytest.raises(SavepointError, match="replaced"):
+        restore_savepoint(sp)
+
+
+def test_savepoint_restore_aborts_atomically_past_horizon(spark, tmp_path):
+    """One table's savepoint version fell below its retention horizon;
+    the OTHER table's rollback was already staged (it sorts first) —
+    the restore must abort with NEITHER table changed."""
+    from cascading_hbase_spark.keyed.table import table_version
+    from cascading_hbase_spark.keyed.txn import (
+        SavepointError,
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    # "aa" sorts BEFORE "zz": aa's rollback stages first, then zz's
+    # horizon failure must abort the whole transaction
+    aa, zz = str(tmp_path / "aa"), str(tmp_path / "zz")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), aa, "id", retain=10)
+    write_keyed(_df(spark, [(7, "x", 7.0)]), zz, "id", retain=2)
+    sp = savepoint_keyed([aa, zz])
+    write_keyed(_df(spark, [(2, "b", 2.0)]), aa, "id", mode=SinkMode.APPEND)
+    for i in range(4):  # push zz's horizon past the savepoint
+        write_keyed(
+            _df(spark, [(100 + i, "z", 0.0)]), zz, "id",
+            mode=SinkMode.APPEND,
+        )
+    v_aa = table_version(aa)
+    with pytest.raises(SavepointError, match="horizon"):
+        restore_savepoint(sp)
+    assert table_version(aa) == v_aa, "aa flipped despite the abort"
+    assert read_keyed(spark, aa).count() == 2  # mutation still there
+
+
+def test_savepoint_cut_is_transaction_aligned(spark, chain):
+    """A savepoint taken AFTER a multi_commit chain includes all three
+    of its flips; restoring returns all three tables to their
+    pre-chain state in one transaction."""
+    from cascading_hbase_spark.keyed.matview import refresh_aggregate_view
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    primary, replica, view = chain
+    pre = savepoint_keyed([primary, replica, view])
+    with multi_commit([primary, replica, view]):
+        write_keyed(
+            _df(spark, [(3, "c", 3.0)]), primary, "id",
+            mode=SinkMode.APPEND,
+        )
+        sync_replica(spark, primary, replica)
+        refresh_aggregate_view(spark, replica, view)
+    assert _totals(spark, view) == {"a": 1.0, "b": 2.0, "c": 3.0}
+    restore_savepoint(pre)
+    assert _totals(spark, view) == {"a": 1.0, "b": 2.0}
+    assert read_keyed(spark, primary).count() == 2
+    assert read_keyed(spark, replica).count() == 2
