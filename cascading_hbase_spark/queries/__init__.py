@@ -131,6 +131,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the oracle recomputes the pre-mutation join from first
     # principles, so a half-restored group fails the hash.
     "savepoint_restore_roundtrip",
+    # r12: NEW pair — persisted column statistics (keyed/stats.py,
+    # ANALYZE TABLE): one-scan per-column counts/NDV/min-max stamped
+    # into the manifest meta-only; the oracle recomputes every number
+    # from first principles.
+    "analyze_column_stats",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -323,6 +323,73 @@ def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analyze_column_stats",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               o_orderpriority AS prio,
+               CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+               END AS cents
+        FROM orders
+    )
+    SELECT 'cents' AS "column",
+           COUNT(cents) AS n_nonnull,
+           COUNT(*) - COUNT(cents) AS n_null,
+           COUNT(DISTINCT cents) AS n_distinct,
+           CAST(MIN(cents) AS VARCHAR) AS min,
+           CAST(MAX(cents) AS VARCHAR) AS max
+    FROM t
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(o_orderkey),
+           COUNT(*) - COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey),
+           CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'prio', COUNT(prio), COUNT(*) - COUNT(prio),
+           COUNT(DISTINCT prio),
+           CAST(MIN(prio) AS VARCHAR), CAST(MAX(prio) AS VARCHAR)
+    FROM t
+    """,
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted column statistics (r12, ``keyed/stats.analyze_keyed``
+    — the ANALYZE TABLE story): one full-scan aggregate job computes
+    per-column non-null/null counts, distinct counts (exact here so
+    the oracle can recompute them; ``approx_count_distinct`` is the
+    at-scale default), and min/max in schema-stable string form, then
+    stamps the document into the manifest as a META-ONLY commit.
+    ``column_stats`` reads it back without touching data — what a
+    planner consults for salting factors and broadcast decisions
+    instead of re-scanning 100 TB."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        column_stats,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_stats_"), "t")
+    k = F.col("o_orderkey")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.when(
+            k % 9 == 0, F.lit(None)
+        ).otherwise(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    write_keyed(t, path, "o_orderkey")
+    analyze_keyed(spark, path, exact=True)
+    return column_stats(spark, path)
+
+
+@query(
     "savepoint_restore_roundtrip",
     oracle="""
     WITH a AS (
