@@ -91,7 +91,8 @@ from cascading_hbase_spark.keyed.table import (
 
 __all__ = [
     "StaleIndexError", "attach_index_stream_stamp", "create_index",
-    "refresh_index", "drop_index", "index_lookup", "index_range_lookup",
+    "refresh_index", "drop_index", "index_lookup", "index_in_lookup",
+    "index_range_lookup",
 ]
 
 _SEP = "\x00"
@@ -746,4 +747,39 @@ def index_range_lookup(
         enc_hi = _encode_value(spark, upper, dtype)
         stop = base + enc_hi + ("\x01" if include_upper else _SEP)
     hits = read_keyed(spark, ipath, start=start, stop=stop)
+    return _serve(spark, path, col, info, main_meta, hits, fields)
+
+
+def index_in_lookup(
+    spark: SparkSession,
+    path: str,
+    col,
+    values,
+    check_fresh: bool = True,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Main-table rows where the indexed column(s) match ANY of
+    ``values`` (``WHERE col IN (...)``): one tight prefix range scan
+    per distinct probe value, unioned — each scan bucket-dir and
+    row-group pruned like a single lookup, so the cost is
+    O(sum of matching rows), never a full scan.  For a COMPOSITE
+    index each value may be a leading tuple (the same rule as
+    ``index_lookup``).  Meant for the small IN-lists queries actually
+    ship (tens of values — one range scan each); for a large probe
+    SET, semi-join the main table against a DataFrame instead.
+
+    ``fields`` covered by the index serve INDEX-ONLY, like the other
+    lookups."""
+    ipath, info, main_meta = _resolve(path, col, check_fresh)
+    cols = _cols(col)
+    vals = list(values)
+    if not vals:
+        raise ValueError("index_in_lookup needs at least one value")
+    prefixes = sorted({
+        _encode_probe_prefix(spark, main_meta, cols, v) for v in vals
+    })
+    hits = None
+    for pfx in prefixes:
+        h = read_keyed(spark, ipath, start=pfx, stop=pfx[:-1] + "\x01")
+        hits = h if hits is None else hits.unionByName(h)
     return _serve(spark, path, col, info, main_meta, hits, fields)

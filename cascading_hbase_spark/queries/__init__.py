@@ -136,6 +136,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # into the manifest meta-only; the oracle recomputes every number
     # from first principles.
     "analyze_column_stats",
+    # r12: NEW pair — IN-list lookup through the index (one pruned
+    # range scan per distinct probe, unioned; duplicates deduped).
+    "index_in_list_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -323,6 +323,45 @@ def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_in_list_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+    """,
+)
+def index_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHERE col IN (...)`` through the secondary index (r12,
+    ``keyed/index.index_in_lookup``): one tight prefix range scan per
+    distinct probe value, unioned — O(sum of matching rows), with the
+    duplicate probe deduped before planning.  The semi-join fetch path
+    (fields not covered) resolves the hits against the pinned main
+    snapshot."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_in_lookup,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxin_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(t, path, "o_orderkey")
+    create_index(spark, path, "prio")
+    return index_in_lookup(
+        spark, path, "prio", ["1-URGENT", "3-MEDIUM", "1-URGENT"],
+        fields=["o_orderkey", "cents"],
+    )
+
+
+@query(
     "analyze_column_stats",
     oracle="""
     WITH t AS (

@@ -405,6 +405,60 @@ def test_create_index_validates_include(spark, tmp_path):
         create_index(spark, path, "grp", include=["k"])
 
 
+def test_in_list_lookup_matches_filter(spark, tmp_path):
+    """``index_in_lookup``: one tight range scan per distinct probe
+    value, unioned; duplicates deduped; covered fields index-only."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_in_lookup,
+    )
+
+    path, df = _mk(
+        spark, tmp_path,
+        [(i, (i * 7) % 23) for i in range(60)], "k int, v long",
+    )
+    create_index(spark, path, "v")
+    got = sorted(
+        r.k
+        for r in index_in_lookup(
+            spark, path, "v", [3, 11, 11, 19, 999]
+        ).collect()
+    )
+    exp = sorted(r.k for r in df.filter("v in (3, 11, 19, 999)").collect())
+    assert got == exp and got
+    cov = index_in_lookup(spark, path, "v", [3, 19], fields=["k", "v"])
+    assert not {f for f in cov.inputFiles() if "__kt_idx_" not in f}
+    assert sorted(r.k for r in cov.collect()) == sorted(
+        r.k for r in df.filter("v in (3, 19)").collect()
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        index_in_lookup(spark, path, "v", [])
+
+
+def test_in_list_lookup_composite_leading_tuples(spark, tmp_path):
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_in_lookup,
+    )
+
+    rows = [(i, f"cat{i % 3}", (i * 7) % 50) for i in range(60)]
+    path, df = _mk(spark, tmp_path, rows, "k int, cat string, v long")
+    create_index(spark, path, ["cat", "v"])
+    got = sorted(
+        r.k
+        for r in index_in_lookup(
+            spark, path, ["cat", "v"], [("cat1", 49), ("cat2",)]
+        ).collect()
+    )
+    exp = sorted(
+        r.k
+        for r in df.filter(
+            "(cat = 'cat1' and v = 49) or cat = 'cat2'"
+        ).collect()
+    )
+    assert got == exp and got
+
+
 # ---------------------------------------------------------------------------
 # composite (multi-column) indexes
 # ---------------------------------------------------------------------------
