@@ -210,6 +210,15 @@ def _cols(col) -> list[str]:
     return cols
 
 
+def _norm_col(col):
+    """The manifest form of the ``col`` argument: a plain string for
+    single-column indexes, a LIST for composites — so a caller's
+    tuple/list spelling never breaks identity comparisons after the
+    JSON round-trip (JSON has no tuples)."""
+    cols = _cols(col)
+    return cols[0] if len(cols) == 1 else cols
+
+
 def _index_path(path: str, col) -> str:
     return path.rstrip("/") + _SUFFIX + "+".join(_cols(col))
 
@@ -286,7 +295,7 @@ def create_index(
         idx, ipath, "idx_key", mode=SinkMode.REPLACE, n_buckets=n_buckets,
         meta_extra={
             "index_of": {
-                "path": path, "col": col, "version": version,
+                "path": path, "col": _norm_col(col), "version": version,
                 "table_id": meta.get("table_id"),
                 "enc": _ENC, "include": include,
             }
@@ -351,7 +360,7 @@ def refresh_index(spark: SparkSession, path: str, col: str) -> None:
         spark, ipath, batch,
         meta_extra={
             "index_of": {
-                "path": path, "col": col, "version": version,
+                "path": path, "col": _norm_col(col), "version": version,
                 "table_id": meta.get("table_id"),
                 "enc": _ENC, "include": include,
             }

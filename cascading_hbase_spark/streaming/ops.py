@@ -1367,7 +1367,7 @@ def stream_index(
         changefeed_keyed,
     )
 
-    from cascading_hbase_spark.keyed.index import _ENC
+    from cascading_hbase_spark.keyed.index import _ENC, _norm_col
 
     ipath = _index_path(path, col)
     if not _exists(ipath):
@@ -1379,7 +1379,7 @@ def stream_index(
             )
         create_index(spark, path, col)
     info = _load_meta(ipath).get("index_of", {})
-    if info.get("path") != path or info.get("col") != col:
+    if info.get("path") != path or info.get("col") != _norm_col(col):
         raise ValueError(
             f"{ipath} is not the index of ({path}, {col!r})"
         )
@@ -1474,7 +1474,7 @@ def stream_index(
                 f"see test_checkpoint_wal_format_pin)"
             )
         stamped = {
-            "path": path, "col": col, "version": end_v,
+            "path": path, "col": _norm_col(col), "version": end_v,
             "table_id": expected_id, "enc": _ENC, "include": include,
             "stream": {"checkpoint": checkpoint, "batch_id": batch_id},
         }
