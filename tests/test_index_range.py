@@ -591,6 +591,54 @@ def test_composite_incremental_maintenance(spark, tmp_path):
     assert idx.count() == 9
 
 
+def test_composite_null_component_transitions(spark, tmp_path):
+    """A row whose ANY indexed component goes NULL leaves the index
+    (componentwise SQL convention: the old composite key is retracted,
+    no new one is written); a later update back to a value re-enters.
+    Both maintained incrementally."""
+    from cascading_hbase_spark.keyed.index import (
+        _index_path,
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        read_keyed,
+        write_keyed,
+    )
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(1, "a", 10), (2, "a", 20)], "k int, cat string, v long",
+        retain=10,
+    )
+    create_index(spark, path, ["cat", "v"])
+    # v -> NULL: row 1 leaves the index
+    write_keyed(
+        spark.createDataFrame([(1, "a", None)], "k int, cat string, v long"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    refresh_index(spark, path, ["cat", "v"])
+    assert sorted(
+        r.k for r in index_lookup(spark, path, ["cat", "v"], ("a",)).collect()
+    ) == [2]
+    idx = read_keyed(spark, _index_path(path, ["cat", "v"]))
+    assert idx.count() == 1, "retraction left a dead composite entry"
+    # NULL -> value: row 1 re-enters
+    write_keyed(
+        spark.createDataFrame([(1, "a", 99)], "k int, cat string, v long"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    refresh_index(spark, path, ["cat", "v"])
+    assert sorted(
+        r.k for r in index_lookup(spark, path, ["cat", "v"], ("a",)).collect()
+    ) == [1, 2]
+    assert [
+        r.k for r in index_lookup(spark, path, ["cat", "v"], ("a", 99)).collect()
+    ] == [1]
+
+
 # ---------------------------------------------------------------------------
 # encoding-version gate
 # ---------------------------------------------------------------------------
