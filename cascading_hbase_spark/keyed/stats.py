@@ -58,7 +58,9 @@ from cascading_hbase_spark.keyed.table import (
     read_keyed,
 )
 
-__all__ = ["analyze_keyed", "column_stats", "table_stats"]
+__all__ = [
+    "analyze_keyed", "column_stats", "suggest_salt_factor", "table_stats",
+]
 
 
 def _data_fingerprint(meta: dict) -> str:
@@ -93,12 +95,23 @@ def analyze_keyed(
     path: str,
     columns: list[str] | None = None,
     exact: bool = False,
+    heavy_hitters: int = 0,
 ) -> None:
     """Compute and persist column statistics for the CURRENT snapshot.
 
     One aggregate job over the pinned snapshot; the stamp rides a
     meta-only commit.  Re-analyzing an unchanged, already-analyzed
-    snapshot with the same column set is a no-op."""
+    snapshot with the same configuration is a no-op.
+
+    ``heavy_hitters=K`` additionally records each analyzed ATOMIC
+    column's top-K values by frequency — one groupBy per column
+    (map-side combine crushes the shuffle: a skewed column by
+    definition concentrates its mass in few keys, so the partial
+    aggregates are small even at 100 TB; the bounded-memory
+    Misra-Gries variant lives in ``queries/skew.py`` for when even
+    the distinct-key set is hostile).  Heavy hitters are what
+    ``suggest_salt_factor`` and broadcast-vs-shuffle decisions
+    consult."""
     meta = _load_meta(path)
     version = meta["version"]
     df = read_keyed(spark, path, generation=version)
@@ -113,6 +126,7 @@ def analyze_keyed(
         and prior.get("fingerprint") == fp
         and set(prior.get("columns", {})) == set(columns)
         and prior.get("exact", False) == exact
+        and prior.get("heavy_hitters", 0) == heavy_hitters
     ):
         return  # stats for this exact data snapshot already stamped
 
@@ -140,6 +154,21 @@ def analyze_keyed(
         if f"mn_{i}" in row:
             ent["min"] = row[f"mn_{i}"]
             ent["max"] = row[f"mx_{i}"]
+        if heavy_hitters > 0 and isinstance(df.schema[c].dataType, _ATOMIC):
+            col = F.col(c)
+            top = (
+                df.filter(col.isNotNull())
+                .groupBy(col.cast("string").alias("v"))
+                .count()
+                # total order: count desc, value asc — ties never make
+                # the stored list engine-dependent
+                .orderBy(F.desc("count"), F.asc("v"))
+                .limit(heavy_hitters)
+                .collect()
+            )
+            ent["heavy_hitters"] = [
+                {"value": r.v, "count": int(r["count"])} for r in top
+            ]
         cols_out[c] = ent
 
     with _writer_lock(path):
@@ -151,6 +180,7 @@ def analyze_keyed(
             "version": version,
             "fingerprint": fp,
             "exact": exact,
+            "heavy_hitters": heavy_hitters,
             "row_count": n,
             "columns": cols_out,
         }
@@ -178,6 +208,40 @@ def table_stats(path: str) -> dict:
         # consumers act on
         "data_changed": _data_fingerprint(meta) != st.get("fingerprint"),
     }
+
+
+def suggest_salt_factor(
+    path: str, col: str, partitions: int = 200, cap: int = 64
+) -> int:
+    """A salt factor for joins/aggs keyed on ``col``, derived from the
+    PERSISTED heavy hitters (``analyze_keyed(heavy_hitters=K)``
+    first): the hottest key's rows would all land in one reduce task,
+    so split it across ``ceil(top_share * partitions)`` salts — 1
+    (no salting) when the hottest key is no bigger than a balanced
+    partition's share, capped at ``cap`` (each salt multiplies the
+    build side of a salted join).  This is the number
+    ``functions/skew.py``'s salted operators take as their explicit
+    factor — derived from measured stats instead of guessed.
+
+    Raises KeyError when the table was never analyzed or the column
+    has no heavy-hitter stats (counts-only analysis); raises nothing
+    on STALE stats — check ``table_stats(path)["data_changed"]``
+    upstream if staleness matters for the workload."""
+    import math
+
+    st = table_stats(path)
+    ent = st["columns"].get(col)
+    if ent is None or "heavy_hitters" not in ent:
+        raise KeyError(
+            f"no heavy-hitter stats for {col!r}; run "
+            f"analyze_keyed(..., columns=[{col!r}], heavy_hitters=K)"
+        )
+    hh = ent["heavy_hitters"]
+    total = st["row_count"]
+    if not hh or not total:
+        return 1
+    top_share = hh[0]["count"] / total
+    return max(1, min(cap, math.ceil(top_share * partitions)))
 
 
 def column_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -139,6 +139,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r12: NEW pair — IN-list lookup through the index (one pruned
     # range scan per distinct probe, unioned; duplicates deduped).
     "index_in_list_lookup",
+    # r12: NEW pair — persisted HEAVY-HITTER stats (analyze_keyed
+    # heavy_hitters=K, total-ordered top-K per column) — the measured
+    # input suggest_salt_factor turns into a salt factor.
+    "analyze_heavy_hitters",
 ]
 
 # Number of head entries the driver's per-round budget is known to

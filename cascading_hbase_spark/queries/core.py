@@ -323,6 +323,42 @@ def index_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analyze_heavy_hitters",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY n DESC, value ASC
+    LIMIT 3
+    """,
+)
+def analyze_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted HEAVY-HITTER statistics (r12, ``analyze_keyed(
+    heavy_hitters=K)``): the top-K values by frequency per analyzed
+    column, stored in the manifest under a count-desc/value-asc TOTAL
+    order (ties never make the stored list engine-dependent), read
+    back without touching data.  These are what
+    ``suggest_salt_factor`` turns into a measured salt factor for the
+    skew-handling operators instead of a guessed one."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.stats import analyze_keyed, table_stats
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_hh_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio")
+    )
+    write_keyed(t, path, "o_orderkey")
+    analyze_keyed(spark, path, columns=["prio"], heavy_hitters=3)
+    hh = table_stats(path)["columns"]["prio"]["heavy_hitters"]
+    return spark.createDataFrame(
+        [(e["value"], e["count"]) for e in hh], "value string, n bigint"
+    )
+
+
+@query(
     "index_in_list_lookup",
     oracle="""
     SELECT o_orderkey,

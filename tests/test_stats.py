@@ -99,3 +99,40 @@ def test_table_stats_requires_analysis(spark, tmp_path):
     )
     with pytest.raises(KeyError, match="no stats"):
         table_stats(path)
+
+
+def test_heavy_hitters_exact_and_salt_suggestion(spark, tmp_path):
+    """heavy_hitters=K records the exact top-K (count desc, value asc
+    total order), and suggest_salt_factor derives the skew split from
+    the hottest key's share — >1 for a skewed column, 1 for a near-
+    uniform one, and KeyError without heavy-hitter stats."""
+    from cascading_hbase_spark.keyed.stats import suggest_salt_factor
+
+    path = str(tmp_path / "t")
+    # 'hot' owns half the rows; k is unique (uniform)
+    rows = [(i, "hot" if i % 2 == 0 else f"c{i % 10}") for i in range(100)]
+    write_keyed(
+        spark.createDataFrame(rows, "k int, cat string"), path, "k",
+        retain=10,
+    )
+    analyze_keyed(spark, path, exact=True, heavy_hitters=3)
+    st = table_stats(path)
+    hh = st["columns"]["cat"]["heavy_hitters"]
+    assert hh[0] == {"value": "hot", "count": 50}
+    assert len(hh) == 3 and hh[1]["count"] <= 50
+    # hottest cat key = 50% of rows -> ceil(0.5 * 32) = 16 salts
+    assert suggest_salt_factor(path, "cat", partitions=32) == 16
+    # uniform key column: top share 1% -> 1 salt at small partitions
+    assert suggest_salt_factor(path, "k", partitions=32) == 1
+    # cap respected
+    assert suggest_salt_factor(path, "cat", partitions=1000, cap=64) == 64
+    # hh config participates in the no-op identity: changing K commits
+    v1 = table_version(path)
+    analyze_keyed(spark, path, exact=True, heavy_hitters=3)  # no-op
+    assert table_version(path) == v1
+    analyze_keyed(spark, path, exact=True, heavy_hitters=5)
+    assert table_version(path) == v1 + 1
+    # counts-only analysis -> KeyError from the suggester
+    analyze_keyed(spark, path, exact=True)
+    with pytest.raises(KeyError, match="heavy-hitter"):
+        suggest_salt_factor(path, "cat")
