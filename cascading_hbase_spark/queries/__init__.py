@@ -81,68 +81,10 @@ def _load_all() -> None:
 # ``tools/round_end_check.py`` cross-checks this list against
 # ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    # r12: reset to [] at round start (the r11 verdicts landed; the
-    # derived head is now the 28 r05-dated + 22 oldest r07-dated pairs
-    # per VERDICT r11 item 3).  Names are added below ONLY as their
-    # query/oracle code changes this round.
-    #
-    # r12: NEW pair — the STREAMING MIN/MAX MATVIEW (growth seam,
-    # VERDICT r11 item 6): stream_matview with mins/maxs, extremum
-    # retraction rescans pinned to each batch's WAL'd end offset,
-    # view-vs-first-principles oracle in exact BIGINT cents.
-    "streaming_matview_minmax",
-    # r12: NEW pair — changefeed ACROSS a re-bucketing compaction
-    # (VERDICT r11 item 1, keyed/cdc_prune.py): the pruned diff vs a
-    # first-principles oracle; a skipped touched range or asymmetric
-    # per-side coverage fails the hash.
-    "changefeed_across_rebucket",
-    # r12: NEW pair — STREAMING SECONDARY INDEX (stream_index, the
-    # third streaming CDC consumer): stream-maintained index lookup
-    # vs a full-scan first-principles oracle over a mixed
-    # insert/value-move/silent-update/delete wave.
-    "streaming_index_lookup",
-    # r12: NEW pair — secondary-index RANGE lookup through the
-    # order-preserving composite-key encoding (keyed/index.py v2:
-    # integrals as lpad(v + 2^63, 20, '0'), the OrderedBytes pattern);
-    # BETWEEN over an indexed BIGINT = one bucket-pruned index range
-    # scan, maintained incrementally across a mixed wave first.
-    "index_range_lookup",
-    # r12: NEW pair — COVERING index lookup (include columns stored
-    # in-row, fields served INDEX-ONLY); the oracle pins that
-    # include-column-only updates refresh the covered payload.
-    "index_covering_lookup",
-    # r12: CHANGED pair — index_incremental_lookup's engine path now
-    # writes v2-encoded composite keys (same query/oracle code, but
-    # the standing rule is about the pair's MEANING: its evidence
-    # must be re-earned the round its engine semantics change).
-    "index_incremental_lookup",
-    # r12: CHANGED pair — streaming_index_lookup's engine path
-    # likewise (stream_index stamps enc/include and encodes keys v2).
-    # Already listed above as a new r12 pair.
-    #
-    # r12: NEW pair — COMPOSITE index (create_index(path, [a, b])):
-    # equality on the leading column + range on the next as one
-    # contiguous encoded-key scan, served index-only, maintained
-    # incrementally with per-component move retraction.
-    "index_composite_lookup",
-    # r12: NEW pair — cross-table SAVEPOINT/RESTORE (keyed/txn.py):
-    # a consistent {table: version} cut under all writer leases,
-    # restored as ONE atomic multi_commit of per-table rollbacks;
-    # the oracle recomputes the pre-mutation join from first
-    # principles, so a half-restored group fails the hash.
-    "savepoint_restore_roundtrip",
-    # r12: NEW pair — persisted column statistics (keyed/stats.py,
-    # ANALYZE TABLE): one-scan per-column counts/NDV/min-max stamped
-    # into the manifest meta-only; the oracle recomputes every number
-    # from first principles.
-    "analyze_column_stats",
-    # r12: NEW pair — IN-list lookup through the index (one pruned
-    # range scan per distinct probe, unioned; duplicates deduped).
-    "index_in_list_lookup",
-    # r12: NEW pair — persisted HEAVY-HITTER stats (analyze_keyed
-    # heavy_hitters=K, total-ordered top-K per column) — the measured
-    # input suggest_salt_factor turns into a salt factor.
-    "analyze_heavy_hitters",
+    # r13: reset to [] at round start (the r12 verdicts landed; the
+    # derived head is now the 38 r07-dated + 12 oldest r08-dated
+    # pairs per VERDICT r12 item 4).  Names are added below ONLY as
+    # their query/oracle code changes this round.
 ]
 
 # Number of head entries the driver's per-round budget is known to
