@@ -18,10 +18,16 @@ before "2").  So
 - a RANGE lookup (``index_range_lookup``) is the same scan with value
   bounds instead of a single prefix — ``BETWEEN`` resolved through the
   index at O(matching rows), the classic secondary-range-scan HBase
-  users hand-build with OrderedBytes rowkeys.  Float/decimal columns
-  keep their plain CAST-string encoding (equality-only; their string
-  form is not ordered) and refuse range lookups with a pointer to the
-  main table's zone maps;
+  users hand-build with OrderedBytes rowkeys.  Timestamps encode as
+  offset-padded unix MICROS (v4) — ordered by the instant, so the
+  encoding is independent of ``spark.sql.session.timeZone`` and
+  monotone across DST folds, where the rendered local string is not;
+  fixed-scale decimals (precision <= 35) encode their unscaled
+  integer offset-padded, the exact money-column range path.  Float
+  columns (and decimals above precision 35, whose shifted sum would
+  not fit decimal(38)) keep their plain CAST-string encoding
+  (equality-only; a float's string form is not ordered) and refuse
+  range lookups with a pointer to the main table's zone maps;
 - a COVERING index (``create_index(..., include=[...])``) stores the
   named extra columns in-row, and a lookup whose ``fields`` are all
   covered is served INDEX-ONLY — zero main-table bytes touched, the
@@ -102,27 +108,43 @@ _SUFFIX = "__kt_idx_"
 # whose stamp does not match refuses (the stored keys would mis-range),
 # and refresh_index resolves the mismatch by full rebuild.  v2 =
 # order-preserving integral encoding (offset + zero-pad); v3 = indexed
-# values stored under their real column names (composite support).
-_ENC = 3
+# values stored under their real column names (composite support);
+# v4 = TimestampType as offset-padded unix MICROS (the rendered local
+# string an index built under one session timezone stored would
+# silently mismatch probes from another, and is non-monotone across a
+# DST fall-back fold — r12 ADVICE) + fixed-scale decimals (precision
+# <= _DEC_MAX_P) as their offset-padded unscaled integer.
+_ENC = 4
 _I64_OFFSET = 2**63
+# Largest decimal precision the order-preserving encoding serves: the
+# shift arithmetic runs in decimal(p+2, s) operands whose sum type is
+# decimal(p+3, s), which must fit Spark's 38-digit ceiling EXACTLY —
+# past it Spark silently reduces the scale (rounds), corrupting order.
+_DEC_MAX_P = 35
 
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 
 
 def _orderable(dtype) -> bool:
-    """Types whose v2 encoding preserves the COLUMN order in the index
+    """Types whose v4 encoding preserves the COLUMN order in the index
     key order — the precondition for ``index_range_lookup``.  String is
     identity; boolean is 'false' < 'true'; integrals are offset+padded;
-    date/timestamp (both TZ and NTZ) CAST AS STRING is ISO-formatted,
+    TimestampType goes through unix MICROS (instant-ordered,
+    session-timezone-independent) and then the integral path;
+    fixed-scale decimals up to precision 35 offset+pad their unscaled
+    integer; date / TimestampNTZ CAST AS STRING is ISO-formatted,
     which compares lexicographically as it compares temporally (Spark
     prints no trailing fraction zeros, and fraction digits without
     trailing zeros compare lexicographically as numerically)."""
     from pyspark.sql.types import (
         DateType,
+        DecimalType,
         TimestampNTZType,
         TimestampType,
     )
 
+    if isinstance(dtype, DecimalType):
+        return dtype.precision <= _DEC_MAX_P
     return isinstance(
         dtype,
         (StringType, BooleanType, DateType, TimestampType, TimestampNTZType)
@@ -131,16 +153,37 @@ def _orderable(dtype) -> bool:
 
 
 def _encode_expr(col_expr, dtype):
-    """The indexed value as its composite-key string form (v2).
+    """The indexed value as its composite-key string form (v4).
     Integrals map through ``lpad(v + 2^63, 20, '0')`` — decimal(20,0)
     arithmetic, exact over the full int64 range (2^64-1 < 10^20) and
-    JVM-side end to end; everything else keeps CAST AS STRING."""
+    JVM-side end to end.  TimestampType maps to ``unix_micros`` first
+    (the stored INSTANT — ordering and probes are then independent of
+    ``spark.sql.session.timeZone``, and monotone across DST folds) and
+    reuses the integral path.  A decimal(p, s) with p <= 35 shifts by
+    ``10^(p-s)`` in decimal(p+2, s) operands (sum type decimal(p+3, s)
+    — exact; at 38 digits Spark would silently round), renders the
+    always-positive fixed-scale result, strips the point, and pads to
+    p+1 digits — the offset-padded unscaled integer.  Everything else
+    keeps CAST AS STRING."""
+    from pyspark.sql.types import DecimalType, TimestampType
+
+    if isinstance(dtype, TimestampType):
+        return _encode_expr(F.unix_micros(col_expr), LongType())
     if isinstance(dtype, _INTEGRAL):
         shifted = (
             col_expr.cast("decimal(20,0)")
             + F.lit(str(_I64_OFFSET)).cast("decimal(20,0)")
         ).cast("decimal(20,0)")
         return F.lpad(shifted.cast("string"), 20, "0")
+    if isinstance(dtype, DecimalType) and dtype.precision <= _DEC_MAX_P:
+        p, s = dtype.precision, dtype.scale
+        wide = f"decimal({p + 2},{s})"
+        shifted = col_expr.cast(wide) + F.lit(str(10 ** (p - s))).cast(wide)
+        return F.lpad(
+            F.regexp_replace(shifted.cast("string"), r"[.]", ""),
+            p + 1,
+            "0",
+        )
     return col_expr.cast("string")
 
 
@@ -148,8 +191,9 @@ def _encode_value(spark: SparkSession, value, dtype) -> str:
     """The probe value encoded exactly as ``_encode_expr`` encoded the
     column — local fast paths where the two provably agree (str/bool/
     int/date), one 1-row driver-side evaluation of the SAME expression
-    otherwise (timestamp fraction formatting and decimal scale padding
-    are not worth re-implementing in Python)."""
+    otherwise (timestamp session-timezone interpretation of naive
+    probes and decimal widening/scale rules are Spark semantics — not
+    worth re-implementing in Python)."""
     import datetime
 
     if isinstance(value, str) and isinstance(dtype, StringType):
@@ -270,6 +314,18 @@ def create_index(
         raise ValueError(
             f"include must not repeat indexed columns or the key "
             f"{key!r} — both are always covered (got {overlap})"
+        )
+    # the reserved-name / duplicate checks _cols enforces for the
+    # INDEXED columns apply to include too: include=["ref_key"] (or a
+    # repeated entry) would put duplicate column names into the index
+    # select and corrupt the index schema (r12 ADVICE)
+    if len(set(include)) != len(include):
+        raise ValueError(f"duplicate include columns: {include}")
+    bad_inc = [c for c in include if c in {"idx_key", "ref_key"}]
+    if bad_inc:
+        raise ValueError(
+            f"include columns {bad_inc} collide with the index's own "
+            f"schema (idx_key/ref_key); rename before indexing"
         )
     for c in cols:
         if isinstance(df.schema[c].dataType, StringType):
@@ -705,10 +761,17 @@ def index_range_lookup(
     range scan HBase users hand-build with OrderedBytes-encoded
     rowkeys.  Either bound may be None (open).  Requires an
     order-preserving value encoding for the RANGED column (string /
-    boolean / integral / date / timestamp); float and decimal columns
-    refuse — their CAST-string form is not ordered — with the main
-    table's zone maps as the scale path instead
-    (``read_keyed(zone_filter=...)``).
+    boolean / integral / date / timestamp / decimal up to precision
+    35); float columns (and wider decimals) refuse — their CAST-string
+    form is not ordered — with the main table's zone maps as the scale
+    path instead (``read_keyed(zone_filter=...)``).
+
+    TimestampType ranges are served through the v4 INSTANT encoding
+    (unix micros): bounds and stored keys are independent of
+    ``spark.sql.session.timeZone`` and monotone across DST folds.  A
+    NAIVE datetime bound is interpreted in the current session
+    timezone, exactly as Spark interprets the same literal in a
+    filter; pass an aware datetime for a timezone-pinned bound.
 
     For a COMPOSITE index, ``prefix`` gives equality values for the
     LEADING columns and the range applies to the NEXT column — the
@@ -741,8 +804,9 @@ def index_range_lookup(
         raise ValueError(
             f"index_range_lookup needs an order-preserving key encoding "
             f"and column {range_col!r} is {dtype} (string/boolean/"
-            f"integral/date/timestamp only); use the main table's zone "
-            f"maps (read_keyed(zone_filter=...)) for numeric ranges"
+            f"integral/date/timestamp/decimal(p<={_DEC_MAX_P}) only); "
+            f"use the main table's zone maps "
+            f"(read_keyed(zone_filter=...)) for float ranges"
         )
     base = (
         _encode_probe_prefix(spark, main_meta, cols, pvals) if pvals else ""
@@ -784,11 +848,22 @@ def index_in_lookup(
     vals = list(values)
     if not vals:
         raise ValueError("index_in_lookup needs at least one value")
-    prefixes = sorted({
+    # Drop any probe prefix that EXTENDS another selected prefix (for
+    # a composite index, ("a",) subsumes ("a", 5)): the shorter prefix
+    # already scans the longer one's whole key range, so keeping both
+    # would scan overlapping ranges and return duplicate rows on the
+    # index-only path (r12 ADVICE).  Sorted order puts every extension
+    # right after some prefix it extends, so checking the last KEPT
+    # prefix is a complete linear pass.
+    kept: list[str] = []
+    for pfx in sorted({
         _encode_probe_prefix(spark, main_meta, cols, v) for v in vals
-    })
+    }):
+        if kept and pfx.startswith(kept[-1]):
+            continue
+        kept.append(pfx)
     hits = None
-    for pfx in prefixes:
+    for pfx in kept:
         h = read_keyed(spark, ipath, start=pfx, stop=pfx[:-1] + "\x01")
         hits = h if hits is None else hits.unionByName(h)
     return _serve(spark, path, col, info, main_meta, hits, fields)

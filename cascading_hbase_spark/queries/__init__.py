@@ -85,6 +85,25 @@ _CHANGED_THIS_ROUND: list[str] = [
     # derived head is now the 38 r07-dated + 12 oldest r08-dated
     # pairs per VERDICT r12 item 4).  Names are added below ONLY as
     # their query/oracle code changes this round.
+    #
+    # r13: NEW pair — index RANGE lookup over a DECIMAL money column
+    # (the v4 order-preserving unscaled-integer encoding, VERDICT r12
+    # item 6).
+    "index_range_lookup_decimal",
+    # r13: NEW pair — index RANGE lookup over a TIMESTAMP column (v4
+    # unix-micros instant encoding: session-timezone-independent and
+    # DST-fold-monotone, closing the r12 ADVICE medium item).
+    "index_range_lookup_timestamp",
+    # r13: CHANGED pairs — the key-encoding bump to v4 changes the
+    # stored composite keys EVERY index pair's engine path writes
+    # (standing rule: evidence is re-earned the round the engine
+    # semantics under a pair change).
+    "index_incremental_lookup",
+    "index_range_lookup",
+    "index_covering_lookup",
+    "index_composite_lookup",
+    "index_in_list_lookup",
+    "streaming_index_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -398,6 +398,153 @@ def index_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_range_lookup_decimal",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 6
+                THEN 2 ELSE 1 END) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND CAST(round(o_totalprice * 100) AS BIGINT)
+            * (CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 = 6
+               THEN 2 ELSE 1 END)
+          BETWEEN 5000000 AND 15000000
+    """,
+)
+def index_range_lookup_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index RANGE lookup over a DECIMAL money column (r13,
+    ``keyed/index.py`` v4 encoding): a decimal(12,2) price encodes its
+    UNSCALED integer offset-padded (shift by ``10^(p-s)`` in
+    decimal(p+2, s) operands — exact; at Spark's 38-digit ceiling the
+    sum would silently round), so ``BETWEEN`` over the commonest range
+    predicate in practice — money — is ONE bucket-pruned index
+    key-range scan.  The price column is built EXACTLY from integer
+    cents (``cents / 100``), the filter is equivalent to a cents
+    filter, and the output returns the BIGINT cents so the value hash
+    is float-free.  Maintained incrementally across a mixed wave
+    (inserts, price-doubling moves crossing both bounds, deletes)
+    first."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+    from decimal import Decimal
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxd_"), "t")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        # exact: cents / 100 needs 2 fraction digits, the wide division
+        # result carries them losslessly before the narrowing cast
+        "price",
+        F.expr("cast(cast(cents as decimal(14,0)) / 100 as decimal(12,2))"),
+    )
+    seed = orders.filter(k % 4 != 3)
+    write_keyed(seed, path, "o_orderkey", retain=10)                   # v1
+    create_index(spark, path, "price")
+    wave = (
+        orders.filter(k % 4 == 3)  # inserts
+        .unionByName(  # value-moving updates: price doubles (exact —
+            # values stay under 10^10), crossing the bounds both ways
+            seed.filter(k % 10 == 6)
+            .withColumn("cents", F.col("cents") * 2)
+            .withColumn(
+                "price", (F.col("price") * 2).cast("decimal(12,2)")
+            )
+        )
+    )
+    write_keyed(wave, path, "o_orderkey", mode=SinkMode.APPEND)        # v2
+    delete_keyed(spark, path, orders.filter(k % 7 == 0).select("o_orderkey"))  # v3
+    refresh_index(spark, path, "price")  # incremental delta only
+    return index_range_lookup(
+        spark, path, "price", Decimal("50000.00"), Decimal("150000.00")
+    ).select("o_orderkey", "cents")
+
+
+@query(
+    "index_range_lookup_timestamp",
+    oracle="""
+    WITH t AS (
+        SELECT event_id,
+               CASE WHEN event_id % 4 <> 3 AND event_id % 10 = 0
+                    THEN ts + INTERVAL 10 DAY ELSE ts END AS ts_eff
+        FROM events
+    )
+    SELECT event_id, epoch_us(ts_eff) AS ts_us
+    FROM t
+    WHERE event_id % 7 <> 0
+      AND ts_eff >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts_eff <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def index_range_lookup_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index RANGE lookup over a TIMESTAMP column (r13,
+    ``keyed/index.py`` v4): TimestampType encodes as offset-padded
+    unix MICROS — ordered by the INSTANT, so the stored keys and the
+    aware-datetime probes are independent of
+    ``spark.sql.session.timeZone`` and monotone across DST folds,
+    where the v3 rendered-local-string encoding both inverted inside
+    the fall-back fold and silently mismatched probes from a session
+    under a different timezone (r12 ADVICE).  Maintained incrementally
+    across a wave whose +10-day moves push rows INTO the window and
+    deletes pull them out; the output returns unix micros as BIGINT so
+    the value hash is render-free on both engines."""
+    import datetime
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        write_keyed,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_idxt_"), "t")
+    k = F.col("event_id")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    seed = events.filter(k % 4 != 3)
+    write_keyed(seed, path, "event_id", retain=10)                     # v1
+    create_index(spark, path, "ts")
+    wave = (
+        events.filter(k % 4 == 3)  # inserts
+        .unionByName(  # instant-moving updates (+10 days crosses the
+            # window bound in both directions over the Jan data)
+            seed.filter(k % 10 == 0)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        )
+    )
+    write_keyed(wave, path, "event_id", mode=SinkMode.APPEND)          # v2
+    delete_keyed(spark, path, events.filter(k % 7 == 0).select("event_id"))  # v3
+    refresh_index(spark, path, "ts")  # incremental delta only
+    utc = datetime.timezone.utc
+    return index_range_lookup(
+        spark, path, "ts",
+        datetime.datetime(2024, 1, 10, tzinfo=utc),
+        datetime.datetime(2024, 1, 20, tzinfo=utc),
+        include_upper=False,
+    ).select("event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@query(
     "analyze_column_stats",
     oracle="""
     WITH t AS (

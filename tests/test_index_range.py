@@ -5,8 +5,12 @@ The reference's tables are reachable by row key only
 (HBaseTap.java:52-60); the HBase ecosystem answer to "range scan a
 non-key column" is a second table whose rowkey is an ORDER-PRESERVING
 encoding of the value (OrderedBytes) — these tests pin the engine-side
-analogue: ``lpad(v + 2^63, 20, '0')`` for integrals, ISO strings for
-date/timestamp, identity for strings.
+analogue: ``lpad(v + 2^63, 20, '0')`` for integrals, the same over
+``unix_micros`` for TimestampType (v4: instant-ordered and
+session-timezone-independent — the rendered local string both
+mismatches cross-timezone probes and inverts across a DST fall-back
+fold), offset-padded unscaled integers for decimals up to precision
+35, ISO strings for date/TimestampNTZ, identity for strings.
 """
 
 from __future__ import annotations
@@ -87,6 +91,199 @@ def test_temporal_and_string_encodings_order_preserving(spark):
         .collect()
     ]
     assert enc == sorted(enc), enc
+
+
+def test_decimal_encoding_order_preserving_and_matches_probe(spark):
+    """v4 decimal encoding (offset-padded unscaled integer): the
+    Spark-side encoded form sorts exactly like the values — negatives,
+    the zero crossing, sub-cent fractions, and both extremes of
+    decimal(12,2) — and the probe encoding (``_encode_value``, the
+    1-row driver-side evaluation of the same expression) produces
+    bit-identical strings."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    from cascading_hbase_spark.keyed.index import (
+        _encode_expr,
+        _encode_value,
+        _orderable,
+    )
+
+    dtype = DecimalType(12, 2)
+    assert _orderable(dtype)
+    vals = [
+        Decimal("-9999999999.99"), Decimal("-9999999999.98"),
+        Decimal("-100.50"), Decimal("-100.05"), Decimal("-0.01"),
+        Decimal("0.00"), Decimal("0.01"), Decimal("0.10"),
+        Decimal("1.00"), Decimal("2.00"), Decimal("10.00"),
+        Decimal("9999999999.98"), Decimal("9999999999.99"),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v decimal(12,2)")
+    enc = [
+        r.e
+        for r in df.select(_encode_expr(F.col("v"), dtype).alias("e"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert enc == sorted(enc), "encoded order diverged from value order"
+    assert all(len(e) == 13 for e in enc), "fixed-width padding broke"
+    local = [_encode_value(spark, v, dtype) for v in vals]
+    assert local == enc, "probe encoding != stored key encoding"
+
+
+def test_decimal_above_precision_35_stays_equality_only(spark, tmp_path):
+    """decimal(38, s) cannot ride the shift arithmetic (the sum type
+    would exceed Spark's 38-digit ceiling, where precision is reduced
+    by silent ROUNDING): such columns stay on the CAST-string equality
+    encoding and range lookups refuse with the zone-map pointer."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    from cascading_hbase_spark.keyed.index import (
+        _orderable,
+        create_index,
+        index_lookup,
+        index_range_lookup,
+    )
+
+    assert not _orderable(DecimalType(38, 10))
+    assert not _orderable(DecimalType(36, 0))
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, Decimal(i) / 4) for i in range(8)],
+        "k int, v decimal(38,10)",
+    )
+    create_index(spark, path, "v")
+    got = index_lookup(spark, path, "v", Decimal("0.75")).collect()
+    assert [r.k for r in got] == [3]
+    with pytest.raises(ValueError, match="zone maps"):
+        index_range_lookup(spark, path, "v", Decimal("0"), Decimal("1"))
+
+
+def test_timestamp_encoding_instant_ordered_across_dst_fold(spark):
+    """The v4 TimestampType encoding orders by the INSTANT.  Across the
+    America/Los_Angeles 2024-11-03 fall-back fold the RENDERED local
+    string inverts (08:30Z renders 01:30:00 PDT, the later 09:15Z
+    renders 01:15:00 PST — the r12 ADVICE failure mode); unix-micros
+    encoding stays monotone."""
+    from pyspark.sql.types import TimestampType
+
+    from cascading_hbase_spark.keyed.index import _encode_expr
+
+    utc = datetime.timezone.utc
+    ts = [  # strictly increasing instants straddling the fold
+        datetime.datetime(2024, 11, 3, 7, 45, tzinfo=utc),   # 00:45 PDT
+        datetime.datetime(2024, 11, 3, 8, 30, tzinfo=utc),   # 01:30 PDT
+        datetime.datetime(2024, 11, 3, 9, 15, tzinfo=utc),   # 01:15 PST!
+        datetime.datetime(2024, 11, 3, 10, 5, tzinfo=utc),   # 02:05 PST
+    ]
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+        rendered = [
+            r.s for r in
+            df.select(F.col("t").cast("string").alias("s"), "t")
+            .orderBy("t").collect()
+        ]
+        assert rendered != sorted(rendered), (
+            "fixture lost its point: the rendered local strings should "
+            "invert across the fold"
+        )
+        enc = [
+            r.e for r in
+            df.select(_encode_expr(F.col("t"), TimestampType()).alias("e"), "t")
+            .orderBy("t").collect()
+        ]
+        assert enc == sorted(enc), "v4 timestamp encoding not instant-monotone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_timestamp_index_probe_across_session_timezones(spark, tmp_path):
+    """An index on a TimestampType column built under one session
+    timezone serves equality and range probes issued under a DIFFERENT
+    session timezone (the r12 ADVICE: the v3 rendered-string encoding
+    silently returned empty results here).  Aware-datetime probes pin
+    the instant explicitly."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        index_range_lookup,
+    )
+
+    utc = datetime.timezone.utc
+    base = datetime.datetime(2024, 3, 1, 12, 0, tzinfo=utc)
+    rows = [
+        (i, base + datetime.timedelta(hours=i)) for i in range(8)
+    ]
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        path, _ = _mk(spark, tmp_path, rows, "k int, t timestamp")
+        create_index(spark, path, "t")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = index_lookup(
+            spark, path, "t", base + datetime.timedelta(hours=3)
+        ).collect()
+        assert [r.k for r in got] == [3]
+        got = index_range_lookup(
+            spark, path, "t",
+            base + datetime.timedelta(hours=2),
+            base + datetime.timedelta(hours=5),
+            include_upper=False,
+        )
+        assert sorted(r.k for r in got.collect()) == [2, 3, 4]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_decimal_range_lookup_matches_filter_across_wave(spark, tmp_path):
+    """End-to-end: a decimal(10,2) money column, incrementally
+    maintained across inserts / value-moves / deletes, then ranged
+    through the index — result equals the main-table filter."""
+    from decimal import Decimal
+
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_range_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        SinkMode,
+        delete_keyed,
+        read_keyed,
+        write_keyed,
+    )
+
+    cents = lambda i: Decimal(i * 37 % 500 - 250) / 4  # noqa: E731
+    rows = [(i, cents(i)) for i in range(24)]
+    path, _ = _mk(
+        spark, tmp_path, rows, "k int, v decimal(10,2)", retain=10
+    )
+    create_index(spark, path, "v")
+    wave = spark.createDataFrame(
+        [(i, cents(i) * 2) for i in range(0, 24, 5)]
+        + [(100 + i, cents(i) + Decimal("0.01")) for i in range(4)],
+        "k int, v decimal(10,2)",
+    )
+    write_keyed(wave, path, "k", mode=SinkMode.APPEND)
+    delete_keyed(
+        spark, path,
+        spark.createDataFrame([(i,) for i in range(0, 24, 7)], "k int"),
+    )
+    refresh_index(spark, path, "v")
+    lo, hi = Decimal("-20.00"), Decimal("30.25")
+    got = sorted(
+        r.k for r in index_range_lookup(spark, path, "v", lo, hi).collect()
+    )
+    want = sorted(
+        r.k for r in read_keyed(spark, path)
+        .filter((F.col("v") >= lo) & (F.col("v") <= hi)).collect()
+    )
+    assert got == want and got, (got, want)
 
 
 @settings(max_examples=_examples(20), deadline=None)
@@ -671,6 +868,83 @@ def test_stale_encoding_refused_then_rebuilt(spark, tmp_path):
         index_range_lookup(spark, path, "v", 1, 2, check_fresh=False)
     refresh_index(spark, path, "v")  # rebuild resolves
     assert [r.k for r in index_lookup(spark, path, "v", 3).collect()] == [3]
+
+
+def test_v3_encoded_index_refused_then_rebuilt(spark, tmp_path):
+    """An index stamped enc=3 (rendered-string timestamps, CAST-string
+    decimals) must refuse v4 lookups — a v4-encoded probe would
+    mis-range against its stored keys — and refresh_index resolves by
+    full rebuild, re-stamping v4."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        _index_meta_commit,
+        _index_path,
+        _load_meta,
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+
+    path, _ = _mk(spark, tmp_path, [(i, i * 3) for i in range(8)], "k int, v long")
+    create_index(spark, path, "v")
+
+    def downgrade(info):
+        info["enc"] = 3
+
+    _index_meta_commit(_index_path(path, "v"), downgrade)
+    with pytest.raises(StaleIndexError, match="v3"):
+        index_lookup(spark, path, "v", 9, check_fresh=False)
+    refresh_index(spark, path, "v")
+    assert _load_meta(_index_path(path, "v"))["index_of"]["enc"] == 4
+    assert [r.k for r in index_lookup(spark, path, "v", 9).collect()] == [3]
+
+
+def test_include_reserved_and_duplicate_names_refused(spark, tmp_path):
+    """include=["ref_key"/"idx_key"] (or a repeated entry) would put
+    duplicate column names into the index select and corrupt the index
+    schema — refused at create_index, same as for indexed columns
+    (r12 ADVICE)."""
+    from cascading_hbase_spark.keyed.index import create_index
+
+    path, _ = _mk(
+        spark, tmp_path,
+        [(i, i * 3, f"p{i}", i, i) for i in range(4)],
+        "k int, v long, p string, ref_key int, idx_key int",
+    )
+    with pytest.raises(ValueError, match="idx_key/ref_key"):
+        create_index(spark, path, "v", include=["ref_key"])
+    with pytest.raises(ValueError, match="idx_key/ref_key"):
+        create_index(spark, path, "v", include=["idx_key"])
+    with pytest.raises(ValueError, match="duplicate include"):
+        create_index(spark, path, "v", include=["p", "p"])
+
+
+def test_in_lookup_subsuming_prefixes_no_duplicates(spark, tmp_path):
+    """For a composite index, a probe list where one tuple is a leading
+    prefix of another (("A",) subsumes ("A", 5)) must not scan
+    overlapping key ranges: the r12 ADVICE found the INDEX-ONLY path
+    returned duplicate rows for keys matched by both scans.  The
+    shorter prefix wins; row multiplicity matches the main table on
+    both the covered and the semi-join path."""
+    from cascading_hbase_spark.keyed.index import create_index, index_in_lookup
+
+    rows = [(i, "A" if i % 2 == 0 else "B", i % 3) for i in range(12)]
+    path, _ = _mk(spark, tmp_path, rows, "k int, p string, v long")
+    create_index(spark, path, ["p", "v"])
+    want = sorted(k for k, p, v in rows if p == "A")
+    # covered (index-only) path: fields all in {key, indexed}
+    got = index_in_lookup(
+        spark, path, ["p", "v"], [("A",), ("A", 0)], fields=["k"]
+    ).collect()
+    assert sorted(r.k for r in got) == want, "covered path duplicated rows"
+    # semi-join path (full rows)
+    got = index_in_lookup(
+        spark, path, ["p", "v"], [("A", 0), ("A",), ("B", 1)]
+    ).collect()
+    want2 = sorted(
+        k for k, p, v in rows if p == "A" or (p == "B" and v == 1)
+    )
+    assert sorted(r.k for r in got) == want2
 
 
 # ---------------------------------------------------------------------------
