@@ -97,6 +97,39 @@ _ATOMIC = (
 )
 
 
+def _heavy_hitters_df(df: DataFrame, cols: list[str], k: int) -> DataFrame:
+    """Top-``k`` values per column, from ONE scan of ``df`` regardless
+    of ``len(cols)``: every row explodes map-side into one ``(col,
+    value)`` pair per analyzed column (nulls dropped — not-a-value),
+    one map-side-combined groupBy counts the pairs, and one window
+    ranks each column's distincts under the TOTAL order (count desc,
+    value asc — ties never make the stored list engine-dependent).
+    Returns ``(col, v, count)`` ordered by (col, rank)."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.col", "p.v").filter(F.col("v").isNotNull())
+    counts = pairs.groupBy("col", "v").count()
+    rn = F.row_number().over(
+        Window.partitionBy("col").orderBy(F.desc("count"), F.asc("v"))
+    )
+    return (
+        counts.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .orderBy("col", "_rn")
+        .drop("_rn")
+    )
+
+
 def analyze_keyed(
     spark: SparkSession,
     path: str,
@@ -111,13 +144,16 @@ def analyze_keyed(
     snapshot with the same configuration is a no-op.
 
     ``heavy_hitters=K`` additionally records each analyzed ATOMIC
-    column's top-K values by frequency — one groupBy per column
-    (map-side combine crushes the shuffle: a skewed column by
-    definition concentrates its mass in few keys, so the partial
-    aggregates are small even at 100 TB; the bounded-memory
-    Misra-Gries variant lives in ``queries/skew.py`` for when even
-    the distinct-key set is hostile).  Heavy hitters are what
-    ``suggest_salt_factor`` and broadcast-vs-shuffle decisions
+    column's top-K values by frequency — in ONE job over ONE table
+    scan regardless of column count (r13; the r12 cut re-scanned the
+    table once per column, a real multiplier at 100 TB): the columns
+    explode to ``(col, value)`` pairs map-side, one map-side-combined
+    groupBy counts them (a skewed column by definition concentrates
+    its mass in few keys, so the partials stay small even at 100 TB),
+    and one per-column top-K window ranks the counted distincts (the
+    bounded-memory Misra-Gries variant lives in ``queries/skew.py``
+    for when even the distinct-key set is hostile).  Heavy hitters are
+    what ``suggest_salt_factor`` and broadcast-vs-shuffle decisions
     consult."""
     meta = _load_meta(path)
     version = meta["version"]
@@ -151,6 +187,18 @@ def analyze_keyed(
     row = df.agg(*aggs).collect()[0].asDict()
 
     n = int(row["__n"])
+    hh_by_col: dict[str, list] = {}
+    if heavy_hitters > 0:
+        hh_cols = [
+            c for c in columns if isinstance(df.schema[c].dataType, _ATOMIC)
+        ]
+        if hh_cols:
+            for r in _heavy_hitters_df(df, hh_cols, heavy_hitters).collect():
+                hh_by_col.setdefault(r.col, []).append(
+                    {"value": r.v, "count": int(r["count"])}
+                )
+            for c in hh_cols:  # all-null columns still record []
+                hh_by_col.setdefault(c, [])
     cols_out = {}
     for i, c in enumerate(columns):
         ent = {
@@ -161,21 +209,8 @@ def analyze_keyed(
         if f"mn_{i}" in row:
             ent["min"] = row[f"mn_{i}"]
             ent["max"] = row[f"mx_{i}"]
-        if heavy_hitters > 0 and isinstance(df.schema[c].dataType, _ATOMIC):
-            col = F.col(c)
-            top = (
-                df.filter(col.isNotNull())
-                .groupBy(col.cast("string").alias("v"))
-                .count()
-                # total order: count desc, value asc — ties never make
-                # the stored list engine-dependent
-                .orderBy(F.desc("count"), F.asc("v"))
-                .limit(heavy_hitters)
-                .collect()
-            )
-            ent["heavy_hitters"] = [
-                {"value": r.v, "count": int(r["count"])} for r in top
-            ]
+        if c in hh_by_col:
+            ent["heavy_hitters"] = hh_by_col[c]
         cols_out[c] = ent
 
     with _writer_lock(path):

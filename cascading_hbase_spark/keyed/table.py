@@ -154,18 +154,98 @@ def _load_history(path: str, version: int) -> dict | None:
 def _write_history(path: str, meta: dict) -> None:
     """Snapshot the just-committed manifest into the commit log and
     prune entries beyond HISTORY_KEEP (the JSONs are tiny, but the log
-    must not grow unboundedly over thousands of appends)."""
+    must not grow unboundedly over thousands of appends).  Manifests a
+    LIVE savepoint covers are never pruned — the restore needs exactly
+    that snapshot's pointers (r13; expired savepoints stop pinning)."""
     hdir = os.path.join(path, HISTORY_DIR)
     version = meta["version"]
     _cp().write_json_atomic(_history_path(path, version), meta)
+    pinned = {
+        e.get("version") for e in _live_savepoints(path).values()
+    }
     for name in _cp().list_names(hdir):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 v = int(name[1:-5])
             except ValueError:
                 continue
-            if v <= version - HISTORY_KEEP:
+            if v <= version - HISTORY_KEEP and v not in pinned:
                 _cp().delete_quiet(os.path.join(hdir, name))
+
+
+# ---------------------------------------------------------------------------
+# Savepoint registry (r13) — the retention-awareness seam
+# ---------------------------------------------------------------------------
+#
+# ``txn.savepoint_keyed`` registers its cut here, per covered table, so
+# retention decisions made LOCALLY on one table (per-commit GC, vacuum,
+# history pruning) know a cross-table restore point depends on one of
+# their snapshots.  The registry lives OUTSIDE the versioned manifest
+# (a sibling object, like the writer lock): registering a savepoint is
+# not a commit, a rollback does not silently deregister the savepoint
+# it was taken from, and the no-op/fingerprint identities of meta-only
+# commits are untouched.
+
+SAVEPOINTS_FILE = "_kt_savepoints.json"
+
+
+class SavepointPinnedError(RuntimeError):
+    """``vacuum_keyed`` would garbage-collect a snapshot a LIVE
+    registered savepoint still covers; release the savepoint (or pass
+    ``force=True``, which deregisters the crossed savepoints) first."""
+
+
+def _savepoints_key(path: str) -> str:
+    return os.path.join(path, SAVEPOINTS_FILE)
+
+
+def _load_savepoints(path: str) -> dict:
+    try:
+        doc = _cp().read_json(_savepoints_key(path))
+    except (FileNotFoundError, NotADirectoryError):
+        return {}
+    return doc.get("savepoints", {})
+
+
+def _save_savepoints(path: str, sps: dict) -> None:
+    key = _savepoints_key(path)
+    if sps:
+        _cp().write_json_atomic(key, {"savepoints": sps})
+    else:
+        _cp().delete_quiet(key)
+
+
+def _live_savepoints(path: str, now: float | None = None) -> dict:
+    """Unexpired registered savepoints.  Expiry is evaluated at READ
+    time (an expired entry stops pinning immediately); the stale bytes
+    are physically dropped by the next locked writer (``_gc_orphans``
+    / ``vacuum_keyed``)."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    return {
+        i: e for i, e in _load_savepoints(path).items()
+        if e.get("expires_at") is None or e["expires_at"] > now
+    }
+
+
+def register_savepoint(
+    path: str, sp_id: str, version: int, expires_at: float | None = None
+) -> None:
+    """Record that savepoint ``sp_id`` depends on snapshot ``version``
+    of this table.  Caller must hold the table's writer lease (the
+    savepoint cut does)."""
+    sps = _load_savepoints(path)
+    sps[sp_id] = {"version": int(version), "expires_at": expires_at}
+    _save_savepoints(path, sps)
+
+
+def deregister_savepoint(path: str, sp_id: str) -> None:
+    """Drop ``sp_id``'s pin on this table (idempotent)."""
+    with _writer_lock(path):
+        sps = _load_savepoints(path)
+        if sps.pop(sp_id, None) is not None:
+            _save_savepoints(path, sps)
 
 
 def list_generations(path: str) -> list[int]:
@@ -350,6 +430,22 @@ def _gc_orphans(path: str, meta: dict) -> None:
         h = _load_history(path, v)
         if h:
             _add(h.get("gens", {}))
+    # LIVE registered savepoints pin their snapshot's generations past
+    # the retain window (r13): the per-commit GC must never collect a
+    # snapshot a cross-table restore still depends on.  Expired
+    # registry entries are dropped here (this runs under the writer
+    # lock on every commit) — that is how an expired savepoint's
+    # storage is actually reclaimed.
+    all_sps = _load_savepoints(path)
+    live_sps = _live_savepoints(path)
+    if len(live_sps) != len(all_sps):
+        _save_savepoints(path, live_sps)
+    for ent in live_sps.values():
+        v = ent.get("version")
+        if v and v < version:
+            h = _load_history(path, v)
+            if h:
+                _add(h.get("gens", {}))
     for d in _cp().list_names(path):
         if not d.startswith(BUCKET_COL + "="):
             continue
@@ -1051,7 +1147,13 @@ def _meta_at(path: str, generation: int | None) -> dict:
         cur.get("version", 1) - cur.get("retain", DEFAULT_RETAIN) + 1,
         cur.get("vacuum_horizon", 1),
     )
-    if generation < horizon:
+    if generation < horizon and generation not in {
+        e.get("version") for e in _live_savepoints(path).values()
+    }:
+        # a LIVE registered savepoint keeps its snapshot readable past
+        # the retain window — its generations are exactly what the
+        # per-commit GC pins (r13); everything else below the horizon
+        # stays deterministically unreadable
         raise FileNotFoundError(
             f"generation {generation} of keyed table {path} has been "
             f"garbage-collected (retention horizon is v{horizon}); raise "
@@ -1943,7 +2045,7 @@ def describe_keyed(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum_keyed(path: str, retain: int = 1) -> None:
+def vacuum_keyed(path: str, retain: int = 1, force: bool = False) -> None:
     """Eagerly garbage-collect generation directories beyond the last
     ``retain`` commits — the manual space-reclaim lever (the automatic
     per-commit GC honors the table's standing ``retain`` policy; this
@@ -1958,11 +2060,40 @@ def vacuum_keyed(path: str, retain: int = 1) -> None:
     time-travel reads below it fail loudly and deterministically —
     including generations whose files survive the GC because a
     retained snapshot shares every bucket pointer with them (a no-op
-    commit makes that common)."""
+    commit makes that common).
+
+    A LIVE registered savepoint below the requested horizon REFUSES
+    the vacuum (``SavepointPinnedError``) — a routine GC must never
+    silently invalidate the safety net an operator took before risky
+    maintenance (r13; the restore already refused loudly after the
+    fact, but the operator discovered the net was gone exactly when
+    they needed it).  ``force=True`` proceeds AND deregisters the
+    crossed savepoints — a force-vacuumed savepoint is gone, not
+    lingering as a trap.  Expired savepoints never pin and are
+    collected here."""
     if retain < 1:
         raise ValueError(f"retain must be >= 1, got {retain}")
     with _writer_lock(path):
         meta = _load_meta(path)
+        all_sps = _load_savepoints(path)
+        live_sps = _live_savepoints(path)
+        req_horizon = meta.get("version", 1) - retain + 1
+        crossed = {
+            i: e for i, e in live_sps.items()
+            if e.get("version", 1) < req_horizon
+        }
+        if crossed and not force:
+            raise SavepointPinnedError(
+                f"vacuum_keyed(retain={retain}) would garbage-collect "
+                f"snapshots covered by live savepoint(s) "
+                f"{sorted(crossed)} of keyed table {path} (versions "
+                f"{sorted(e['version'] for e in crossed.values())} < "
+                f"horizon v{req_horizon}); release_savepoint first, or "
+                f"force=True to vacuum AND deregister them"
+            )
+        kept = {i: e for i, e in live_sps.items() if i not in crossed}
+        if kept != all_sps:
+            _save_savepoints(path, kept)
         # Persist the horizon BEFORE deleting anything: a crash between
         # the two must leave sub-horizon generations loudly unreadable
         # (the contract), never silently readable-again.  GC is

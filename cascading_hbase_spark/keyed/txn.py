@@ -99,6 +99,7 @@ __all__ = [
     "TxnIntegrityError",
     "multi_commit",
     "recover_multi_commit",
+    "release_savepoint",
     "restore_savepoint",
     "savepoint_keyed",
 ]
@@ -453,23 +454,38 @@ class SavepointError(RuntimeError):
     table's retention window."""
 
 
-def savepoint_keyed(paths: list[str]) -> dict:
+def savepoint_keyed(
+    paths: list[str],
+    name: str | None = None,
+    expires_at: float | None = None,
+) -> dict:
     """A CONSISTENT cross-table cut: ``{path: {"version": v,
-    "table_id": id}}``, taken with every table's writer lease held
-    (sorted acquisition, the same order the commit protocol uses) so
-    the cut can never split a ``multi_commit`` transaction — either
-    all of a transaction's flips are inside the cut or none are.
-    Driver-side metadata reads only; no data is copied (the snapshot
-    IS the manifest history, like ``rollback_keyed``'s time travel).
+    "table_id": id}}`` plus a ``"_sp"`` identity entry, taken with
+    every table's writer lease held (sorted acquisition, the same
+    order the commit protocol uses) so the cut can never split a
+    ``multi_commit`` transaction — either all of a transaction's flips
+    are inside the cut or none are.  Driver-side metadata reads only;
+    no data is copied (the snapshot IS the manifest history, like
+    ``rollback_keyed``'s time travel).
 
-    The savepoint is advisory, not pinning: ``retain`` /
-    ``vacuum_keyed`` do not know about it, so size the retention
-    window to the savepoint's intended lifetime — a restore past the
-    horizon refuses loudly, never resurrects GC'd generations."""
+    The savepoint is REGISTERED in every covered table's savepoint
+    registry under the same held leases (r13): the per-commit GC and
+    history pruning PIN the covered snapshots past the retain window,
+    and ``vacuum_keyed`` refuses to cross a live savepoint (a routine
+    GC must not silently invalidate the safety net) unless forced.
+    ``expires_at`` (epoch seconds) bounds the pin — an expired
+    savepoint stops pinning immediately and its registry entry is
+    collected by the next locked writer — so a forgotten savepoint
+    can never pin 100 TB of history forever; ``None`` pins until
+    ``release_savepoint``.  ``name`` overrides the generated id (a
+    re-registration under the same name replaces the old pin)."""
     if not paths:
         raise ValueError("savepoint_keyed needs at least one table path")
+    from cascading_hbase_spark.keyed.table import register_savepoint
+
+    sp_id = name or uuid.uuid4().hex[:12]
     cp = get_control_plane()
-    out = {}
+    out: dict = {}
     with contextlib.ExitStack() as stack:
         for p in sorted(set(paths)):
             stack.enter_context(cp.writer_lease(p.rstrip("/")))
@@ -484,7 +500,30 @@ def savepoint_keyed(paths: list[str]) -> dict:
                 "version": meta.get("version", 1),
                 "table_id": meta.get("table_id"),
             }
+        for p in paths:
+            register_savepoint(
+                p, sp_id, out[p]["version"], expires_at=expires_at
+            )
+    out["_sp"] = {"id": sp_id, "expires_at": expires_at}
     return out
+
+
+def release_savepoint(sp: dict) -> None:
+    """Drop a registered savepoint's pins from every table it covers
+    (idempotent — releasing twice, or after a force-vacuum already
+    deregistered it, is a no-op).  The freed snapshots become ordinary
+    history: collected by the next commit's GC once outside the retain
+    window."""
+    info = sp.get("_sp")
+    if not info:
+        raise ValueError(
+            "release_savepoint: savepoint dict carries no '_sp' "
+            "identity (pre-registration savepoint?); nothing to release"
+        )
+    from cascading_hbase_spark.keyed.table import deregister_savepoint
+
+    for p in sorted(k for k in sp if not k.startswith("_")):
+        deregister_savepoint(p, info["id"])
 
 
 def restore_savepoint(sp: dict, txn_log: str | None = None) -> None:
@@ -504,6 +543,7 @@ def restore_savepoint(sp: dict, txn_log: str | None = None) -> None:
     a commit; the second restore rolls back over the first)."""
     from cascading_hbase_spark.keyed.table import _load_meta, rollback_keyed
 
+    sp = {p: e for p, e in sp.items() if not p.startswith("_")}
     if not sp:
         raise ValueError("restore_savepoint: empty savepoint")
     for p, ent in sorted(sp.items()):

@@ -113,6 +113,17 @@ _CHANGED_THIS_ROUND: list[str] = [
     # persisted row-count/width stats pick F.broadcast at plan time,
     # stale stats conservatively shuffle.
     "stats_broadcast_join",
+    # r13: CHANGED pair — savepoint_keyed now REGISTERS its cut in
+    # every covered table (retention-aware savepoints: GC/history
+    # pruning pin the covered snapshots, vacuum refuses to cross a
+    # live savepoint, expiry collects) — the pair's engine path
+    # changed, so its evidence is re-earned this round.
+    "savepoint_restore_roundtrip",
+    # r13: CHANGED pair — analyze_keyed's heavy-hitter pass now runs
+    # as ONE job over ONE scan for all columns (explode + one groupBy
+    # + one per-column top-K window) instead of a groupBy per column;
+    # same stored lists, different engine path.
+    "analyze_heavy_hitters",
 ]
 
 # Number of head entries the driver's per-round budget is known to

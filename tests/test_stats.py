@@ -163,6 +163,45 @@ def _mk_analyzed(spark, tmp_path, name, skewed, heavy_hitters=4):
     return path, read_keyed(spark, path)
 
 
+def test_heavy_hitters_single_scan_all_columns(spark, tmp_path):
+    """The heavy-hitter pass costs ONE scan of the table regardless of
+    how many columns are analyzed (r13; the r12 cut re-scanned per
+    column): the plan of the shared top-K frame contains exactly one
+    table scan, and the recorded lists match the r12 per-column
+    semantics exactly."""
+    from cascading_hbase_spark.keyed.stats import _heavy_hitters_df
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, "hot" if i % 2 == 0 else f"c{i % 10}",
+         7 if i % 3 == 0 else i % 50)
+        for i in range(90)
+    ]
+    write_keyed(
+        spark.createDataFrame(rows, "k int, cat string, v long"),
+        path, "k", retain=10,
+    )
+    df = read_keyed(spark, path)
+    hh = _heavy_hitters_df(df, ["cat", "v"], 3)
+    plan = _plan(hh)
+    assert plan.count("Scan parquet") == 1, plan
+    # exact per-column top-K under the (count desc, value asc) order
+    analyze_keyed(spark, path, exact=True, heavy_hitters=3)
+    got = table_stats(path)["columns"]
+    from collections import Counter
+
+    for col in ("cat", "v"):
+        idx = 1 if col == "cat" else 2
+        cnt = Counter(str(r[idx]) for r in rows)
+        want = sorted(
+            cnt.items(), key=lambda t: (-t[1], t[0])
+        )[:3]
+        assert [
+            (e["value"], e["count"]) for e in got[col]["heavy_hitters"]
+        ] == want, col
+
+
 def test_auto_salt_flips_agg_plan_on_stats(spark, tmp_path):
     """n_salt='auto' resolves from the PERSISTED heavy hitters: a
     measured hot key plans the two-phase salted aggregate (the _salt

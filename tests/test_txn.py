@@ -493,12 +493,15 @@ def test_savepoint_restore_refuses_replaced_incarnation(spark, tmp_path):
 
 
 def test_savepoint_restore_aborts_atomically_past_horizon(spark, tmp_path):
-    """One table's savepoint version fell below its retention horizon;
-    the OTHER table's rollback was already staged (it sorts first) —
-    the restore must abort with NEITHER table changed."""
+    """One table's savepoint version fell below its retention horizon
+    (the savepoint was RELEASED first — registered savepoints pin
+    their snapshots, r13); the OTHER table's rollback was already
+    staged (it sorts first) — the restore must abort with NEITHER
+    table changed."""
     from cascading_hbase_spark.keyed.table import table_version
     from cascading_hbase_spark.keyed.txn import (
         SavepointError,
+        release_savepoint,
         restore_savepoint,
         savepoint_keyed,
     )
@@ -509,6 +512,7 @@ def test_savepoint_restore_aborts_atomically_past_horizon(spark, tmp_path):
     write_keyed(_df(spark, [(1, "a", 1.0)]), aa, "id", retain=10)
     write_keyed(_df(spark, [(7, "x", 7.0)]), zz, "id", retain=2)
     sp = savepoint_keyed([aa, zz])
+    release_savepoint(sp)  # pins gone: retention may now cross the cut
     write_keyed(_df(spark, [(2, "b", 2.0)]), aa, "id", mode=SinkMode.APPEND)
     for i in range(4):  # push zz's horizon past the savepoint
         write_keyed(
@@ -520,6 +524,130 @@ def test_savepoint_restore_aborts_atomically_past_horizon(spark, tmp_path):
         restore_savepoint(sp)
     assert table_version(aa) == v_aa, "aa flipped despite the abort"
     assert read_keyed(spark, aa).count() == 2  # mutation still there
+
+
+def test_registered_savepoint_survives_retention_window(spark, tmp_path):
+    """The r13 pinning story: a registered savepoint's snapshot stays
+    restorable even after MORE commits than the table's retain window
+    — the per-commit GC pins the covered generations and the history
+    log keeps the covered manifest."""
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=2)
+    sp = savepoint_keyed([a])
+    for i in range(5):  # well past retain=2
+        write_keyed(
+            _df(spark, [(10 + i, "m", float(i))]), a, "id",
+            mode=SinkMode.APPEND,
+        )
+    restore_savepoint(sp)
+    assert sorted(r.id for r in read_keyed(spark, a).collect()) == [1]
+
+
+def test_vacuum_refuses_live_savepoint_then_force(spark, tmp_path):
+    """vacuum_keyed against a live savepoint refuses loudly BEFORE
+    collecting (the operator learns the net would break, not that it
+    broke); force=True vacuums AND deregisters, after which the
+    restore refuses past the horizon as before."""
+    from cascading_hbase_spark.keyed.table import (
+        SavepointPinnedError,
+        _load_savepoints,
+        vacuum_keyed,
+    )
+    from cascading_hbase_spark.keyed.txn import (
+        SavepointError,
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=10)
+    sp = savepoint_keyed([a])
+    write_keyed(_df(spark, [(2, "b", 2.0)]), a, "id", mode=SinkMode.APPEND)
+    with pytest.raises(SavepointPinnedError, match="release_savepoint"):
+        vacuum_keyed(a, retain=1)
+    restore_savepoint(sp)  # the refusal preserved restorability
+    assert read_keyed(spark, a).count() == 1
+    # re-mutate, then force: collected AND deregistered
+    write_keyed(_df(spark, [(3, "c", 3.0)]), a, "id", mode=SinkMode.APPEND)
+    vacuum_keyed(a, retain=1, force=True)
+    assert _load_savepoints(a) == {}
+    with pytest.raises(SavepointError, match="horizon"):
+        restore_savepoint(sp)
+
+
+def test_expired_savepoint_stops_pinning_and_collects(spark, tmp_path):
+    """An expired savepoint never pins: vacuum proceeds without force,
+    the next locked writer drops the registry entry, and a restore
+    whose snapshot was collected refuses loudly."""
+    import time
+
+    from cascading_hbase_spark.keyed.table import (
+        _load_savepoints,
+        vacuum_keyed,
+    )
+    from cascading_hbase_spark.keyed.txn import (
+        SavepointError,
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=2)
+    sp = savepoint_keyed([a], expires_at=time.time() - 1.0)  # born dead
+    assert sp["_sp"]["expires_at"] is not None
+    write_keyed(_df(spark, [(2, "b", 2.0)]), a, "id", mode=SinkMode.APPEND)
+    # the commit's GC collected the expired registry entry
+    assert _load_savepoints(a) == {}
+    vacuum_keyed(a, retain=1)  # no refusal: nothing live pins
+    with pytest.raises(SavepointError, match="horizon"):
+        restore_savepoint(sp)
+
+
+def test_release_savepoint_idempotent(spark, tmp_path):
+    from cascading_hbase_spark.keyed.table import _load_savepoints
+    from cascading_hbase_spark.keyed.txn import (
+        release_savepoint,
+        savepoint_keyed,
+    )
+
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=10)
+    sp = savepoint_keyed([a], name="predeploy")
+    assert "predeploy" in _load_savepoints(a)
+    release_savepoint(sp)
+    assert _load_savepoints(a) == {}
+    release_savepoint(sp)  # idempotent
+    with pytest.raises(ValueError, match="_sp"):
+        release_savepoint({a: {"version": 1, "table_id": "x"}})
+
+
+def test_savepoint_pins_history_log_past_history_keep(
+    spark, tmp_path, monkeypatch
+):
+    """HISTORY_KEEP pruning skips manifests a live savepoint covers —
+    the restore needs exactly that snapshot's pointers (r13)."""
+    from cascading_hbase_spark.keyed import table as kt
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    monkeypatch.setattr(kt, "HISTORY_KEEP", 3)
+    a = str(tmp_path / "a")
+    write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=10)
+    sp = savepoint_keyed([a])
+    for i in range(6):  # far past HISTORY_KEEP=3
+        write_keyed(
+            _df(spark, [(10 + i, "m", float(i))]), a, "id",
+            mode=SinkMode.APPEND,
+        )
+    restore_savepoint(sp)
+    assert sorted(r.id for r in read_keyed(spark, a).collect()) == [1]
 
 
 def test_savepoint_cut_is_transaction_aligned(spark, chain):
