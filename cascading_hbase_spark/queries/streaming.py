@@ -519,7 +519,12 @@ def streaming_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit, so ``index_lookup`` through the stream-maintained index
     must return exactly the rows a full-scan filter over the final
     snapshot would — which the oracle computes from first
-    principles."""
+    principles.
+
+    r13: re-verified under key-encoding v4 (``keyed/index.py`` —
+    timestamps as unix micros, decimals as unscaled integers): the
+    stream maintainer writes and stamps v4 composite keys, so this
+    pair's evidence was re-earned the round the encoding changed."""
     import os
     import tempfile
 
