@@ -887,7 +887,19 @@ def write_keyed(
             # SinkMode.KEEP: never clobber an existing sink (Tap semantics).
             raise FileExistsError(f"keyed table already exists (SinkMode.KEEP): {path}")
         if mode is SinkMode.REPLACE and exists:
-            # REPLACE drops and recreates (HBaseTap.java:124-128).
+            # REPLACE drops and recreates (HBaseTap.java:124-128) — but
+            # never silently over a LIVE registered savepoint: the drop
+            # would destroy the restore point and the operator would
+            # discover it only when the restore refuses (the same
+            # surprise vacuum_keyed refuses to spring, r13).  Release
+            # the savepoint (or let it expire) first.
+            live = _live_savepoints(path)
+            if live:
+                raise SavepointPinnedError(
+                    f"REPLACE of keyed table {path} would destroy live "
+                    f"savepoint(s) {sorted(live)}; release_savepoint "
+                    f"first (or let them expire)"
+                )
             _delete_tree_checked(path)
             exists = False
 

@@ -478,8 +478,13 @@ def test_savepoint_restore_roundtrip_and_convergence(spark, tmp_path):
 
 
 def test_savepoint_restore_refuses_replaced_incarnation(spark, tmp_path):
+    """REPLACE over a LIVE savepoint refuses outright (r13 — the drop
+    would silently destroy the restore point); after release, REPLACE
+    proceeds and the restore refuses on the incarnation change."""
+    from cascading_hbase_spark.keyed.table import SavepointPinnedError
     from cascading_hbase_spark.keyed.txn import (
         SavepointError,
+        release_savepoint,
         restore_savepoint,
         savepoint_keyed,
     )
@@ -487,6 +492,11 @@ def test_savepoint_restore_refuses_replaced_incarnation(spark, tmp_path):
     a = str(tmp_path / "a")
     write_keyed(_df(spark, [(1, "a", 1.0)]), a, "id", retain=10)
     sp = savepoint_keyed([a])
+    with pytest.raises(SavepointPinnedError, match="destroy live"):
+        write_keyed(
+            _df(spark, [(2, "b", 2.0)]), a, "id", mode=SinkMode.REPLACE
+        )
+    release_savepoint(sp)
     write_keyed(_df(spark, [(2, "b", 2.0)]), a, "id", mode=SinkMode.REPLACE)
     with pytest.raises(SavepointError, match="replaced"):
         restore_savepoint(sp)
