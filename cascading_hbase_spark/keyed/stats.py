@@ -59,7 +59,8 @@ from cascading_hbase_spark.keyed.table import (
 )
 
 __all__ = [
-    "StaleStatsError", "analyze_keyed", "broadcast_advice", "column_stats",
+    "StaleStatsError", "access_path_advice", "analyze_keyed",
+    "auto_range_lookup", "broadcast_advice", "column_stats",
     "estimated_row_bytes", "stats_hinted_join", "suggest_salt_factor",
     "table_stats",
 ]
@@ -396,3 +397,251 @@ def column_stats(spark: SparkSession, path: str) -> DataFrame:
         "column string, n_nonnull bigint, n_null bigint, "
         "n_distinct bigint, min string, max string",
     )
+
+
+# Types whose stored min/max string forms admit a NUMERIC position on
+# the column's value line — the precondition for estimating what
+# fraction of the table a range predicate selects.  Strings don't (the
+# width of a lexicographic interval is not derivable from its
+# endpoints), so string ranges stay conservatively on the scan path
+# unless the caller overrides.
+_WIDTH_ESTIMABLE = (
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    DecimalType, DateType, TimestampType, TimestampNTZType,
+)
+
+
+def _stat_position(s, dtype) -> float | None:
+    """A float position for a stat string / probe value of ``dtype``
+    on the column's value line (days for dates, epoch seconds for
+    timestamps, the numeric value otherwise).  Estimation-grade: a
+    naive timestamp parses without timezone correction — an error of
+    hours on a span the estimate divides by cannot move an access-path
+    decision.  None = unparseable (schema drift, complex type)."""
+    import datetime
+
+    if s is None:
+        return None
+    s = str(s)
+    try:
+        if isinstance(dtype, DateType):
+            return float(datetime.date.fromisoformat(s).toordinal())
+        if isinstance(dtype, (TimestampType, TimestampNTZType)):
+            dt = datetime.datetime.fromisoformat(s.replace(" ", "T"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return (dt - datetime.datetime(1970, 1, 1)).total_seconds()
+        return float(s)
+    except (ValueError, OverflowError):
+        return None
+
+
+def _usable_index(path: str, col: str) -> tuple:
+    """``(main_meta, fresh)`` for an index that can serve ``col``
+    exactly RIGHT NOW, else raises the blocker.  ``fresh=False`` means
+    the index is version-stale only through META-ONLY commits — the
+    stats stamp ``analyze_keyed`` writes is the canonical one — which
+    the DATA fingerprint proves touched neither content nor the TTL
+    policy: the stamped snapshot IS the current data, so a
+    ``check_fresh=False`` point-in-time lookup through it is exact."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        _resolve,
+    )
+
+    try:
+        _, _, main_meta = _resolve(path, col, check_fresh=True)
+        return main_meta, True
+    except StaleIndexError as e:
+        from cascading_hbase_spark.keyed.table import _meta_at
+
+        try:
+            _, info, main_meta = _resolve(path, col, check_fresh=False)
+            stamped = _meta_at(path, info.get("version"))
+        except Exception:
+            raise e from None
+        if _data_fingerprint(stamped) != _data_fingerprint(main_meta):
+            raise e from None
+        return main_meta, False
+
+
+def access_path_advice(
+    path: str,
+    col: str,
+    lower=None,
+    upper=None,
+    threshold: float = 0.1,
+    require_fresh: bool = False,
+) -> dict:
+    """Which access path should serve ``col BETWEEN lower AND upper``
+    on this keyed table — the classic optimizer decision (secondary
+    index vs table scan), taken from PERSISTED metadata only (the
+    stats stamp + the index manifest; zero data reads, exactly how the
+    reference plans splits from server metadata,
+    TableInputFormatWrap.java:46-66).
+
+    Returns ``{"path": "index"|"scan", "reason": str,
+    "est_fraction": float|None, "est_rows": int|None, "stale": bool}``.
+
+    The decision: estimated selected fraction = range width over the
+    analyzed [min, max] width, times ``row_count``.  At or under
+    ``threshold`` (default 10%) a usable index wins — the index path
+    costs O(matching rows) twice (index hits + the semi-join main
+    read) plus a shuffle, which beats a full scan only when the match
+    set is small; over it, the scan path wins — one pushed-filter pass
+    with zone-map bucket pruning, never worse than the table itself.
+
+    Routed to "scan" with the blocker named in ``reason`` when the
+    index cannot serve: no index on ``col``, index stale / foreign
+    incarnation / old key encoding (``refresh_index`` is the fix — an
+    AUTO planner degrades to the always-correct scan instead of
+    refusing the query), float-typed column (no order-preserving
+    encoding), or a width-unestimable (string) range.
+
+    A VERSION-stale index whose stamped snapshot has the same DATA
+    fingerprint as the current one (only meta-only commits landed
+    since the build — the stats stamp itself is one, so
+    analyze-after-index is the common case) still serves: index
+    content depends only on the data, and the fingerprint covers
+    gens + boundaries + the TTL policy, so every read-time semantic
+    the lookup depends on is provably unchanged.  The result carries
+    ``index_point_in_time=True`` and ``auto_range_lookup`` serves it
+    with ``check_fresh=False`` (pinned at the stamped version — which
+    the fingerprint just proved identical).
+
+    Staleness follows the SALT rule, not the broadcast rule: both
+    paths return exactly the same rows at any data size, so stale
+    stats cost performance, never correctness or executor memory —
+    they resolve by default; ``require_fresh=True`` raises
+    ``StaleStatsError``.  Raises KeyError when the table was never
+    analyzed or ``col`` has no stats entry."""
+    from cascading_hbase_spark.keyed.index import (
+        StaleIndexError,
+        _col_type,
+        _orderable,
+    )
+
+    st = table_stats(path)
+    stale = bool(st.get("data_changed"))
+    if stale and require_fresh:
+        raise StaleStatsError(
+            f"stats for {path} predate the latest data commit "
+            f"(analyzed v{st['version']}, now v{st['current_version']}); "
+            f"re-run analyze_keyed"
+        )
+    ent = st["columns"].get(col)
+    if ent is None:
+        raise KeyError(
+            f"no stats for column {col!r}; run "
+            f"analyze_keyed(..., columns=[{col!r}])"
+        )
+
+    def scan(reason, frac=None, rows=None):
+        return {
+            "path": "scan", "reason": reason, "est_fraction": frac,
+            "est_rows": rows, "stale": stale,
+        }
+
+    try:
+        main_meta, fresh = _usable_index(path, col)
+        point_in_time = not fresh
+    except (FileNotFoundError, StaleIndexError) as e:
+        return scan(f"index unusable: {e}")
+    dtype = _col_type(main_meta, col)
+    if dtype is None or not _orderable(dtype):
+        return scan(
+            f"column type {dtype} has no order-preserving index "
+            f"encoding; zone-pruned scan is the range path"
+        )
+    if not isinstance(dtype, _WIDTH_ESTIMABLE):
+        return scan(
+            f"range width over {dtype} is not estimable from min/max "
+            f"stats; pass prefer='index' to override"
+        )
+    mn = _stat_position(ent.get("min"), dtype)
+    mx = _stat_position(ent.get("max"), dtype)
+    if mn is None or mx is None:
+        return scan("no parseable min/max stats for the column")
+    lo = _stat_position(lower, dtype) if lower is not None else mn
+    hi = _stat_position(upper, dtype) if upper is not None else mx
+    if lo is None or hi is None:
+        return scan("unparseable range bound")
+    lo, hi = max(lo, mn), min(hi, mx)
+    if hi < lo:
+        frac = 0.0
+    elif mx == mn:
+        frac = 1.0
+    else:
+        frac = (hi - lo) / (mx - mn)
+    rows = int(round(frac * st["row_count"]))
+    if frac <= threshold:
+        return {
+            "path": "index",
+            "reason": f"estimated fraction {frac:.4f} <= threshold "
+                      f"{threshold}",
+            "est_fraction": frac, "est_rows": rows, "stale": stale,
+            "index_point_in_time": point_in_time,
+        }
+    return scan(
+        f"estimated fraction {frac:.4f} > threshold {threshold}",
+        frac, rows,
+    )
+
+
+def auto_range_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lower=None,
+    upper=None,
+    fields: list[str] | None = None,
+    threshold: float = 0.1,
+    require_fresh: bool = False,
+    prefer: str = "auto",
+) -> DataFrame:
+    """Serve ``col BETWEEN lower AND upper`` (inclusive; either bound
+    may be open, not both) through the access path
+    ``access_path_advice`` picks from the persisted stats — a narrow
+    range rides the secondary index (one pruned index key-range scan,
+    O(matching rows)), a wide one rides the zone-pruned main scan (one
+    pushed-filter pass) — so the analyzed stats flip the PHYSICAL plan
+    while the rows stay identical (plan-asserted both directions in
+    ``tests/test_stats.py``).  ``prefer="index"|"scan"`` forces a
+    branch (a forced index that cannot serve raises, the explicit ask
+    fails loud; "auto" degrades to scan instead).
+
+    Both-open bounds are refused rather than silently divergent: the
+    scan path would keep NULL-valued rows (no filter) while the index
+    path never serves NULLs (nulls are not indexed)."""
+    if lower is None and upper is None:
+        raise ValueError(
+            "auto_range_lookup needs at least one bound; a both-open "
+            "range is read_keyed (and the paths disagree on NULLs)"
+        )
+    check_fresh = True
+    if prefer == "auto":
+        adv = access_path_advice(
+            path, col, lower, upper,
+            threshold=threshold, require_fresh=require_fresh,
+        )
+        branch = adv["path"]
+        check_fresh = not adv.get("index_point_in_time", False)
+    elif prefer in ("index", "scan"):
+        branch = prefer
+        if prefer == "index":
+            # forced index still fails LOUD on a truly-stale index (the
+            # explicit ask does not degrade), but meta-only staleness
+            # serves point-in-time, same as the auto path
+            _, fresh = _usable_index(path, col)
+            check_fresh = fresh
+    else:
+        raise ValueError(f"prefer must be auto|index|scan, got {prefer!r}")
+    if branch == "index":
+        from cascading_hbase_spark.keyed.index import index_range_lookup
+
+        return index_range_lookup(
+            spark, path, col, lower, upper, fields=fields,
+            check_fresh=check_fresh,
+        )
+    df = read_keyed(spark, path, zone_filter=(col, lower, upper))
+    return df.select(*fields) if fields is not None else df

@@ -124,6 +124,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # + one per-column top-K window) instead of a groupBy per column;
     # same stored lists, different engine path.
     "analyze_heavy_hitters",
+    # r13: NEW pair — stats-driven ACCESS-PATH choice (index vs
+    # zone-pruned scan for a range predicate, decided from persisted
+    # stats at plan time); the query self-asserts each branch's
+    # physical path via inputFiles(), so the driver verdict covers
+    # the plan flip.
+    "auto_range_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

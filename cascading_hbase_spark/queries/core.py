@@ -510,6 +510,76 @@ def stats_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "auto_range_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+            BETWEEN 1000000 AND 2000000
+       OR CAST(round(o_totalprice * 100) AS BIGINT)
+            BETWEEN 10000000 AND 45000000
+    """,
+)
+def auto_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-DRIVEN access-path choice (r13, ``keyed/stats.py``): the
+    classic optimizer decision — secondary index vs table scan for a
+    range predicate — taken from PERSISTED metadata only (stats stamp
+    + index manifest, zero data reads at plan time), the reference's
+    consult-server-metadata planning story
+    (TableInputFormatWrap.java:46-66) promoted to access-path
+    selection.  The NARROW money range (~2% of the analyzed [min,max]
+    span) serves through the secondary index — one pruned index
+    key-range scan, O(matching rows); the WIDE range (~70%) serves
+    through the zone-pruned main scan — one pushed-filter pass.  The
+    query SELF-ASSERTS each branch's physical access path via
+    ``inputFiles()`` (index files present / absent), so the driver
+    verdict covers the plan flip, not just row parity; the index is
+    usable point-in-time because ``analyze_keyed``'s meta-only stats
+    commit provably (DATA fingerprint) changed no content."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        access_path_advice,
+        analyze_keyed,
+        auto_range_lookup as _auto,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_apath_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(t, path, "o_orderkey", zone_cols=["cents"])
+    create_index(spark, path, "cents")
+    analyze_keyed(spark, path, columns=["cents"], exact=True)
+
+    adv_n = access_path_advice(path, "cents", 1_000_000, 2_000_000)
+    adv_w = access_path_advice(path, "cents", 10_000_000, 45_000_000)
+    if adv_n["path"] != "index" or adv_w["path"] != "scan":
+        raise AssertionError(
+            f"stats did not flip the access path: narrow={adv_n}, "
+            f"wide={adv_w}"
+        )
+    narrow = _auto(
+        spark, path, "cents", 1_000_000, 2_000_000,
+        fields=["o_orderkey", "cents"],
+    )
+    wide = _auto(
+        spark, path, "cents", 10_000_000, 45_000_000,
+        fields=["o_orderkey", "cents"],
+    )
+    if not any("__kt_idx_" in f for f in narrow.inputFiles()):
+        raise AssertionError("narrow range did not serve through the index")
+    if any("__kt_idx_" in f for f in wide.inputFiles()):
+        raise AssertionError("wide range did not serve through the scan")
+    return narrow.unionByName(wide)
+
+
+@query(
     "index_range_lookup_decimal",
     oracle="""
     SELECT o_orderkey,

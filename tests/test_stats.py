@@ -349,3 +349,133 @@ def test_broadcast_advice_flips_join_plan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_access_path_advice_flips_on_range_width(spark, tmp_path):
+    """The stats-driven access-path chooser (r13): a NARROW range on
+    an analyzed, indexed column serves through the secondary index
+    (input files include the index dir), a WIDE one through the
+    zone-pruned main scan (zero index bytes) — the persisted stats
+    flip the physical plan while both branches return exactly the
+    manual filter's rows."""
+    from cascading_hbase_spark.keyed.stats import (
+        access_path_advice,
+        analyze_keyed,
+        auto_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i % 4}") for i in range(200)],
+        "k int, v long, s string",
+    )
+    write_keyed(df, path, "k", zone_cols=["v"])
+    create_index(spark, path, "v")
+    analyze_keyed(spark, path, exact=True)
+
+    # narrow: 200 values span [0, 1990]; [0, 100] is ~5% < 10%
+    adv = access_path_advice(path, "v", 0, 100)
+    assert adv["path"] == "index" and adv["stale"] is False
+    assert 0 < adv["est_fraction"] <= 0.1
+    narrow = auto_range_lookup(spark, path, "v", 0, 100)
+    assert any("__kt_idx_" in f for f in narrow.inputFiles())
+    expect = sorted(
+        map(tuple, read_keyed(spark, path).filter("v between 0 and 100").collect())
+    )
+    assert sorted(map(tuple, narrow.select(*df.columns).collect())) == expect
+
+    # wide: [0, 1500] is ~75% > 10%
+    adv_w = access_path_advice(path, "v", 0, 1500)
+    assert adv_w["path"] == "scan" and adv_w["est_fraction"] > 0.1
+    wide = auto_range_lookup(spark, path, "v", 0, 1500)
+    assert not any("__kt_idx_" in f for f in wide.inputFiles())
+    assert wide.count() == 151
+
+    # fields projection: both branches produce the SAME schema
+    ni = auto_range_lookup(
+        spark, path, "v", 0, 100, fields=["k", "v"], prefer="index"
+    )
+    ns = auto_range_lookup(
+        spark, path, "v", 0, 100, fields=["k", "v"], prefer="scan"
+    )
+    assert ni.columns == ns.columns == ["k", "v"]
+    assert sorted(map(tuple, ni.collect())) == sorted(map(tuple, ns.collect()))
+
+    # open bound: estimated against the analyzed min/max
+    adv_o = access_path_advice(path, "v", 1900, None)
+    assert adv_o["path"] == "index"
+    got = auto_range_lookup(spark, path, "v", 1900, None)
+    assert got.count() == 10
+
+
+def test_access_path_fallbacks_and_overrides(spark, tmp_path):
+    """Degradation and override matrix: stale index -> scan with the
+    blocker named (an AUTO planner degrades, it doesn't refuse);
+    string range -> scan (width unestimable from min/max);
+    prefer= forces either branch; both-open bounds refuse (the two
+    paths disagree on NULLs); stale STATS still resolve (the salt
+    rule: both paths are exact, staleness only costs performance) and
+    require_fresh raises; un-analyzed column is a KeyError."""
+    from cascading_hbase_spark.keyed.stats import (
+        StaleStatsError,
+        access_path_advice,
+        analyze_keyed,
+        auto_range_lookup,
+    )
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i:03d}") for i in range(100)],
+        "k int, v long, s string",
+    )
+    write_keyed(df, path, "k", zone_cols=["v"])
+    create_index(spark, path, "v")
+    analyze_keyed(spark, path, exact=True, columns=["v", "s"])
+
+    # stale INDEX (data commit after build) -> scan, blocker named
+    write_keyed(
+        spark.createDataFrame([(500, 5000, "zzz")], "k int, v long, s string"),
+        path, "k", mode=SinkMode.APPEND,
+    )
+    adv = access_path_advice(path, "v", 0, 50)
+    assert adv["path"] == "scan" and "index unusable" in adv["reason"]
+    # stale STATS resolve by default (salt rule), loud on request
+    assert adv["stale"] is True
+    with pytest.raises(StaleStatsError):
+        access_path_advice(path, "v", 0, 50, require_fresh=True)
+    # re-analyze + refresh: narrow goes back to the index
+    from cascading_hbase_spark.keyed.index import refresh_index
+
+    refresh_index(spark, path, "v")
+    analyze_keyed(spark, path, exact=True, columns=["v", "s"])
+    assert access_path_advice(path, "v", 0, 50)["path"] == "index"
+
+    # string column: indexable but width-unestimable -> scan
+    create_index(spark, path, "s")
+    advs = access_path_advice(path, "s", "s000", "s002")
+    assert advs["path"] == "scan" and "not estimable" in advs["reason"]
+    # ...unless forced: prefer='index' serves it through the index
+    forced = auto_range_lookup(
+        spark, path, "s", "s000", "s002", prefer="index"
+    )
+    assert any("__kt_idx_" in f for f in forced.inputFiles())
+    assert forced.count() == 3
+
+    # both-open refuses; bad prefer refuses
+    with pytest.raises(ValueError, match="at least one bound"):
+        auto_range_lookup(spark, path, "v")
+    with pytest.raises(ValueError, match="prefer"):
+        auto_range_lookup(spark, path, "v", 0, 1, prefer="maybe")
+    # un-analyzed column
+    with pytest.raises(KeyError, match="no stats"):
+        access_path_advice(path, "k", 0, 1)
+    # results parity on the degraded path too
+    got = auto_range_lookup(spark, path, "v", 0, 50)
+    exp = read_keyed(spark, path).filter("v between 0 and 50")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
