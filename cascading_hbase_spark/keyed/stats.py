@@ -60,9 +60,9 @@ from cascading_hbase_spark.keyed.table import (
 
 __all__ = [
     "StaleStatsError", "access_path_advice", "analyze_keyed",
-    "auto_range_lookup", "broadcast_advice", "column_stats",
-    "estimated_row_bytes", "stats_hinted_join", "suggest_salt_factor",
-    "table_stats",
+    "auto_point_lookup", "auto_range_lookup", "broadcast_advice",
+    "column_stats", "estimated_row_bytes", "point_lookup_advice",
+    "stats_hinted_join", "suggest_salt_factor", "table_stats",
 ]
 
 
@@ -436,6 +436,36 @@ def _stat_position(s, dtype) -> float | None:
         return None
 
 
+def _scan_between(
+    spark: SparkSession, path: str, col: str, lo, hi,
+    fields: list[str] | None,
+) -> DataFrame:
+    """The scan branch of the auto access paths: zone-map bucket
+    pruning for NUMERIC/decimal columns (the manifest stores zone
+    bounds as doubles, so only values ``float()`` accepts can compare
+    against them — a date/timestamp/string bound would either crash
+    the prune comparison or never prune), a plain pushed-down filter
+    for everything else.  Both are exactly ``WHERE col BETWEEN``."""
+    from cascading_hbase_spark.keyed.index import _col_type
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    dtype = _col_type(_load_meta(path), col)
+    zone_ok = isinstance(
+        dtype,
+        (ByteType, ShortType, IntegerType, LongType, FloatType,
+         DoubleType, DecimalType),
+    )
+    if zone_ok:
+        df = read_keyed(spark, path, zone_filter=(col, lo, hi))
+    else:
+        df = read_keyed(spark, path)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df.select(*fields) if fields is not None else df
+
+
 def _usable_index(path: str, col: str) -> tuple:
     """``(main_meta, fresh)`` for an index that can serve ``col``
     exactly RIGHT NOW, else raises the blocker.  ``fresh=False`` means
@@ -643,5 +673,142 @@ def auto_range_lookup(
             spark, path, col, lower, upper, fields=fields,
             check_fresh=check_fresh,
         )
-    df = read_keyed(spark, path, zone_filter=(col, lower, upper))
-    return df.select(*fields) if fields is not None else df
+    return _scan_between(spark, path, col, lower, upper, fields)
+
+
+def point_lookup_advice(
+    path: str,
+    col: str,
+    value,
+    threshold: float = 0.1,
+    require_fresh: bool = False,
+) -> dict:
+    """Access-path advice for ``col = value`` — the equality twin of
+    ``access_path_advice``, with PER-VALUE selectivity: a probe value
+    that IS one of the persisted heavy hitters uses its MEASURED count
+    (the hot value that matches a quarter of the table must scan, and
+    only the stats can know which value that is); any other value uses
+    the residual average — (non-heavy rows) / (non-heavy distincts) —
+    which the recorded heavy mass no longer distorts (the naive
+    rows/NDV average over-estimates every cold value of a skewed
+    column).  Same return shape and staleness/degradation rules as
+    ``access_path_advice``; estimation works for EVERY atomic type
+    here (a single value needs no width arithmetic)."""
+    st = table_stats(path)
+    stale = bool(st.get("data_changed"))
+    if stale and require_fresh:
+        raise StaleStatsError(
+            f"stats for {path} predate the latest data commit "
+            f"(analyzed v{st['version']}, now v{st['current_version']}); "
+            f"re-run analyze_keyed"
+        )
+    if value is None:
+        raise ValueError(
+            "point lookup on NULL is not served (nulls are not "
+            "indexed and `= NULL` is never true); filter the main "
+            "table with isNull"
+        )
+    ent = st["columns"].get(col)
+    if ent is None:
+        raise KeyError(
+            f"no stats for column {col!r}; run "
+            f"analyze_keyed(..., columns=[{col!r}])"
+        )
+
+    def scan(reason, frac=None, rows=None):
+        return {
+            "path": "scan", "reason": reason, "est_fraction": frac,
+            "est_rows": rows, "stale": stale,
+        }
+
+    from cascading_hbase_spark.keyed.index import StaleIndexError
+
+    try:
+        _main_meta, fresh = _usable_index(path, col)
+    except (FileNotFoundError, StaleIndexError) as e:
+        return scan(f"index unusable: {e}")
+    hh = ent.get("heavy_hitters") or []
+    hit = next(
+        (h for h in hh if str(h["value"]) == str(value)), None
+    )
+    if hit is not None:
+        est = hit["count"]
+        basis = "measured heavy-hitter count"
+    else:
+        heavy_rows = sum(h["count"] for h in hh)
+        resid_distinct = max(1, ent["n_distinct"] - len(hh))
+        resid_rows = max(0, ent["n_nonnull"] - heavy_rows)
+        est = resid_rows / resid_distinct
+        basis = (
+            "residual average (non-heavy rows / non-heavy distincts)"
+            if hh else "rows / NDV average"
+        )
+    total = max(1, st["row_count"])
+    frac = min(1.0, est / total)
+    rows = int(round(est))
+    if frac <= threshold:
+        return {
+            "path": "index",
+            "reason": f"estimated fraction {frac:.4f} <= threshold "
+                      f"{threshold} ({basis})",
+            "est_fraction": frac, "est_rows": rows, "stale": stale,
+            "index_point_in_time": not fresh,
+        }
+    return scan(
+        f"estimated fraction {frac:.4f} > threshold {threshold} "
+        f"({basis})", frac, rows,
+    )
+
+
+def auto_point_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    fields: list[str] | None = None,
+    threshold: float = 0.1,
+    require_fresh: bool = False,
+    prefer: str = "auto",
+) -> DataFrame:
+    """Serve ``col = value`` through the access path
+    ``point_lookup_advice`` picks: a COLD value rides the secondary
+    index (O(matching rows)); a value the heavy-hitter stats measured
+    as hot rides the zone-pruned scan — one pass, no semi-join of a
+    quarter of the table back into itself.  The probe value's own
+    measured frequency, not a column-wide average, flips the plan."""
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    if _load_meta(path).get("key") == col:
+        raise ValueError(
+            f"{col!r} is the table key; use get_keyed (bucket-pruned "
+            f"point get), not a secondary access path"
+        )
+    if value is None:
+        raise ValueError(
+            "point lookup on NULL is not served (nulls are not "
+            "indexed and `= NULL` is never true); filter the main "
+            "table with isNull"
+        )
+    check_fresh = True
+    if prefer == "auto":
+        adv = point_lookup_advice(
+            path, col, value,
+            threshold=threshold, require_fresh=require_fresh,
+        )
+        branch = adv["path"]
+        check_fresh = not adv.get("index_point_in_time", False)
+    elif prefer in ("index", "scan"):
+        branch = prefer
+        if prefer == "index":
+            _, fresh = _usable_index(path, col)
+            check_fresh = fresh
+    else:
+        raise ValueError(f"prefer must be auto|index|scan, got {prefer!r}")
+    if branch == "index":
+        from cascading_hbase_spark.keyed.index import index_lookup
+
+        return index_lookup(
+            spark, path, col, value, fields=fields,
+            check_fresh=check_fresh,
+        )
+    return _scan_between(spark, path, col, value, value, fields)

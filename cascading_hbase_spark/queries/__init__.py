@@ -130,6 +130,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # physical path via inputFiles(), so the driver verdict covers
     # the plan flip.
     "auto_range_lookup",
+    # r13: NEW pair — PER-VALUE equality access-path choice: a probe
+    # that IS a measured heavy hitter plans from its exact count
+    # (scan), cold values from the residual average (index); both
+    # branches self-asserted via inputFiles().
+    "auto_point_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

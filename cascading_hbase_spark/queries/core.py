@@ -580,6 +580,78 @@ def auto_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "auto_point_lookup",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, cents, 'prio' AS probe FROM t
+    WHERE prio = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, cents, 'cents' AS probe FROM t
+    WHERE cents = (SELECT min(cents) FROM t)
+    """,
+)
+def auto_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-VALUE access-path choice for equality probes (r13,
+    ``keyed/stats.py``): '1-URGENT' is one of five order priorities —
+    a measured heavy hitter owning ~20% of the table — so its lookup
+    plans the zone-pruned SCAN from the persisted count (a naive
+    rows/NDV average cannot see which value is hot); the minimum
+    cents value matches ~1 row, planned through the INDEX from the
+    residual average.  Both branches self-assert their physical path
+    via ``inputFiles()``, so the driver verdict covers the
+    stats-driven flip; the hot/cold estimates come from ONE
+    ``analyze_keyed(heavy_hitters=8)`` pass."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        auto_point_lookup as _auto,
+        point_lookup_advice,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_ppath_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(t, path, "o_orderkey")
+    create_index(spark, path, "prio")
+    create_index(spark, path, "cents")
+    analyze_keyed(
+        spark, path, columns=["prio", "cents"], exact=True,
+        heavy_hitters=8,
+    )
+    min_cents = t.agg(F.min("cents")).collect()[0][0]
+
+    adv_hot = point_lookup_advice(path, "prio", "1-URGENT")
+    adv_cold = point_lookup_advice(path, "cents", min_cents)
+    if adv_hot["path"] != "scan" or adv_cold["path"] != "index":
+        raise AssertionError(
+            f"per-value selectivity did not flip the access path: "
+            f"hot={adv_hot}, cold={adv_cold}"
+        )
+    hot = _auto(
+        spark, path, "prio", "1-URGENT", fields=["o_orderkey", "cents"]
+    ).withColumn("probe", F.lit("prio"))
+    cold = _auto(
+        spark, path, "cents", min_cents, fields=["o_orderkey", "cents"]
+    ).withColumn("probe", F.lit("cents"))
+    if any("__kt_idx_" in f for f in hot.inputFiles()):
+        raise AssertionError("hot probe did not serve through the scan")
+    if not any("__kt_idx_" in f for f in cold.inputFiles()):
+        raise AssertionError("cold probe did not serve through the index")
+    return hot.unionByName(cold)
+
+
+@query(
     "index_range_lookup_decimal",
     oracle="""
     SELECT o_orderkey,

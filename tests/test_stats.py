@@ -479,3 +479,61 @@ def test_access_path_fallbacks_and_overrides(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_point_lookup_per_value_selectivity(spark, tmp_path):
+    """Equality access-path choice uses PER-VALUE selectivity: the
+    probe that IS a measured heavy hitter plans from its exact count
+    (the hot value owning half the table scans — a naive rows/NDV
+    average, ~1% here, would have mis-planned it through the index),
+    every cold value plans from the residual average and rides the
+    index.  Plus the refusal edges: table key -> get_keyed pointer,
+    NULL probe -> isNull pointer."""
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        auto_point_lookup,
+        point_lookup_advice,
+    )
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    rows = [(i, "HOT" if i < 500 else f"c{i % 100:03d}", i * 2)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "k int, cat string, m long")
+    write_keyed(df, path, "k")
+    create_index(spark, path, "cat")
+    analyze_keyed(
+        spark, path, columns=["cat"], exact=True, heavy_hitters=4
+    )
+
+    hot = point_lookup_advice(path, "cat", "HOT")
+    assert hot["path"] == "scan" and "heavy-hitter" in hot["reason"]
+    assert hot["est_rows"] == 500  # the measured count, not an average
+    cold = point_lookup_advice(path, "cat", "c042")
+    assert cold["path"] == "index" and "residual" in cold["reason"]
+    assert cold["est_fraction"] <= 0.1
+
+    got_hot = auto_point_lookup(spark, path, "cat", "HOT")
+    assert not any("__kt_idx_" in f for f in got_hot.inputFiles())
+    got_cold = auto_point_lookup(spark, path, "cat", "c042")
+    assert any("__kt_idx_" in f for f in got_cold.inputFiles())
+    base = read_keyed(spark, path)
+    assert got_hot.count() == 500
+    assert sorted(map(tuple, got_cold.collect())) == sorted(
+        map(tuple, base.filter("cat = 'c042'").collect())
+    )
+    # both branches agree on schema under fields=
+    fi = auto_point_lookup(
+        spark, path, "cat", "c042", fields=["k", "cat"], prefer="index"
+    )
+    fs = auto_point_lookup(
+        spark, path, "cat", "c042", fields=["k", "cat"], prefer="scan"
+    )
+    assert fi.columns == fs.columns == ["k", "cat"]
+    assert sorted(map(tuple, fi.collect())) == sorted(map(tuple, fs.collect()))
+
+    with pytest.raises(ValueError, match="table key"):
+        auto_point_lookup(spark, path, "k", 5)
+    with pytest.raises(ValueError, match="NULL"):
+        auto_point_lookup(spark, path, "cat", None)

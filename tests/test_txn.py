@@ -684,3 +684,107 @@ def test_savepoint_cut_is_transaction_aligned(spark, chain):
     assert _totals(spark, view) == {"a": 1.0, "b": 2.0}
     assert read_keyed(spark, primary).count() == 2
     assert read_keyed(spark, replica).count() == 2
+
+
+def test_consumers_converge_across_savepoint_restore(spark, tmp_path):
+    """A group RESTORE is, to every CDC consumer, just another commit:
+    the rollback writes a new version whose content is the old
+    snapshot, and the changefeed diff from the consumer's cursor to it
+    must retract exactly the restored-away mutations.  Index, matview,
+    and replica all refresh across the restore and converge to the
+    restored content — the savepoint -> risky maintenance ->
+    verify-or-restore pattern is only safe if the maintenance
+    artifacts come back too."""
+    from cascading_hbase_spark.keyed.index import (
+        create_index,
+        index_lookup,
+        refresh_index,
+    )
+    from cascading_hbase_spark.keyed.matview import (
+        create_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from cascading_hbase_spark.keyed.replica import (
+        create_replica,
+        sync_replica,
+    )
+    from cascading_hbase_spark.keyed.table import (
+        delete_keyed,
+        read_keyed,
+    )
+    from cascading_hbase_spark.keyed.txn import (
+        restore_savepoint,
+        savepoint_keyed,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    replica = str(tmp_path / "replica")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id int, grp string, val double",
+    )
+    write_keyed(df, base, "id", retain=10)
+    create_index(spark, base, "grp")
+    create_aggregate_view(spark, base, view, "grp", {"total": "val"})
+    create_replica(spark, base, replica)
+    sync_replica(spark, base, replica)
+
+    sp = savepoint_keyed([base])
+
+    # risky maintenance: group-moving updates, inserts, deletes
+    write_keyed(
+        spark.createDataFrame(
+            [(3, "g0", 300.0), (40, "g9", 40.0), (41, "g9", 41.0)],
+            "id int, grp string, val double",
+        ),
+        base, "id", mode=SinkMode.APPEND,
+    )
+    delete_keyed(
+        spark, base, spark.createDataFrame([(7,), (8,)], "id int")
+    )
+    refresh_index(spark, base, "grp")
+    refresh_aggregate_view(spark, base, view)
+    sync_replica(spark, base, replica)
+
+    # verify failed -> restore the group
+    restore_savepoint(sp)
+
+    # every consumer refreshes ACROSS the restore commit and converges
+    refresh_index(spark, base, "grp")
+    refresh_aggregate_view(spark, base, view)
+    sync_replica(spark, base, replica)
+
+    cur = read_keyed(spark, base)
+    assert cur.count() == 30  # the restored content
+    # index: lookup == filter, and the phantom g9 value is gone
+    got = sorted(
+        r.id for r in index_lookup(spark, base, "grp", "g0").collect()
+    )
+    assert got == sorted(
+        r.id for r in cur.filter("grp = 'g0'").collect()
+    )
+    assert index_lookup(spark, base, "grp", "g9").count() == 0
+    # matview: equals first-principles recompute on the restored base
+    # (read through read_aggregate_view — the g9 group that existed
+    # ONLY inside the restored-away commits is now an n_rows=0
+    # tombstone, the documented churn artifact the reader filters)
+    import pyspark.sql.functions as Fn
+
+    from cascading_hbase_spark.keyed.matview import read_aggregate_view
+    from cascading_hbase_spark.keyed.table import read_keyed as _rk
+
+    vw = {
+        (r.grp, float(r.total))
+        for r in read_aggregate_view(spark, view).collect()
+    }
+    exp = {
+        (r.grp, float(r.total))
+        for r in cur.groupBy("grp").agg(
+            Fn.sum("val").alias("total")
+        ).collect()
+    }
+    assert vw == exp
+    # replica: content-identical to the restored primary
+    rep = sorted(map(tuple, _rk(spark, replica).collect()))
+    assert rep == sorted(map(tuple, cur.collect()))
