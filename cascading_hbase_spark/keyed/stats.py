@@ -131,12 +131,77 @@ def _heavy_hitters_df(df: DataFrame, cols: list[str], k: int) -> DataFrame:
     )
 
 
+_HIST_TYPES = (
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    DecimalType,
+)
+
+
+def _histograms_df(df: DataFrame, specs: dict, bins: int) -> DataFrame:
+    """Equi-width bin counts for every column in ``specs`` ({col:
+    (lo, hi)}) from ONE scan of ``df`` — the same explode shape as
+    ``_heavy_hitters_df``: each row emits one ``(col, bin)`` pair per
+    histogrammed column map-side, one map-side-combined groupBy counts
+    them (at most ``bins x len(specs)`` groups — trivially small at
+    any table size).  NULL values emit no pair; the min/max rows land
+    in bins 1 and ``bins`` (width_bucket's below-range 0 and
+    at-the-top bins+1 are clamped in — the bounds come from the same
+    snapshot's measured min/max, so nothing is genuinely outside)."""
+    entries = []
+    for c, (lo, hi) in specs.items():
+        wb = F.width_bucket(
+            F.col(c).cast("double"),
+            F.lit(float(lo)), F.lit(float(hi)), F.lit(bins),
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.least(F.lit(bins), F.greatest(F.lit(1), wb)),
+                ).alias("bin"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.col", "p.bin")
+        .filter(F.col("bin").isNotNull())
+        .groupBy("col", "bin")
+        .count()
+    )
+
+
+def _hist_fraction(hist: dict, lo: float, hi: float) -> float:
+    """Fraction of a column's rows inside [lo, hi], from its persisted
+    equi-width histogram: full bins contribute their whole count,
+    partially-overlapped edge bins contribute proportionally (the
+    standard within-bin-uniform assumption — the estimate is only as
+    wrong as one bin's worth of skew, vs the whole column's under the
+    uniform-width fallback)."""
+    counts = hist.get("counts") or []
+    total = sum(counts)
+    if total == 0:
+        return 0.0
+    h_lo, h_hi = hist["lo"], hist["hi"]
+    if h_lo == h_hi or len(counts) == 1:
+        return 1.0 if lo <= h_lo <= hi else 0.0
+    width = (h_hi - h_lo) / len(counts)
+    mass = 0.0
+    for i, cnt in enumerate(counts):
+        b_lo = h_lo + i * width
+        overlap = min(hi, b_lo + width) - max(lo, b_lo)
+        if overlap > 0:
+            mass += cnt * min(1.0, overlap / width)
+    return min(1.0, mass / total)
+
+
 def analyze_keyed(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
     exact: bool = False,
     heavy_hitters: int = 0,
+    histogram: int = 0,
 ) -> None:
     """Compute and persist column statistics for the CURRENT snapshot.
 
@@ -155,7 +220,18 @@ def analyze_keyed(
     bounded-memory Misra-Gries variant lives in ``queries/skew.py``
     for when even the distinct-key set is hostile).  Heavy hitters are
     what ``suggest_salt_factor`` and broadcast-vs-shuffle decisions
-    consult."""
+    consult.
+
+    ``histogram=B`` additionally records a ``B``-bin equi-width
+    histogram for every analyzed NUMERIC/decimal column — again one
+    job over one scan for all columns (``_histograms_df``) — which
+    ``access_path_advice`` consults for range selectivity: the
+    measured distribution replaces the uniform-width assumption, so a
+    skewed money column's dense region plans the scan and its sparse
+    tail the index.  (Temporal columns are excluded: their stored
+    min/max string forms render in the analyze session's timezone
+    while ``width_bucket`` bins by epoch, and the offset would shift
+    every bin edge.)"""
     meta = _load_meta(path)
     version = meta["version"]
     df = read_keyed(spark, path, generation=version)
@@ -171,6 +247,7 @@ def analyze_keyed(
         and set(prior.get("columns", {})) == set(columns)
         and prior.get("exact", False) == exact
         and prior.get("heavy_hitters", 0) == heavy_hitters
+        and prior.get("histogram", 0) == histogram
     ):
         return  # stats for this exact data snapshot already stamped
 
@@ -200,6 +277,40 @@ def analyze_keyed(
                 )
             for c in hh_cols:  # all-null columns still record []
                 hh_by_col.setdefault(c, [])
+    hist_by_col: dict[str, dict] = {}
+    if histogram > 0:
+        specs: dict[str, tuple] = {}
+        for i, c in enumerate(columns):
+            dtype = df.schema[c].dataType
+            if not isinstance(dtype, _HIST_TYPES):
+                continue
+            mn_s, mx_s = row.get(f"mn_{i}"), row.get(f"mx_{i}")
+            lo = _stat_position(mn_s, dtype)
+            hi = _stat_position(mx_s, dtype)
+            if lo is None or hi is None:
+                continue
+            if lo == hi:
+                # single-valued column: the whole mass in one bin,
+                # no scan participation needed
+                hist_by_col[c] = {
+                    "bins": histogram, "lo": lo, "hi": hi,
+                    "counts": [int(row[f"nn_{i}"])],
+                }
+            else:
+                specs[c] = (lo, hi)
+        if specs:
+            got = {
+                (r.col, int(r.bin)): int(r["count"])
+                for r in _histograms_df(df, specs, histogram).collect()
+            }
+            for c, (lo, hi) in specs.items():
+                hist_by_col[c] = {
+                    "bins": histogram, "lo": lo, "hi": hi,
+                    "counts": [
+                        got.get((c, b), 0)
+                        for b in range(1, histogram + 1)
+                    ],
+                }
     cols_out = {}
     for i, c in enumerate(columns):
         ent = {
@@ -212,6 +323,8 @@ def analyze_keyed(
             ent["max"] = row[f"mx_{i}"]
         if c in hh_by_col:
             ent["heavy_hitters"] = hh_by_col[c]
+        if c in hist_by_col:
+            ent["histogram"] = hist_by_col[c]
         cols_out[c] = ent
 
     with _writer_lock(path):
@@ -224,6 +337,7 @@ def analyze_keyed(
             "fingerprint": fp,
             "exact": exact,
             "heavy_hitters": heavy_hitters,
+            "histogram": histogram,
             "row_count": n,
             "columns": cols_out,
         }
@@ -597,24 +711,31 @@ def access_path_advice(
     if lo is None or hi is None:
         return scan("unparseable range bound")
     lo, hi = max(lo, mn), min(hi, mx)
+    hist = ent.get("histogram")
     if hi < lo:
-        frac = 0.0
+        frac, basis = 0.0, "empty range"
+    elif hist and hist.get("counts"):
+        # the measured distribution: only as wrong as one bin's skew,
+        # where the uniform-width fallback is as wrong as the column's
+        frac = _hist_fraction(hist, lo, hi)
+        basis = f"measured {hist['bins']}-bin histogram"
     elif mx == mn:
-        frac = 1.0
+        frac, basis = 1.0, "single-valued column"
     else:
         frac = (hi - lo) / (mx - mn)
+        basis = "uniform width assumption"
     rows = int(round(frac * st["row_count"]))
     if frac <= threshold:
         return {
             "path": "index",
             "reason": f"estimated fraction {frac:.4f} <= threshold "
-                      f"{threshold}",
+                      f"{threshold} ({basis})",
             "est_fraction": frac, "est_rows": rows, "stale": stale,
             "index_point_in_time": point_in_time,
         }
     return scan(
-        f"estimated fraction {frac:.4f} > threshold {threshold}",
-        frac, rows,
+        f"estimated fraction {frac:.4f} > threshold {threshold} "
+        f"({basis})", frac, rows,
     )
 
 

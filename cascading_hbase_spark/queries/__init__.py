@@ -135,6 +135,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # (scan), cold values from the residual average (index); both
     # branches self-asserted via inputFiles().
     "auto_point_lookup",
+    # r13: NEW pair — histogram-backed range selectivity: persisted
+    # equi-width bin counts price a wide-width/thin-mass tail range
+    # at its measured ~5% and flip the plan from scan to index; both
+    # advisories and the served path self-asserted.
+    "histogram_range_selectivity",
 ]
 
 # Number of head entries the driver's per-round budget is known to

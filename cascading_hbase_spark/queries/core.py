@@ -553,7 +553,7 @@ def auto_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    write_keyed(t, path, "o_orderkey", zone_cols=["cents"])
+    write_keyed(t, path, "o_orderkey", zone_cols=["cents"], retain=10)
     create_index(spark, path, "cents")
     analyze_keyed(spark, path, columns=["cents"], exact=True)
 
@@ -622,7 +622,7 @@ def auto_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    write_keyed(t, path, "o_orderkey")
+    write_keyed(t, path, "o_orderkey", retain=10)
     create_index(spark, path, "prio")
     create_index(spark, path, "cents")
     analyze_keyed(
@@ -649,6 +649,70 @@ def auto_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any("__kt_idx_" in f for f in cold.inputFiles()):
         raise AssertionError("cold probe did not serve through the index")
     return hot.unionByName(cold)
+
+
+@query(
+    "histogram_range_selectivity",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 * (CASE WHEN o_orderkey % 20 = 0 THEN 10 ELSE 1 END) AS v
+        FROM orders
+    )
+    SELECT o_orderkey, v FROM t WHERE v >= 100000000
+    """,
+)
+def histogram_range_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-backed selectivity (r13, ``keyed/stats.py``): a money
+    column with a stretched 5% tail (every 20th order's cents x10)
+    spans ~10x the dense region's width, so the tail range covers
+    ~80% of the value WIDTH but ~5% of the rows.  Analyzed
+    counts-only, the uniform-width assumption reads the range as most
+    of the table and plans the SCAN; re-analyzed with
+    ``histogram=32`` — one extra scan for ALL columns' bin counts —
+    the measured distribution prices the same range at ~5% and plans
+    the INDEX.  The pair asserts both advisories and the served
+    physical path (``inputFiles``): the plan quality tracks how well
+    the persisted stats describe the data, which is the whole
+    stats-driven-planning story."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        access_path_advice,
+        analyze_keyed,
+        auto_range_lookup as _auto,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_hist_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * F.when(F.col("o_orderkey") % 20 == 0, 10).otherwise(1)
+        ).alias("v"),
+    )
+    write_keyed(t, path, "o_orderkey", zone_cols=["v"], retain=10)
+    create_index(spark, path, "v")
+
+    analyze_keyed(spark, path, columns=["v"], exact=True)
+    adv_uniform = access_path_advice(path, "v", 100_000_000, None)
+    analyze_keyed(spark, path, columns=["v"], exact=True, histogram=32)
+    adv_hist = access_path_advice(path, "v", 100_000_000, None)
+    if adv_uniform["path"] != "scan" or adv_hist["path"] != "index":
+        raise AssertionError(
+            f"histogram did not flip the access path: "
+            f"uniform={adv_uniform}, hist={adv_hist}"
+        )
+    out = _auto(
+        spark, path, "v", 100_000_000, None, fields=["o_orderkey", "v"]
+    )
+    if not any("__kt_idx_" in f for f in out.inputFiles()):
+        raise AssertionError("tail range did not serve through the index")
+    return out
 
 
 @query(

@@ -537,3 +537,71 @@ def test_point_lookup_per_value_selectivity(spark, tmp_path):
         auto_point_lookup(spark, path, "k", 5)
     with pytest.raises(ValueError, match="NULL"):
         auto_point_lookup(spark, path, "cat", None)
+
+
+def test_histogram_selectivity_beats_uniform_assumption(spark, tmp_path):
+    """analyze_keyed(histogram=B) persists equi-width bin counts (one
+    scan for all columns), and access_path_advice estimates range
+    mass from the MEASURED distribution: on a skewed column whose
+    sparse tail spans half the value WIDTH but holds ~2.5% of the
+    rows, the histogram plans the index where the uniform-width
+    assumption would have planned a scan — the same query, flipped by
+    how well the stats describe the data."""
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        access_path_advice,
+        analyze_keyed,
+        auto_range_lookup,
+        table_stats,
+    )
+    from cascading_hbase_spark.keyed.table import read_keyed, table_version
+
+    path = str(tmp_path / "t")
+    # 950 rows dense in [0, 100); 50 rows spread over [100, 10000]
+    rows = [(i, i % 100, 1) for i in range(950)]
+    rows += [(950 + j, 100 + j * 198, 1) for j in range(50)]
+    df = spark.createDataFrame(rows, "k int, v long, one int")
+    # retain=10: each analyze is a meta-only commit, and the index's
+    # point-in-time serve needs its stamped generation readable
+    write_keyed(df, path, "k", zone_cols=["v"], retain=10)
+    create_index(spark, path, "v")
+
+    analyze_keyed(
+        spark, path, columns=["v"], exact=True, histogram=20
+    )
+    ent = table_stats(path)["columns"]["v"]
+    hist = ent["histogram"]
+    assert hist["bins"] == 20 and len(hist["counts"]) == 20
+    assert sum(hist["counts"]) == ent["n_nonnull"]
+    assert hist["counts"][0] > 900  # the dense region is measured
+
+    adv_h = access_path_advice(path, "v", 5000, 10000)
+    assert adv_h["path"] == "index" and "histogram" in adv_h["reason"], adv_h
+    assert adv_h["est_fraction"] <= 0.05
+
+    # same data, histogram dropped: the uniform-width assumption reads
+    # the range as half the column and plans the scan
+    analyze_keyed(spark, path, columns=["v"], exact=True)
+    adv_u = access_path_advice(path, "v", 5000, 10000)
+    assert adv_u["path"] == "scan" and "uniform" in adv_u["reason"], adv_u
+    assert adv_u["est_fraction"] > 0.4
+
+    # rows are identical through either physical path
+    got = auto_range_lookup(spark, path, "v", 5000, 10000, prefer="index")
+    exp = read_keyed(spark, path).filter("v between 5000 and 10000")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+    # the histogram config participates in the no-op identity
+    analyze_keyed(spark, path, columns=["v"], exact=True, histogram=20)
+    v1 = table_version(path)
+    analyze_keyed(spark, path, columns=["v"], exact=True, histogram=20)
+    assert table_version(path) == v1, "no-op re-analyze must not commit"
+
+    # single-valued column: degenerate one-bin histogram, whole mass
+    analyze_keyed(
+        spark, path, columns=["one"], exact=True, histogram=8
+    )
+    one = table_stats(path)["columns"]["one"]["histogram"]
+    assert one["counts"] == [1000] and one["lo"] == one["hi"] == 1.0
