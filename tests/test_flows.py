@@ -736,3 +736,39 @@ def test_cascade_drives_streaming_cdc_maintenance(spark, tmp_path):
         .select("grp", "n_rows", "cents_total").collect()
     )
     assert got == [("g1", 2, 35), ("g2", 1, 30)]
+
+
+def test_cascade_keeps_stats_fresh(spark, small_txt, tmp_path):
+    """Statistics upkeep as a scheduled maintenance node (r13): an
+    ``analyze_keyed`` MaintenanceFlow rides the same cascade as the
+    ingest it follows, so the stats every stats-driven planner
+    consults (salt factors, broadcast advice, access paths) refresh
+    whenever the data does — and analyze_keyed's fingerprint no-op
+    means a pass over unchanged data commits nothing, exactly the
+    incremental no-op-when-current semantics the other maintenance
+    nodes already have."""
+    from cascading_hbase_spark.keyed.stats import analyze_keyed, table_stats
+    from cascading_hbase_spark.keyed.table import table_version
+    from cascading_hbase_spark.plans.cascade import (
+        CascadeConnector,
+        MaintenanceFlow,
+    )
+
+    primary = str(tmp_path / "primary")
+    ingest = _parse_flow(small_txt, primary)
+    ptap = KeyedTableTap(primary, key="num")
+    analyze = MaintenanceFlow(
+        ptap, ptap,
+        lambda s: analyze_keyed(s, primary, heavy_hitters=3),
+        name="analyze",
+    )
+    cascade = CascadeConnector().connect(analyze, ingest)  # reversed
+    ran = cascade.complete(spark)
+    assert ran.index(ingest.name) < ran.index("analyze")
+    st = table_stats(primary)
+    assert st["data_changed"] is False and st["row_count"] > 0
+
+    # a second pass over unchanged data: the analyze node no-ops
+    v1 = table_version(primary)
+    analyze.complete(spark)
+    assert table_version(primary) == v1
