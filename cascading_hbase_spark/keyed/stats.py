@@ -60,9 +60,10 @@ from cascading_hbase_spark.keyed.table import (
 
 __all__ = [
     "StaleStatsError", "access_path_advice", "analyze_keyed",
-    "auto_point_lookup", "auto_range_lookup", "broadcast_advice",
-    "column_stats", "estimated_row_bytes", "point_lookup_advice",
-    "stats_hinted_join", "suggest_salt_factor", "table_stats",
+    "auto_in_lookup", "auto_point_lookup", "auto_range_lookup",
+    "broadcast_advice", "column_stats", "estimated_row_bytes",
+    "point_lookup_advice", "stats_hinted_join", "suggest_salt_factor",
+    "suggest_shuffle_partitions", "table_stats",
 ]
 
 
@@ -411,6 +412,36 @@ def suggest_salt_factor(
         return 1
     top_share = hh[0]["count"] / total
     return max(1, min(cap, math.ceil(top_share * partitions)))
+
+
+def suggest_shuffle_partitions(
+    path: str,
+    target_mb: int = 128,
+    floor: int = 1,
+    cap: int = 4096,
+    require_fresh: bool = False,
+) -> int:
+    """A ``spark.sql.shuffle.partitions`` value for shuffles whose
+    payload is roughly this table's rows, from the persisted stats:
+    ``ceil(row_count x estimated_row_bytes / target_mb)``, clamped to
+    [floor, cap].  The sizing rule every Spark tuning guide states —
+    partitions sized so each fits comfortably in executor memory —
+    computed from measured metadata instead of a guess, the same
+    promotion ``suggest_salt_factor`` made for skew.  Staleness
+    follows the salt rule (a partition count is a balance knob — any
+    value is correct): stale stats resolve, ``require_fresh=True``
+    raises ``StaleStatsError``."""
+    import math
+
+    st = table_stats(path)
+    if require_fresh and st.get("data_changed"):
+        raise StaleStatsError(
+            f"stats for {path} predate the latest data commit "
+            f"(analyzed v{st['version']}, now v{st['current_version']}); "
+            f"re-run analyze_keyed"
+        )
+    total = st["row_count"] * estimated_row_bytes(st)
+    return max(floor, min(cap, math.ceil(total / (target_mb * 1024 * 1024))))
 
 
 def estimated_row_bytes(stats: dict) -> int:
@@ -933,3 +964,78 @@ def auto_point_lookup(
             check_fresh=check_fresh,
         )
     return _scan_between(spark, path, col, value, value, fields)
+
+
+def auto_in_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values,
+    fields: list[str] | None = None,
+    threshold: float = 0.1,
+    require_fresh: bool = False,
+    prefer: str = "auto",
+) -> DataFrame:
+    """Serve ``col IN (values)`` through the stats-picked access path
+    — the IN-list member of the auto family (range / point / IN): the
+    estimated match TOTAL is the sum of each probe's per-value
+    estimate (measured heavy-hitter counts where recorded, the
+    residual average otherwise — one hot value in the list is enough
+    to tip the whole lookup to the scan, which is exactly right: the
+    index would semi-join that value's quarter-of-the-table anyway).
+    Index branch = ``index_in_lookup`` (one pruned prefix scan per
+    distinct value, unioned); scan branch = one pushed ``isin`` pass
+    with zone-map pruning to the list's [min, max] envelope for
+    numeric columns."""
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    if _load_meta(path).get("key") == col:
+        raise ValueError(
+            f"{col!r} is the table key; use get_keyed (bucket-pruned "
+            f"multi-Get), not a secondary access path"
+        )
+    vals = [v for v in values]
+    if not vals:
+        raise ValueError("auto_in_lookup needs at least one value")
+    if any(v is None for v in vals):
+        raise ValueError(
+            "IN-list lookup does not cover NULL (nulls are not indexed "
+            "and `IN` never matches NULL); filter with isNull"
+        )
+    check_fresh = True
+    if prefer == "auto":
+        branch, total_rows, point_in_time = "index", 0.0, False
+        for v in vals:
+            adv = point_lookup_advice(
+                path, col, v,
+                threshold=threshold, require_fresh=require_fresh,
+            )
+            if adv["path"] == "scan" and adv.get("est_fraction") is None:
+                branch = "scan"  # index unusable — degrade the lookup
+                break
+            total_rows += adv["est_rows"]
+            point_in_time = point_in_time or adv.get(
+                "index_point_in_time", False
+            )
+        else:
+            if total_rows / max(1, table_stats(path)["row_count"]) > threshold:
+                branch = "scan"
+        check_fresh = not point_in_time
+    elif prefer in ("index", "scan"):
+        branch = prefer
+        if prefer == "index":
+            _, fresh = _usable_index(path, col)
+            check_fresh = fresh
+    else:
+        raise ValueError(f"prefer must be auto|index|scan, got {prefer!r}")
+    if branch == "index":
+        from cascading_hbase_spark.keyed.index import index_in_lookup
+
+        return index_in_lookup(
+            spark, path, col, vals, fields=fields,
+            check_fresh=check_fresh,
+        )
+    df = _scan_between(
+        spark, path, col, min(vals), max(vals), fields=None
+    ).filter(F.col(col).isin(vals))
+    return df.select(*fields) if fields is not None else df

@@ -140,6 +140,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # at its measured ~5% and flip the plan from scan to index; both
     # advisories and the served path self-asserted.
     "histogram_range_selectivity",
+    # r13: NEW pair — IN-list access-path choice (the third member of
+    # the auto family): summed per-value estimates tip a hot list to
+    # the scan and a cold list to the index; both self-asserted.
+    "auto_in_list_lookup",
 ]
 
 # Number of head entries the driver's per-round budget is known to

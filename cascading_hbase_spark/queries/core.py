@@ -652,6 +652,70 @@ def auto_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "auto_in_list_lookup",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), lo AS (SELECT min(cents) AS mn FROM t)
+    SELECT o_orderkey, cents, 'prio' AS probe FROM t
+    WHERE prio IN ('2-HIGH', '4-NOT SPECIFIED')
+    UNION ALL
+    SELECT o_orderkey, cents, 'cents' AS probe FROM t, lo
+    WHERE cents IN (mn, mn + 1, mn + 2)
+    """,
+)
+def auto_in_list_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list access-path choice (r13, the third member of the auto
+    family): the priority list sums two measured heavy hitters (~40%
+    of the table) and tips to the zone-pruned SCAN — one pushed isin
+    pass instead of semi-joining 40% of the table through the index —
+    while the three-smallest-cents list sums residual-average
+    estimates (~3 rows) and rides the INDEX (one pruned prefix scan
+    per value, unioned).  Both branches self-assert their physical
+    path via ``inputFiles()``."""
+    import os
+    import tempfile
+
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        auto_in_lookup as _auto,
+    )
+    from cascading_hbase_spark.keyed.table import write_keyed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chs_ipath_"), "t")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed(t, path, "o_orderkey", retain=10)
+    create_index(spark, path, "prio")
+    create_index(spark, path, "cents")
+    analyze_keyed(
+        spark, path, columns=["prio", "cents"], exact=True,
+        heavy_hitters=8,
+    )
+    mn = t.agg(F.min("cents")).collect()[0][0]
+
+    hot = _auto(
+        spark, path, "prio", ["2-HIGH", "4-NOT SPECIFIED"],
+        fields=["o_orderkey", "cents"],
+    ).withColumn("probe", F.lit("prio"))
+    cold = _auto(
+        spark, path, "cents", [mn, mn + 1, mn + 2],
+        fields=["o_orderkey", "cents"],
+    ).withColumn("probe", F.lit("cents"))
+    if any("__kt_idx_" in f for f in hot.inputFiles()):
+        raise AssertionError("hot IN-list did not serve through the scan")
+    if not any("__kt_idx_" in f for f in cold.inputFiles()):
+        raise AssertionError("cold IN-list did not serve through the index")
+    return hot.unionByName(cold)
+
+
+@query(
     "histogram_range_selectivity",
     oracle="""
     WITH t AS (

@@ -605,3 +605,79 @@ def test_histogram_selectivity_beats_uniform_assumption(spark, tmp_path):
     )
     one = table_stats(path)["columns"]["one"]["histogram"]
     assert one["counts"] == [1000] and one["lo"] == one["hi"] == 1.0
+
+
+def test_in_list_access_path_and_shuffle_sizing(spark, tmp_path):
+    """auto_in_lookup completes the auto access-path family: an
+    all-cold IN-list rides the index (per-value residual estimates
+    summed), a list CONTAINING the measured hot value tips to the
+    scan (its count alone busts the threshold), and both branches
+    return identical rows.  suggest_shuffle_partitions sizes shuffles
+    from row_count x estimated width — monotone in the target and
+    clamped."""
+    from cascading_hbase_spark.keyed.index import create_index
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        auto_in_lookup,
+        suggest_shuffle_partitions,
+    )
+    from cascading_hbase_spark.keyed.table import read_keyed
+
+    path = str(tmp_path / "t")
+    rows = [(i, "HOT" if i < 500 else f"c{i % 100:03d}", i * 2)
+            for i in range(1000)]
+    write_keyed(
+        spark.createDataFrame(rows, "k int, cat string, m long"),
+        path, "k", retain=10,
+    )
+    create_index(spark, path, "cat")
+    analyze_keyed(
+        spark, path, columns=["cat"], exact=True, heavy_hitters=4
+    )
+
+    cold = auto_in_lookup(spark, path, "cat", ["c042", "c043", "c044"])
+    assert any("__kt_idx_" in f for f in cold.inputFiles())
+    hot = auto_in_lookup(spark, path, "cat", ["c042", "HOT"])
+    assert not any("__kt_idx_" in f for f in hot.inputFiles())
+    base = read_keyed(spark, path)
+    assert sorted(map(tuple, hot.collect())) == sorted(
+        map(tuple, base.filter("cat in ('c042', 'HOT')").collect())
+    )
+    assert sorted(map(tuple, cold.collect())) == sorted(
+        map(tuple, base.filter("cat in ('c042','c043','c044')").collect())
+    )
+    # forced branches agree under fields=
+    fi = auto_in_lookup(
+        spark, path, "cat", ["c042", "c043"], fields=["k", "cat"],
+        prefer="index",
+    )
+    fs = auto_in_lookup(
+        spark, path, "cat", ["c042", "c043"], fields=["k", "cat"],
+        prefer="scan",
+    )
+    assert fi.columns == fs.columns == ["k", "cat"]
+    assert sorted(map(tuple, fi.collect())) == sorted(map(tuple, fs.collect()))
+    with pytest.raises(ValueError, match="at least one"):
+        auto_in_lookup(spark, path, "cat", [])
+    with pytest.raises(ValueError, match="NULL"):
+        auto_in_lookup(spark, path, "cat", ["c042", None])
+
+    # shuffle sizing: the documented formula, monotone and clamped
+    import math
+
+    from cascading_hbase_spark.keyed.stats import (
+        estimated_row_bytes,
+        table_stats,
+    )
+
+    st = table_stats(path)
+    want = max(1, min(4096, math.ceil(
+        st["row_count"] * estimated_row_bytes(st) / (1024 * 1024)
+    )))
+    assert suggest_shuffle_partitions(path, target_mb=1) == want
+    assert (
+        suggest_shuffle_partitions(path, target_mb=1)
+        >= suggest_shuffle_partitions(path, target_mb=1024)
+        >= 1
+    )
+    assert suggest_shuffle_partitions(path, target_mb=10**6, floor=7) == 7
