@@ -292,6 +292,49 @@ def main() -> None:
         },
     )
 
+    # 6a2. STATS-DRIVEN planning (r13): the ANALYZE job itself (counts
+    #      + NDV + min/max, top-8 heavy hitters, 32-bin histograms —
+    #      three scans total regardless of column count), then the
+    #      access-path chooser serving a NARROW range through the
+    #      index and a WIDE one through the scan from the SAME
+    #      persisted stats.  The analyze commit is meta-only, so the
+    #      fresh o_custkey index serves point-in-time through the
+    #      data-fingerprint proof — the common analyze-after-index
+    #      ordering, exercised at bench scale.
+    from cascading_hbase_spark.keyed.stats import (
+        analyze_keyed,
+        auto_range_lookup,
+    )
+
+    step("create_index_custkey", lambda: create_index(spark, path, "o_custkey"))
+    step(
+        "analyze_stats_hh_hist",
+        lambda: analyze_keyed(
+            spark, path,
+            columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+            heavy_hitters=8, histogram=32,
+        ),
+    )
+    max_ck = int(orders.agg(F.max("o_custkey")).collect()[0][0])
+    step(
+        "auto_range_narrow_via_index",
+        lambda: {
+            "rows": auto_range_lookup(
+                spark, path, "o_custkey", 1, max(2, int(max_ck * 0.02)),
+                fields=["o_orderkey", "o_custkey"],
+            ).count()
+        },
+    )
+    step(
+        "auto_range_wide_via_scan",
+        lambda: {
+            "rows": auto_range_lookup(
+                spark, path, "o_custkey", 1, int(max_ck * 0.8),
+                fields=["o_orderkey", "o_custkey"],
+            ).count()
+        },
+    )
+
     # 6b. the SAME incremental chain as one ATOMIC transaction
     #     (keyed/txn.py) — measures the multi-table commit protocol's
     #     overhead vs step 5's sequential per-table commits: staging is
