@@ -681,3 +681,49 @@ def test_in_list_access_path_and_shuffle_sizing(spark, tmp_path):
         >= 1
     )
     assert suggest_shuffle_partitions(path, target_mb=10**6, floor=7) == 7
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st_.lists(st_.integers(0, 1000), min_size=1, max_size=24),
+    lo=st_.floats(-100, 100, allow_nan=False),
+    width=st_.floats(1e-6, 200, allow_nan=False),
+    a=st_.floats(0, 1),
+    b=st_.floats(0, 1),
+)
+def test_hist_fraction_invariants(counts, lo, width, a, b):
+    """Pure invariants of the histogram range estimator: bounded to
+    [0, 1]; the full analyzed range carries all mass; monotone under
+    range inclusion; and a bin-edge split of the full range is
+    additive (the interpolation never double-counts an edge).  Width
+    is bounded away from float underflow: a width so small that
+    ``lo + width == lo`` degenerates to the point-histogram branch,
+    where a split of a point range is meaningless (the first
+    hypothesis run falsified exactly that — test-model, not
+    estimator)."""
+    from cascading_hbase_spark.keyed.stats import _hist_fraction
+
+    hist = {"lo": lo, "hi": lo + width, "counts": counts}
+    if hist["hi"] <= hist["lo"]:  # float underflow at large |lo|
+        return
+    total = sum(counts)
+    full = _hist_fraction(hist, lo, lo + width)
+    assert 0.0 <= full <= 1.0
+    if total:
+        assert abs(full - 1.0) < 1e-6
+    # two sub-ranges, one containing the other: monotone
+    x1, x2 = sorted([lo + a * width, lo + b * width])
+    inner = _hist_fraction(hist, x1, x2)
+    outer = _hist_fraction(hist, lo, lo + width)
+    assert 0.0 <= inner <= outer + 1e-6
+    # split at a bin edge: additive
+    if total and width > 0 and len(counts) > 1:
+        edge = lo + width * (len(counts) // 2) / len(counts)
+        left = _hist_fraction(hist, lo, edge)
+        right = _hist_fraction(hist, edge, lo + width)
+        # the edge bin's boundary point contributes zero width to both
+        assert abs((left + right) - full) < 1e-6
