@@ -116,8 +116,18 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     parquet file arrives as 1 partition, which would serialize the
     whole shingle/hash pipeline on one core; at cluster scale the
     input already has many partitions and this is a cheap key shuffle
-    that also pre-locates the downstream per-doc aggregates."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+    that also pre-locates the downstream per-doc aggregates.
+
+    Skipped when the input already carries enough partitions — in
+    particular ``catalog.load_table`` now repartitions split-starved
+    inputs by the same key itself, and a second identical exchange
+    here would shuffle the rows twice (both REPARTITION_BY_COL
+    exchanges are user-specified, so the physical planner keeps
+    both)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(key))
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -2733,10 +2733,17 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: windows are built MAP-SIDE with sequence+slice (no
     self-join), keyed by a 60-bit hash so the shuffle key is 8 bytes
-    instead of a ~100-char string; one shuffle counts distinct docs per
-    window hash, one doc-keyed aggregate folds the flags.  Window count
-    per doc is |tokens|, so total work is a constant factor of corpus
-    token count — the same budget as tokenization itself."""
+    instead of a ~100-char string.  The corpus is tokenized and
+    exploded exactly ONCE (r13; the r12 cut computed the gram relation
+    twice — once for the per-gram doc counts and again for the
+    join-back — and shuffled every raw gram occurrence): occurrences
+    reduce map-side to distinct (gram_h, doc_id, cnt) rows, the
+    cross-doc flag is a count over the gram_h window on that already-
+    aggregated relation (no join-back, so raw occurrences never enter
+    any exchange), and one doc-keyed aggregate folds the flags,
+    weighting by cnt.  Window count per doc is |tokens|, so total work
+    is a constant factor of corpus token count — the same budget as
+    tokenization itself."""
     from cascading_hbase_spark.functions.hashing import hash64
 
     d = (
@@ -2754,16 +2761,20 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).select("doc_id", hash64(F.col("gram")).alias("gram_h"))
-    gd = grams.groupBy("gram_h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    dup = F.col("n_docs") >= 2
+    per_doc = grams.groupBy("gram_h", "doc_id").agg(F.count("*").alias("cnt"))
+    flagged = per_doc.withColumn(
+        # each row is one distinct (gram, doc), so the partition count
+        # IS the distinct-doc count of the gram
+        "_n_docs", F.count("*").over(Window.partitionBy("gram_h"))
+    )
+    dup_cnt = F.when(F.col("_n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0))
     return (
-        grams.join(gd, "gram_h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(dup.cast("bigint")).cast("bigint").alias("n_dup_grams"),
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(dup_cnt).cast("bigint").alias("n_dup_grams"),
             F.round(
-                F.sum(dup.cast("bigint")) / F.count("*").cast("double"), 6
+                F.sum(dup_cnt) / F.sum("cnt").cast("double"), 6
             ).alias("dup_fraction"),
         )
     )

@@ -354,7 +354,16 @@ def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams: per-partition sketches are plain (row, bucket) partial
     counts, so ONE partial+final hash aggregate builds the global
     sketch (<= 1536 counters, broadcast back for probing) no matter
-    the corpus size; token text never enters the sketch shuffle."""
+    the corpus size; token text never enters the sketch shuffle.
+
+    r13: the sketch cells derive from the VOCABULARY relation (each
+    distinct token weighted by its exact count — bit-identical sums by
+    associativity) rather than re-exploding the corpus token stream;
+    this query computes the exact counts anyway for the contract
+    columns, so the vocabulary aggregate feeds sketch, top-30 and
+    probe from ONE corpus scan (ReusedExchange in the plan).  A
+    production CMS built WITHOUT the exact audit keeps the direct
+    per-occurrence shape described above."""
     from cascading_hbase_spark.functions.hashing import hash64
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -363,13 +372,14 @@ def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _bucket(row: int, col):
         return hash64(F.concat(F.lit(f"{row}#"), col)) % _CMS_W
 
-    cells = tok.select(
+    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    cells = exact.select(
+        "c",
         F.posexplode(
             F.array(*[_bucket(i, F.col("t")) for i in range(3)])
-        ).alias("i", "bucket")
+        ).alias("i", "bucket"),
     )
-    sketch = cells.groupBy("i", "bucket").agg(F.count("*").alias("cell"))
-    exact = tok.groupBy("t").agg(F.count("*").alias("c"))
+    sketch = cells.groupBy("i", "bucket").agg(F.sum("c").alias("cell"))
     top = exact.orderBy(F.col("c").desc(), "t").limit(30)
     probes = top.select(
         "t", "c",

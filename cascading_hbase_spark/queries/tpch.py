@@ -572,17 +572,22 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     same proxy as Q12's 90+ bucket on this trimmed schema.
 
     Plan-first rewrite: the canonical double correlated subquery would
-    self-join lineitem twice.  Instead, one pass over the F-order lines
-    computes per-order COUNT(DISTINCT supplier) and COUNT(DISTINCT late
-    supplier) — as a two-level aggregate (distinct (order, supplier)
-    pairs first, then counts), never the Expand plan of a double
-    countDistinct; a late line l1 qualifies iff its order has >1
-    distinct suppliers and exactly 1 distinct late supplier (which must
-    then be l1's own — l1 is late, so its supplier is always among the
-    late set).  The order-stats aggregate and the l1-stats join share
-    the orderkey partitioning from the orders join, so lineitem is
-    shuffled once and never self-joined row-to-row.  The nation dim
-    filter broadcasts; supplier stays unhinted (scales with SF)."""
+    self-join lineitem twice.  Instead, ONE pass over the F-order
+    lines (r13; the r12 cut built the lineitem-orders join twice —
+    once for the order stats and again for the qualifying late lines)
+    reduces to distinct (order, supplier) pairs carrying the LATE LINE
+    COUNT, never the Expand plan of a double countDistinct; the
+    per-order supplier/late-supplier counts derive from that pair
+    relation, and a pair qualifies iff it is late, its order has >1
+    distinct suppliers and exactly 1 distinct late supplier (which
+    must then be the pair's own — the pair is late, so its supplier is
+    among the late set).  numwait then sums the qualifying pairs' late
+    line counts — the same multiplicity the l1-row count gave, without
+    re-reading lineitem.  The pair aggregate, the order-stats
+    aggregate and their join all reuse the orderkey partitioning from
+    the orders join, so lineitem is shuffled (at most) once.  The
+    nation dim filter broadcasts; supplier stays unhinted (scales
+    with SF)."""
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -593,29 +598,24 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
-    # Two-level distinct instead of countDistinct x2: a double
-    # countDistinct plans as Expand (2x the shuffled rows of the big
-    # relation); pre-aggregating to distinct (order, supplier) pairs
-    # dedups map-side first and the second agg runs on the tiny
-    # distinct relation (measured ~17% faster at sf0.1, 2x less
-    # shuffle at scale).
     per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(late.cast("int")).alias("_is_late")
+        F.sum(late.cast("int")).alias("_n_late_lines")
     )
     stats = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("_n_supp"),
-        F.sum("_is_late").alias("_n_late_supp"),
+        F.sum((F.col("_n_late_lines") > 0).cast("int")).alias("_n_late_supp"),
     )
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    l1 = lo.filter(late).join(s, F.col("l_suppkey") == F.col("s_suppkey"))
     return (
-        l1.join(stats, "l_orderkey")
+        per_supp.filter(F.col("_n_late_lines") > 0)
+        .join(stats, "l_orderkey")
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("_n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
