@@ -2648,25 +2648,34 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG retrieval stack, and the standard baseline ANN recall is judged
     against.
 
-    Scale shape: the corpus-wide work is ONE stats aggregate (doc
-    count + average length, broadcast back as a 1-row relation) plus a
-    term-frequency aggregate that is filtered to the query terms
-    MAP-SIDE before any shuffle — the (doc, term) relation entering the
-    shuffle is |hits|, not |tokens|.  Document frequencies come from
-    the same tiny relation; final ranking is a distributed top-k."""
+    Scale shape: ONE corpus pass (r13; the r12 cut scanned the corpus
+    twice — once for doc lengths, once for term frequencies — and
+    exploded EVERY token): the per-doc projection carries the doc
+    length and the query-term hits filtered INSIDE the token array,
+    so the explode cardinality is |hits|, not |tokens|, and the
+    doc-length/stats relations reuse the same scan subtree.  The
+    corpus-wide stats reduce to one 1-row aggregate broadcast back;
+    document frequencies come from the tiny hit relation; final
+    ranking is a distributed top-k."""
     terms = ["spark", "window", "hash", "stream"]
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").cast("double").alias("dl"),
+            F.filter(
+                "t", lambda x: x.isin(terms)
+            ).alias("_hits"),
+        )
     )
-    dl = d.select("doc_id", F.size("t").cast("double").alias("dl"))
-    stats = dl.agg(
+    dl = d.select("doc_id", "dl")
+    stats = d.agg(
         F.count("*").cast("double").alias("nd"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        d.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(terms))
+        d.select("doc_id", F.explode("_hits").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )

@@ -27,7 +27,7 @@ queries) are out of scope.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cascading_hbase_spark.catalog import load_table
 from cascading_hbase_spark.queries import query
@@ -601,18 +601,31 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(late.cast("int")).alias("_n_late_lines")
     )
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("_n_supp"),
-        F.sum((F.col("_n_late_lines") > 0).cast("int")).alias("_n_late_supp"),
-    )
+    # Per-order stats as WINDOWS over the pair relation, not a second
+    # aggregate joined back: a join-back duplicates the whole
+    # lineitem-orders-pairs subtree in the plan (reusing the DataFrame
+    # object does not dedupe subtrees, and column pruning makes the
+    # two branches' exchanges non-identical so AQE's ReusedExchange
+    # cannot either).  The window form is LINEAR — and because the
+    # pair relation is already hash-partitioned by a subset
+    # (l_orderkey, from the orders join / the pair aggregate), the
+    # window adds only a partition-local sort, no exchange.
+    w = Window.partitionBy("l_orderkey")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        per_supp.filter(F.col("_n_late_lines") > 0)
-        .join(stats, "l_orderkey")
-        .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        per_supp.withColumn("_n_supp", F.count("*").over(w))
+        .withColumn(
+            "_n_late_supp",
+            F.sum((F.col("_n_late_lines") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("_n_late_lines") > 0)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late_supp") == 1)
+        )
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("_n_late_lines").cast("bigint").alias("numwait"))

@@ -46,5 +46,18 @@ def get_session(app_name: str = "cascading-hbase-spark", master: str | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Let the planner pick shuffled-hash join when a per-partition
+        # build side fits (guide §3.1/§9): SHJ skips both sort passes
+        # of sort-merge.  The 64 MB AQE threshold additionally rewrites
+        # planned sort-merge joins to SHJ at runtime from MEASURED
+        # partition sizes — bounded per-task build memory at any
+        # scale, graceful (AQE only converts when every partition
+        # fits).  Measured at sf0.1: q21 -28%, minhash -20%,
+        # star-join -9%, nothing slower (OPTIMIZATION_r13.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64MB",
+        )
     )
     return builder.getOrCreate()

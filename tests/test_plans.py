@@ -123,7 +123,10 @@ def test_colocated_join_has_no_exchange(spark, tmp_path):
     try:
         joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
         plan = _plan(joined)
-        assert "SortMergeJoin" in plan
+        # sort-merge or shuffled-hash, planner's pick (the session
+        # prefers SHJ when the build side fits) — the contract under
+        # test is the ABSENCE of exchanges on bucket-co-located input
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange" not in plan, plan
         # and it returns the same rows as the unbucketed join
         assert joined.count() == o.join(c, "o_custkey").count()
@@ -576,3 +579,25 @@ def test_q21_no_expand(spark):
     shuffled rows of the joined fact relation)."""
     plan = _plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF))
     assert "Expand" not in plan, plan
+
+
+def test_q21_single_lineitem_pass(spark):
+    """r13 window form: the order stats are windows over the pair
+    relation, not an aggregate joined back — the plan must contain
+    exactly ONE lineitem scan (a join-back duplicates the whole
+    lineitem-orders-pairs subtree; DataFrame reuse does not dedupe
+    subtrees and pruning defeats ReusedExchange) and a Window node."""
+    plan = _plan(QUERIES["q21_suppliers_kept_waiting"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_substring_dup_spans_single_tokenize(spark):
+    """r13 shape: one tokenize+explode pass — the per-gram doc counts
+    come from a window over the pre-aggregated (gram, doc) relation,
+    not a join-back of raw gram occurrences, so the plan holds exactly
+    ONE documents scan and no join."""
+    plan = _plan(QUERIES["substring_dup_spans"](spark, SF))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
