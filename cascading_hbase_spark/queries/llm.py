@@ -2378,9 +2378,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram contributes one first-slot and one second-slot occurrence:
     c(w) sums both, N doubles for the marginals — hence the 2*cxy*N
     numerator), so marginals and joints are consistent by construction
-    and the corpus is tokenized once.  Map-side zip_with pair building
-    (the lm_bigram plan); joins shuffle on the word keys; distributed
-    top-100."""
+    and the corpus is tokenized once.  r13: "once" made physical —
+    marginals and the grand total derive from the MODEL-SIZED bigram
+    count relation (sum of cxy per slot / overall; identical counts by
+    associativity) instead of re-consuming the exploded occurrence
+    stream, whose subtree the plan previously duplicated 4x (bc, both
+    unigram slots, N); bc's aggregate exchange is identical across its
+    consumers, so the one corpus explode is ReusedExchange-deduped at
+    runtime.  Map-side zip_with pair building (the lm_bigram plan);
+    joins shuffle on the word keys; distributed top-100."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("tok")).filter(
         F.col("tok").isNotNull() & (F.size("tok") >= 2)
@@ -2393,12 +2399,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
     uc = (
-        bi.select(F.col("w1").alias("w"))
-        .unionAll(bi.select(F.col("w2").alias("w")))
+        bc.select(F.col("w1").alias("w"), "cxy")
+        .unionAll(bc.select(F.col("w2").alias("w"), "cxy"))
         .groupBy("w")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("cxy").alias("c"))
     )
-    n = bi.agg(F.count("*").alias("nbg"))
+    n = bc.agg(F.sum("cxy").alias("nbg"))
     pmi = F.log(
         2.0 * F.col("cxy") * F.col("nbg")
         / (F.col("c1").cast("double") * F.col("c2"))

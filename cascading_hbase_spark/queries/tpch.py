@@ -616,10 +616,12 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        per_supp.withColumn("_n_supp", F.count("*").over(w))
-        .withColumn(
-            "_n_late_supp",
-            F.sum((F.col("_n_late_lines") > 0).cast("int")).over(w),
+        per_supp.select(  # one projection -> ONE Window node for both
+            "*",
+            F.count("*").over(w).alias("_n_supp"),
+            F.sum((F.col("_n_late_lines") > 0).cast("int"))
+            .over(w)
+            .alias("_n_late_supp"),
         )
         .filter(
             (F.col("_n_late_lines") > 0)
