@@ -144,6 +144,28 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the auto family): summed per-value estimates tip a hot list to
     # the scan and a cold list to the index; both self-asserted.
     "auto_in_list_lookup",
+    # r13 OPTIMIZATION phase: CHANGED pairs — plan restructures
+    # (row-identical, each already 3-SF oracle-rehearsed this round;
+    # listed so the driver re-earns their evidence same-round per the
+    # standing rule).  Details in OPTIMIZATION_r13.md.
+    "substring_dup_spans",       # single tokenize + window, no join-back
+    "q21_suppliers_kept_waiting",  # one lineitem pass, window stats
+    "cms_frequency_contract",    # sketch cells from the vocabulary agg
+    "bm25_topk",                 # hits filtered inside the token array
+    "pmi_collocations",          # marginals/total from the bigram model
+    # r13 OPTIMIZATION phase: the co-purchase pin switched from
+    # persist to eager localCheckpoint (plan-size cut) — the engine
+    # path under every pin consumer changed, so their evidence is
+    # re-earned too.
+    "copurchase_triangles",
+    "copurchase_triangles_capped",
+    "copurchase_triangles_estimate",
+    "triangle_cap_audit",
+    "triangle_estimate_audit",
+    "copurchase_degree_distribution",
+    "itemcf_recommendations",
+    "graph_bfs_hops",
+    "copurchase_link_prediction_recall",
 ]
 
 # Number of head entries the driver's per-round budget is known to
