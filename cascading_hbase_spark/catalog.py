@@ -22,40 +22,40 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Split key per table for the unsplittable-input repartition below:
-# chosen as the commonest downstream grouping/join key so the forced
-# exchange doubles as useful co-location (per-customer windows,
-# per-doc aggregates, orderkey joins reuse the partitioning or at
-# least group locally).  Every key is near-unique or uniform, so hash
-# balance is a non-issue.  A table whose value is None is NOT
-# repartitioned: measured per-query A/B (tools/ab_split_fix.py,
-# OPTIMIZATION_r13.md) showed the extra exchange loses whenever the
-# downstream reduction is already cheap map-side and no later operator
-# reuses the key — events' tumbling-window aggregate being the clear
-# case (-64% from an exchange nothing downstream reuses).
-_SPLIT_KEYS: dict[str, str | None] = {
-    "region": "r_regionkey", "nation": "n_nationkey",
-    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
-    "orders": "o_custkey", "lineitem": "l_orderkey",
-    "events": None, "documents": "doc_id", "embeddings": "vec_id",
-}
+# The unsplittable-input spread (guide §2.5) is PER-CONSUMER, not
+# per-table (r14): each query opts in via ``load_table(...,
+# spread="key")`` only when its own downstream plan reuses the key's
+# partitioning (a groupBy/window/join on the key — the forced exchange
+# then REPLACES one the query would pay anyway) or when the post-scan
+# per-row work is heavy enough (tokenize/explode/Arrow stage) to be
+# worth one extra shuffle.  The r13 per-table default was measured to
+# LOSE on any query whose consumer is a cheap map-side-reducible
+# aggregate or a broadcast-join chain (agg_pricing_summary -36%,
+# cogroup_inner -35%, join_star_revenue -20% on the driver bench):
+# nothing downstream reuses the key there, so the exchange is pure
+# cost.  Every chosen key is near-unique or uniform, so hash balance
+# is a non-issue.
 
 
 def _split_spec() -> dict[str, str | None]:
-    """Optional env override for A/B experiments:
+    """Optional per-table FORCE override for A/B experiments, taking
+    precedence over the call-site ``spread`` argument:
     ``SPARK_GRAFT_SPLIT_SPEC="lineitem:l_orderkey,events:off"``."""
     spec = os.environ.get("SPARK_GRAFT_SPLIT_SPEC")
     if not spec:
-        return _SPLIT_KEYS
-    out = dict(_SPLIT_KEYS)
+        return {}
+    out: dict[str, str | None] = {}
     for item in spec.split(","):
         t, _, k = item.partition(":")
         out[t.strip()] = None if k.strip() in ("off", "") else k.strip()
     return out
 
-# path -> rows-per-row-group deficit decision, cached so repeated
-# load_table calls don't re-read footers.
-_LAYOUT_CACHE: dict[str, bool] = {}
+# (path, parallelism, mtime_ns, size) -> split-deficit decision, cached
+# so repeated load_table calls don't re-read footers; the key carries
+# the file identity and the parallelism the decision depends on, so a
+# regenerated parquet or a different-core session never sees a stale
+# entry (ADVICE r13).
+_LAYOUT_CACHE: dict[tuple, bool] = {}
 
 # A parquet scan parallelizes at row-group granularity; below this many
 # rows per available split the serial tail is trivial and the shuffle
@@ -77,7 +77,12 @@ def _scan_is_split_starved(path: str, parallelism: int) -> bool:
         return False  # explicit opt-out (A/B measurement, debugging)
     if "://" in path:
         return False
-    cached = _LAYOUT_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        cache_key = (path, parallelism, st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = (path, parallelism, 0, 0)
+    cached = _LAYOUT_CACHE.get(cache_key)
     if cached is not None:
         return cached
     try:
@@ -99,7 +104,7 @@ def _scan_is_split_starved(path: str, parallelism: int) -> bool:
             )
     except Exception:
         starved = False
-    _LAYOUT_CACHE[path] = starved
+    _LAYOUT_CACHE[cache_key] = starved
     return starved
 
 
@@ -107,22 +112,31 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: str | None = None
+) -> DataFrame:
+    """Load one table.  ``spread`` opts this CONSUMER into the
+    unsplittable-input repartition (guide §2.5): when the parquet
+    layout cannot feed the cluster (single row group — the scan's
+    split atom), repartition by ``spread`` right after the read.
+    Callers pass the key their own downstream plan reuses (their
+    groupBy/window/join key), so the forced exchange replaces one the
+    query would pay anyway; queries whose first reduction is already
+    map-side cheap leave it off — measured per query in
+    OPTIMIZATION_r14.md.  No-op on production-shaped inputs
+    (_scan_is_split_starved) and under the kill-switch."""
     # The harness may hand us a vanilla session; pin the timestamp
     # semantics our queries (and the DuckDB oracle) assume.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
 
     def _parallelize(df: DataFrame) -> DataFrame:
-        # Unsplittable-input fix (guide §2.5): a single-row-group file
-        # pins every scan-rooted map stage to ONE core; repartition by
-        # the table's natural key immediately after the read.  Key
-        # hash (no sort-before-repartition cost, deterministic under
-        # task retry) and results are partitioning-invariant — the
+        # Key hash (no sort-before-repartition cost, deterministic
+        # under task retry); results are partitioning-invariant — the
         # whole registry is order-insensitive by construction (hash
-        # sampling, sorted collect_lists, total tie-breaks).  No-op on
-        # production-shaped inputs (see _scan_is_split_starved).
-        key = _split_spec().get(name)
+        # sampling, sorted collect_lists, total tie-breaks).
+        spec = _split_spec()
+        key = spec[name] if name in spec else spread
         par = spark.sparkContext.defaultParallelism
         if key is not None and _scan_is_split_starved(path, par):
             return df.repartition(par, F.col(key))

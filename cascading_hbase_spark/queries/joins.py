@@ -897,19 +897,42 @@ def _release_pin(df: DataFrame) -> None:
     misuse-shaped performance bug)."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # owning SparkSession already stopped / non-RDD plan
+    except Exception as exc:  # noqa: BLE001 — py4j raises several types
+        # Expected only when the owning SparkSession is already
+        # stopped; anything else (API drift, a non-LogicalRDD pin)
+        # would leak blocks silently, so make it observable (ADVICE
+        # r13) without failing the eviction path.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pin release failed (blocks may leak): %s", exc
+        )
+
+
+# Pins evicted by a cross-key build are NOT released immediately: a
+# thread may have fetched the old pin and still be mid-query on it
+# (the latch in _pinned only serializes same-key builds — ADVICE r13).
+# Eviction parks the old DataFrame here and the NEXT eviction frees it,
+# giving in-flight consumers a full build+consume generation to drain.
+# Bounded: at most one generation (2 relations) parked per cache.
+_PENDING_RELEASE: list[DataFrame] = []
 
 
 def clear_edge_caches() -> None:
-    """Release every pinned co-purchase relation.  Call after
-    regenerating the parquet under a previously-pinned ``sf_dir`` —
-    the pin key is the (session, realpath) pair, so same-path new
-    data would otherwise be served from the stale pinned relation."""
+    """Release every pinned co-purchase relation, including any
+    eviction-parked one.  Call after regenerating the parquet under a
+    previously-pinned ``sf_dir`` — the pin key is the (session,
+    realpath) pair, so same-path new data would otherwise be served
+    from the stale pinned relation.  This releases IMMEDIATELY (no
+    grace generation): it is an explicit reset, callers must know no
+    query is in flight."""
     with _PIN_LOCK:
         for cache in (_EDGE_CACHE, _CAPPED_EDGE_CACHE):
             for key in list(cache):
                 _release_pin(cache.pop(key))
+        for df in _PENDING_RELEASE:
+            _release_pin(df)
+        _PENDING_RELEASE.clear()
 
 
 def _pinned(
@@ -975,8 +998,17 @@ def _pinned(
             # managed, rebuild-on-demand cache).
             fresh = build().localCheckpoint(eager=True)
             with _PIN_LOCK:
+                # Deferred release (one generation of grace): free the
+                # pins parked by the PREVIOUS eviction, then park this
+                # eviction's — a consumer that grabbed the old pin
+                # before this build finished can still finish its query
+                # (checkpoint blocks are not recomputable, so an eager
+                # release would fail it hard mid-flight).
+                for df in _PENDING_RELEASE:
+                    _release_pin(df)
+                _PENDING_RELEASE.clear()
                 for old_key in list(cache):
-                    _release_pin(cache.pop(old_key))
+                    _PENDING_RELEASE.append(cache.pop(old_key))
                 cache[key] = fresh
                 return cache[key]
         finally:
@@ -1010,7 +1042,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     support counting and scales linearly (measured 2.4x wall for 10x
     data at the sf1 probe)."""
     def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select(
+        li = load_table(spark, sf_dir, "lineitem", spread="l_orderkey").select(
             "l_orderkey", "l_partkey"
         )
         return (

@@ -194,10 +194,15 @@ def _n_pinned_rdds(spark) -> int:
 
 def test_pinned_cache_lifecycle(spark):
     """_pinned returns the same relation for the same key and evicts
-    (releasing its checkpoint blocks) the previous pin when the key
-    changes — at most one pinned relation per cache at any time."""
-    from cascading_hbase_spark.queries.joins import _pinned
+    the previous pin when the key changes — at most one LIVE pin per
+    cache.  An evicted pin's checkpoint blocks are released one
+    GENERATION later (the next eviction), so a thread still consuming
+    the old pin when a cross-key build lands is not failed mid-query
+    (ADVICE r13); the parked footprint stays bounded at one relation."""
+    from cascading_hbase_spark.queries import joins
+    from cascading_hbase_spark.queries.joins import _pinned, clear_edge_caches
 
+    clear_edge_caches()  # start with an empty graveyard
     cache = {}
     base = _n_pinned_rdds(spark)
     a = _pinned(cache, spark, "dirA", lambda: spark.range(5).toDF("n"))
@@ -206,8 +211,20 @@ def test_pinned_cache_lifecycle(spark):
     assert _n_pinned_rdds(spark) == base + 1  # pinned
     b = _pinned(cache, spark, "dirB", lambda: spark.range(7).toDF("n"))
     assert b.count() == 7
-    assert len(cache) == 1  # previous pin evicted
-    assert _n_pinned_rdds(spark) == base + 1  # old blocks released
+    assert len(cache) == 1  # previous pin evicted (not servable anew)
+    # dirA is parked, not yet released: still readable by an in-flight
+    # consumer that fetched it before the eviction.
+    assert _n_pinned_rdds(spark) == base + 2
+    assert a.count() == 5  # grace generation: old consumer unharmed
+    c = _pinned(cache, spark, "dirC", lambda: spark.range(9).toDF("n"))
+    assert c.count() == 9
+    # Bounded: the next eviction released dirA and parked dirB.
+    assert _n_pinned_rdds(spark) == base + 2
+    # cleanup: free the parked pin and the live one
+    clear_edge_caches()
+    joins._release_pin(c)
+    cache.clear()
+    assert _n_pinned_rdds(spark) == base
 
 
 def test_pinned_cache_survives_failed_build(spark):

@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--queries", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--drain", choices=("noop", "count"), default="noop",
+                    help="noop = real work (guide §1.4); count = the "
+                    "driver bench's drain (prunes aggregate exprs)")
     args = ap.parse_args()
 
     from cascading_hbase_spark.functions.hashing import use_fast_hash
@@ -43,7 +46,11 @@ def main() -> None:
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
-        QUERIES[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        df = QUERIES[name](spark, args.sf_dir)
+        if args.drain == "count":
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     out = {}
