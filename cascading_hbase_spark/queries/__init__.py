@@ -81,91 +81,32 @@ def _load_all() -> None:
 # ``tools/round_end_check.py`` cross-checks this list against
 # ``git diff`` so a stale entry fails the round-end gate.)
 _CHANGED_THIS_ROUND: list[str] = [
-    # r13: reset to [] at round start (the r12 verdicts landed; the
-    # derived head is now the 38 r07-dated + 12 oldest r08-dated
-    # pairs per VERDICT r12 item 4).  Names are added below ONLY as
-    # their query/oracle code changes this round.
+    # r14: reset to [] at round start (the r13 verdicts landed).
+    # Names are added below ONLY as their query/oracle code — or the
+    # engine plan shape under them — changes this round.
     #
-    # r13: NEW pair — index RANGE lookup over a DECIMAL money column
-    # (the v4 order-preserving unscaled-integer encoding, VERDICT r12
-    # item 6).
-    "index_range_lookup_decimal",
-    # r13: NEW pair — index RANGE lookup over a TIMESTAMP column (v4
-    # unix-micros instant encoding: session-timezone-independent and
-    # DST-fold-monotone, closing the r12 ADVICE medium item).
-    "index_range_lookup_timestamp",
-    # r13: CHANGED pairs — the key-encoding bump to v4 changes the
-    # stored composite keys EVERY index pair's engine path writes
-    # (standing rule: evidence is re-earned the round the engine
-    # semantics under a pair change).
-    "index_incremental_lookup",
-    "index_range_lookup",
-    "index_covering_lookup",
-    "index_composite_lookup",
-    "index_in_list_lookup",
-    "streaming_index_lookup",
-    # r13: NEW pair — stats-driven salting as the DEFAULT planning
-    # path (VERDICT r12 item 1): salted_two_phase_agg(n_salt="auto")
-    # resolves the factor from analyze_keyed's persisted heavy
-    # hitters; plan flip asserted in tests/test_stats.py.
-    "auto_salted_agg",
-    # r13: NEW pair — stats-driven broadcast decision: a keyed dim's
-    # persisted row-count/width stats pick F.broadcast at plan time,
-    # stale stats conservatively shuffle.
-    "stats_broadcast_join",
-    # r13: CHANGED pair — savepoint_keyed now REGISTERS its cut in
-    # every covered table (retention-aware savepoints: GC/history
-    # pruning pin the covered snapshots, vacuum refuses to cross a
-    # live savepoint, expiry collects) — the pair's engine path
-    # changed, so its evidence is re-earned this round.
-    "savepoint_restore_roundtrip",
-    # r13: CHANGED pair — analyze_keyed's heavy-hitter pass now runs
-    # as ONE job over ONE scan for all columns (explode + one groupBy
-    # + one per-column top-K window) instead of a groupBy per column;
-    # same stored lists, different engine path.
-    "analyze_heavy_hitters",
-    # r13: NEW pair — stats-driven ACCESS-PATH choice (index vs
-    # zone-pruned scan for a range predicate, decided from persisted
-    # stats at plan time); the query self-asserts each branch's
-    # physical path via inputFiles(), so the driver verdict covers
-    # the plan flip.
-    "auto_range_lookup",
-    # r13: NEW pair — PER-VALUE equality access-path choice: a probe
-    # that IS a measured heavy hitter plans from its exact count
-    # (scan), cold values from the residual average (index); both
-    # branches self-asserted via inputFiles().
-    "auto_point_lookup",
-    # r13: NEW pair — histogram-backed range selectivity: persisted
-    # equi-width bin counts price a wide-width/thin-mass tail range
-    # at its measured ~5% and flip the plan from scan to index; both
-    # advisories and the served path self-asserted.
-    "histogram_range_selectivity",
-    # r13: NEW pair — IN-list access-path choice (the third member of
-    # the auto family): summed per-value estimates tip a hot list to
-    # the scan and a cold list to the index; both self-asserted.
-    "auto_in_list_lookup",
-    # r13 OPTIMIZATION phase: CHANGED pairs — plan restructures
-    # (row-identical, each already 3-SF oracle-rehearsed this round;
-    # listed so the driver re-earns their evidence same-round per the
-    # standing rule).  Details in OPTIMIZATION_r13.md.
-    "substring_dup_spans",       # single tokenize + window, no join-back
-    "q21_suppliers_kept_waiting",  # one lineitem pass, window stats
-    "cms_frequency_contract",    # sketch cells from the vocabulary agg
-    "bm25_topk",                 # hits filtered inside the token array
-    "pmi_collocations",          # marginals/total from the bigram model
-    # r13 OPTIMIZATION phase: the co-purchase pin switched from
-    # persist to eager localCheckpoint (plan-size cut) — the engine
-    # path under every pin consumer changed, so their evidence is
-    # re-earned too.
-    "copurchase_triangles",
-    "copurchase_triangles_capped",
-    "copurchase_triangles_estimate",
-    "triangle_cap_audit",
-    "triangle_estimate_audit",
-    "copurchase_degree_distribution",
-    "itemcf_recommendations",
-    "graph_bfs_hops",
-    "copurchase_link_prediction_recall",
+    # r14: CHANGED pairs — the split-starved scan spread moved from
+    # per-table (catalog) to per-consumer (load_table(spread=...)),
+    # and these pairs' EFFECTIVE plans changed vs r13: the forced
+    # exchange was removed (measured regression on the driver metric)
+    # or newly added (measured win).  Row-identical (the spread is
+    # partitioning-invariant, proven both directions r12/r13); listed
+    # so the driver re-earns their evidence same-round.
+    "agg_pricing_summary",       # spread removed (was -36% driver)
+    "cogroup_inner",             # spread removed (was -35% driver)
+    "join_star_revenue",         # spread removed (was -20% driver)
+    "cms_frequency_contract",    # spread removed (-75% count-drain A/B)
+    "keyed_upsert_lww",          # spread removed (-56% count-drain A/B)
+    "multimodal_image_features", # spread removed (neutral A/B, r13 -14%)
+    "session_window_agg",        # user_id spread added (+9-12% A/B)
+    "sessionize_events",         # user_id spread added (+11% noop A/B)
+    # r14: CHANGED pairs — multi-scan restructures (VERDICT r13 item
+    # 4): one corpus pass / cached narrow relation instead of 3-5
+    # static scans of the same table.  Row-identical, 3-SF
+    # oracle-rehearsed this round; details in OPTIMIZATION_r14.md.
+    "tfidf_top_terms",           # one explode; totals/df as windows
+    "decile_lift_table",         # persisted 2-col ranking relation
+    "quantization_recall_audit", # persisted raw-float relation
 ]
 
 # Number of head entries the driver's per-round budget is known to

@@ -1065,20 +1065,42 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-10 terms by TF-IDF — the classic corpus term
-    profiler.  All counts are exact map-side-combinable aggregates; the
-    doc count and per-source totals are tiny aggregates broadcast back
-    into the token-level frame, so the only data-scale shuffles key on
-    token/source.  Ranking is a windowed top-k per source (rank over a
-    rounded score with a token tie-break, reproducible cross-engine)."""
+    profiler.
+
+    ONE corpus explode (r14; the r13 shape exploded the corpus three
+    times — tf, per-source totals, and doc frequencies each re-ran the
+    tokenizer, and column pruning made the three subtrees
+    non-ReusedExchange-able): occurrences pre-aggregate to distinct
+    (doc, source, tok) counts, those reduce to the model-sized
+    (source, tok) relation carrying term count AND containing-doc
+    count, and the per-source totals / doc frequencies derive from
+    that relation as windows — each doc has exactly ONE source, so
+    summing per-source doc counts over the token partition IS
+    count(DISTINCT doc_id).  The remaining second documents scan is
+    the zero-column corpus row count.  Ranking is a windowed top-k per
+    source (rank over a rounded score with a token tie-break,
+    reproducible cross-engine)."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
-    tf = ex.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
-    tot = ex.groupBy("source").agg(F.count("*").alias("tot"))
-    df_ = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dc = ex.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("c"))
+    st = dc.groupBy("source", "tok").agg(
+        F.sum("c").alias("cnt"), F.count("*").alias("nd_src")
+    )
     nd = d.agg(F.count("*").alias("nd"))
     scored = (
-        tf.join(F.broadcast(tot), "source")
-        .join(df_, "tok")
+        st.select(
+            "source",
+            "tok",
+            "cnt",
+            F.sum("nd_src").over(Window.partitionBy("tok")).alias("df"),
+        )
+        .select(
+            "source",
+            "tok",
+            "cnt",
+            "df",
+            F.sum("cnt").over(Window.partitionBy("source")).alias("tot"),
+        )
         .join(F.broadcast(nd))
         .select(
             "source",
@@ -2858,12 +2880,21 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         )
     )
+    # Persisted: global_row_index consumes its input four times
+    # (percentile cuts, bucket join, bucket counts, final window) and
+    # the count below a fifth — each static-plan branch would re-run
+    # the per-doc tokenize (split + array_distinct over the whole
+    # corpus, measured as 5 documents scans in the r13 sweep).  The
+    # persisted relation is 2 narrow numeric columns per doc (tiny
+    # relative to the corpus; MEMORY_AND_DISK spills gracefully);
+    # CacheManager dedupe + LRU eviction is the documented policy
+    # (functions/dedup.py).
     keyed = d.select(
         "pos",
         (F.col("n_distinct").cast("bigint") * 10000000 + F.col("doc_id")).alias(
             "ukey"
         ),
-    )
+    ).persist()
     idx = global_row_index(keyed, "ukey", index_col="ri")
     n = keyed.agg(F.count("*").alias("_n"))
     dec = (
@@ -4307,7 +4338,13 @@ def quantization_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
-    raw = e.select("vec_id", dbl.alias("embedding"))
+    # Persisted: the raw-float relation feeds FOUR static-plan branches
+    # (raw candidates + queries, and the int8 reconstruction's
+    # candidates + queries) — without the cache each branch re-scans
+    # the parquet and re-runs the double cast (embeddings x4 in the
+    # r13 sweep).  CacheManager dedupe + LRU eviction is the
+    # documented policy (functions/dedup.py).
+    raw = e.select("vec_id", dbl.alias("embedding")).persist()
     scale = F.array_max(F.transform("embedding", F.abs)) / 127.0
     recon = raw.select(
         "vec_id", "embedding", scale.alias("_s")
