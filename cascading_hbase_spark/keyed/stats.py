@@ -137,6 +137,101 @@ _HIST_TYPES = (
     DecimalType,
 )
 
+# Types whose parquet footer min/max are exact AND whose Python value
+# string-renders identically to Spark's CAST(col AS STRING): integers
+# (decimal repr both sides) and dates (ISO form both sides).  Strings
+# are excluded (footer stats may be truncated), floats/decimals/
+# timestamps are excluded (Java vs Python repr / session-timezone
+# rendering differ).
+_FOOTER_MM_TYPES = (ByteType, ShortType, IntegerType, LongType, DateType)
+
+
+def _footer_min_max(
+    path: str, meta: dict, col_types: dict
+) -> dict[str, tuple]:
+    """Exact per-column (min, max) in stored string form, read from the
+    committed snapshot's parquet row-group footers — DRIVER-side, zero
+    Spark jobs (the footer is written by the same writer that wrote
+    the rows, and parquet min/max ignore nulls exactly like Spark's
+    MIN/MAX).  Returns only columns whose every column chunk carries
+    trustworthy stats; callers fall back to the aggregate for the
+    rest.  Bails to {} (full fallback) when the layout is legacy, a
+    TTL is set (expired rows are invisible to the scan but present in
+    the footers), the path is a scheme URI, or anything about the
+    footers is unreadable."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_FOOTER_STATS", "1") == "0":
+        return {}
+    gens = meta.get("gens")
+    if not gens or meta.get("ttl") or "://" in path:
+        return {}
+    want = {
+        c for c, t in col_types.items() if isinstance(t, _FOOTER_MM_TYPES)
+    }
+    if not want:
+        return {}
+    from cascading_hbase_spark.keyed.table import BUCKET_COL, GEN_PREFIX
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    seen: set[str] = set()  # columns with at least one non-null chunk
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for b, g in gens.items():
+            gdir = _os.path.join(
+                path, f"{BUCKET_COL}={b}", f"{GEN_PREFIX}{g}"
+            )
+            for f in sorted(_glob.glob(_os.path.join(gdir, "*.parquet"))):
+                md = pq.ParquetFile(f).metadata
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for ci in range(rg.num_columns):
+                        cc = rg.column(ci)
+                        name = cc.path_in_schema
+                        if name not in want:
+                            continue
+                        st = cc.statistics
+                        if st is None or not st.has_min_max:
+                            all_null = (
+                                st is not None
+                                and st.has_null_count
+                                and st.null_count == cc.num_values
+                            )
+                            if not all_null:
+                                want.discard(name)  # untrustworthy
+                            continue
+                        seen.add(name)
+                        if name not in mins or st.min < mins[name]:
+                            mins[name] = st.min
+                        if name not in maxs or st.max > maxs[name]:
+                            maxs[name] = st.max
+    except Exception:
+        return {}
+
+    def _render(v) -> str | None:
+        if v is None:
+            return None
+        if isinstance(v, bool):  # bool is an int subclass; exclude
+            return None
+        if hasattr(v, "isoformat"):  # datetime.date -> Spark date form
+            return v.isoformat()
+        return str(int(v))
+
+    out: dict[str, tuple] = {}
+    for c in want:
+        if c in seen:
+            lo, hi = _render(mins.get(c)), _render(maxs.get(c))
+            if lo is None or hi is None:
+                continue  # unexpected stat type: fall back
+            out[c] = (lo, hi)
+        else:
+            out[c] = (None, None)  # every chunk all-null == NULL min/max
+    return out
+
 
 def _histograms_df(df: DataFrame, specs: dict, bins: int) -> DataFrame:
     """Equi-width bin counts for every column in ``specs`` ({col:
@@ -252,6 +347,14 @@ def analyze_keyed(
     ):
         return  # stats for this exact data snapshot already stamped
 
+    # Min/max for integer/date columns short-circuit on the parquet
+    # row-group footers (zero jobs, written by the same writer — VERDICT
+    # r13 item 8); only the columns the footers cannot serve keep their
+    # MIN/MAX expressions in the aggregate below.  Values are pinned
+    # equal to the computed path by tests/test_stats.py.
+    fmm = _footer_min_max(
+        path, meta, {c: df.schema[c].dataType for c in columns}
+    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(columns):
         col = F.col(c)
@@ -260,10 +363,13 @@ def analyze_keyed(
             (F.count_distinct(col) if exact
              else F.approx_count_distinct(col)).alias(f"nd_{i}")
         )
-        if isinstance(df.schema[c].dataType, _ATOMIC):
+        if isinstance(df.schema[c].dataType, _ATOMIC) and c not in fmm:
             aggs.append(F.min(col).cast("string").alias(f"mn_{i}"))
             aggs.append(F.max(col).cast("string").alias(f"mx_{i}"))
     row = df.agg(*aggs).collect()[0].asDict()
+    for i, c in enumerate(columns):
+        if c in fmm:
+            row[f"mn_{i}"], row[f"mx_{i}"] = fmm[c]
 
     n = int(row["__n"])
     hh_by_col: dict[str, list] = {}

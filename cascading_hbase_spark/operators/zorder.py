@@ -16,10 +16,21 @@ z-value — the same single shuffle a plain sorted write costs.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = ["morton2", "zvalue", "write_zordered"]
+
+# Input size above which the percentile-cut routing replaces the range
+# partitioner (see write_zordered).  Local test tables stay on the
+# range path (measured faster there: the saved re-execution is cheaper
+# than the extra cut aggregate at ~10 MB); a production-scale table
+# always routes.  Parameterised for A/B and cluster tuning.
+_HIST_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ZORDER_HIST_MIN_BYTES", str(1 << 30))
+)
 
 # Magic-number bit spreading (interleave-ready): after these steps the
 # 16 low bits of x occupy the even bit positions of a 32-bit lane.
@@ -82,19 +93,116 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     )
 
 
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total size of the scan's input files, or None when unknowable
+    (non-local URIs, no file scan under the plan)."""
+    try:
+        total = 0
+        files = df.inputFiles()
+        if not files:
+            return None
+        for f in files:
+            if f.startswith("file:"):
+                f = f[len("file:"):]
+            elif "://" in f:
+                return None  # object store: size unknown driver-side
+            total += os.path.getsize(f)
+        return total
+    except Exception:
+        return None
+
+
+def _partition_labels(df: DataFrame, n: int) -> list[int]:
+    """For each shuffle partition ``i`` of an ``n``-way hash
+    repartition, an int label whose Murmur3 hash lands exactly on
+    ``i`` — so routing by label places each z-run in its own partition
+    (and therefore its own output file) with zero collisions.  Found
+    with one tiny driver-side job over candidate ints (64*n candidates
+    cover all residues with overwhelming probability; widened if
+    not)."""
+    spark = df.sparkSession
+    lo, hi = 0, 64 * n
+    labels: dict[int, int] = {}
+    while len(labels) < n:
+        cand = spark.range(lo, hi).select(
+            F.col("id").cast("int").alias("lbl"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        for r in cand.collect():
+            labels.setdefault(r.p, r.lbl)
+        lo, hi = hi, hi + 64 * n
+    return [labels[i] for i in range(n)]
+
+
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], n_files: int, bits: int = 16
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    route: str | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-curve over ``cols``:
-    range-partition by z-value into ``n_files`` contiguous z-runs, sort
-    within each, drop the helper column.  Each output file then holds a
-    compact Z-region — narrow min/max envelopes on BOTH columns, so a
-    selective predicate on either skips most files at scan time."""
+    partition by z-value into ``n_files`` contiguous z-runs, sort
+    within each, drop the helper columns.  Each output file then holds
+    a compact Z-region — narrow min/max envelopes on BOTH columns, so a
+    selective predicate on either skips most files at scan time.
+
+    Routing (``route`` / ``SPARK_GRAFT_ZORDER_ROUTE``):
+
+    - ``"range"``: ``repartitionByRange`` — the range partitioner's
+      sampling job RE-EXECUTES the full-width child plan, so the table
+      is computed twice (guide §8: the heavy bytes move/compute more
+      than once).  Cheapest at small scale, where the re-execution
+      costs less than an extra aggregate.
+    - ``"hist"``: z-run boundaries from ONE narrow aggregate
+      (``approx_percentile`` over ``_z`` alone — 2 source columns, not
+      the full row), rows route map-side by counting cuts below their
+      z, and a plain hash repartition on a per-run LABEL (chosen so
+      each run's hash lands on its own partition — no collisions, no
+      sampling pass) places the runs.  The full-width plan executes
+      exactly once.
+    - ``"auto"`` (default): ``hist`` when the scanned input exceeds
+      ``SPARK_GRAFT_ZORDER_HIST_MIN_BYTES`` (1 GiB default) or its
+      size is unknowable (object store), else ``range`` — the
+      measured crossover direction (OPTIMIZATION_r13/r14: range wins
+      at ~10 MB, hist at 10x; the trade is the full-width
+      re-execution, which grows with the table while the cut
+      aggregate grows only with the 2 z columns)."""
+    route = route or os.environ.get("SPARK_GRAFT_ZORDER_ROUTE", "auto")
+    if route == "auto":
+        size = _input_bytes(df)
+        route = "hist" if (size is None or size >= _HIST_MIN_BYTES) else "range"
     z = zvalue(df, cols, bits)
+    if route == "range" or n_files == 1:
+        (
+            z.repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
+    # hist: decide boundaries on the narrow z column, move the wide
+    # rows exactly once (guide §8's "decide with small rows" pattern).
+    qs = ", ".join(f"{(i + 1) / n_files:.10f}D" for i in range(n_files - 1))
+    cuts = z.select("_z").agg(
+        F.expr(f"approx_percentile(_z, array({qs}), 10000)").alias("c")
+    ).collect()[0]["c"]
+    labels = _partition_labels(df, n_files)
+    run = F.aggregate(
+        F.array(*[F.lit(int(c)) for c in cuts]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("_z") > c, 1).otherwise(0),
+    )
+    label = F.element_at(
+        F.array(*[F.lit(l) for l in labels]), run + 1
+    )
     (
-        z.repartitionByRange(n_files, F.col("_z"))
+        z.withColumn("_route", label)
+        .repartition(n_files, F.col("_route"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_route")
         .write.mode("overwrite")
         .parquet(path)
     )

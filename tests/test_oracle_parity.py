@@ -24,11 +24,39 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def parity_problems(spark):
+    """All pairs' parity verdicts, computed ONCE with a small driver
+    thread pool: the per-pair cost is dominated by driver planning and
+    job-launch latency, not compute, so overlapping jobs (guide §2.6 —
+    the scheduler runs concurrent jobs fine) cuts the wall time ~4x
+    while keeping the SAME full coverage (this module was ~40% of the
+    suite's 41-minute serial wall, which overran the driver's verify
+    window — VERDICT r13 item 2).  Each worker gets its own DuckDB
+    connection (connections are not thread-safe); any exception is
+    recorded as that pair's problem so the named test still fails with
+    the message."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str) -> list[str]:
+        con = duck_connection(SF_DIR)
+        try:
+            sdf = QUERIES[name](spark, SF_DIR)
+            ddf = con.execute(ORACLES[name]).df()
+            return compare(sdf, ddf)
+        except Exception as exc:  # surface as the pair's failure
+            return [f"exception: {exc!r}"]
+        finally:
+            con.close()
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        names = sorted(ORACLES)
+        return dict(zip(names, pool.map(one, names)))
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR)
-    ddf = duck.execute(ORACLES[name]).df()
-    problems = compare(sdf, ddf)
+def test_oracle_parity(name, parity_problems):
+    problems = parity_problems[name]
     assert not problems, f"{name}: " + "; ".join(problems)
 
 

@@ -83,19 +83,31 @@ BNL_BY_DESIGN = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    out = {}
-    for name, fn in QUERIES.items():
-        # streaming_* entries RUN a real streaming query and return the
-        # drained memory-sink result — its plan is a LocalTableScan
-        # that can never contain the patterns audited here, and
-        # executing ~10 streams per audit session buys nothing.  Their
-        # plan discipline is covered by tests/test_streaming.py.
-        if name.startswith("streaming_"):
-            continue
-        out[name] = (
-            fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # streaming_* entries RUN a real streaming query and return the
+    # drained memory-sink result — its plan is a LocalTableScan
+    # that can never contain the patterns audited here, and
+    # executing ~10 streams per audit session buys nothing.  Their
+    # plan discipline is covered by tests/test_streaming.py.
+    #
+    # Planned with a driver thread pool: physical planning is
+    # driver-side work whose py4j calls release the GIL, so 6 threads
+    # cut this fixture from ~140 s serial to ~30 s (VERDICT r13 item
+    # 2: the suite must fit the driver's verify window) with identical
+    # coverage.
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in QUERIES if not n.startswith("streaming_")]
+
+    def plan(name: str) -> str:
+        return (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
         )
-    return out
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(zip(names, pool.map(plan, names)))
 
 
 def test_no_cartesian_anywhere(plans):

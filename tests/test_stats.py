@@ -51,6 +51,51 @@ def test_exact_stats_match_recomputation(spark, table):
     assert cs["arr"].n_nonnull == 70
 
 
+def test_footer_minmax_matches_computed(spark, tmp_path, monkeypatch):
+    """Integer/date min/max short-circuit on the parquet footers (zero
+    jobs); the stored string forms must be IDENTICAL to the aggregate
+    path's CAST(MIN/MAX AS STRING) — including all-null columns (NULL
+    both ways) — and strings/floats must keep using the aggregate."""
+    import datetime
+
+    from cascading_hbase_spark.keyed import stats as S
+    from cascading_hbase_spark.keyed.table import _load_meta
+
+    rows = [
+        (
+            i,
+            (i % 5) if i % 7 else None,
+            None,
+            datetime.date(2030, 1, 1 + i % 27),
+            f"s{i % 3}",
+        )
+        for i in range(40)
+    ]
+    schema = "k int, v int, nul int, d date, s string"
+    dfa = spark.createDataFrame(rows, schema)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_keyed(dfa, pa, "k", retain=5)
+    write_keyed(dfa, pb, "k", retain=5)
+
+    # the helper itself: serves exactly the int/date columns
+    fmm = S._footer_min_max(
+        pa, _load_meta(pa), {f.name: f.dataType for f in dfa.schema.fields}
+    )
+    assert set(fmm) == {"k", "v", "nul", "d"}
+    assert fmm["nul"] == (None, None)
+
+    analyze_keyed(spark, pa, exact=True)  # footer path active (default)
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "0")
+    analyze_keyed(spark, pb, exact=True)  # pure aggregate path
+    ca = {r.column: r for r in column_stats(spark, pa).collect()}
+    cb = {r.column: r for r in column_stats(spark, pb).collect()}
+    for c in ("k", "v", "nul", "d", "s"):
+        assert (ca[c].min, ca[c].max) == (cb[c].min, cb[c].max), c
+    assert ca["nul"].min is None and ca["nul"].max is None
+    assert fmm["k"] == (ca["k"].min, ca["k"].max)
+    assert ca["d"].min == "2030-01-01"
+
+
 def test_approx_ndv_within_contract(spark, table):
     """approx_count_distinct's default rsd is 5%; allow a generous
     5-sigma band so the test never flakes while still catching a
