@@ -23,11 +23,10 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["morton2", "zvalue", "write_zordered"]
 
-# Input size above which the percentile-cut routing replaces the range
-# partitioner (see write_zordered).  Local test tables stay on the
-# range path (measured faster there: the saved re-execution is cheaper
-# than the extra cut aggregate at ~10 MB); a production-scale table
-# always routes.  Parameterised for A/B and cluster tuning.
+# Input size above which route="auto" picks the percentile-cut routing
+# over the range partitioner (see write_zordered).  Parameterised for
+# A/B and cluster tuning; note the DEFAULT route is "range" — the
+# measured winner at both tested scales (OPTIMIZATION_r14).
 _HIST_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_ZORDER_HIST_MIN_BYTES", str(1 << 30))
 )
@@ -162,14 +161,22 @@ def write_zordered(
       each run's hash lands on its own partition — no collisions, no
       sampling pass) places the runs.  The full-width plan executes
       exactly once.
-    - ``"auto"`` (default): ``hist`` when the scanned input exceeds
+    - ``"auto"``: ``hist`` when the scanned input exceeds
       ``SPARK_GRAFT_ZORDER_HIST_MIN_BYTES`` (1 GiB default) or its
-      size is unknowable (object store), else ``range`` — the
-      measured crossover direction (OPTIMIZATION_r13/r14: range wins
-      at ~10 MB, hist at 10x; the trade is the full-width
-      re-execution, which grows with the table while the cut
-      aggregate grows only with the 2 z columns)."""
-    route = route or os.environ.get("SPARK_GRAFT_ZORDER_ROUTE", "auto")
+      size is unknowable (object store), else ``range``.
+
+    Default: ``"range"`` — the measured winner at BOTH tested scales
+    (OPTIMIZATION_r14 sf1 A/B: range 2.70 s vs hist 4.4-5.0 s on a
+    6M-row lineitem; the r13 hypothesis that the sampling
+    re-execution dominates at 10x did NOT hold — this table's child
+    plan is a narrow scan+project, so re-executing it costs less than
+    the t-digest cut aggregate).  ``hist`` is kept, parameterised,
+    for the guide-§8 shape where it should win: a child whose rows
+    are wide or expensive to compute (binary payloads, upstream
+    joins), where a second full execution is the dominant cost.  An
+    adopter flips ``SPARK_GRAFT_ZORDER_ROUTE=auto`` (or passes
+    ``route=``) with their own measurement."""
+    route = route or os.environ.get("SPARK_GRAFT_ZORDER_ROUTE", "range")
     if route == "auto":
         size = _input_bytes(df)
         route = "hist" if (size is None or size >= _HIST_MIN_BYTES) else "range"
@@ -187,7 +194,7 @@ def write_zordered(
     # rows exactly once (guide §8's "decide with small rows" pattern).
     qs = ", ".join(f"{(i + 1) / n_files:.10f}D" for i in range(n_files - 1))
     cuts = z.select("_z").agg(
-        F.expr(f"approx_percentile(_z, array({qs}), 10000)").alias("c")
+        F.expr(f"approx_percentile(_z, array({qs}), 1000)").alias("c")
     ).collect()[0]["c"]
     labels = _partition_labels(df, n_files)
     run = F.aggregate(

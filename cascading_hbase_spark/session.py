@@ -52,9 +52,22 @@ def get_session(app_name: str = "cascading-hbase-spark", master: str | None = No
         # planned sort-merge joins to SHJ at runtime from MEASURED
         # partition sizes — bounded per-task build memory at any
         # scale, graceful (AQE only converts when every partition
-        # fits).  Measured at sf0.1: q21 -28%, minhash -20%,
-        # star-join -9%, nothing slower (OPTIMIZATION_r13.md).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # fits).  Scale evidence (OPTIMIZATION_r14, one-process A/B at
+        # sf1/10x, noop-drained): q21 +8%, dedup_minhash +9%,
+        # join_star +5%, setsim +5%, cogroup -12% (0.27 s query) —
+        # net positive, so the static preference stays ON by default.
+        # Risk note (ADVICE r13): the STATIC preference decides from
+        # size ESTIMATES and SHJ's build side does not spill, so a
+        # badly underestimated or skewed build partition can OOM an
+        # executor; `SPARK_GRAFT_STATIC_SHJ=0` reverts to sort-merge
+        # preference (the AQE measured-size conversion below stays
+        # active either way) for clusters where that risk dominates.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_STATIC_SHJ", "1") == "0"
+            else "false",
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "64MB",

@@ -40,6 +40,33 @@ def test_zorder_narrows_both_envelopes(spark, tmp_path):
     assert zx < 0.5 * ny and zy < 0.5 * ny, (zx, zy, ny)
 
 
+def test_zorder_hist_route_same_rows_and_quality(spark, tmp_path):
+    """The percentile-cut ``hist`` routing (no sampling re-execution)
+    must produce the same rows, the same file count, and comparably
+    narrow per-file envelopes as the default range routing."""
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 2654435761) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zr, zh = str(tmp_path / "zr"), str(tmp_path / "zh")
+    write_zordered(df, zr, ["x", "y"], n_files=16)  # default: range
+    write_zordered(df, zh, ["x", "y"], n_files=16, route="hist")
+    import glob as _g
+
+    assert len(_g.glob(zh + "/*.parquet")) == 16
+    got_r = spark.read.parquet(zr)
+    got_h = spark.read.parquet(zh)
+    assert got_h.count() == n
+    assert got_r.exceptAll(got_h).count() == 0
+    assert got_h.exceptAll(got_r).count() == 0
+    hx, hy = _avg_range(zh + "/*.parquet", "x"), _avg_range(zh + "/*.parquet", "y")
+    # same bar as the range-routed envelope test: both dimensions well
+    # under the full 0..999 span
+    assert hx < 500 and hy < 500, (hx, hy)
+
+
 def test_morton2_bit_interleave(spark):
     rows = spark.createDataFrame(
         [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a int, b int"
